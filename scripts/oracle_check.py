@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Dev-loop oracle differ (mimics the driver's t2 gate).
+
+Usage:
+  python3 scripts/oracle_check.py <verify_out_dir> <sf_dir>
+
+Reads <verify_out_dir>/<name>/ parquet written by graft.Verify plus
+oracle_sql.json, runs each oracle in DuckDB with views over the sf_dir
+parquet tables, and compares: columns sorted by name, rows sorted by all
+columns, floats to 1e-6 relative tolerance.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def values_close(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-9)
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def frames_match(spark_df: pd.DataFrame, ora_df: pd.DataFrame) -> str:
+    if sorted(spark_df.columns) != sorted(ora_df.columns):
+        return f"schema mismatch: spark={sorted(spark_df.columns)} oracle={sorted(ora_df.columns)}"
+    if len(spark_df) != len(ora_df):
+        return f"row count mismatch: spark={len(spark_df)} oracle={len(ora_df)}"
+    a, b = canon(spark_df), canon(ora_df)
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            # timestamps: compare as pandas objects
+            if isinstance(x, pd.Timestamp) or isinstance(y, pd.Timestamp):
+                if pd.Timestamp(x) != pd.Timestamp(y):
+                    return f"col {col} row {i}: {x!r} != {y!r}"
+            elif not values_close(x, y):
+                return f"col {col} row {i}: {x!r} != {y!r}"
+    return ""
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sf_dir / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.loads((out_dir / "oracle_sql.json").read_text())
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(d.name for d in out_dir.iterdir() if d.is_dir()):
+        spark_df = pd.read_parquet(out_dir / name)
+        if name not in oracles:
+            status = "SKIP (no oracle, rows=%d)" % len(spark_df)
+            n_skip += 1
+            print(f"{name:40s} {status}")
+            continue
+        try:
+            ora_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            n_fail += 1
+            print(f"{name:40s} FAIL (oracle error: {e})")
+            continue
+        err = frames_match(spark_df, ora_df)
+        if err:
+            n_fail += 1
+            print(f"{name:40s} FAIL ({err})")
+        else:
+            n_pass += 1
+            print(f"{name:40s} PASS ({len(spark_df)} rows)")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} no-oracle")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
