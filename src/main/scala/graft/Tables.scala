@@ -13,7 +13,8 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
@@ -22,7 +23,19 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read nanos as long and convert to a microsecond
+    * TimestampType (floor division — all values are post-epoch). Oracle
+    * SQL must mirror this via `make_timestamp(epoch_ns(ts)//1000)`.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }
