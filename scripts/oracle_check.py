@@ -22,6 +22,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # list columns (parquet arrays / duckdb lists) aren't sortable; tuple-ize
+    for c in df.columns:
+        if df[c].map(lambda v: hasattr(v, "__len__") and not isinstance(v, str)).any():
+            df[c] = df[c].map(lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -29,6 +33,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def values_close(a, b) -> bool:
     if a is None and b is None:
         return True
+    # normalize list-likes (numpy arrays from parquet, lists from duckdb)
+    if hasattr(a, "__len__") and not isinstance(a, str):
+        if not (hasattr(b, "__len__") and not isinstance(b, str)):
+            return False
+        return len(a) == len(b) and all(values_close(x, y) for x, y in zip(a, b))
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True

@@ -392,4 +392,334 @@ object Queries {
         (dayofmonth(col("o_orderdate")) === 1).as("is_month_start"))
       .orderBy("o_orderkey")
   }
+
+  // ---------------------------------------------------------------
+  // §2.4 Reductions
+  // ---------------------------------------------------------------
+
+  // Standard frame reductions (reference _reductions.py:897-1070).
+  // Spark skewness/kurtosis are population moments; the oracle spells
+  // out the same formulas so both engines compute identical statistics.
+  q("q_reductions",
+    """WITH s AS (SELECT avg(l_quantity) AS mu, stddev_pop(l_quantity) AS sp,
+      |                  count(*) AS n FROM lineitem)
+      |SELECT sum(l_quantity) AS sum_qty,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_quantity) AS max_qty,
+      |  avg(l_quantity) AS avg_qty,
+      |  count(*) AS n_rows,
+      |  count(l_quantity) AS n_qty,
+      |  var_samp(l_quantity) AS var_qty,
+      |  stddev_samp(l_quantity) AS std_qty,
+      |  sum(l_quantity * l_quantity) AS sumsq,
+      |  (sum(pow(l_quantity - mu, 3)) / any_value(n)) / pow(any_value(sp), 3) AS skew_qty,
+      |  (sum(pow(l_quantity - mu, 4)) / any_value(n)) / pow(any_value(sp), 4) - 3 AS kurt_qty
+      |FROM lineitem, s GROUP BY ALL""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(sum("l_quantity").as("sum_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        avg("l_quantity").as("avg_qty"),
+        count(lit(1)).as("n_rows"),
+        count(col("l_quantity")).as("n_qty"),
+        var_samp(col("l_quantity")).as("var_qty"),
+        stddev_samp(col("l_quantity")).as("std_qty"),
+        sum(col("l_quantity") * col("l_quantity")).as("sumsq"),
+        skewness(col("l_quantity")).as("skew_qty"),
+        kurtosis(col("l_quantity")).as("kurt_qty"))
+  }
+
+  // Any/All → bool_or/bool_and; count_if; sum(DISTINCT).
+  q("q_bool_aggs",
+    """SELECT bool_or(l_quantity > 49) AS any_big,
+      |  bool_and(l_quantity > 0) AS all_pos,
+      |  count_if(l_discount > 0.05) AS n_big_disc,
+      |  sum(DISTINCT l_linenumber) AS sum_distinct_line
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(bool_or(col("l_quantity") > 49).as("any_big"),
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        count_if(col("l_discount") > 0.05).as("n_big_disc"),
+        sum_distinct(col("l_linenumber")).as("sum_distinct_line"))
+  }
+
+  // IdxMin/IdxMax → min_by/max_by (reference _reductions.py:980-1008);
+  // Mode (ties impossible on l_returnflag at these SFs).
+  q("q_idx_mode",
+    """SELECT min_by(o_orderkey, o_totalprice) AS cheapest_order,
+      |  max_by(o_orderkey, o_totalprice) AS priciest_order,
+      |  mode(o_orderstatus) AS common_status
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .agg(min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+        max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+        mode(col("o_orderstatus")).as("common_status"))
+  }
+
+  // NuniqueApprox → HyperLogLog (reference _reductions.py:1295). Sketch
+  // estimates are engine-specific → no SQL oracle (rows-only check);
+  // the exact variant below is the oracle-checked one.
+  qNoOracle("q_nunique_approx") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+  }
+
+  // Unique / NUnique exact (reference _reductions.py:565, _groupby nunique).
+  q("q_nunique_exact",
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(DISTINCT l_returnflag) AS n_flags
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+  }
+
+  // ValueCounts + normalize (reference _reductions.py:1394).
+  q("q_value_counts",
+    """SELECT o_orderpriority AS value, count(*) AS cnt,
+      |  count(*) / (SELECT count(*) FROM orders) AS proportion
+      |FROM orders GROUP BY 1 ORDER BY cnt DESC, value""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val total = o.count()
+    o.groupBy(col("o_orderpriority").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("proportion", col("cnt") / lit(total.toDouble))
+      .orderBy(col("cnt").desc, col("value"))
+  }
+
+  // DropDuplicates distinct-rows (reference _reductions.py:599).
+  q("q_drop_duplicates",
+    """SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber
+      |FROM lineitem ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus", "l_linenumber")
+      .dropDuplicates()
+      .orderBy("l_returnflag", "l_linestatus", "l_linenumber")
+  }
+
+  // keep="last" dedup via descending row_number window (SURVEY §2.4).
+  q("q_dedup_keep_last",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  // NLargest top-k (reference _reductions.py:1341) — Catalyst rewrites
+  // ORDER BY + LIMIT to TakeOrderedAndProject (no full sort at scale).
+  q("q_topk",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 50""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(50)
+  }
+
+  // PivotTable (reference _reductions.py:655): explicit pivot values keep
+  // the output schema static (no extra distinct pass at scale).
+  q("q_pivot",
+    """SELECT year(o_orderdate) AS y,
+      |  sum(o_totalprice) FILTER (o_orderstatus = 'F') AS "F",
+      |  sum(o_totalprice) FILTER (o_orderstatus = 'O') AS "O",
+      |  sum(o_totalprice) FILTER (o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum("o_totalprice"))
+      .orderBy("y")
+  }
+
+  // Exact quantiles (reference _quantile.py:14; median_approximate →
+  // percentile_approx has no cross-engine oracle, exact percentile does).
+  q("q_quantiles",
+    """SELECT quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  median(l_extendedprice) AS med_price
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        median(col("l_extendedprice")).as("med_price"))
+  }
+
+  // Describe (reference _describe.py:16) — composed aggs, one row per stat
+  // kept as typed columns.
+  q("q_describe",
+    """SELECT count(value) AS cnt, avg(value) AS mean,
+      |  stddev_samp(value) AS std, min(value) AS min_v,
+      |  quantile_cont(value, 0.5) AS p50, max(value) AS max_v
+      |FROM events""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .agg(count(col("value")).as("cnt"), avg("value").as("mean"),
+        stddev_samp(col("value")).as("std"), min("value").as("min_v"),
+        expr("percentile(value, 0.5)").as("p50"), max("value").as("max_v"))
+  }
+
+  // Cov/Corr (reference _reductions.py:1009) + autocorr-style pairing.
+  q("q_corr_cov",
+    """SELECT corr(l_quantity, l_extendedprice) AS c_qty_price,
+      |  covar_samp(l_quantity, l_extendedprice) AS cov_s,
+      |  covar_pop(l_quantity, l_extendedprice) AS cov_p
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c_qty_price"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_s"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("cov_p"))
+  }
+
+  // ---------------------------------------------------------------
+  // §2.5 Group-by
+  // ---------------------------------------------------------------
+
+  // Multi-agg dict spec (reference _groupby.py:331 GroupbyAggregation):
+  // decomposable aggs lower to partial+final HashAggregate in Spark.
+  q("q_groupby_multi",
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  avg(l_extendedprice) AS avg_price,
+      |  min(l_discount) AS min_disc,
+      |  max(l_discount) AS max_disc,
+      |  count(*) AS n,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  var_samp(l_quantity) AS var_qty,
+      |  stddev_samp(l_tax) AS std_tax
+      |FROM lineitem
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        min("l_discount").as("min_disc"),
+        max("l_discount").as("max_disc"),
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        var_samp(col("l_quantity")).as("var_qty"),
+        stddev_samp(col("l_tax")).as("std_tax"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // Holistic grouped median + exact percentile
+  // (reference _groupby.py:1066 HolisticGroupbyAggregation — in Spark this
+  // is just a sort-based aggregate, no full-group shuffle machinery).
+  q("q_groupby_median",
+    """SELECT o_orderstatus,
+      |  median(o_totalprice) AS med_price,
+      |  quantile_cont(o_totalprice, 0.9) AS p90
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(median(col("o_totalprice")).as("med_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy("o_orderstatus")
+  }
+
+  // Grouped idxmin/idxmax + deterministic first/last (by explicit order)
+  // (reference _groupby.py:561-677 First/Last/IdxMin/IdxMax).
+  q("q_groupby_firstlast",
+    """SELECT event_type,
+      |  min_by(event_id, value) AS idxmin_ev,
+      |  max_by(event_id, value) AS idxmax_ev,
+      |  min_by(value, event_id) AS first_value,
+      |  max_by(value, event_id) AS last_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(min_by(col("event_id"), col("value")).as("idxmin_ev"),
+        max_by(col("event_id"), col("value")).as("idxmax_ev"),
+        min_by(col("value"), col("event_id")).as("first_value"),
+        max_by(col("value"), col("event_id")).as("last_value"))
+      .orderBy("event_type")
+  }
+
+  // Grouped nunique + unique-set (reference _groupby.py:832 NUnique,
+  // :561 Unique → collect_set; sorted for determinism).
+  q("q_groupby_unique",
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  list_sort(list(DISTINCT user_id % 5)) AS user_mods
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sort_array(collect_set(col("user_id") % 5)).as("user_mods"))
+      .orderBy("event_type")
+  }
+
+  // Grouped cov/corr (reference _groupby.py:645-677).
+  q("q_groupby_corr",
+    """SELECT l_returnflag,
+      |  corr(l_quantity, l_extendedprice) AS c,
+      |  covar_samp(l_discount, l_tax) AS cv
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_discount"), col("l_tax")).as("cv"))
+      .orderBy("l_returnflag")
+  }
+
+  // Head-per-group (reference _groupby.py:858): row_number window.
+  q("q_group_head",
+    """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 2
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  // Two-level grouped value_counts (reference SeriesGroupBy.value_counts).
+  q("q_groupby_value_counts",
+    """SELECT event_type, user_id % 10 AS user_bucket, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type", "user_bucket")
+  }
+
+  // Superset: cube/rollup/grouping sets (SURVEY §2.5 — absent in the
+  // reference, free in Spark; declared as engine capability).
+  q("q_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+  }
 }
