@@ -722,4 +722,277 @@ object Queries {
         col("sum_qty"), col("n"))
       .orderBy("flag", "status")
   }
+
+  // ---------------------------------------------------------------
+  // §2.3 Joins
+  // ---------------------------------------------------------------
+
+  // Inner equi-join (reference _merge.py:50 Merge); Catalyst pushes the
+  // filter below the join and picks the physical strategy.
+  q("q_join_inner",
+    """SELECT o_orderkey, o_totalprice, l_linenumber, l_extendedprice
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey < 1500
+      |ORDER BY o_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).filter(col("o_orderkey") < 1500)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "o_totalprice", "l_linenumber", "l_extendedprice")
+      .orderBy("o_orderkey", "l_linenumber")
+  }
+
+  // Left outer join preserving unmatched rows (how="left").
+  q("q_join_left",
+    """SELECT o_orderkey, o_orderstatus, l.l_linenumber, l.l_quantity
+      |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 48) l
+      |  ON o_orderkey = l.l_orderkey
+      |WHERE o_orderkey < 3000
+      |ORDER BY o_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 48)
+    Tables.orders(s, dir).filter(col("o_orderkey") < 3000)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .select("o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity")
+      .orderBy("o_orderkey", "l_linenumber")
+  }
+
+  // Full outer join (how="outer") — both sides' unmatched rows survive.
+  q("q_join_outer",
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+      |FROM (SELECT * FROM customer WHERE c_custkey < 500) c
+      |FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey < 300) o
+      |  ON c.c_custkey = o.o_custkey
+      |ORDER BY c.c_custkey NULLS LAST, o.o_orderkey NULLS LAST""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir).filter(col("c_custkey") < 500)
+    val o = Tables.orders(s, dir).filter(col("o_custkey") < 300)
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+  }
+
+  // Left-semi (how="leftsemi", reference _merge.py:881 SemiMerge) and
+  // left-anti (reference reaches it via indicator+filter).
+  q("q_join_semi",
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+    Tables.customer(s, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  q("q_join_anti",
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // Merge indicator (reference merge(indicator=True)): derived from a
+  // full outer join, labels both/left_only/right_only.
+  q("q_join_indicator",
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+      |  count(*) AS n,
+      |  CASE WHEN c.c_custkey IS NULL THEN 'right_only'
+      |       WHEN o.o_custkey IS NULL THEN 'left_only'
+      |       ELSE 'both' END AS _merge
+      |FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+      |FULL OUTER JOIN (SELECT * FROM orders WHERE o_custkey % 2 = 0) o
+      |  ON c.c_custkey = o.o_custkey
+      |GROUP BY 1, 3 ORDER BY 1, 3""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0)
+    val o = Tables.orders(s, dir).filter(col("o_custkey") % 2 === 0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .withColumn("custkey", coalesce(c("c_custkey"), o("o_custkey")))
+      .withColumn("_merge",
+        when(c("c_custkey").isNull, "right_only")
+          .when(o("o_custkey").isNull, "left_only")
+          .otherwise("both"))
+      .groupBy("custkey", "_merge").agg(count(lit(1)).as("n"))
+      .orderBy("custkey", "_merge")
+  }
+
+  // Broadcast-dimension star join (reference _merge.py:739 BroadcastJoin;
+  // explicit broadcast() hint mirrors the broadcast= kwarg).
+  q("q_join_broadcast_star",
+    """SELECT r_name AS region, n_name AS nation,
+      |  count(*) AS n_customers, sum(c_acctbal) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_customers"), sum("c_acctbal").as("total_bal"))
+      .orderBy("region", "nation")
+  }
+
+  // Multi-column equi-join key (pandas merge on=[k1, k2]).
+  q("q_join_multikey",
+    """SELECT a.l_orderkey, a.l_linenumber, a.l_quantity, b.l_extendedprice
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+      |WHERE a.l_orderkey < 1000
+      |ORDER BY a.l_orderkey, a.l_linenumber""".stripMargin) { (s, dir) =>
+    val a = Tables.lineitem(s, dir).filter(col("l_orderkey") < 1000).alias("a")
+    val b = Tables.lineitem(s, dir).alias("b")
+    a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_linenumber") === col("b.l_linenumber"))
+      .select(col("a.l_orderkey").as("l_orderkey"),
+        col("a.l_linenumber").as("l_linenumber"),
+        col("a.l_quantity").as("l_quantity"),
+        col("b.l_extendedprice").as("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // TPC-H Q3-shaped: 3-way join + agg + top-k (bench headline).
+  q("q_shipping_priority",
+    """SELECT l_orderkey,
+      |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+      |  o_orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  // TPC-H Q5-shaped: 5-way join, broadcast dims (bench headline).
+  q("q_local_supplier_volume",
+    """SELECT n_name AS nation,
+      |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("nation"))
+  }
+
+  // ---------------------------------------------------------------
+  // §2.3 merge_asof — custom operator (graft.operators.AsOfJoin;
+  // reference _merge_asof.py:17-425). Left = click/view events, right =
+  // purchase events per user; match each event to the user's last/next
+  // purchase.
+  // ---------------------------------------------------------------
+
+  private def asofInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "ts", "user_id", "value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+        col("value").as("purchase_value"))
+    (clicks, purchases)
+  }
+
+  private val ASOF_L =
+    """(SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, user_id, value
+      | FROM events WHERE event_type = 'click') l""".stripMargin
+  private val ASOF_R =
+    """(SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+      |        event_id AS purchase_id, value AS purchase_value
+      | FROM events WHERE event_type = 'purchase') r""".stripMargin
+
+  q("q_merge_asof_backward",
+    s"""SELECT l.event_id, l.user_id, l.value, r.purchase_id, r.purchase_value
+       |FROM $ASOF_L ASOF LEFT JOIN $ASOF_R
+       |  ON l.user_id = r.user_id AND l.ts >= r.ts
+       |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    val (clicks, purchases) = asofInputs(s, dir)
+    operators.AsOfJoin.mergeAsOf(clicks, purchases, on = "ts", by = Seq("user_id"))
+      .select("event_id", "user_id", "value", "purchase_id", "purchase_value")
+      .orderBy("event_id")
+  }
+
+  q("q_merge_asof_forward",
+    s"""SELECT l.event_id, l.user_id, r.purchase_id
+       |FROM $ASOF_L ASOF LEFT JOIN $ASOF_R
+       |  ON l.user_id = r.user_id AND l.ts <= r.ts
+       |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    val (clicks, purchases) = asofInputs(s, dir)
+    operators.AsOfJoin.mergeAsOf(clicks, purchases, on = "ts",
+        by = Seq("user_id"), direction = "forward")
+      .select("event_id", "user_id", "purchase_id")
+      .orderBy("event_id")
+  }
+
+  // Tolerance: matches farther than 30 minutes are nulled (left row kept).
+  q("q_merge_asof_tolerance",
+    s"""SELECT l.event_id, l.user_id,
+       |  CASE WHEN l.ts - r.ts <= INTERVAL 30 MINUTE THEN r.purchase_id END AS purchase_id
+       |FROM $ASOF_L ASOF LEFT JOIN $ASOF_R
+       |  ON l.user_id = r.user_id AND l.ts >= r.ts
+       |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    val (clicks, purchases) = asofInputs(s, dir)
+    operators.AsOfJoin.mergeAsOf(clicks, purchases, on = "ts",
+        by = Seq("user_id"), tolerance = Some(30.0 * 60 * 1000000))
+      .select("event_id", "user_id", "purchase_id")
+      .orderBy("event_id")
+  }
+
+  // Nearest: closer of backward/forward, ties backward.
+  q("q_merge_asof_nearest",
+    s"""WITH b AS (
+       |  SELECT l.event_id, l.ts AS lts, r.ts AS rts, r.purchase_id
+       |  FROM $ASOF_L ASOF LEFT JOIN $ASOF_R
+       |    ON l.user_id = r.user_id AND l.ts >= r.ts),
+       |f AS (
+       |  SELECT l.event_id, l.ts AS lts, r.ts AS rts, r.purchase_id
+       |  FROM $ASOF_L ASOF LEFT JOIN $ASOF_R
+       |    ON l.user_id = r.user_id AND l.ts <= r.ts)
+       |SELECT b.event_id,
+       |  CASE WHEN b.rts IS NOT NULL AND (f.rts IS NULL
+       |         OR b.lts - b.rts <= f.rts - f.lts) THEN b.purchase_id
+       |       ELSE f.purchase_id END AS purchase_id
+       |FROM b JOIN f ON b.event_id = f.event_id
+       |ORDER BY b.event_id""".stripMargin) { (s, dir) =>
+    val (clicks, purchases) = asofInputs(s, dir)
+    operators.AsOfJoin.mergeAsOf(clicks, purchases, on = "ts",
+        by = Seq("user_id"), direction = "nearest")
+      .select("event_id", "purchase_id")
+      .orderBy("event_id")
+  }
+
+  // Ungrouped as-of (no `by`): exercises the range-bucketed carry path.
+  q("q_merge_asof_global",
+    s"""SELECT l.event_id, r.purchase_id
+       |FROM $ASOF_L ASOF LEFT JOIN $ASOF_R ON l.ts >= r.ts
+       |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    val (clicks, purchases) = asofInputs(s, dir)
+    operators.AsOfJoin.mergeAsOf(
+        clicks, purchases.drop("user_id"), on = "ts")
+      .select("event_id", "purchase_id")
+      .orderBy("event_id")
+  }
 }
