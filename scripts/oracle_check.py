@@ -20,13 +20,13 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, keys) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # list columns (parquet arrays / duckdb lists) aren't sortable; tuple-ize
     for c in df.columns:
         if df[c].map(lambda v: hasattr(v, "__len__") and not isinstance(v, str)).any():
             df[c] = df[c].map(lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    df = df.sort_values(by=keys, ignore_index=True)
     return df
 
 
@@ -55,7 +55,12 @@ def frames_match(spark_df: pd.DataFrame, ora_df: pd.DataFrame) -> str:
         return f"schema mismatch: spark={sorted(spark_df.columns)} oracle={sorted(ora_df.columns)}"
     if len(spark_df) != len(ora_df):
         return f"row count mismatch: spark={len(spark_df)} oracle={len(ora_df)}"
-    a, b = canon(spark_df), canon(ora_df)
+    # one shared sort-key order: float-in-either-frame columns last, so
+    # sub-tolerance fp noise can't reorder rows, and both frames agree
+    keys = sorted(
+        spark_df.columns,
+        key=lambda c: (spark_df[c].dtype.kind == "f" or ora_df[c].dtype.kind == "f", c))
+    a, b = canon(spark_df, keys), canon(ora_df, keys)
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):

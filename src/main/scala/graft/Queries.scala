@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Operator-coverage query registry (SURVEY.md §2).
@@ -994,5 +994,246 @@ object Queries {
         clicks, purchases.drop("user_id"), on = "ts")
       .select("event_id", "purchase_id")
       .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------
+  // §2.6 Window / ordered-frame ops
+  // ---------------------------------------------------------------
+
+  // GroupByCumulative (reference _groupby.py:1346): the bespoke
+  // sequential partition chain collapses to one window spec in Spark.
+  q("q_cumulative",
+    s"""SELECT event_id, user_id,
+       |  sum(value) OVER w AS cum_sum,
+       |  max(value) OVER w AS cum_max,
+       |  min(value) OVER w AS cum_min,
+       |  count(*) OVER w AS cum_count
+       |FROM $EVENTS_SQL
+       |WHERE user_id < 20
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir).filter(col("user_id") < 20)
+      .select(col("event_id"), col("user_id"),
+        sum("value").over(w).as("cum_sum"),
+        max("value").over(w).as("cum_max"),
+        min("value").over(w).as("cum_min"),
+        count(lit(1)).over(w).as("cum_count"))
+      .orderBy("event_id")
+  }
+
+  // CumProd (reference _cumulative.py:11) — no product window aggregate
+  // in Spark; an in-frame-order fold over collect_list multiplies doubles
+  // in the same sequence DuckDB's product() does (exp(sum(log)) would
+  // drift in the last ulps and is kept as the scale fallback for
+  // strictly-positive inputs).
+  q("q_cumprod",
+    """SELECT l_orderkey, l_linenumber,
+      |  product(1 + l_discount) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_growth
+      |FROM lineitem WHERE l_orderkey < 2000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir).filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        aggregate(collect_list(lit(1) + col("l_discount")).over(w),
+          lit(1.0), (acc, x) => acc * x).as("cum_growth"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // Shift/Diff (reference _expr.py:3292): lag/lead windows.
+  q("q_shift_diff",
+    s"""SELECT event_id, user_id, value,
+       |  lag(value) OVER w AS prev_value,
+       |  lead(value) OVER w AS next_value,
+       |  value - lag(value) OVER w AS diff1,
+       |  lag(value, 2) OVER w AS prev2
+       |FROM $EVENTS_SQL
+       |WHERE user_id < 10
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir).filter(col("user_id") < 10)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        (col("value") - lag("value", 1).over(w)).as("diff1"),
+        lag("value", 2).over(w).as("prev2"))
+      .orderBy("event_id")
+  }
+
+  // Rolling by row count (reference _rolling.py:43): 3-row trailing frame.
+  q("q_rolling_rows",
+    s"""SELECT event_id, user_id,
+       |  avg(value) OVER w AS roll_avg,
+       |  sum(value) OVER w AS roll_sum,
+       |  min(value) OVER w AS roll_min,
+       |  max(value) OVER w AS roll_max,
+       |  count(*) OVER w AS roll_n
+       |FROM $EVENTS_SQL
+       |WHERE user_id < 10
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir).filter(col("user_id") < 10)
+      .select(col("event_id"), col("user_id"),
+        avg("value").over(w).as("roll_avg"),
+        sum("value").over(w).as("roll_sum"),
+        min("value").over(w).as("roll_min"),
+        max("value").over(w).as("roll_max"),
+        count(lit(1)).over(w).as("roll_n"))
+      .orderBy("event_id")
+  }
+
+  // Rolling by time offset (reference _rolling.py time-based windows):
+  // trailing 1 hour via rangeBetween on the microsecond epoch.
+  q("q_rolling_time",
+    s"""SELECT event_id, user_id,
+       |  sum(value) OVER w AS hour_sum,
+       |  count(*) OVER w AS hour_n
+       |FROM $EVENTS_SQL
+       |WHERE user_id < 10
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+       |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000, 0)
+    Tables.events(s, dir).filter(col("user_id") < 10)
+      .select(col("event_id"), col("user_id"),
+        sum("value").over(w).as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"))
+      .orderBy("event_id")
+  }
+
+  // Resample to tumbling buckets (reference _resample.py:23): groupBy
+  // time window; OHLC = min_by/max_by on the (sequential) event_id.
+  q("q_resample_daily",
+    s"""SELECT date_trunc('day', ts) AS day,
+       |  count(*) AS n, sum(value) AS total, avg(value) AS mean,
+       |  min_by(value, event_id) AS open,
+       |  max(value) AS high, min(value) AS low,
+       |  max_by(value, event_id) AS close
+       |FROM $EVENTS_SQL
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"), avg("value").as("mean"),
+        min_by(col("value"), col("event_id")).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), col("event_id")).as("close"))
+      .select(col("window.start").as("day"), col("n"), col("total"),
+        col("mean"), col("open"), col("high"), col("low"), col("close"))
+      .orderBy("day")
+  }
+
+  // FFill/BFill (reference _expr.py:3325): last/first over ignore-nulls
+  // frames; nulls synthesized identically on both sides.
+  q("q_ffill_bfill",
+    s"""SELECT event_id, user_id,
+       |  last_value(v IGNORE NULLS) OVER
+       |    (PARTITION BY user_id ORDER BY event_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffilled,
+       |  first_value(v IGNORE NULLS) OVER
+       |    (PARTITION BY user_id ORDER BY event_id
+       |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfilled
+       |FROM (SELECT event_id, user_id,
+       |        CASE WHEN value < 2.0 THEN NULL ELSE value END AS v
+       |      FROM $EVENTS_SQL) t
+       |WHERE user_id < 10
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wF = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(s, dir).filter(col("user_id") < 10)
+      .withColumn("v", when(col("value") < 2.0, lit(null)).otherwise(col("value")))
+      .select(col("event_id"), col("user_id"),
+        last(col("v"), ignoreNulls = true).over(wF).as("ffilled"),
+        first(col("v"), ignoreNulls = true).over(wB).as("bfilled"))
+      .orderBy("event_id")
+  }
+
+  // Ranking windows — absent from the reference's pandas surface
+  // (SURVEY §2.6), free in Spark; declared as engine superset.
+  q("q_window_rank",
+    """SELECT o_orderkey, o_custkey,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  row_number() OVER w AS rn,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM orders WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir).filter(col("o_custkey") < 50)
+      .select(col("o_orderkey"), col("o_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
+  // IsMonotonic (reference _reductions.py:1519): lag + bool_and.
+  q("q_is_monotonic",
+    s"""SELECT user_id,
+       |  bool_and(ts >= prev_ts OR prev_ts IS NULL) AS ts_monotonic,
+       |  bool_and(value >= prev_v OR prev_v IS NULL) AS value_monotonic
+       |FROM (SELECT user_id, ts, value,
+       |        lag(ts) OVER w AS prev_ts, lag(value) OVER w AS prev_v
+       |      FROM $EVENTS_SQL
+       |      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)) t
+       |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"),
+        lag("ts", 1).over(w).as("prev_ts"),
+        lag("value", 1).over(w).as("prev_v"))
+      .groupBy("user_id")
+      .agg(bool_and(col("ts") >= col("prev_ts") || col("prev_ts").isNull).as("ts_monotonic"),
+        bool_and(col("value") >= col("prev_v") || col("prev_v").isNull).as("value_monotonic"))
+      .orderBy("user_id")
+  }
+
+  // map_overlap custom operator (graft.operators.MapOverlap): centered
+  // 3-row moving average over a global ordering, computed with
+  // partition-edge overlap; oracle is the equivalent window.
+  q("q_map_overlap",
+    s"""SELECT event_id,
+       |  avg(value) OVER (ORDER BY event_id
+       |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS centered_ma
+       |FROM $EVENTS_SQL
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val in = Tables.events(s, dir).select("event_id", "value")
+    val outSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("centered_ma", DoubleType)))
+    operators.MapOverlap.mapOverlap(in, "event_id", before = 1, after = 1, outSchema) {
+      (block, start, end) =>
+        (start until end).iterator.map { i =>
+          val lo = math.max(0, i - 1)
+          val hi = math.min(block.length - 1, i + 1)
+          val vals = (lo to hi).map(j => block(j).getDouble(1))
+          Row(block(i).getLong(0), vals.sum / vals.size)
+        }
+    }.orderBy("event_id")
   }
 }
