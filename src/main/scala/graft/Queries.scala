@@ -784,9 +784,9 @@ object Queries {
   q("q_join_anti",
     """SELECT c_custkey, c_mktsegment FROM customer
       |WHERE c_custkey NOT IN
-      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
-    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
     Tables.customer(s, dir)
       .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_mktsegment")
