@@ -28,8 +28,13 @@ object Queries {
       fn: (SparkSession, String) => DataFrame): Unit =
     register(name, None)(fn)
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = reg.toMap
-  def oracles: Map[String, String] = ora.toMap
+  // ListMap preserves registration order: Verify/Bench iterate queries
+  // deterministically (a plain toMap would randomize, landing JVM warm-up
+  // on an arbitrary query each run).
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    scala.collection.immutable.ListMap(reg.toSeq: _*)
+  def oracles: Map[String, String] =
+    scala.collection.immutable.ListMap(ora.toSeq: _*)
 
   // ---------------------------------------------------------------
   // §2.1 + §2.4 + §2.7 — flagship: scan → filter → agg → sort
@@ -96,7 +101,7 @@ object Queries {
       |  l_quantity + l_linenumber AS qty_plus,
       |  l_extendedprice / l_quantity AS unit_price,
       |  l_orderkey % 7 AS key_mod,
-      |  floor(l_quantity / 5) AS qty_div5,
+      |  CAST(floor(l_quantity / 5) AS BIGINT) AS qty_div5,
       |  power(l_discount, 2) AS disc_sq,
       |  -l_tax AS neg_tax
       |FROM lineitem
@@ -110,7 +115,8 @@ object Queries {
         (col("l_quantity") + col("l_linenumber")).as("qty_plus"),
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
         (col("l_orderkey") % 7).as("key_mod"),
-        floor(col("l_quantity") / 5).as("qty_div5"),
+        floor(col("l_quantity") / 5).as("qty_div5"),   // Spark floor → LongType; oracle casts to BIGINT to match
+
         pow(col("l_discount"), 2).as("disc_sq"),
         (-col("l_tax")).as("neg_tax"))
       .orderBy("l_orderkey", "l_linenumber")
@@ -227,8 +233,8 @@ object Queries {
     """SELECT event_id,
       |  abs(value - 10.0) AS abs_dev,
       |  sqrt(value) AS sqrt_v,
-      |  exp(value / 100.0) AS exp_v,
-      |  ln(value + 1.0) AS log_v,
+      |  round(exp(value / 100.0), 9) AS exp_v,
+      |  round(ln(value + 1.0), 9) AS log_v,
       |  floor(value) AS floor_v,
       |  ceil(value) AS ceil_v,
       |  sign(value - 10.0) AS sign_v
@@ -238,8 +244,10 @@ object Queries {
       .select(col("event_id"),
         abs(col("value") - 10.0).as("abs_dev"),
         sqrt(col("value")).as("sqrt_v"),
-        exp(col("value") / 100.0).as("exp_v"),
-        log(col("value") + 1.0).as("log_v"),
+        // JVM and libm transcendentals differ in the last ulp; round to 9
+        // digits on both sides so the cross-engine hash is stable.
+        round(exp(col("value") / 100.0), 9).as("exp_v"),
+        round(log(col("value") + 1.0), 9).as("log_v"),
         floor(col("value")).as("floor_v"),
         ceil(col("value")).as("ceil_v"),
         signum(col("value") - 10.0).as("sign_v"))
@@ -434,7 +442,7 @@ object Queries {
     """SELECT bool_or(l_quantity > 49) AS any_big,
       |  bool_and(l_quantity > 0) AS all_pos,
       |  count_if(l_discount > 0.05) AS n_big_disc,
-      |  sum(DISTINCT l_linenumber) AS sum_distinct_line
+      |  CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_line
       |FROM lineitem""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
       .agg(bool_or(col("l_quantity") > 49).as("any_big"),
@@ -457,12 +465,21 @@ object Queries {
   }
 
   // NuniqueApprox → HyperLogLog (reference _reductions.py:1295). Sketch
-  // estimates are engine-specific → no SQL oracle (rows-only check);
-  // the exact variant below is the oracle-checked one.
-  qNoOracle("q_nunique_approx") { (s, dir) =>
+  // estimates are engine-specific, so the gateable contract is a bounds
+  // check: the HLL estimate (rsd=0.02) must land within 10% of the exact
+  // count, which the oracle asserts as constant-true booleans.
+  q("q_nunique_approx",
+    "SELECT true AS ok_parts, true AS ok_orders") { (s, dir) =>
     Tables.lineitem(s, dir)
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.1).as("ok_parts"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * 0.1).as("ok_orders"))
   }
 
   // Unique / NUnique exact (reference _reductions.py:565, _groupby nunique).
@@ -482,11 +499,14 @@ object Queries {
     """SELECT o_orderpriority AS value, count(*) AS cnt,
       |  count(*) / (SELECT count(*) FROM orders) AS proportion
       |FROM orders GROUP BY 1 ORDER BY cnt DESC, value""".stripMargin) { (s, dir) =>
-    val o = Tables.orders(s, dir)
-    val total = o.count()
-    o.groupBy(col("o_orderpriority").as("value"))
+    // normalize= stays in-plan: the grand total is a window sum over the
+    // (small) grouped result — no eager driver-side count() action.
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("value"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("proportion", col("cnt") / lit(total.toDouble))
+      .withColumn("proportion",
+        col("cnt") / sum("cnt").over(Window.partitionBy()).cast("double"))
       .orderBy(col("cnt").desc, col("value"))
   }
 
@@ -655,12 +675,15 @@ object Queries {
   q("q_groupby_unique",
     """SELECT event_type,
       |  count(DISTINCT user_id) AS n_users,
-      |  list_sort(list(DISTINCT user_id % 5)) AS user_mods
+      |  array_to_string(list_sort(list(DISTINCT user_id % 5)), ',') AS user_mods
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // The unique set is emitted as a comma-joined string: the driver's
+    // comparator cannot hash array-typed cells.
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users"),
-        sort_array(collect_set(col("user_id") % 5)).as("user_mods"))
+        array_join(transform(sort_array(collect_set(col("user_id") % 5)),
+          _.cast("string")), ",").as("user_mods"))
       .orderBy("event_type")
   }
 
@@ -1027,11 +1050,11 @@ object Queries {
       .orderBy("event_id")
   }
 
-  // CumProd (reference _cumulative.py:11) — no product window aggregate
-  // in Spark; an in-frame-order fold over collect_list multiplies doubles
-  // in the same sequence DuckDB's product() does (exp(sum(log)) would
-  // drift in the last ulps and is kept as the scale fallback for
-  // strictly-positive inputs).
+  // CumProd (reference _cumulative.py:11) — no built-in product window
+  // aggregate in Spark, so a tiny product Aggregator runs as the window
+  // function. The running frame feeds it incrementally (O(n) per
+  // partition, no per-row array), and it multiplies in frame order so
+  // values are bit-identical to DuckDB's sequential product().
   q("q_cumprod",
     """SELECT l_orderkey, l_linenumber,
       |  product(1 + l_discount) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
@@ -1043,8 +1066,7 @@ object Queries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir).filter(col("l_orderkey") < 2000)
       .select(col("l_orderkey"), col("l_linenumber"),
-        aggregate(collect_list(lit(1) + col("l_discount")).over(w),
-          lit(1.0), (acc, x) => acc * x).as("cum_growth"))
+        functions.Udafs.product(lit(1) + col("l_discount")).over(w).as("cum_growth"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 

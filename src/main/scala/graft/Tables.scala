@@ -31,9 +31,11 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // `div` keeps the arithmetic in LongType: `/` would promote the
+    // int64 epoch-nanos (~8.6e17 > 2^53) to double and round by ~64 ns.
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")

@@ -36,6 +36,7 @@ object AsOfJoin {
   private val SIDE = "__graft_side"  // 1 = left row, 0 = right row
   private val ORD = "__graft_ord"    // tie order at equal keys
   private val B = "__graft_b"        // range bucket (ungrouped path)
+  private val MID = "__graft_mid"    // right-row position for deterministic ties
   private val BW = "__graft_bw"      // backward match struct
   private val FW = "__graft_fw"      // forward match struct
   private val RK = "__graft_rk"      // matched right key (inside structs)
@@ -78,9 +79,13 @@ object AsOfJoin {
       .withColumn(K, keyNum(left))
       .withColumn(SIDE, lit(1))
 
+    // Positional id makes the equal-(key, tie-order) winner deterministic:
+    // pandas matches the positionally-last right row backward and the
+    // positionally-first forward; without it last() depends on shuffle order.
     val r = right.withColumn(K, keyNum(right))
       .select((by.map(col) :+ col(K) :+ rmatch.as("__graft_rm")): _*)
       .withColumn(SIDE, lit(0))
+      .withColumn(MID, monotonically_increasing_id())
 
     // unionByName fills the side-specific columns (left payload on right
     // rows, match struct on left rows) with nulls.
@@ -100,14 +105,16 @@ object AsOfJoin {
     var cur = withBuckets.withColumn(ORD, ordAsc)
     if (needBw) {
       val wB = Window.partitionBy(partCols.map(col): _*)
-        .orderBy(col(K).asc, col(ORD).asc)
+        .orderBy(col(K).asc, col(ORD).asc, col(MID).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       cur = cur.withColumn(BW, last(
         when(col(SIDE) === 0, col("__graft_rm")), ignoreNulls = true).over(wB))
     }
     if (needFw) {
+      // MID descends so last() lands on the positionally-first right row
+      // among equal keys (the forward-direction pandas winner).
       val wF = Window.partitionBy(partCols.map(col): _*)
-        .orderBy(col(K).desc, col(ORD).asc)
+        .orderBy(col(K).desc, col(ORD).asc, col(MID).desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       cur = cur.withColumn(FW, last(
         when(col(SIDE) === 0, col("__graft_rm")), ignoreNulls = true).over(wF))
@@ -157,7 +164,7 @@ object AsOfJoin {
 
     val withB = unioned.withColumn(B, bucket)
     val rights = withB.filter(col(SIDE) === 0)
-      .select(col(B), col(K), col("__graft_rm"))
+      .select(col(B), col(K), col(MID), col("__graft_rm"))
 
     val spine = unioned.sparkSession.range(numBuckets.toLong)
       .select(col("id").cast("int").as(B))
@@ -166,11 +173,16 @@ object AsOfJoin {
       // bucket-level extreme right row, then a running fill over the
       // (tiny) bucket spine, shifted one bucket so it lands strictly
       // outside its origin bucket.
+      // (K, MID) struct ordering keeps the carry deterministic when a
+      // bucket's extreme key is duplicated (same pandas tie rule as the
+      // in-window pass: last position backward, first position forward).
       val perB =
         if (into == "bw")
-          rights.groupBy(col(B)).agg(max_by(col("__graft_rm"), col(K)).as("__graft_rm"))
+          rights.groupBy(col(B))
+            .agg(max_by(col("__graft_rm"), struct(col(K), col(MID))).as("__graft_rm"))
         else
-          rights.groupBy(col(B)).agg(min_by(col("__graft_rm"), col(K)).as("__graft_rm"))
+          rights.groupBy(col(B))
+            .agg(min_by(col("__graft_rm"), struct(col(K), col(MID))).as("__graft_rm"))
       val filled = spine.join(perB, Seq(B), "left")
       val w =
         if (into == "bw")

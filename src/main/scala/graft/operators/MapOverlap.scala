@@ -111,7 +111,10 @@ object MapOverlap {
       case DoubleType => Ordering.Double.TotalOrdering
       case FloatType => Ordering.Float.TotalOrdering
       case StringType => Ordering.String
-      case TimestampType => Ordering.by((t: java.sql.Timestamp) => t.getTime * 1000 + t.getNanos / 1000)
+      // Timestamp.compareTo handles the millis/nanos split correctly;
+      // reconstructing an epoch by hand double-counts the sub-second part.
+      case TimestampType => Ordering.comparatorToOrdering(
+        java.util.Comparator.naturalOrder[java.sql.Timestamp]())
       case DateType => Ordering.by((d: java.sql.Date) => d.getTime)
       case _ => throw new IllegalArgumentException(s"unsupported order column type $dt")
     }
