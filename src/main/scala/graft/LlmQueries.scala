@@ -1,0 +1,333 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity, TextDedup}
+
+/** Training-data-pipeline operator coverage over the `documents` and
+  * `embeddings` tables: dedup (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard), similarity search (exact cosine + hyperplane-LSH ANN),
+  * text analysis (quality, language-ID, token counts, fingerprints) and
+  * multimodal binary plumbing.
+  *
+  * Every query has a DuckDB oracle that reproduces the exact same
+  * hashes/folds, so the whole pipeline is value-checked, not just
+  * row-counted. Hashing is md5-based for that reason (see TextDedup).
+  */
+object LlmQueries {
+
+  // ---- shared oracle SQL fragments ------------------------------------
+
+  /** DuckDB mirror of Similarity.dot: cast-to-double, fold in order. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / sqrt(${dotSql(a, a)}) / sqrt(${dotSql(b, b)})"
+
+  /** DuckDB mirror of the shingle → minhash → band CTEs (k hashes,
+    * r-row bands, word `n`-grams). */
+  private def minhashCtes(n: Int, k: Int, r: Int): String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         ${(0 until n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")} AS sh
+       |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-${n - 1})) AS i
+       |             FROM words)),
+       |mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS mh
+       |       FROM sh, (SELECT unnest(generate_series(0, ${k - 1})) AS i) seeds
+       |       GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // $r AS band, string_agg(mh, ',' ORDER BY i) AS sig
+       |          FROM mh GROUP BY 1, 2)""".stripMargin
+
+  def registerAll(reg: (String, Option[String], (SparkSession, String) => DataFrame) => Unit): Unit = {
+
+    def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Unit =
+      reg(name, Some(oracle), fn)
+
+    // ---- dedup ---------------------------------------------------------
+
+    // Exact content-hash dedup, keep-first (the 100 TB-scale pattern:
+    // hash → shuffle on hash → keep min id; no text comparison).
+    q("q_dedup_exact_hash",
+      """SELECT doc_id, h FROM (
+        |  SELECT doc_id, md5(text) AS h,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextDedup.exactDedupKeepFirst(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "h").orderBy("doc_id")
+    }
+
+    // MinHash(16) → 4-band LSH → candidate pairs → exact-Jaccard ≥ 0.8.
+    // The oracle replays the identical md5 minhashes, so the candidate
+    // sets — and therefore the verified pairs — match exactly.
+    q("q_near_dup_minhash",
+      s"""WITH ${minhashCtes(n = 3, k = 16, r = 4)},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS ni
+         |          FROM cand
+         |          JOIN sh sa ON sa.doc_id = doc_a
+         |          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, ni / (za.nsh + zb.nsh - ni) AS jaccard
+         |FROM inter
+         |JOIN sizes za ON za.doc_id = doc_a
+         |JOIN sizes zb ON zb.doc_id = doc_b
+         |WHERE ni / (za.nsh + zb.nsh - ni) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      TextDedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+          shingleLen = 3, numHashes = 16, bandRows = 4, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    }
+
+    // Banded MinHash signatures themselves (intermediate artifact a
+    // pipeline would persist for incremental dedup).
+    q("q_minhash_bands",
+      s"""WITH ${minhashCtes(n = 3, k = 16, r = 4)}
+         |SELECT doc_id, band, sig FROM bands
+         |WHERE doc_id < 50 ORDER BY doc_id, band""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextDedup.bandSignatures(
+          TextDedup.minHash(TextDedup.shingles(docs, "doc_id", "text", 3), "doc_id", 16),
+          "doc_id", 4)
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id", "band")
+    }
+
+    // SimHash(16-bit) signatures.
+    {
+      val bitTerms = (0 until 16).map(j =>
+        s"CASE WHEN sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
+          s"THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      q("q_simhash",
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |             FROM documents),
+           |th AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 4) AS BIGINT) AS h
+           |       FROM toks)
+           |SELECT doc_id, $bitTerms AS simhash
+           |FROM th GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        TextDedup.simHash(Tables.documents(s, dir), "doc_id", "text", bits = 16)
+          .orderBy("doc_id")
+      }
+    }
+
+    // Character-trigram Jaccard over a linear pairing (adjacent ids) —
+    // the n-gram similarity kernel without any pair explosion.
+    q("q_ngram_jaccard",
+      """WITH g AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, length(text)-2),
+        |                i -> substr(text, i, 3))) AS gs
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.gs, b.gs)) /
+        |    (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS trigram_jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin) { (s, dir) =>
+      val g = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), array_distinct(
+          transform(sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3)))).as("gs"))
+      val a = g.select(col("doc_id").as("doc_a"), col("gs").as("ga"))
+      val b = g.select(col("doc_id").as("doc_b"), col("gs").as("gb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("ga"), col("gb"))) /
+            (size(col("ga")) + size(col("gb")) -
+              size(array_intersect(col("ga"), col("gb"))))).as("trigram_jaccard"))
+        .orderBy("doc_a")
+    }
+
+    // ---- similarity search over embeddings -----------------------------
+
+    // Exact cosine top-5 for 3 query vectors: brute-force one-pass scan,
+    // query side broadcast. The correctness baseline for ANN.
+    q("q_cosine_topk",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 3),
+         |sc AS (SELECT query_id, vec_id, ${cosSql("qv", "embedding")} AS c
+         |       FROM embeddings, q WHERE vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, c,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+         |      FROM sc)
+         |SELECT query_id, vec_id, round(c, 9) AS cosine
+         |FROM r WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.cosineTopK(queries, e, k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("c"), 9).as("cosine"))
+        .orderBy("query_id", "vec_id")
+    }
+
+    // ANN via 4 random-hyperplane LSH bits: queries score only their own
+    // bucket (the scale path — bucket id is the shuffle key at 100 TB).
+    {
+      val planes = (0 until 4).map(p =>
+        s"list_transform(generate_series(1, 64), d -> " +
+          s"(CAST('0x' || substr(md5('${p}_' || CAST(d - 1 AS VARCHAR)), 1, 4) AS BIGINT)" +
+          s" - CAST(32768 AS DOUBLE)) / CAST(32768 AS DOUBLE)) AS p$p").mkString(", ")
+      val bucketOf = (v: String) => (0 until 4).map(p =>
+        s"CASE WHEN ${dotSql(s"p$p", v)} >= 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
+      q("q_ann_lsh",
+        s"""WITH planes AS (SELECT $planes),
+           |b AS (SELECT vec_id, embedding, ${bucketOf("embedding")} AS bucket
+           |      FROM embeddings, planes),
+           |qs AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+           |       WHERE vec_id < 3),
+           |sc AS (SELECT query_id, b.vec_id, ${cosSql("qv", "embedding")} AS c
+           |       FROM b JOIN qs USING (bucket) WHERE b.vec_id != query_id),
+           |r AS (SELECT query_id, vec_id, c,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+           |      FROM sc)
+           |SELECT query_id, vec_id, round(c, 9) AS cosine
+           |FROM r WHERE rn <= 3 ORDER BY query_id, vec_id""".stripMargin) { (s, dir) =>
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Similarity.annTopK(queries, e, dim = 64, numPlanes = 4, k = 3)
+          .select(col("query_id"), col("vec_id"), round(col("c"), 9).as("cosine"))
+          .orderBy("query_id", "vec_id")
+      }
+    }
+
+    // Per-label embedding statistics (vector-norm reductions).
+    q("q_embedding_stats",
+      s"""WITH n AS (SELECT label, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |           FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(avg(nrm), 9) AS avg_norm,
+         |  round(min(nrm), 9) AS min_norm,
+         |  round(max(nrm), 9) AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), Similarity.norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("nrm"), 9).as("avg_norm"),
+          round(min("nrm"), 9).as("min_norm"),
+          round(max("nrm"), 9).as("max_norm"))
+        .orderBy("label")
+    }
+
+    // ---- text analysis -------------------------------------------------
+
+    // Quality scoring: length, lexical diversity, stopword density.
+    q("q_text_quality",
+      """SELECT doc_id,
+        |  length(text) AS n_chars_m,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS distinct_ratio,
+        |  len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) / len(string_split(text, ' ')) AS stop_ratio,
+        |  round(0.3 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+        |    + 0.4 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+        |    + 0.3 * (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) / len(string_split(text, ' '))), 9) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val nWords = size(ws)
+      val distinctRatio = size(array_distinct(ws)) / nWords
+      val stopRatio = size(filter(ws, w => w === "the" || w === "a")) / nWords
+      Tables.documents(s, dir).select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        nWords.as("n_words"),
+        distinctRatio.as("distinct_ratio"),
+        stopRatio.as("stop_ratio"),
+        round(lit(0.3) * least(nWords / lit(50.0), lit(1.0))
+          + lit(0.4) * distinctRatio
+          + lit(0.3) * (lit(1.0) - stopRatio), 9).as("quality"))
+        .orderBy("doc_id")
+    }
+
+    // Language-ID by stopword-list hit ratio (n-gram-free heuristic;
+    // arg-max with fixed tie order). The synthetic corpus is English-ish
+    // so 'en' dominates — the oracle checks the computation, the labels
+    // come from the data generator.
+    {
+      val lists = Seq(
+        "en" -> Seq("the", "a", "and", "of", "is"),
+        "de" -> Seq("der", "die", "das", "und"),
+        "es" -> Seq("el", "los", "las", "y"),
+        "fr" -> Seq("le", "la", "et", "les"))
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      val scoreSql = lists.map { case (l, ws) =>
+        s"len(list_filter(string_split(text, ' '), w -> w IN (${inList(ws)}))) " +
+          s"/ len(string_split(text, ' ')) AS ${l}_score"
+      }.mkString(",\n        |  ")
+      q("q_lang_id",
+        s"""WITH sc AS (SELECT doc_id, lang AS actual_lang,
+           |  $scoreSql
+           |FROM documents)
+           |SELECT doc_id, actual_lang, en_score, de_score, es_score, fr_score,
+           |  CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+           |       WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+           |       WHEN es_score >= fr_score THEN 'es'
+           |       ELSE 'fr' END AS pred_lang
+           |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val ws = split(col("text"), " ")
+        def score(words: Seq[String]) =
+          size(filter(ws, w => words.map(w === _).reduce(_ || _))) / size(ws)
+        val scored = Tables.documents(s, dir).select(
+          (col("doc_id") +: col("lang").as("actual_lang") +:
+            lists.map { case (l, wl) => score(wl).as(s"${l}_score") }): _*)
+        scored.withColumn("pred_lang",
+          when(col("en_score") >= col("de_score") && col("en_score") >= col("es_score")
+            && col("en_score") >= col("fr_score"), "en")
+            .when(col("de_score") >= col("es_score") && col("de_score") >= col("fr_score"), "de")
+            .when(col("es_score") >= col("fr_score"), "es")
+            .otherwise("fr"))
+          .orderBy("doc_id")
+      }
+    }
+
+    // Token counting: whitespace tokens, regex word/punct tokens, and the
+    // chars/4 BPE estimate.
+    q("q_token_count",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS re_tokens,
+        |  CAST(ceil(length(text) / 4) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).as("re_tokens"),
+        ceil(length(col("text")) / 4).as("bpe_est"))
+        .orderBy("doc_id")
+    }
+
+    // Document fingerprinting: 31-ary rolling hash over the byte stream
+    // (the incremental-dedup key) plus the md5 digest.
+    q("q_doc_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS roll_fp,
+        |  md5(text) AS md5_fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+          lit(0L), (a, x) => (a * 31 + x) % 1000000007L).as("roll_fp"),
+        md5(col("text")).as("md5_fp"))
+        .orderBy("doc_id")
+    }
+
+    // Multimodal plumbing: text bytes as the stand-in binary payload,
+    // metadata extracted partition-at-a-time (decode stubbed — see
+    // operators.Multimodal).
+    q("q_multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+        |  CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val withPayload = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractMeta(withPayload, "doc_id", "payload")
+        .orderBy("doc_id")
+    }
+  }
+}

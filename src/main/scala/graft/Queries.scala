@@ -1260,4 +1260,11 @@ object Queries {
         }
     }.orderBy("event_id")
   }
+
+  // ---------------------------------------------------------------
+  // LLM training-data pipeline coverage (dedup / similarity / text
+  // analysis / multimodal) lives in LlmQueries; registered here so the
+  // registry stays one insertion-ordered map.
+  // ---------------------------------------------------------------
+  LlmQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
 }

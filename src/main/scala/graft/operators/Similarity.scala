@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: exact cosine top-k as the correctness
+  * baseline, and random-hyperplane LSH bucketing as the scale path.
+  *
+  * Vector math casts to double before multiplying and folds
+  * left-to-right, so an external engine evaluating the same fold
+  * reproduces the values bit-for-bit.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array columns, accumulated in double
+    * in element order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+
+  /** Exact top-k cosine neighbors for each query vector. The query set is
+    * expected to be small (it is broadcast); the corpus side is one
+    * distributed pass — the brute-force baseline an ANN variant is judged
+    * against.
+    */
+  def cosineTopK(
+      queries: DataFrame,   // (query_id, qv)
+      corpus: DataFrame,    // (vec_id, embedding, ...)
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("c", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * derived from md5(plane "_" dim) so it is reproducible anywhere.
+    * Computed once at plan-build time and embedded as literals — the
+    * executors never hash.
+    */
+  def planeComponent(plane: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$d".getBytes("UTF-8"))
+      .take(2).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) - 32768.0) / 32768.0
+  }
+
+  def planeVector(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => planeComponent(plane, d))
+
+  /** LSH bucket id: one sign bit per hyperplane. Buckets are computed in
+    * a single projection — at scale this is the partition key that
+    * replaces the all-pairs join.
+    */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val w = typedLit(planeVector(p, dim))
+      when(dot(w, vec) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via hyperplane LSH: queries only score candidates in their own
+    * bucket. Recall is tunable via numPlanes (fewer planes → bigger
+    * buckets → higher recall, more work).
+    */
+  def annTopK(
+      queries: DataFrame,   // (query_id, qv)
+      corpus: DataFrame,    // (vec_id, embedding, ...)
+      dim: Int,
+      numPlanes: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bq = queries.withColumn("bucket", lshBucket(col("qv"), dim, numPlanes))
+    val bc = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, numPlanes))
+    val scored = bc.join(broadcast(bq), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("c", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

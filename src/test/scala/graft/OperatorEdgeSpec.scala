@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{AsOfJoin, MapOverlap, Similarity, TextDedup}
+
+/** Edge-case regression tests for the custom operators. */
+class OperatorEdgeSpec extends SparkSpec {
+
+  test("map_overlap orders sub-second timestamps correctly") {
+    // 0.9 s must sort before 1.0 s: the old epoch reconstruction
+    // double-counted millis and reversed them.
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      Row(Timestamp.valueOf("2024-01-01 00:00:00.9"), 1.0),
+      Row(Timestamp.valueOf("2024-01-01 00:00:01.0"), 2.0),
+      Row(Timestamp.valueOf("2024-01-01 00:00:01.5"), 3.0),
+      Row(Timestamp.valueOf("2024-01-01 00:00:02.0"), 4.0))
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", DoubleType)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = StructType(Seq(
+      StructField("ts", TimestampType), StructField("ma", DoubleType)))
+    val got = MapOverlap.mapOverlap(df, "ts", before = 1, after = 1, out, numPartitions = 2) {
+      (block, start, end) =>
+        (start until end).iterator.map { i =>
+          val lo = math.max(0, i - 1); val hi = math.min(block.length - 1, i + 1)
+          val vs = (lo to hi).map(j => block(j).getDouble(1))
+          Row(block(i).getTimestamp(0), vs.sum / vs.size)
+        }
+    }.orderBy("ts").collect()
+    assert(got.map(_.getDouble(1)).toSeq == Seq(1.5, 2.0, 3.0, 3.5))
+  }
+
+  test("merge_asof picks the positionally-last right row on key ties") {
+    import spark.implicits._
+    val left = Seq((10L, "L1")).toDF("k", "lv")
+    // three right rows at the identical key: pandas matches the last one
+    val right = Seq((10L, "first"), (10L, "middle"), (10L, "last")).toDF("k", "rv")
+    (1 to 3).foreach { _ =>
+      val got = AsOfJoin.mergeAsOf(left, right, on = "k").select("rv").collect()
+      assert(got.map(_.getString(0)).toSeq == Seq("last"))
+    }
+    // forward direction matches the positionally-first row at the tie
+    val fwd = AsOfJoin.mergeAsOf(left, right, on = "k", direction = "forward")
+      .select("rv").collect()
+    assert(fwd.map(_.getString(0)).toSeq == Seq("first"))
+  }
+
+  test("minhash lsh finds an exact duplicate pair and skips unrelated docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val pairs = TextDedup.nearDuplicates(docs, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("cosine of identical vectors is 1") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("lsh bucket is stable across evaluations") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64, 4).as("b"))
+    val a = e.orderBy("vec_id").collect().map(_.getLong(1)).toSeq
+    val b = e.orderBy("vec_id").collect().map(_.getLong(1)).toSeq
+    assert(a == b)
+    assert(a.forall(x => x >= 0 && x < 16))
+  }
+}
