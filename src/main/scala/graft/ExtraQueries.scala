@@ -1,0 +1,340 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining reference-surface coverage: deterministic sampling/splits,
+  * set operations, melt/get_dummies/categorical codes, string & datetime
+  * accessor long tail, combine_first, tail, get_group, query/eval
+  * string predicates, and the rolling/resample aggregate tail.
+  */
+object ExtraQueries {
+
+  def registerAll(reg: (String, Option[String], (SparkSession, String) => DataFrame) => Unit): Unit = {
+
+    def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Unit =
+      reg(name, Some(oracle), fn)
+
+    // ---- sample / random_split ----------------------------------------
+    // (reference _expr.py:1168 Sample, _collection.py:1917 random_split).
+    // Hash-based rather than RNG-based: a content-hash sample is
+    // reproducible on any engine, any partitioning, any cluster size —
+    // the property RNG sampling loses the moment partitioning changes.
+    q("q_sample_hash",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "1a")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }
+
+    q("q_random_split",
+      """SELECT CASE WHEN h < '8' THEN 'train'
+        |            WHEN h < 'c' THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n, sum(o_totalprice) AS total
+        |FROM (SELECT substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h,
+        |             o_totalprice FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("h", substring(md5(col("o_orderkey").cast("string")), 1, 1))
+        .withColumn("split",
+          when(col("h") < "8", "train").when(col("h") < "c", "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+        .orderBy("split")
+    }
+
+    // ---- set operations (reference _concat.py:25-370) ------------------
+
+    // Outer concat axis=0: schemas unioned, missing columns null-filled.
+    q("q_concat_rows",
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status,
+        |         NULL AS qty
+        |  FROM orders WHERE o_orderkey < 500
+        |  UNION ALL BY NAME
+        |  SELECT l_orderkey AS key, l_extendedprice AS price, NULL AS status,
+        |         l_quantity AS qty
+        |  FROM lineitem WHERE l_orderkey < 300)
+        |ORDER BY key, price""".stripMargin) { (s, dir) =>
+      val a = Tables.orders(s, dir).filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"))
+      val b = Tables.lineitem(s, dir).filter(col("l_orderkey") < 300)
+        .select(col("l_orderkey").as("key"), col("l_extendedprice").as("price"),
+          col("l_quantity").as("qty"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("key", "price")
+    }
+
+    // Concat axis=1: column-wise alignment = full outer join on the key.
+    q("q_concat_cols",
+      """SELECT coalesce(a.k, b.k) AS custkey, a.n_orders, b.total_bal
+        |FROM (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1) a
+        |FULL OUTER JOIN (SELECT c_custkey AS k, sum(c_acctbal) AS total_bal
+        |                 FROM customer WHERE c_custkey < 700 GROUP BY 1) b
+        |  ON a.k = b.k
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val a = Tables.orders(s, dir).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n_orders"))
+      val b = Tables.customer(s, dir).filter(col("c_custkey") < 700)
+        .groupBy(col("c_custkey").as("k")).agg(sum("c_acctbal").as("total_bal"))
+      a.join(b, a("k") === b("k"), "full_outer")
+        .select(coalesce(a("k"), b("k")).as("custkey"), col("n_orders"), col("total_bal"))
+        .orderBy("custkey")
+    }
+
+    q("q_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey < 400
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).filter(col("c_custkey") < 400)
+        .select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")
+    }
+
+    // Subtrahend keeps only heavy purchasers so the difference is
+    // non-empty at every scale factor.
+    q("q_except",
+      """SELECT c_custkey FROM customer WHERE c_custkey < 1000
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).filter(col("c_custkey") < 1000).select("c_custkey")
+        .except(Tables.orders(s, dir).filter(col("o_totalprice") > 250000)
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
+    }
+
+    // ---- reshape -------------------------------------------------------
+
+    // melt / unpivot (reference _collection.py:4047).
+    q("q_melt",
+      """SELECT o_orderkey, var, val FROM (
+        |  SELECT o_orderkey, 'totalprice' AS var, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey < 1000
+        |  UNION ALL
+        |  SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+        |  FROM orders WHERE o_orderkey < 1000)
+        |ORDER BY o_orderkey, var""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("double").as("o_custkey"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_totalprice").as("totalprice"),
+            col("o_custkey").as("custkey")), "var", "val")
+        .orderBy("o_orderkey", "var")
+    }
+
+    // get_dummies (reference _dummies.py:1): fixed category list keeps
+    // the schema static — no extra distinct pass at scale.
+    q("q_get_dummies",
+      """SELECT o_orderkey,
+        |  CAST(o_orderstatus = 'F' AS INTEGER) AS status_F,
+        |  CAST(o_orderstatus = 'O' AS INTEGER) AS status_O,
+        |  CAST(o_orderstatus = 'P' AS INTEGER) AS status_P
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") < 1000)
+      Seq("F", "O", "P").foldLeft(base.select(col("o_orderkey"), col("o_orderstatus"))) {
+        (df, v) => df.withColumn(s"status_$v", (col("o_orderstatus") === v).cast("int"))
+      }.drop("o_orderstatus").orderBy("o_orderkey")
+    }
+
+    // Categorical codes (reference _categorical.py:21): dictionary built
+    // from sorted distinct values (tiny), broadcast back — never a
+    // global window over the data.
+    q("q_categorical_codes",
+      """SELECT o_orderkey, o_orderpriority,
+        |  dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS code
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sub = Tables.orders(s, dir).filter(col("o_orderkey") < 1000)
+      val dict = sub.select(col("o_orderpriority")).distinct()
+        .withColumn("code",
+          row_number().over(Window.orderBy("o_orderpriority")) - 1)
+      sub.select("o_orderkey", "o_orderpriority")
+        .join(broadcast(dict), "o_orderpriority")
+        .select("o_orderkey", "o_orderpriority", "code")
+        .orderBy("o_orderkey")
+    }
+
+    // ---- frame ops -----------------------------------------------------
+
+    // combine_first (reference _expr.py:1138): null-filling alignment of
+    // two frames on a key.
+    q("q_combine_first",
+      s"""WITH a AS (SELECT event_id, CASE WHEN value < 3 THEN NULL ELSE value END AS v
+         |           FROM ${Queries.EVENTS_SQL} WHERE user_id < 10),
+         |b AS (SELECT event_id, value * 2 AS v FROM ${Queries.EVENTS_SQL} WHERE user_id < 10)
+         |SELECT a.event_id, coalesce(a.v, b.v) AS combined
+         |FROM a JOIN b ON a.event_id = b.event_id
+         |ORDER BY a.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("user_id") < 10)
+      val a = ev.select(col("event_id"),
+        when(col("value") < 3, lit(null)).otherwise(col("value")).as("va"))
+      val b = ev.select(col("event_id"), (col("value") * 2).as("vb"))
+      a.join(b, "event_id")
+        .select(col("event_id"), coalesce(col("va"), col("vb")).as("combined"))
+        .orderBy("event_id")
+    }
+
+    // tail (reference _expr.py:2421): last n in a defined order — via
+    // top-k on the reversed sort, so it is TakeOrderedAndProject at
+    // scale, never a single-partition pass.
+    q("q_tail",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey DESC LIMIT 5""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderkey").desc).limit(5)
+    }
+
+    // get_group (reference _groupby.py:1095).
+    q("q_get_group",
+      s"""SELECT event_id, user_id, value FROM ${Queries.EVENTS_SQL}
+         |WHERE event_type = 'purchase' AND user_id < 20
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("user_id") < 20)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }
+
+    // query/eval string predicates (reference _collection.py:3597): the
+    // string-expression surface compiles through the same Catalyst path.
+    q("q_query_eval",
+      """SELECT l_orderkey, l_quantity,
+        |  l_extendedprice * (1 - l_discount) AS disc_price
+        |FROM lineitem
+        |WHERE l_quantity > 40 AND l_returnflag = 'R' AND l_orderkey % 2 = 0
+        |ORDER BY l_orderkey, l_quantity, disc_price""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter("l_quantity > 40 AND l_returnflag = 'R' AND l_orderkey % 2 = 0")
+        .selectExpr("l_orderkey", "l_quantity",
+          "l_extendedprice * (1 - l_discount) AS disc_price")
+        .orderBy("l_orderkey", "l_quantity", "disc_price")
+    }
+
+    // ---- string accessor long tail ------------------------------------
+    // (reference _str_accessor.py:10-176)
+
+    q("q_str_case_pad",
+      """SELECT p_partkey,
+        |  upper(substr(p_name, 1, 1)) || lower(substr(p_name, 2)) AS capitalized,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS zfilled,
+        |  rpad(lpad(p_brand, CAST((10 + length(p_brand)) // 2 AS INTEGER), ' '), 10, ' ') AS centered,
+        |  CASE WHEN starts_with(p_type, 'STANDARD ') THEN substr(p_type, 10)
+        |       ELSE p_type END AS deprefixed,
+        |  substr(p_name, 3, 4) AS sliced
+        |FROM part WHERE p_partkey < 1000 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).filter(col("p_partkey") < 1000)
+        .select(col("p_partkey"),
+          concat(upper(substring(col("p_name"), 1, 1)),
+            lower(col("p_name").substr(lit(2), length(col("p_name"))))).as("capitalized"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("zfilled"),
+          rpad(lpad(col("p_brand"),
+            ((lit(10) + length(col("p_brand"))) / 2).cast("int"), lit(" ")), 10, " ").as("centered"),
+          when(col("p_type").startsWith("STANDARD "),
+            col("p_type").substr(lit(10), length(col("p_type"))))
+            .otherwise(col("p_type")).as("deprefixed"),
+          substring(col("p_name"), 3, 4).as("sliced"))
+        .orderBy("p_partkey")
+    }
+
+    q("q_str_predicates",
+      """SELECT p_partkey,
+        |  regexp_matches(p_brand, '^[a-zA-Z]+$') AS brand_alpha,
+        |  regexp_matches(split_part(p_brand, '#', 2), '^[0-9]+$') AS num_digit,
+        |  length(p_name) - length(replace(p_name, 'a', '')) AS count_a,
+        |  strpos(p_name, 'ol') - 1 AS find_ol,
+        |  length(p_type) - length(replace(p_type, ' ', '')) + 1 AS n_tokens
+        |FROM part WHERE p_partkey < 1000 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).filter(col("p_partkey") < 1000)
+        .select(col("p_partkey"),
+          col("p_brand").rlike("^[a-zA-Z]+$").as("brand_alpha"),
+          element_at(split(col("p_brand"), "#"), 2).rlike("^[0-9]+$").as("num_digit"),
+          (length(col("p_name")) - length(regexp_replace(col("p_name"), "a", ""))).as("count_a"),
+          (instr(col("p_name"), "ol") - 1).as("find_ol"),
+          (length(col("p_type")) - length(regexp_replace(col("p_type"), " ", "")) + 1).as("n_tokens"))
+        .orderBy("p_partkey")
+    }
+
+    // ---- datetime accessor long tail ----------------------------------
+
+    q("q_dt_tail",
+      s"""SELECT event_id,
+         |  hour(ts) AS h, minute(ts) AS m, second(ts) AS sec,
+         |  CAST(week(ts) AS INTEGER) AS iso_week,
+         |  strftime(ts, '%A') AS day_name,
+         |  strftime(ts, '%B') AS month_name,
+         |  CAST(day(last_day(CAST(ts AS DATE))) AS INTEGER) AS days_in_month,
+         |  (month(ts) IN (1, 4, 7, 10) AND day(ts) = 1) AS is_q_start,
+         |  (year(ts) % 4 = 0 AND (year(ts) % 100 != 0 OR year(ts) % 400 = 0)) AS is_leap
+         |FROM ${Queries.EVENTS_SQL} WHERE user_id < 5
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).filter(col("user_id") < 5)
+        .select(col("event_id"),
+          hour(col("ts")).as("h"), minute(col("ts")).as("m"),
+          second(col("ts")).as("sec"),
+          weekofyear(col("ts")).as("iso_week"),
+          date_format(col("ts"), "EEEE").as("day_name"),
+          date_format(col("ts"), "MMMM").as("month_name"),
+          dayofmonth(last_day(col("ts"))).as("days_in_month"),
+          (month(col("ts")).isin(1, 4, 7, 10) && dayofmonth(col("ts")) === 1).as("is_q_start"),
+          (year(col("ts")) % 4 === 0 &&
+            (year(col("ts")) % 100 =!= 0 || year(col("ts")) % 400 === 0)).as("is_leap"))
+        .orderBy("event_id")
+    }
+
+    // ---- rolling / resample aggregate tail ----------------------------
+    // (reference _rolling.py:43-341, _resample.py:23-291)
+
+    q("q_rolling_var",
+      s"""SELECT event_id,
+         |  round(var_samp(value) OVER w, 9) AS roll_var,
+         |  round(stddev_samp(value) OVER w, 9) AS roll_std,
+         |  quantile_cont(value, 0.5) OVER w AS roll_med,
+         |  round(covar_samp(value, CAST(user_id AS DOUBLE)) OVER w, 9) AS roll_cov
+         |FROM ${Queries.EVENTS_SQL}
+         |WHERE user_id < 10
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, dir).filter(col("user_id") < 10)
+        .select(col("event_id"),
+          round(var_samp(col("value")).over(w), 9).as("roll_var"),
+          round(stddev_samp(col("value")).over(w), 9).as("roll_std"),
+          expr("percentile(value, 0.5)").over(w).as("roll_med"),
+          round(covar_samp(col("value"), col("user_id").cast("double")).over(w), 9).as("roll_cov"))
+        .orderBy("event_id")
+    }
+
+    q("q_resample_extra",
+      s"""SELECT date_trunc('day', ts) AS day,
+         |  round(var_samp(value), 9) AS day_var,
+         |  round(stddev_samp(value), 9) AS day_std,
+         |  count(DISTINCT user_id) AS day_users,
+         |  quantile_cont(value, 0.9) AS day_p90,
+         |  round(stddev_samp(value) / sqrt(count(value)), 9) AS day_sem
+         |FROM ${Queries.EVENTS_SQL}
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(round(var_samp(col("value")), 9).as("day_var"),
+          round(stddev_samp(col("value")), 9).as("day_std"),
+          countDistinct(col("user_id")).as("day_users"),
+          expr("percentile(value, 0.9)").as("day_p90"),
+          round(stddev_samp(col("value")) / sqrt(count(col("value"))), 9).as("day_sem"))
+        .select(col("window.start").as("day"), col("day_var"), col("day_std"),
+          col("day_users"), col("day_p90"), col("day_sem"))
+        .orderBy("day")
+    }
+  }
+}

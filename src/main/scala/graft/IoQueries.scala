@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Io
+
+/** IO-breadth coverage: every roundtrip writes through the named sink
+  * and reads back through the named source, then the oracle compares
+  * the result against the original table — proving both directions
+  * preserve values. Files land under target/io (inside the repo).
+  */
+object IoQueries {
+
+  private val ioDir = "/root/repo/target/io"
+
+  def registerAll(reg: (String, Option[String], (SparkSession, String) => DataFrame) => Unit): Unit = {
+
+    def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Unit =
+      reg(name, Some(oracle), fn)
+
+    // read_csv / to_csv (reference _collection.py:5092, io/csv.py:1).
+    q("q_csv_roundtrip",
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val nation = Tables.nation(s, dir)
+      val path = s"$ioDir/csv_nation"
+      Io.writeCsv(nation, path)
+      Io.readCsv(s, path, schema = nation.schema)
+        .orderBy("n_nationkey")
+    }
+
+    // read_json / to_json (reference io/json.py:9-117). Dates travel as
+    // formatted strings so the roundtrip is timezone-independent.
+    q("q_json_roundtrip",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val sub = Tables.orders(s, dir).filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+      val path = s"$ioDir/json_orders"
+      Io.writeJson(sub, path)
+      Io.readJson(s, path, schema = sub.schema).orderBy("o_orderkey")
+    }
+
+    // read_orc / to_orc (reference io/orc.py:5-60).
+    q("q_orc_roundtrip",
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice) AS sum_price
+        |FROM lineitem WHERE l_orderkey < 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val sub = Tables.lineitem(s, dir).filter(col("l_orderkey") < 2000)
+      val path = s"$ioDir/orc_lineitem"
+      Io.writeOrc(sub, path)
+      Io.readOrc(s, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_price"))
+        .orderBy("l_returnflag")
+    }
+
+    // to_parquet sink + read_parquet source (reference io/parquet.py:337).
+    q("q_parquet_roundtrip",
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val sub = Tables.customer(s, dir).filter(col("c_custkey") < 500)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val path = s"$ioDir/parquet_customer"
+      Io.writeParquet(sub, path)
+      Io.readParquet(s, path).orderBy("c_custkey")
+    }
+
+    // read_text / to_text: line-oriented corpus IO (the raw form LLM
+    // text pipelines start from).
+    q("q_text_roundtrip",
+      """SELECT count(*) AS n_lines, sum(length(text)) AS total_chars,
+        |  min(md5(text)) AS min_h
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("text"))
+      val path = s"$ioDir/text_documents"
+      Io.writeText(docs, path)
+      Io.readText(s, path)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("total_chars"),
+          min(md5(col("value"))).as("min_h"))
+    }
+
+    // In-memory source (reference io/io.py:218-386 FromScalars/FromMap,
+    // from_pandas): local rows become a distributed frame.
+    q("q_from_memory",
+      """SELECT * FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5),
+        |  (3, 'gamma', 3.5)) t(id, name, score) ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Seq((1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", 3.5))
+        .toDF("id", "name", "score").orderBy("id")
+    }
+
+    // Deterministic synthetic timeseries source (reference datasets.py:17
+    // `timeseries`): md5-derived pseudo-randoms so any engine can
+    // regenerate the identical frame. Generation is spark.range — fully
+    // parallel, no driver materialization.
+    q("q_timeseries",
+      """SELECT i AS tick,
+        |  TIMESTAMP '2000-01-01 00:00:00' + to_seconds(i) AS ts,
+        |  1000 + CAST('0x' || substr(md5('id|' || CAST(i AS VARCHAR)), 1, 4) AS BIGINT) % 1000 AS id,
+        |  (CAST('0x' || substr(md5('x|' || CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+        |     - CAST(2147483648 AS DOUBLE)) / CAST(2147483648 AS DOUBLE) AS x
+        |FROM (SELECT unnest(generate_series(0, 3599)) AS i)
+        |ORDER BY tick""".stripMargin) { (s, dir) =>
+      Datasets.timeseries(s, n = 3600).orderBy("tick")
+    }
+
+    // Repartition family (reference _repartition.py:21-498): content is
+    // invariant under repartition(n) / repartitionByRange / coalesce —
+    // the oracle proves it.
+    q("q_repartition_roundtrip",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderkey") < 3000)
+        .select("o_orderkey", "o_totalprice")
+        .repartition(7)
+        .repartitionByRange(4, col("o_orderkey"))
+        .coalesce(2)
+        .orderBy("o_orderkey")
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (reference `io/csv.py`, `io/json.py:9-117`,
+  * `io/orc.py:5-60`, `io/parquet.py:252-711`, `_collection.py:5092`).
+  *
+  * Thin by design: Spark's DataSource V2 readers already provide the
+  * split computation, schema inference, projection/filter pushdown and
+  * parallel writes the reference hand-builds, so the engine surface is
+  * a stable facade over `spark.read`/`df.write`. Explicit schemas are
+  * accepted (and preferred at scale — inference is an extra pass).
+  */
+object Io {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType = null,
+      header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    (if (schema != null) r.schema(schema) else r.option("inferSchema", "true")).csv(path)
+  }
+
+  def readJson(spark: SparkSession, path: String, schema: StructType = null): DataFrame = {
+    val r = spark.read
+    (if (schema != null) r.schema(schema) else r).json(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+}
