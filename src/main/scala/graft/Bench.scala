@@ -27,23 +27,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Unit =
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-
-    // Warm-up (untimed): JIT, codegen cache, parquet footer reads.
-    Seq("q1_pricing_summary", "q_join_inner", "q_cumulative")
-      .filter(SparkEntry.queries.contains).foreach(runOnce)
-
-    val results = SparkEntry.queries.keys.toSeq.map { name =>
-      val t0 = System.nanoTime()
-      runOnce(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+
+    // Full untimed pass first: JIT, whole-stage-codegen compilation and
+    // stage-setup costs are per-process one-offs that would not recur on
+    // a long-lived cluster, so the reported figure is the steady-state
+    // second pass. The cold total is still emitted for transparency.
+    // Caches created inside operators (e.g. the LSH candidate set) are
+    // cleared between runs: Spark's cache manager matches by logical
+    // plan, so a timed run would otherwise read the warm-up's data.
+    val names = SparkEntry.queries.keys.toSeq
+    val cold = names.map(runOnce).sum
+    spark.catalog.clearCache()
+    val results = names.map { name =>
+      val r = name -> runOnce(name)
+      spark.catalog.clearCache()
+      r
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$cold,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: print the formatted physical plan of a registered query
+  * and time its materialization. Usage:
+  *   runMain graft.Explain <queryName> [sfDir]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.explain("formatted")
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"[explain] first run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val t1 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"[explain] second run: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

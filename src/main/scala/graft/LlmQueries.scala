@@ -92,8 +92,8 @@ object LlmQueries {
          |WHERE doc_id < 50 ORDER BY doc_id, band""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       TextDedup.bandSignatures(
-          TextDedup.minHash(TextDedup.shingles(docs, "doc_id", "text", 3), "doc_id", 16),
-          "doc_id", 4)
+          TextDedup.shingles(docs, "doc_id", "text", 3, distinct = false),
+          "doc_id", 16, 4)
         .filter(col("doc_id") < 50)
         .orderBy("doc_id", "band")
     }

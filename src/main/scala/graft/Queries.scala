@@ -470,11 +470,16 @@ object Queries {
   // count, which the oracle asserts as constant-true booleans.
   q("q_nunique_approx",
     "SELECT true AS ok_parts, true AS ok_orders") { (s, dir) =>
-    Tables.lineitem(s, dir)
+    // Exact counts run as separate single-distinct aggregates: mixing
+    // two countDistinct columns in one agg triggers an Expand (data
+    // duplicated per distinct group) — the sketches stay one pass.
+    val li = Tables.lineitem(s, dir)
+    val approx = li
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    val exactParts = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val exactOrders = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    approx.crossJoin(exactParts).crossJoin(exactOrders)
       .select(
         (abs(col("approx_parts") - col("exact_parts")) <=
           col("exact_parts") * 0.1).as("ok_parts"),

@@ -33,20 +33,31 @@ object TextDedup {
       .drop("__rn")
   }
 
-  /** Distinct word n-gram shingles: (id, sh). */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** Word n-gram shingles: (id, sh); `distinct = false` keeps the raw
+    * stream (no shuffle) for consumers where duplicates are harmless. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      distinct: Boolean = true): DataFrame = {
+    // A corpus read from few splits (one small file locally) would run
+    // the explode + hashing chain near-serially; spread it first. With
+    // a well-split source (the 100 TB case) this is a no-op.
+    val spark = docs.sparkSession
+    val src =
+      if (docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        docs.repartition(spark.sparkContext.defaultParallelism)
+      else docs
     val ws = split(col(textCol), " ")
-    docs.select(col(idCol),
+    val raw = src.select(col(idCol),
       explode(when(size(ws) >= n,
         transform(sequence(lit(0), size(ws) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
         .otherwise(array())).as("sh"))
-      .distinct()
+    if (distinct) raw.distinct() else raw
   }
 
   /** MinHash signature rows: (id, i, mh) for i in [0, k).
-    * mh_i = min over shingles of md5(i || '|' || shingle); the min is a
-    * decomposable aggregate, so Spark computes it map-side first.
+    * mh_i = min over shingles of md5(i || '|' || shingle). Long format
+    * for per-hash inspection; the LSH pipeline uses the wide
+    * `bandSignatures` path below, which never explodes per-hash rows.
     */
   def minHash(sh: DataFrame, idCol: String, k: Int): DataFrame =
     sh.select(col(idCol),
@@ -56,13 +67,23 @@ object TextDedup {
       .agg(min("h").as("mh"))
 
   /** Banded signatures: (id, band, sig) with r minhashes concatenated per
-    * band in hash-index order.
+    * band in hash-index order, straight from the shingle stream.
+    *
+    * One groupBy(id) with k `min` aggregates: partial aggregation
+    * combines map-side, so the only shuffle carries one k-string row per
+    * (id, input partition) — not k× the shingle count. Duplicate
+    * shingles don't change a min, so the input needs no distinct pass.
     */
-  def bandSignatures(mh: DataFrame, idCol: String, r: Int): DataFrame =
-    mh.groupBy(col(idCol), (col("i") / r).cast("int").as("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh"))).as("sig"))
+  def bandSignatures(sh: DataFrame, idCol: String, k: Int, r: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"__mh$i"))
+    val wide = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until k / r).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * r until (b + 1) * r).map(i => col(s"__mh$i")): _*).as("sig")))
+    wide.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** Candidate pairs from LSH buckets: ids sharing any (band, sig). */
   def candidatePairs(sig: DataFrame, idCol: String): DataFrame = {
@@ -86,14 +107,26 @@ object TextDedup {
       numHashes: Int = 16,
       bandRows: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, shingleLen)
+    // Distinct shingles feed the Jaccard arithmetic (sizes + both sides
+    // of the intersection count) — cached once. The signature path uses
+    // the raw stream (no distinct needed under min).
+    val raw = shingles(docs, idCol, textCol, shingleLen, distinct = false)
+    val sh = raw.distinct().cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
-    val cand = candidatePairs(bandSignatures(minHash(sh, idCol, numHashes), idCol, bandRows), idCol)
-    // Candidate set is tiny relative to the corpus — broadcast it so the
-    // intersection count is two broadcast joins over the shingle table.
+    // Both cached: the band table is self-joined (two subtree copies
+    // otherwise), and the candidate set feeds two broadcast subtrees —
+    // without storage each consumer re-runs the signature pipeline.
+    val sig = bandSignatures(raw, idCol, numHashes, bandRows).cache()
+    val cand = candidatePairs(sig, idCol).cache()
+    // Candidate set is tiny relative to the corpus — broadcast it, and
+    // semi-filter the right shingle side down to candidate docs before
+    // the shingle-equality join so the full corpus is never shuffled.
+    val candB = cand.select(col("doc_b")).distinct()
+    val shB = sh.join(broadcast(candB), col(idCol) === col("doc_b"), "left_semi")
+      .select(col(idCol).as("doc_b"), col("sh"))
     val inter = sh.join(broadcast(cand), col(idCol) === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("sh"))
-      .join(sh.select(col(idCol).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(shB, Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
     val ja = inter
       .join(sizes.select(col(idCol).as("doc_a"), col("nsh").as("na")), "doc_a")
