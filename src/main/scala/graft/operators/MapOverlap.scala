@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,11 +12,16 @@ import org.apache.spark.sql.types._
   *
   * Spark-first design: range-partition on the order column (Spark's
   * RangePartitioner samples boundaries — the analogue of the
-  * reference's division computation), tag each partition's edge rows,
-  * ship copies one partition over with a plain union (no custom RDD
-  * plumbing), then `groupByKey(dest).flatMapGroups` so each group is
-  * exactly one logical partition plus its overlap. Only edge rows are
-  * duplicated, so shuffle volume is data + 2·numPartitions·k rows.
+  * reference's division computation) and sort within partitions; then
+  * a lightweight first job extracts only each partition's edge rows
+  * (≤ before + after per partition), which are broadcast back so the
+  * main pass is a single `mapPartitionsWithIndex` over data that is
+  * already sorted — the bulk rows are shuffled exactly once and never
+  * re-sorted or re-grouped.
+  *
+  * Driver traffic is bounded by numPartitions × (before + after) rows
+  * (the same order as AsOfJoin's global min/max), so the design holds
+  * at thousand-partition scale.
   *
   * The built-in uses of map_overlap (diff/shift/rolling) are expressed
   * as window functions elsewhere; this operator is the escape hatch for
@@ -25,7 +29,9 @@ import org.apache.spark.sql.types._
   *
   * Note: rows with equal order-key never straddle a partition boundary
   * (RangePartitioner keeps equal keys together), so overlap ownership
-  * is unambiguous.
+  * is unambiguous. A partition's overlap comes from its immediate
+  * neighbors only — `before`/`after` must not exceed a typical
+  * partition's row count (same contract as the reference).
   */
 object MapOverlap {
 
@@ -48,76 +54,40 @@ object MapOverlap {
 
     val ranged = df.repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(orderCol)
-      .withColumn("__graft_pid", spark_partition_id())
+    val rdd = ranged.rdd
 
-    // Edge rows get copied to the neighbor; tag -1 = before-overlap
-    // (from the previous partition), 1 = after-overlap, 0 = owned.
-    val wAsc = Window.partitionBy(col("__graft_pid")).orderBy(col(orderCol).asc)
-    val wDesc = Window.partitionBy(col("__graft_pid")).orderBy(col(orderCol).desc)
-
-    val own = ranged
-      .withColumn("__graft_dest", col("__graft_pid"))
-      .withColumn("__graft_tag", lit(0))
-    val tails = ranged
-      .withColumn("__graft_rn", row_number().over(wDesc))
-      .filter(col("__graft_rn") <= before)
-      .drop("__graft_rn")
-      .withColumn("__graft_dest", col("__graft_pid") + 1)
-      .withColumn("__graft_tag", lit(-1))
-    val heads = ranged
-      .withColumn("__graft_rn", row_number().over(wAsc))
-      .filter(col("__graft_rn") <= after)
-      .drop("__graft_rn")
-      .withColumn("__graft_dest", col("__graft_pid") - 1)
-      .withColumn("__graft_tag", lit(1))
-
-    var all = own
-    if (before > 0) all = all.unionByName(tails)
-    if (after > 0) all = all.unionByName(heads)
-    all = all.filter(col("__graft_dest") >= 0 && col("__graft_dest") < n)
-
-    val taggedSchema = all.schema
-    val destIdx = taggedSchema.fieldIndex("__graft_dest")
-    val tagIdx = taggedSchema.fieldIndex("__graft_tag")
-    val orderIdx = taggedSchema.fieldIndex(orderCol)
-    val payloadIdx = df.schema.fieldNames.map(taggedSchema.fieldIndex)
-    val ordering = orderingFor(taggedSchema.fields(orderIdx).dataType)
-
-    implicit val outEnc = Encoders.row(outSchema)
-    all.groupByKey(r => r.getInt(destIdx))(Encoders.scalaInt)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray
-        // sort by order key; before-overlap keys are strictly smaller and
-        // after-overlap strictly larger than owned keys, tag breaks ties
-        java.util.Arrays.sort(rows, (a: Row, b: Row) => {
-          val c = ordering.compare(a.get(orderIdx), b.get(orderIdx))
-          if (c != 0) c else Integer.compare(a.getInt(tagIdx), b.getInt(tagIdx))
-        })
-        val ownStart = rows.indexWhere(_.getInt(tagIdx) == 0)
-        val ownEnd = rows.lastIndexWhere(_.getInt(tagIdx) == 0) + 1
-        if (ownStart < 0) Iterator.empty
-        else {
-          val payload: IndexedSeq[Row] = rows.toIndexedSeq
-            .map(r => Row.fromSeq(payloadIdx.toIndexedSeq.map(r.get)))
-          fn(payload, ownStart, ownEnd)
+    // Job 1: per-partition edge rows only — first `after` rows (overlap
+    // for the previous partition) and last `before` rows (for the next).
+    val edges: Map[Int, (Array[Row], Array[Row])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val head = new scala.collection.mutable.ArrayBuffer[Row](after)
+        val tail = new java.util.ArrayDeque[Row](math.max(before, 1))
+        it.foreach { r =>
+          if (head.length < after) head += r
+          if (before > 0) {
+            if (tail.size == before) tail.pollFirst()
+            tail.addLast(r)
+          }
         }
-      }
-  }
+        Iterator((pid, (head.toArray, tail.toArray(Array.empty[Row]))))
+      }.collect().toMap
+    val edgesB = spark.sparkContext.broadcast(edges)
 
-  private def orderingFor(dt: DataType): Ordering[Any] = {
-    val ord: Ordering[_] = dt match {
-      case LongType => Ordering.Long
-      case IntegerType => Ordering.Int
-      case DoubleType => Ordering.Double.TotalOrdering
-      case FloatType => Ordering.Float.TotalOrdering
-      case StringType => Ordering.String
-      // Timestamp.compareTo handles the millis/nanos split correctly;
-      // reconstructing an epoch by hand double-counts the sub-second part.
-      case TimestampType => Ordering.comparatorToOrdering(
-        java.util.Comparator.naturalOrder[java.sql.Timestamp]())
-      case DateType => Ordering.by((d: java.sql.Date) => d.getTime)
-      case _ => throw new IllegalArgumentException(s"unsupported order column type $dt")
+    // Job 2: one pass over the already-sorted partitions; neighbors'
+    // edges are prepended/appended from the broadcast.
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val e = edgesB.value
+      val prev = if (before > 0) e.get(pid - 1).map(_._2).getOrElse(Array.empty[Row])
+                 else Array.empty[Row]
+      val next = if (after > 0) e.get(pid + 1).map(_._1).getOrElse(Array.empty[Row])
+                 else Array.empty[Row]
+      val own = it.toArray
+      if (own.isEmpty) Iterator.empty
+      else {
+        val block: IndexedSeq[Row] = prev.toIndexedSeq ++ own ++ next
+        fn(block, prev.length, prev.length + own.length)
+      }
     }
-    ord.asInstanceOf[Ordering[Any]]
+    spark.createDataFrame(outRdd, outSchema)
   }
 }

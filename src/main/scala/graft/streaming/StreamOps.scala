@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming variants of the batch operators (engine extension — the
+  * reference has no streaming surface at all, SURVEY §2.10): the same
+  * declarative plans run incrementally under Structured Streaming with
+  * event-time watermarks bounding state.
+  *
+  * Each entry point takes/returns DataFrames so a batch frame and a
+  * `readStream` frame are interchangeable — the Spark property that
+  * makes the batch operator inventory double as a streaming one.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregate with a watermark: the
+    * streaming form of `resample` (§2.6). State is dropped once the
+    * watermark passes a window's end.
+    */
+  def windowedStats(events: DataFrame, tsCol: String, valueCol: String,
+      windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("total"),
+        avg(valueCol).as("mean"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("total"), col("mean"))
+
+  /** Streaming exact dedup by arbitrary key columns (the streaming form
+    * of the LLM pipeline's content-hash dedup): duplicates arriving
+    * within the watermark horizon are dropped, state expires after it.
+    */
+  def streamingDedup(df: DataFrame, tsCol: String, watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Session windows with an inactivity gap — the event-time
+    * sessionization operator (no batch analogue in the reference).
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Arbitrary stateful processing via mapGroupsWithState: a per-key
+    * running (count, sum) that emits the updated aggregate on every
+    * micro-batch — the custom-state escape hatch (§2.11 analogue for
+    * streams).
+    */
+  def runningTotals(events: Dataset[(Long, Double)]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (key, n, s)
+      }
+  }
+}
