@@ -263,6 +263,32 @@ object ExtraQueries {
         .orderBy("p_partkey")
     }
 
+    q("q_str_strip_just",
+      """SELECT p_partkey,
+        |  rtrim(ltrim(p_name, 'abc'), 'xyz') AS stripped,
+        |  rpad(p_brand, 12, '.') AS ljusted,
+        |  lpad(p_brand, 12, '.') AS rjusted,
+        |  ends_with(p_type, 'BRASS') AS ends_brass,
+        |  CASE WHEN strpos(reverse(p_name), 'a') = 0 THEN -1
+        |       ELSE length(p_name) - strpos(reverse(p_name), 'a') END AS rfind_a,
+        |  substr(p_name, 5, 1) AS get5,
+        |  (p_brand = lower(p_brand)) AS is_lower,
+        |  (p_brand = upper(p_brand)) AS is_upper
+        |FROM part WHERE p_partkey < 1000 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).filter(col("p_partkey") < 1000)
+        .select(col("p_partkey"),
+          rtrim(ltrim(col("p_name"), "abc"), "xyz").as("stripped"),
+          rpad(col("p_brand"), 12, ".").as("ljusted"),
+          lpad(col("p_brand"), 12, ".").as("rjusted"),
+          col("p_type").endsWith("BRASS").as("ends_brass"),
+          when(instr(reverse(col("p_name")), "a") === 0, -1)
+            .otherwise(length(col("p_name")) - instr(reverse(col("p_name")), "a")).as("rfind_a"),
+          substring(col("p_name"), 5, 1).as("get5"),
+          (col("p_brand") === lower(col("p_brand"))).as("is_lower"),
+          (col("p_brand") === upper(col("p_brand"))).as("is_upper"))
+        .orderBy("p_partkey")
+    }
+
     // ---- datetime accessor long tail ----------------------------------
 
     q("q_dt_tail",
@@ -290,7 +316,79 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // persist / FromGraph (reference io/io.py:37): caching is a plan
+    // property; content is invariant. The query caches the filtered
+    // scan, touches it twice (agg + join back), and the oracle checks
+    // the merged result.
+    q("q_persist",
+      """WITH f AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey < 3000)
+        |SELECT f.o_custkey, f.o_totalprice, t.total
+        |FROM f JOIN (SELECT o_custkey, sum(o_totalprice) AS total
+        |             FROM f GROUP BY 1) t ON f.o_custkey = t.o_custkey
+        |ORDER BY f.o_custkey, f.o_totalprice""".stripMargin) { (s, dir) =>
+      val f = Tables.orders(s, dir).filter(col("o_orderkey") < 3000)
+        .select("o_custkey", "o_totalprice").persist()
+      val totals = f.groupBy("o_custkey").agg(sum("o_totalprice").as("total"))
+      f.join(totals, "o_custkey")
+        .select(col("o_custkey"), col("o_totalprice"), col("total"))
+        .orderBy("o_custkey", "o_totalprice")
+    }
+
+    // set_index / divisions policy (reference _shuffle.py:759-1303;
+    // SURVEY §7.2): the analogue of a sorted index is an explicit
+    // range-partition + within-partition sort on the index column —
+    // content-invariant, and downstream ordered ops read it without a
+    // further global sort.
+    q("q_set_index",
+      s"""SELECT event_id, user_id, value FROM ${Queries.EVENTS_SQL}
+         |WHERE user_id < 20 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).filter(col("user_id") < 20)
+        .select("event_id", "user_id", "value")
+        .repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .orderBy("event_id")
+    }
+
+    // merge_asof with allowExactMatches=false (strict inequality).
+    q("q_merge_asof_strict",
+      s"""SELECT l.event_id, r.purchase_id
+         |FROM (SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, user_id
+         |      FROM events WHERE event_type = 'click') l
+         |ASOF LEFT JOIN (SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+         |                       event_id AS purchase_id
+         |                FROM events WHERE event_type = 'purchase') r
+         |  ON l.user_id = r.user_id AND l.ts > r.ts
+         |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      operators.AsOfJoin.mergeAsOf(clicks, purchases, on = "ts",
+          by = Seq("user_id"), allowExactMatches = false)
+        .select("event_id", "purchase_id")
+        .orderBy("event_id")
+    }
+
     // ---- rolling / resample aggregate tail ----------------------------
+
+    // rolling apply with a custom aggregate (reference _rolling.py:341
+    // RollingApply): the product UDAF runs over a bounded window frame.
+    q("q_rolling_custom",
+      """SELECT l_orderkey, l_linenumber,
+        |  product(1 + l_discount) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_growth
+        |FROM lineitem WHERE l_orderkey < 1500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rowsBetween(-2, Window.currentRow)
+      Tables.lineitem(s, dir).filter(col("l_orderkey") < 1500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          functions.Udafs.product(lit(1) + col("l_discount")).over(w).as("roll_growth"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+
     // (reference _rolling.py:43-341, _resample.py:23-291)
 
     q("q_rolling_var",

@@ -1,6 +1,7 @@
 package graft
 
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -58,6 +59,14 @@ class OperatorEdgeSpec extends SparkSpec {
     val pairs = TextDedup.nearDuplicates(docs, "doc_id", "text").collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("to_records / toLocalIterator streams rows to the driver") {
+    val it = Tables.nation(spark, sfDir)
+      .orderBy("n_nationkey").toLocalIterator()
+    val rows = it.asScala.toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(0)) == rows.map(_.getInt(0)).sorted)
   }
 
   test("cosine of identical vectors is 1") {
