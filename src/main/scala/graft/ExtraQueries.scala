@@ -370,6 +370,22 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Series.dot (reference _collection.py:2541) and autocorr (:4547).
+    q("q_dot_autocorr",
+      s"""WITH l AS (SELECT user_id, value,
+         |             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+         |           FROM ${Queries.EVENTS_SQL})
+         |SELECT round(sum(value * coalesce(pv, 0.0)), 6) AS dot_lagged,
+         |  round(corr(value, pv), 9) AS autocorr_1
+         |FROM l""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("value"), lag("value", 1).over(w).as("pv"))
+        .agg(round(sum(col("value") * coalesce(col("pv"), lit(0.0))), 6).as("dot_lagged"),
+          round(corr(col("value"), col("pv")), 9).as("autocorr_1"))
+    }
+
     // ---- rolling / resample aggregate tail ----------------------------
 
     // rolling apply with a custom aggregate (reference _rolling.py:341

@@ -297,8 +297,9 @@ object LlmQueries {
         .orderBy("doc_id")
     }
 
-    // Document fingerprinting: 31-ary rolling hash over the byte stream
-    // (the incremental-dedup key) plus the md5 digest.
+    // Document fingerprinting: 31-ary rolling hash (native codegen'd
+    // Catalyst expression — see functions.RollingHash) plus the md5
+    // digest; the incremental-dedup key pair.
     q("q_doc_fingerprint",
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -306,9 +307,9 @@ object LlmQueries {
         |    (a, x) -> (a * 31 + x) % 1000000007) AS roll_fp,
         |  md5(text) AS md5_fp
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      functions.GraftFunctions.register(s)
       Tables.documents(s, dir).select(col("doc_id"),
-        aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
-          lit(0L), (a, x) => (a * 31 + x) % 1000000007L).as("roll_fp"),
+        expr("rolling_hash(text)").as("roll_fp"),
         md5(col("text")).as("md5_fp"))
         .orderBy("doc_id")
     }

@@ -579,11 +579,15 @@ object Queries {
       |  quantile_cont(l_quantity, 0.75) AS p75,
       |  median(l_extendedprice) AS med_price
       |FROM lineitem""".stripMargin) { (s, dir) =>
+    // One percentile evaluation with an array of fractions: three
+    // scalar percentile aggs would sort the column three times.
     Tables.lineitem(s, dir)
-      .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
-        expr("percentile(l_quantity, 0.5)").as("p50"),
-        expr("percentile(l_quantity, 0.75)").as("p75"),
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("ps"),
         median(col("l_extendedprice")).as("med_price"))
+      .select(element_at(col("ps"), 1).as("p25"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p75"),
+        col("med_price"))
   }
 
   // Describe (reference _describe.py:16) — composed aggs, one row per stat
@@ -629,16 +633,24 @@ object Queries {
       |  stddev_samp(l_tax) AS std_tax
       |FROM lineitem
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag", "l_linestatus")
+    // The distinct count runs as its own aggregate joined back on the
+    // group keys: mixing countDistinct with plain aggs makes Spark
+    // Expand-duplicate every input row, which at 100 TB doubles the
+    // aggregation input for no reason.
+    val li = Tables.lineitem(s, dir)
+    val plain = li.groupBy("l_returnflag", "l_linestatus")
       .agg(sum("l_quantity").as("sum_qty"),
         avg("l_extendedprice").as("avg_price"),
         min("l_discount").as("min_disc"),
         max("l_discount").as("max_disc"),
         count(lit(1)).as("n"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
         var_samp(col("l_quantity")).as("var_qty"),
         stddev_samp(col("l_tax")).as("std_tax"))
+    val distincts = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    plain.join(distincts, Seq("l_returnflag", "l_linestatus"))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "avg_price",
+        "min_disc", "max_disc", "n", "n_orders", "var_qty", "std_tax")
       .orderBy("l_returnflag", "l_linestatus")
   }
 

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: 31-ary rolling polynomial hash of a
+  * string modulo 1e9+7, over Unicode code points.
+  *
+  * The codegen'd loop runs inside whole-stage codegen — no per-row
+  * array materialization, no UDF serialization boundary — replacing the
+  * `aggregate(transform(split(text, '')))` fold (which allocates a
+  * per-character string array for every row). Same value as the SQL
+  * fold `reduce(chars, (a, c) -> (a * 31 + unicode(c)) % 1000000007)`,
+  * so external engines can verify it.
+  */
+case class RollingHash(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % 1000000007L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  def hash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Registration of the engine's native SQL functions. */
+object GraftFunctions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rolling_hash takes exactly one argument")
+        RollingHash(args.head)
+      }))
+
+  /** Imperative registration on an existing session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}

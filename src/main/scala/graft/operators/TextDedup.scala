@@ -107,10 +107,11 @@ object TextDedup {
       numHashes: Int = 16,
       bandRows: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    // Distinct shingles feed the Jaccard arithmetic (sizes + both sides
-    // of the intersection count) — cached once. The signature path uses
-    // the raw stream (no distinct needed under min).
-    val raw = shingles(docs, idCol, textCol, shingleLen, distinct = false)
+    // Raw shingles feed both the signature path (no distinct needed
+    // under min) and, distinct'd, the Jaccard arithmetic (sizes + both
+    // sides of the intersection count) — cache each stage once so the
+    // corpus is shingled exactly once.
+    val raw = shingles(docs, idCol, textCol, shingleLen, distinct = false).cache()
     val sh = raw.distinct().cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     // Both cached: the band table is self-joined (two subtree copies

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, RollingHash}
+
+/** Native rolling_hash expression: codegen path vs interpreted Scala. */
+class RollingHashSpec extends SparkSpec {
+
+  test("rolling_hash matches the reference fold, codegen and interpreted") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val samples = Seq("", "a", "hello world", "the quick brown fox", "über-σtring")
+    val got = samples.toDF("s")
+      .select(col("s"), expr("rolling_hash(s)").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(got(s) == RollingHash.hash(s), s"mismatch for '$s'")
+    }
+  }
+
+  test("rolling_hash equals the SQL higher-order fold") {
+    GraftFunctions.register(spark)
+    val mismatches = Tables.documents(spark, sfDir)
+      .selectExpr(
+        "rolling_hash(text) AS a",
+        """aggregate(transform(split(text, ''), c -> cast(ascii(c) AS LONG)),
+          |          cast(0 AS LONG), (a, x) -> (a * 31 + x) % 1000000007) AS b""".stripMargin)
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+  }
+
+  test("GraftExtensions injects the function set") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)   // must not throw; wiring smoke test
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0) ==
+      RollingHash.hash("abc"))
+  }
+}
