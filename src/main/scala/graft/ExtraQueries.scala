@@ -370,6 +370,39 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Semi-structured JSON column (events.props): extraction + agg over
+    // the parsed value — the raw form most pipeline metadata arrives in.
+    q("q_json_props",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }
+
+    // Salted skew join (operators.SkewJoin): output must equal the
+    // plain join — the oracle proves the salting is semantics-free.
+    q("q_salted_join",
+      """SELECT o_orderkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir).filter(col("o_orderkey") < 2000)
+        .withColumnRenamed("o_custkey", "custkey")
+      val cust = Tables.customer(s, dir)
+        .withColumnRenamed("c_custkey", "custkey")
+      operators.SkewJoin.saltedJoin(orders, cust, Seq("custkey"), saltFactor = 8)
+        .select("o_orderkey", "o_totalprice", "c_name")
+        .orderBy("o_orderkey")
+    }
+
     // Series.dot (reference _collection.py:2541) and autocorr (:4547).
     q("q_dot_autocorr",
       s"""WITH l AS (SELECT user_id, value,
