@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan audits: the properties that make the query set safe at
+  * 100 TB are asserted, not assumed.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("no query plan contains a cartesian product") {
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("projection+filter reach the parquet scan") {
+    val p = plan("q_projection_filter")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("GreaterThan(l_quantity") || p.contains("IsNotNull(l_quantity"),
+      "quantity filter not pushed to parquet")
+    // pruned read schema: only the 4 projected + filtered columns
+    assert(!p.contains("l_shipdate"), "unused column not pruned from scan")
+  }
+
+  test("star-schema dimensions broadcast") {
+    val p = plan("q_join_broadcast_star")
+    assert(p.contains("BroadcastHashJoin"), "dimension join did not broadcast")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q_tail").contains("TakeOrderedAndProject"))
+  }
+
+  test("cumprod window has no per-row array materialization") {
+    val p = plan("q_cumprod")
+    assert(!p.contains("collect_list"), "cumprod fell back to collect_list fold")
+  }
+
+  test("value_counts normalizes in-plan, not via a pre-computed scalar") {
+    val analyzed = SparkEntry.queries("q_value_counts")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("windowspecdefinition"),
+      "proportion is not a window sum — was the total collected eagerly?")
+  }
+}
