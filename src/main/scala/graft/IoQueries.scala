@@ -85,6 +85,17 @@ object IoQueries {
           min(md5(col("value"))).as("min_h"))
     }
 
+    // read_sql / to_sql (reference io/sql.py:1-222) against embedded
+    // Derby: full write+read roundtrip through a real JDBC dialect.
+    q("q_jdbc_roundtrip",
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val url = s"jdbc:derby:$ioDir/derbydb;create=true"
+      val sub = Tables.supplier(s, dir).select("s_suppkey", "s_name", "s_acctbal")
+      Io.writeJdbc(sub, url, "supplier_rt")
+      Io.readJdbc(s, url, "supplier_rt").orderBy("s_suppkey")
+    }
+
     // In-memory source (reference io/io.py:218-386 FromScalars/FromMap,
     // from_pandas): local rows become a distributed frame.
     q("q_from_memory",

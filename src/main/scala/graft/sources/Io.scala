@@ -48,4 +48,16 @@ object Io {
 
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
+
+  /** JDBC source/sink (reference io/sql.py). Spark's JDBC relation
+    * handles predicate pushdown and partitioned reads
+    * (partitionColumn/lowerBound/upperBound for parallel scans at
+    * scale); tested here against embedded Derby.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
+  def writeJdbc(df: DataFrame, url: String, table: String): Unit =
+    df.write.format("jdbc").option("url", url).option("dbtable", table)
+      .mode(SaveMode.Overwrite).save()
 }
