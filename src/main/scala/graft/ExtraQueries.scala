@@ -289,6 +289,25 @@ object ExtraQueries {
         .orderBy("p_partkey")
     }
 
+    q("q_str_title_translate",
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(string_split(lower(p_name), ' '),
+        |    w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS titled,
+        |  translate(p_name, 'aeiou', '_____') AS translated,
+        |  lower(p_type) AS casefolded,
+        |  regexp_matches(replace(p_name, ' ', ''), '^[a-z0-9]+$') AS is_alnum,
+        |  len(regexp_extract_all(p_name, '[aeiou]+')) AS vowel_runs
+        |FROM part WHERE p_partkey < 1000 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).filter(col("p_partkey") < 1000)
+        .select(col("p_partkey"),
+          initcap(lower(col("p_name"))).as("titled"),
+          translate(col("p_name"), "aeiou", "_____").as("translated"),
+          lower(col("p_type")).as("casefolded"),
+          regexp_replace(col("p_name"), " ", "").rlike("^[a-z0-9]+$").as("is_alnum"),
+          size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0))).as("vowel_runs"))
+        .orderBy("p_partkey")
+    }
+
     // ---- datetime accessor long tail ----------------------------------
 
     q("q_dt_tail",
