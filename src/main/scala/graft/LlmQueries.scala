@@ -213,6 +213,21 @@ object LlmQueries {
         .orderBy("label")
     }
 
+    // Per-label centroid components (class prototypes): posexplode to
+    // (label, pos, component), average per cell — the distributed form
+    // of a vector mean, shuffling scalars instead of arrays.
+    q("q_embedding_centroid",
+      """SELECT label, i - 1 AS pos,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_c
+        |FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "c")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("c").cast("double")), 6).as("centroid_c"))
+        .orderBy("label", "pos")
+    }
+
     // ---- text analysis -------------------------------------------------
 
     // Quality scoring: length, lexical diversity, stopword density.

@@ -40,6 +40,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("collect_list"), "cumprod fell back to collect_list fold")
   }
 
+  test("bucketed tables join without a shuffle") {
+    // The co-location story at 100 TB: both sides bucketed+sorted by the
+    // join key produce a SortMergeJoin with no Exchange above the scans.
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+      Tables.orders(spark, sfDir).write
+        .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+      Tables.customer(spark, sfDir).write
+        .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), "expected a sort-merge join")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("value_counts normalizes in-plan, not via a pre-computed scalar") {
     val analyzed = SparkEntry.queries("q_value_counts")(spark, sfDir)
       .queryExecution.analyzed.toString
