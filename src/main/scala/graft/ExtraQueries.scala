@@ -389,6 +389,56 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Row-wise (axis=1) ops: horizontal min/max/sum and idxmax-by-name
+    // across columns — pure projections, no shuffle.
+    q("q_rowwise_ops",
+      """SELECT l_orderkey, l_linenumber,
+        |  least(l_quantity, l_extendedprice / 1000, l_tax * 100) AS row_min,
+        |  greatest(l_quantity, l_extendedprice / 1000, l_tax * 100) AS row_max,
+        |  l_quantity + l_extendedprice / 1000 + l_tax * 100 AS row_sum,
+        |  CASE WHEN l_quantity >= l_extendedprice / 1000 AND l_quantity >= l_tax * 100 THEN 'quantity'
+        |       WHEN l_extendedprice / 1000 >= l_tax * 100 THEN 'price'
+        |       ELSE 'tax' END AS row_idxmax
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val q = col("l_quantity"); val p = col("l_extendedprice") / 1000; val t = col("l_tax") * 100
+      Tables.lineitem(s, dir).filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          least(q, p, t).as("row_min"),
+          greatest(q, p, t).as("row_max"),
+          (q + p + t).as("row_sum"),
+          when(q >= p && q >= t, "quantity").when(p >= t, "price")
+            .otherwise("tax").as("row_idxmax"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+
+    // merge(how='cross'): small-side broadcast keeps it a
+    // BroadcastNestedLoopJoin, never a shuffled CartesianProduct.
+    q("q_cross_join",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |WHERE n_nationkey < 10 ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      Tables.region(s, dir).select("r_name")
+        .crossJoin(broadcast(Tables.nation(s, dir)
+          .filter(col("n_nationkey") < 10).select("n_name")))
+        .orderBy("r_name", "n_name")
+    }
+
+    // Frame metadata surface (shape/size) + add_prefix renames.
+    q("q_frame_info",
+      """SELECT count(*) AS n_rows, 6 AS n_cols,
+        |  count(*) * 6 AS n_cells,
+        |  min(x_o_orderkey) AS first_key
+        |FROM (SELECT o_orderkey AS x_o_orderkey, o_custkey, o_orderstatus,
+        |             o_totalprice, o_orderdate, o_orderpriority
+        |      FROM orders)""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val prefixed = o.withColumnRenamed("o_orderkey", "x_o_orderkey")
+      val nCols = prefixed.columns.length   // schema metadata, no job
+      prefixed.agg(count(lit(1)).as("n_rows"), lit(nCols).as("n_cols"),
+        (count(lit(1)) * nCols).as("n_cells"),
+        min("x_o_orderkey").as("first_key"))
+    }
+
     // Semi-structured JSON column (events.props): extraction + agg over
     // the parsed value — the raw form most pipeline metadata arrives in.
     q("q_json_props",
