@@ -84,6 +84,77 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }
 
+    // Duplicate clusters: connected components over the verified
+    // near-dup pairs, keep-one-per-cluster — the step that turns pair
+    // detection into an actual dedup decision. Oracle: recursive-CTE
+    // transitive closure over the same pairs.
+    q("q_dup_clusters",
+      s"""WITH RECURSIVE ${minhashCtes(n = 3, k = 16, r = 4)},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS ni
+         |          FROM cand
+         |          JOIN sh sa ON sa.doc_id = doc_a
+         |          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sizes za ON za.doc_id = doc_a
+         |          JOIN sizes zb ON zb.doc_id = doc_b
+         |          WHERE ni / (za.nsh + zb.nsh - ni) >= 0.8),
+         |edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (SELECT n, m FROM edges
+         |                UNION
+         |                SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n)
+         |SELECT n AS doc_id, least(n, min(m)) AS cluster_id,
+         |  n = least(n, min(m)) AS is_rep
+         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = TextDedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bandRows = 4, threshold = 0.8)
+      TextDedup.dupClusters(pairs.select("doc_a", "doc_b"))
+        .orderBy("doc_id")
+    }
+
+    // End-to-end preprocess pipeline in one declarative plan: quality
+    // score → filter → exact dedup keep-first → reproducible hash
+    // sample → per-language aggregate.
+    q("q_pipeline_e2e",
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    0.4 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+        |      + 0.6 * least(len(string_split(text, ' ')) / 50.0, 1.0) AS quality
+        |  FROM documents),
+        |filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+        |deduped AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM filtered) WHERE rn = 1),
+        |sampled AS (SELECT * FROM deduped
+        |            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8')
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(quality), 9) AS avg_quality,
+        |  sum(len(string_split(text, ' '))) AS total_tokens
+        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ws = split(col("text"), " ")
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"),
+        (lit(0.4) * (size(array_distinct(ws)) / size(ws))
+          + lit(0.6) * least(size(ws) / lit(50.0), lit(1.0))).as("quality"))
+      val filtered = scored.filter(col("quality") >= 0.5)
+      val deduped = filtered
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val sampled = deduped
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+      sampled.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality"), 9).as("avg_quality"),
+          sum(size(split(col("text"), " "))).as("total_tokens"))
+        .orderBy("lang")
+    }
+
     // Banded MinHash signatures themselves (intermediate artifact a
     // pipeline would persist for incremental dedup).
     q("q_minhash_bands",

@@ -137,6 +137,42 @@ object TextDedup {
     ja.filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate clusters from near-dup pairs: connected components by
+    * iterative min-label propagation (labels converge to the smallest
+    * doc id in each component). Returns (id, cluster_id, is_rep).
+    *
+    * Each iteration is one bounded shuffle over the (tiny) pair graph;
+    * iteration count is the component diameter — near-dup components
+    * are shallow (pairs chain through shared content), so convergence
+    * is fast. The per-iteration driver action only reads a change
+    * count.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
+      .union(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
+      .distinct().cache()
+    var labels = edges.select(col("n")).distinct()
+      .withColumn("lab", col("n")).cache()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("n").as("m"), col("lab").as("mlab")), "m")
+        .groupBy("n").agg(min("mlab").as("nbr_lab"))
+      val next = labels.join(nbrMin, Seq("n"), "left")
+        .select(col("n"), least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("lab", "old"), "n")
+        .filter(col("lab") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    labels.select(col("n").as("doc_id"), col("lab").as("cluster_id"),
+      (col("n") === col("lab")).as("is_rep"))
+  }
+
   /** SimHash over the token stream (all occurrences, not distinct): for
     * each of `bits` positions, sum +1/-1 according to that bit of the
     * token hash; the sign vector packs into one integer signature.
