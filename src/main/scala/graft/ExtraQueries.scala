@@ -472,6 +472,30 @@ object ExtraQueries {
         .orderBy("o_orderkey")
     }
 
+    // prod reduction (via the product UDAF) + standard error of mean.
+    q("q_prod_sem",
+      """SELECT round(product(1 + l_tax), 9) AS prod_tax,
+        |  round(stddev_samp(l_quantity) / sqrt(count(l_quantity)), 9) AS sem_qty
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_orderkey") < 100)
+        .agg(round(functions.Udafs.product(lit(1) + col("l_tax")), 9).as("prod_tax"),
+          round(stddev_samp(col("l_quantity")) / sqrt(count(col("l_quantity"))), 9).as("sem_qty"))
+    }
+
+    // select_dtypes: schema-driven column selection (no data pass).
+    q("q_select_dtypes",
+      """SELECT sum(o_orderkey) AS s_o_orderkey, sum(o_custkey) AS s_o_custkey,
+        |  sum(o_totalprice) AS s_o_totalprice
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val numeric = o.schema.fields.filter(f => f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      }).map(_.name)
+      o.agg(sum(numeric.head).as(s"s_${numeric.head}"),
+        numeric.tail.map(c => sum(c).as(s"s_$c")): _*)
+    }
+
     // Series.dot (reference _collection.py:2541) and autocorr (:4547).
     q("q_dot_autocorr",
       s"""WITH l AS (SELECT user_id, value,
