@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextDedup}
+
+/** Edge cases for the LLM-pipeline operators. */
+class TextDedupEdgeSpec extends SparkSpec {
+
+  test("near-dup handles docs shorter than the shingle width") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two"),                              // < 3 words: no shingles
+      (2L, "a b c d e f g h i j"),
+      (3L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val pairs = TextDedup.nearDuplicates(docs, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+  }
+
+  test("near-dup on an empty corpus returns no pairs") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextDedup.nearDuplicates(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("dup clusters: chain of pairs collapses to one component") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4 chain plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = TextDedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("simhash of identical docs is identical, different docs differ") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark rows columns batch"),
+      (2L, "spark rows columns batch"),
+      (3L, "entirely different words here")).toDF("doc_id", "text")
+    val sh = TextDedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("exact dedup keeps the smallest id per content") {
+    import spark.implicits._
+    val docs = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
+    val kept = TextDedup.exactDedupKeepFirst(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+  }
+
+  test("orthogonal vectors score zero cosine; ANN respects bucket boundaries") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(math.abs(df.head().getDouble(0)) < 1e-12)
+    // annTopK never returns a vector from a different bucket
+    val e = Tables.embeddings(spark, sfDir)
+    val qs = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val ann = Similarity.annTopK(qs, e, dim = 64, numPlanes = 4, k = 3)
+    val buckets = e.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ann.select("query_id", "vec_id").collect().foreach { r =>
+      assert(buckets(r.getLong(0)) == buckets(r.getLong(1)),
+        s"ANN crossed buckets: ${r.getLong(0)} vs ${r.getLong(1)}")
+    }
+  }
+}
