@@ -148,11 +148,21 @@ object TextDedup {
     * count.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
+    val edgesRaw = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
       .union(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
       .distinct().cache()
+    // The pair graph is tiny relative to the corpus (duplicates are the
+    // exception); size the iterative stages to it, not to the corpus'
+    // shuffle parallelism — locally that collapses each iteration to a
+    // single task, at scale it grows with the edge count.
+    val parts = math.max(1, (edgesRaw.count() / 500000L).toInt)
+    // localCheckpoint (eager) truncates lineage each step — the
+    // standard pattern for iterative algorithms; plain cache() would
+    // leave every iteration's plan chained to the full upstream
+    // pipeline and risk recomputing it on cache misses.
+    val edges = edgesRaw.repartition(parts).localCheckpoint()
     var labels = edges.select(col("n")).distinct()
-      .withColumn("lab", col("n")).cache()
+      .withColumn("lab", col("n")).repartition(parts).localCheckpoint()
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
@@ -161,10 +171,9 @@ object TextDedup {
         .groupBy("n").agg(min("mlab").as("nbr_lab"))
       val next = labels.join(nbrMin, Seq("n"), "left")
         .select(col("n"), least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lab", "old"), "n")
         .filter(col("lab") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       done = changed == 0
       iter += 1
