@@ -416,5 +416,41 @@ object LlmQueries {
       Multimodal.extractMeta(withPayload, "doc_id", "payload")
         .orderBy("doc_id")
     }
+
+    // Frame sampling: every 4th 64-byte frame of the payload, with the
+    // frame digest. The oracle mirrors byte slices as char slices
+    // (ASCII payload), proving the imperative slicing path.
+    q("q_multimodal_frames",
+      """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(length(substr(text, f * 64 + 1, 64)) AS INTEGER) AS frame_bytes,
+        |  md5(substr(text, f * 64 + 1, 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, greatest((length(text) - 1) // 64, 0), 4)) AS f
+        |      FROM documents WHERE doc_id < 100)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      val withPayload = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.sampleFrames(withPayload, "doc_id", "payload",
+          frameSize = 64, stride = 4)
+        .orderBy("doc_id", "frame_idx")
+    }
+
+    // Stratified sampling: per-group hash thresholds (downsample the
+    // dominant language, keep the rest) — the data-balancing op,
+    // reproducible under any partitioning.
+    q("q_stratified_sample",
+      """SELECT lang, count(*) AS n_sampled,
+        |  sum(n_chars) AS chars_sampled
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |      CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+          when(col("lang") === "en", "40").otherwise("c0"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"), sum("n_chars").as("chars_sampled"))
+        .orderBy("lang")
+    }
   }
 }

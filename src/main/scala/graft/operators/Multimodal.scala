@@ -35,6 +35,39 @@ object Multimodal {
     (1 + n % 64, 1 + (n / 64) % 64, 3)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_bytes", IntegerType),
+    StructField("frame_md5", StringType)))
+
+  /** Frame sampling over a binary payload: slice fixed-size frames and
+    * keep every `stride`-th one — the video-decode access pattern
+    * (seek + sample) over opaque bytes. Partition-batched like
+    * extractMeta; the byte slicing is real, only the codec is stubbed.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+      frameSize: Int, stride: Int): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(frameSchema)
+    df.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payIdx)
+        val id = r.getLong(idIdx)
+        val nFrames = math.max((bytes.length + frameSize - 1) / frameSize, 1)
+        (0 until nFrames by stride).iterator.map { f =>
+          val start = f * frameSize
+          val slice = bytes.slice(start, math.min(start + frameSize, bytes.length))
+          digest.reset()
+          val md5 = digest.digest(slice).map("%02x".format(_)).mkString
+          Row(id, f, slice.length, md5)
+        }
+      }
+    }
+  }
+
   /** Extract per-item metadata from (id, payload binary) rows. Runs
     * partition-at-a-time so a real decoder could amortize codec init
     * across the batch; one task per input partition, no shuffle.
