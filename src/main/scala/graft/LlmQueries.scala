@@ -212,6 +212,41 @@ object LlmQueries {
         .orderBy("doc_a")
     }
 
+    // TF-IDF top terms per document: token counts shuffle on (doc,
+    // term), document frequency on (term), idf joined back broadcast —
+    // no step touches more than the token stream once.
+    q("q_tfidf",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |           FROM tf JOIN df USING (term), n),
+        |ranked AS (SELECT doc_id, term, tfidf,
+        |             row_number() OVER (PARTITION BY doc_id
+        |                                ORDER BY tfidf DESC, term) AS rn
+        |           FROM scored)
+        |SELECT doc_id, term, tfidf FROM ranked
+        |WHERE rn <= 3 AND doc_id < 50
+        |ORDER BY doc_id, tfidf DESC, term""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3 && col("doc_id") < 50)
+        .select("doc_id", "term", "tfidf")
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    }
+
     // ---- similarity search over embeddings -----------------------------
 
     // Exact cosine top-5 for 3 query vectors: brute-force one-pass scan,
