@@ -389,6 +389,52 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Interval/range join (operators.RangeJoin): events matched to the
+    // 3-day window after each order of the same key — bucketed
+    // equi-join, never a nested loop. Oracle is the plain inequality
+    // join.
+    q("q_range_join",
+      """WITH c AS (SELECT event_id, user_id,
+        |             epoch_us(make_timestamp(epoch_ns(ts)//1000)) AS ts_us
+        |           FROM events WHERE event_type = 'click' AND user_id < 10),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |        epoch_us(make_timestamp(epoch_ns(ts)//1000)) - 7200000000 AS start_us,
+        |        epoch_us(make_timestamp(epoch_ns(ts)//1000)) + 7200000000 AS end_us
+        |      FROM events WHERE event_type = 'purchase' AND user_id < 10)
+        |SELECT c.event_id, p.purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.ts_us >= p.start_us AND c.ts_us <= p.end_us
+        |ORDER BY c.event_id, p.purchase_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).filter(col("user_id") < 10)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (unix_micros(col("ts")) - 7200000000L).as("start_us"),
+          (unix_micros(col("ts")) + 7200000000L).as("end_us"))
+      operators.RangeJoin.intervalJoin(clicks, "ts_us", purchases,
+          "start_us", "end_us", bucketWidth = 3600L * 1000000, keys = Seq("user_id"))
+        .select("event_id", "purchase_id")
+        .orderBy("event_id", "purchase_id")
+    }
+
+    // cut (fixed-width bins) and qcut (quantile bins via ntile).
+    q("q_cut_qcut",
+      """WITH b AS (SELECT o_orderkey,
+        |    least(CAST(floor(o_totalprice / 100000) AS BIGINT), 5) AS price_bin,
+        |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders)
+        |SELECT price_bin, quartile, count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          least(floor(col("o_totalprice") / 100000).cast("long"), lit(5)).as("price_bin"),
+          ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
+        .groupBy("price_bin", "quartile").agg(count(lit(1)).as("n"))
+        .orderBy("price_bin", "quartile")
+    }
+
     // Row-wise (axis=1) ops: horizontal min/max/sum and idxmax-by-name
     // across columns — pure projections, no shuffle.
     q("q_rowwise_ops",
