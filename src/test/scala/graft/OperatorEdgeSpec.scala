@@ -61,6 +61,18 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("interval join handles bucket-spanning intervals and exact boundaries") {
+    import spark.implicits._
+    val points = Seq((1L, 0L), (2L, 10L), (3L, 25L), (4L, 100L)).toDF("pid", "p")
+    // interval [0,25] spans many buckets at width 10; [100,100] is a point
+    val intervals = Seq((7L, 0L, 25L), (8L, 100L, 100L)).toDF("iid", "s", "e")
+    val got = graft.operators.RangeJoin
+      .intervalJoin(points, "p", intervals, "s", "e", bucketWidth = 10)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 7L), (2L, 7L), (3L, 7L), (4L, 8L)))
+  }
+
   test("to_records / toLocalIterator streams rows to the driver") {
     val it = Tables.nation(spark, sfDir)
       .orderBy("n_nationkey").toLocalIterator()
