@@ -24,10 +24,6 @@ object Queries {
   private def q(name: String, oracle: String)(
       fn: (SparkSession, String) => DataFrame): Unit =
     register(name, Some(oracle))(fn)
-  private def qNoOracle(name: String)(
-      fn: (SparkSession, String) => DataFrame): Unit =
-    register(name, None)(fn)
-
   // ListMap preserves registration order: Verify/Bench iterate queries
   // deterministically (a plain toMap would randomize, landing JVM warm-up
   // on an arbitrary query each run).
@@ -485,6 +481,23 @@ object Queries {
           col("exact_parts") * 0.1).as("ok_parts"),
         (abs(col("approx_orders") - col("exact_orders")) <=
           col("exact_orders") * 0.1).as("ok_orders"))
+  }
+
+  // Approximate quantiles (reference _quantile.py:76 t-digest; Spark's
+  // sketch is Greenwald-Khanna — SURVEY §7.2 accepted deviation). Like
+  // the HLL gate: the estimate must land within the sketch's accuracy
+  // band of the exact quantile, asserted as constant-true booleans.
+  q("q_quantile_approx",
+    "SELECT true AS ok_p50, true AS ok_p90") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("a90"),
+        expr("percentile(l_extendedprice, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.9)").as("e90"))
+      .select(
+        (abs(col("a50") - col("e50")) <= col("e50") * 0.05).as("ok_p50"),
+        (abs(col("a90") - col("e90")) <= col("e90") * 0.05).as("ok_p90"))
   }
 
   // Unique / NUnique exact (reference _reductions.py:565, _groupby nunique).
