@@ -418,19 +418,30 @@ object ExtraQueries {
         .orderBy("event_id", "purchase_id")
     }
 
-    // cut (fixed-width bins) and qcut (quantile bins via ntile).
+    // cut (fixed-width bins) and qcut (quantile bins). qcut bins by
+    // exact-percentile thresholds broadcast back — a global ntile
+    // window would funnel every row through one partition at scale.
     q("q_cut_qcut",
-      """WITH b AS (SELECT o_orderkey,
-        |    least(CAST(floor(o_totalprice / 100000) AS BIGINT), 5) AS price_bin,
-        |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
-        |  FROM orders)
+      """WITH t AS (SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+        |                  quantile_cont(o_totalprice, 0.5) AS p50,
+        |                  quantile_cont(o_totalprice, 0.75) AS p75 FROM orders),
+        |b AS (SELECT least(CAST(floor(o_totalprice / 100000) AS BIGINT), 5) AS price_bin,
+        |        1 + CAST(o_totalprice > p25 AS INTEGER)
+        |          + CAST(o_totalprice > p50 AS INTEGER)
+        |          + CAST(o_totalprice > p75 AS INTEGER) AS quartile
+        |      FROM orders, t)
         |SELECT price_bin, quartile, count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.orders(s, dir)
-        .select(col("o_orderkey"),
+      val o = Tables.orders(s, dir)
+      val t = o.agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"))
+      o.crossJoin(broadcast(t))
+        .select(
           least(floor(col("o_totalprice") / 100000).cast("long"), lit(5)).as("price_bin"),
-          ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
+          (lit(1) + (col("o_totalprice") > col("p25")).cast("int")
+            + (col("o_totalprice") > col("p50")).cast("int")
+            + (col("o_totalprice") > col("p75")).cast("int")).as("quartile"))
         .groupBy("price_bin", "quartile").agg(count(lit(1)).as("n"))
         .orderBy("price_bin", "quartile")
     }
