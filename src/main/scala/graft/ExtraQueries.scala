@@ -389,6 +389,38 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Batch sessionization: a session break is a >30-minute gap; the
+    // session id is the running count of breaks per user (lag + window
+    // sum, all partitioned by user — no global state).
+    q("q_sessionize",
+      s"""WITH g AS (SELECT user_id, event_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR
+         |              lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+         |  FROM ${Queries.EVENTS_SQL} WHERE user_id < 10
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, event_id, ts, value,
+         |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      FROM g)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  sum(value) AS session_value,
+         |  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir).filter(col("user_id") < 10)
+        .withColumn("brk",
+          when(lag("ts", 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800L * 1000000, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("brk").over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"),
+          (unix_seconds(max(col("ts"))) - unix_seconds(min(col("ts")))).as("duration_s"))
+        .orderBy("user_id", "session_id")
+    }
+
     // Interval/range join (operators.RangeJoin): events matched to the
     // 3-day window after each order of the same key — bucketed
     // equi-join, never a nested loop. Oracle is the plain inequality
