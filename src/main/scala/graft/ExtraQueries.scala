@@ -399,8 +399,8 @@ object ExtraQueries {
          |  FROM ${Queries.EVENTS_SQL} WHERE user_id < 10
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |s AS (SELECT user_id, event_id, ts, value,
-         |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |      FROM g)
          |SELECT user_id, session_id, count(*) AS n_events,
          |  sum(value) AS session_value,
@@ -533,7 +533,7 @@ object ExtraQueries {
     q("q_json_props",
       """SELECT event_type,
         |  count(*) AS n,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
@@ -573,16 +573,28 @@ object ExtraQueries {
 
     // select_dtypes: schema-driven column selection (no data pass).
     q("q_select_dtypes",
-      """SELECT sum(o_orderkey) AS s_o_orderkey, sum(o_custkey) AS s_o_custkey,
-        |  sum(o_totalprice) AS s_o_totalprice
+      """SELECT CAST(sum(o_orderkey) AS BIGINT) AS s_o_orderkey,
+        |  CAST(sum(o_custkey) AS BIGINT) AS s_o_custkey,
+        |  round(sum(o_totalprice), 2) AS s_o_totalprice
         |FROM orders""".stripMargin) { (s, dir) =>
       val o = Tables.orders(s, dir)
       val numeric = o.schema.fields.filter(f => f.dataType match {
         case _: org.apache.spark.sql.types.NumericType => true
         case _ => false
-      }).map(_.name)
-      o.agg(sum(numeric.head).as(s"s_${numeric.head}"),
-        numeric.tail.map(c => sum(c).as(s"s_$c")): _*)
+      })
+      // Fractional sums are rounded so the cross-engine hash is stable
+      // under any accumulation order (sum of 2-decimal values is exact
+      // far beyond 2 decimals of fp noise).
+      val aggs = numeric.map { f =>
+        val s0 = sum(f.name)
+        val s = f.dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => round(s0, 2)
+          case _ => s0
+        }
+        s.as(s"s_${f.name}")
+      }
+      o.agg(aggs.head, aggs.tail.toSeq: _*)
     }
 
     // Series.dot (reference _collection.py:2541) and autocorr (:4547).

@@ -73,7 +73,7 @@ object IoQueries {
     // read_text / to_text: line-oriented corpus IO (the raw form LLM
     // text pipelines start from).
     q("q_text_roundtrip",
-      """SELECT count(*) AS n_lines, sum(length(text)) AS total_chars,
+      """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  min(md5(text)) AS min_h
         |FROM documents""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("text"))

@@ -134,7 +134,7 @@ object LlmQueries {
         |            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8')
         |SELECT lang, count(*) AS n_docs,
         |  round(avg(quality), 9) AS avg_quality,
-        |  sum(len(string_split(text, ' '))) AS total_tokens
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val ws = split(col("text"), " ")
@@ -475,7 +475,7 @@ object LlmQueries {
     // reproducible under any partitioning.
     q("q_stratified_sample",
       """SELECT lang, count(*) AS n_sampled,
-        |  sum(n_chars) AS chars_sampled
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
         |      CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END

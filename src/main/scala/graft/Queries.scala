@@ -231,9 +231,9 @@ object Queries {
       |  sqrt(value) AS sqrt_v,
       |  round(exp(value / 100.0), 9) AS exp_v,
       |  round(ln(value + 1.0), 9) AS log_v,
-      |  floor(value) AS floor_v,
-      |  ceil(value) AS ceil_v,
-      |  sign(value - 10.0) AS sign_v
+      |  CAST(floor(value) AS BIGINT) AS floor_v,
+      |  CAST(ceil(value) AS BIGINT) AS ceil_v,
+      |  CAST(sign(value - 10.0) AS DOUBLE) AS sign_v
       |FROM events WHERE user_id < 10
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
     Tables.events(s, dir).filter(col("user_id") < 10)
@@ -437,7 +437,7 @@ object Queries {
   q("q_bool_aggs",
     """SELECT bool_or(l_quantity > 49) AS any_big,
       |  bool_and(l_quantity > 0) AS all_pos,
-      |  count_if(l_discount > 0.05) AS n_big_disc,
+      |  CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_big_disc,
       |  CAST(sum(DISTINCT l_linenumber) AS BIGINT) AS sum_distinct_line
       |FROM lineitem""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
