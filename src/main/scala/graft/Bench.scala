@@ -41,7 +41,12 @@ object Bench {
     // Caches created inside operators (e.g. the LSH candidate set) are
     // cleared between runs: Spark's cache manager matches by logical
     // plan, so a timed run would otherwise read the warm-up's data.
+    // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run (the driver
+    // never sets it, so round benches always cover the full set).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     val cold = names.map(runOnce).sum
     spark.catalog.clearCache()
     val results = names.map { name =>
@@ -50,10 +55,15 @@ object Bench {
       r
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the one-line JSON compact: the round
+    // driver captures only a bounded tail of stdout, and a full-precision
+    // 133-query line overflows that window, truncating the line start and
+    // making the JSON unparseable (BENCH_r03 "parsed": null).
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$cold,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","cold_value":${f(cold)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

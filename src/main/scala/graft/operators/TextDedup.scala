@@ -108,23 +108,26 @@ object TextDedup {
       bandRows: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     // Raw shingles feed both the signature path (no distinct needed
-    // under min) and, distinct'd, the Jaccard arithmetic (sizes + both
-    // sides of the intersection count) — cache each stage once so the
-    // corpus is shingled exactly once.
+    // under min) and the Jaccard arithmetic — cache once so the corpus
+    // is shingled exactly once.
     val raw = shingles(docs, idCol, textCol, shingleLen, distinct = false).cache()
-    val sh = raw.distinct().cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     // Both cached: the band table is self-joined (two subtree copies
-    // otherwise), and the candidate set feeds two broadcast subtrees —
+    // otherwise), and the candidate set feeds three broadcast subtrees —
     // without storage each consumer re-runs the signature pipeline.
     val sig = bandSignatures(raw, idCol, numHashes, bandRows).cache()
     val cand = candidatePairs(sig, idCol).cache()
-    // Candidate set is tiny relative to the corpus — broadcast it, and
-    // semi-filter the right shingle side down to candidate docs before
-    // the shingle-equality join so the full corpus is never shuffled.
-    val candB = cand.select(col("doc_b")).distinct()
-    val shB = sh.join(broadcast(candB), col(idCol) === col("doc_b"), "left_semi")
-      .select(col(idCol).as("doc_b"), col("sh"))
+    // The Jaccard arithmetic (sizes + intersection) only ever touches
+    // docs that appear in a candidate pair — a tiny set. Semi-filter the
+    // raw stream down to those docs BEFORE the distinct, so the
+    // full-corpus shingle stream is never shuffled for dedup: the only
+    // corpus-wide exchange in the whole pipeline is the map-side-combined
+    // signature groupBy.
+    val candDocs = cand.select(col("doc_a").as(idCol))
+      .union(cand.select(col("doc_b").as(idCol))).distinct()
+    val sh = raw.join(broadcast(candDocs), Seq(idCol), "left_semi")
+      .distinct().cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("sh"))
     val inter = sh.join(broadcast(cand), col(idCol) === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("sh"))
       .join(shB, Seq("doc_b", "sh"))
@@ -138,14 +141,17 @@ object TextDedup {
   }
 
   /** Duplicate clusters from near-dup pairs: connected components by
-    * iterative min-label propagation (labels converge to the smallest
-    * doc id in each component). Returns (id, cluster_id, is_rep).
+    * iterative min-label propagation with pointer jumping (labels
+    * converge to the smallest doc id in each component). Returns
+    * (id, cluster_id, is_rep).
     *
-    * Each iteration is one bounded shuffle over the (tiny) pair graph;
-    * iteration count is the component diameter — near-dup components
-    * are shallow (pairs chain through shared content), so convergence
-    * is fast. The per-iteration driver action only reads a change
-    * count.
+    * Each iteration takes one neighbor-min step (one hop) then one
+    * pointer-jump step (`lab <- labels[lab]`), so label information
+    * travels two-plus hops per round and convergence is
+    * O(log diameter), not O(diameter). Both steps are bounded shuffles
+    * over the (tiny) pair graph; the per-iteration driver action only
+    * reads a change count off the just-checkpointed result — no
+    * re-join.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edgesRaw = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
@@ -169,12 +175,18 @@ object TextDedup {
       val nbrMin = edges
         .join(labels.select(col("n").as("m"), col("lab").as("mlab")), "m")
         .groupBy("n").agg(min("mlab").as("nbr_lab"))
-      val next = labels.join(nbrMin, Seq("n"), "left")
-        .select(col("n"), least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+      val stepped = labels.join(nbrMin, Seq("n"), "left")
+        .select(col("n"), col("lab").as("old"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("mid"))
+      // Pointer jump: labels are node ids, so `labels[mid]` resolves a
+      // label to its own (possibly smaller) label — path halving.
+      val next = stepped.join(
+          labels.select(col("n").as("mid"), col("lab").as("jlab")), Seq("mid"), "left")
+        .select(col("n"), col("old"),
+          least(col("mid"), coalesce(col("jlab"), col("mid"))).as("lab"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lab", "old"), "n")
-        .filter(col("lab") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("lab") =!= col("old")).count()
+      labels = next.select("n", "lab")
       done = changed == 0
       iter += 1
     }
