@@ -44,9 +44,18 @@ object Bench {
     // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run (the driver
     // never sets it, so round benches always cover the full set).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] SPARK_GRAFT_ONLY names match nothing: ${unknown.mkString(",")}")
+    }
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
+    if (names.isEmpty) {
+      System.err.println("[bench] filter eliminated every query — nothing to run")
+      sys.exit(2)
+    }
     val cold = names.map(runOnce).sum
     spark.catalog.clearCache()
     val results = names.map { name =>

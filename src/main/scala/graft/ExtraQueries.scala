@@ -464,16 +464,17 @@ object ExtraQueries {
         |      FROM orders, t)
         |SELECT price_bin, quartile, count(*) AS n
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // qcut thresholds come from the distributed Quantiles operator
+      // (bounded memory) and enter the plan as literals — no crossJoin,
+      // no unbounded percentile buffer.
       val o = Tables.orders(s, dir)
-      val t = o.agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.75)").as("p75"))
-      o.crossJoin(broadcast(t))
-        .select(
+      val qs = graft.operators.Quantiles.exactQuantiles(
+        o, "o_totalprice", Seq(0.25, 0.5, 0.75))
+      o.select(
           least(floor(col("o_totalprice") / 100000).cast("long"), lit(5)).as("price_bin"),
-          (lit(1) + (col("o_totalprice") > col("p25")).cast("int")
-            + (col("o_totalprice") > col("p50")).cast("int")
-            + (col("o_totalprice") > col("p75")).cast("int")).as("quartile"))
+          (lit(1) + (col("o_totalprice") > qs(0)).cast("int")
+            + (col("o_totalprice") > qs(1)).cast("int")
+            + (col("o_totalprice") > qs(2)).cast("int")).as("quartile"))
         .groupBy("price_bin", "quartile").agg(count(lit(1)).as("n"))
         .orderBy("price_bin", "quartile")
     }

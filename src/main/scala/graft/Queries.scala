@@ -487,17 +487,18 @@ object Queries {
   // sketch is Greenwald-Khanna — SURVEY §7.2 accepted deviation). Like
   // the HLL gate: the estimate must land within the sketch's accuracy
   // band of the exact quantile, asserted as constant-true booleans.
+  // The exact side comes from the distributed Quantiles operator, not
+  // the unbounded-buffer `percentile` aggregate.
   q("q_quantile_approx",
     "SELECT true AS ok_p50, true AS ok_p90") { (s, dir) =>
-    Tables.lineitem(s, dir)
-      .agg(
+    val li = Tables.lineitem(s, dir)
+    val exact = operators.Quantiles.exactQuantiles(li, "l_extendedprice", Seq(0.5, 0.9))
+    li.agg(
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("a90"),
-        expr("percentile(l_extendedprice, 0.5)").as("e50"),
-        expr("percentile(l_extendedprice, 0.9)").as("e90"))
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("a90"))
       .select(
-        (abs(col("a50") - col("e50")) <= col("e50") * 0.05).as("ok_p50"),
-        (abs(col("a90") - col("e90")) <= col("e90") * 0.05).as("ok_p90"))
+        (abs(col("a50") - exact(0)) <= exact(0) * 0.05).as("ok_p50"),
+        (abs(col("a90") - exact(1)) <= exact(1) * 0.05).as("ok_p90"))
   }
 
   // Unique / NUnique exact (reference _reductions.py:565, _groupby nunique).
@@ -584,23 +585,21 @@ object Queries {
       .orderBy("y")
   }
 
-  // Exact quantiles (reference _quantile.py:14; median_approximate →
-  // percentile_approx has no cross-engine oracle, exact percentile does).
+  // Exact quantiles via the distributed Quantiles operator (reference
+  // _quantile.py:14). Spark's own `percentile`/`median` buffers the
+  // whole column in one aggregate — the scale-killer this replaces.
   q("q_quantiles",
     """SELECT quantile_cont(l_quantity, 0.25) AS p25,
       |  quantile_cont(l_quantity, 0.5) AS p50,
       |  quantile_cont(l_quantity, 0.75) AS p75,
       |  median(l_extendedprice) AS med_price
       |FROM lineitem""".stripMargin) { (s, dir) =>
-    // One percentile evaluation with an array of fractions: three
-    // scalar percentile aggs would sort the column three times.
-    Tables.lineitem(s, dir)
-      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("ps"),
-        median(col("l_extendedprice")).as("med_price"))
-      .select(element_at(col("ps"), 1).as("p25"),
-        element_at(col("ps"), 2).as("p50"),
-        element_at(col("ps"), 3).as("p75"),
-        col("med_price"))
+    val li = Tables.lineitem(s, dir)
+    val qs = operators.Quantiles.exactQuantiles(li, "l_quantity", Seq(0.25, 0.5, 0.75))
+    val med = operators.Quantiles.exactMedian(li, "l_extendedprice")
+    li.sparkSession.range(1).select(
+      lit(qs(0)).as("p25"), lit(qs(1)).as("p50"), lit(qs(2)).as("p75"),
+      lit(med).as("med_price"))
   }
 
   // Describe (reference _describe.py:16) — composed aggs, one row per stat
@@ -610,10 +609,11 @@ object Queries {
       |  stddev_samp(value) AS std, min(value) AS min_v,
       |  quantile_cont(value, 0.5) AS p50, max(value) AS max_v
       |FROM events""".stripMargin) { (s, dir) =>
-    Tables.events(s, dir)
-      .agg(count(col("value")).as("cnt"), avg("value").as("mean"),
+    val ev = Tables.events(s, dir)
+    val med = operators.Quantiles.exactMedian(ev, "value")
+    ev.agg(count(col("value")).as("cnt"), avg("value").as("mean"),
         stddev_samp(col("value")).as("std"), min("value").as("min_v"),
-        expr("percentile(value, 0.5)").as("p50"), max("value").as("max_v"))
+        lit(med).as("p50"), max("value").as("max_v"))
   }
 
   // Cov/Corr (reference _reductions.py:1009) + autocorr-style pairing.

@@ -15,7 +15,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (the driver
+    // never sets it). Unknown names warn so a typo can't silently pass.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] SPARK_GRAFT_ONLY names match nothing: ${unknown.mkString(",")}")
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quantiles
+
+/** Distributed exact quantiles: differential vs Spark's single-buffer
+  * `percentile` aggregate (which is the semantics oracle, just not the
+  * scale-safe plan) plus edge cases.
+  */
+class QuantilesSpec extends SparkSpec {
+
+  private def builtin(df: org.apache.spark.sql.DataFrame, c: String, ps: Seq[Double]): Seq[Double] =
+    df.agg(expr(s"percentile($c, array(${ps.mkString(",")}))"))
+      .head.getSeq[Double](0)
+
+  test("matches built-in percentile bit-for-bit on lineitem") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = Quantiles.exactQuantiles(li, "l_quantity", ps)
+    val want = builtin(li, "l_quantity", ps)
+    got.zip(want).zip(ps).foreach { case ((g, w), p) =>
+      assert(g == w, s"p=$p: got $g want $w")
+    }
+  }
+
+  test("matches built-in on a column with interpolation between values") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ps = Seq(0.33, 0.5, 0.667)
+    val got = Quantiles.exactQuantiles(li, "l_extendedprice", ps)
+    val want = builtin(li, "l_extendedprice", ps)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
+  test("excludes nulls and handles tiny inputs") {
+    import spark.implicits._
+    val df = Seq(Some(3.0), None, Some(1.0), Some(2.0)).toDF("v")
+    assert(Quantiles.exactQuantiles(df, "v", Seq(0.5)) == Seq(2.0))
+    val one = Seq(42.0).toDF("v")
+    assert(Quantiles.exactQuantiles(one, "v", Seq(0.0, 0.5, 1.0)) == Seq(42.0, 42.0, 42.0))
+  }
+
+  test("quantile plans contain no unbounded percentile aggregate") {
+    // The four rewired queries must never plan Spark's exact
+    // percentile/median over a whole column (a TypedImperativeAggregate
+    // buffering every value — the 100 TB scale-killer).
+    val exactAgg = "(?<!approx_)percentile\\(|\\bmedian\\(".r
+    Seq("q_quantiles", "q_describe", "q_quantile_approx", "q_cut_qcut").foreach { name =>
+      val p = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(exactAgg.findFirstIn(p).isEmpty,
+        s"$name still plans an unbounded exact percentile:\n$p")
+    }
+  }
+}
