@@ -28,18 +28,27 @@ object LlmQueries {
     s"${dotSql(a, b)} / sqrt(${dotSql(a, a)}) / sqrt(${dotSql(b, b)})"
 
   /** DuckDB mirror of the shingle → minhash → band CTEs (k hashes,
-    * r-row bands, word `n`-grams). */
-  private def minhashCtes(n: Int, k: Int, r: Int): String =
+    * r-row bands, word `n`-grams). Replays TextDedup's formula exactly:
+    * one md5 per shingle folded to 28 bits, then k affine mixes mod P
+    * (all arithmetic < 2^59 so DuckDB's checked BIGINT math never
+    * overflows). */
+  private def minhashCtes(n: Int, k: Int, r: Int): String = {
+    val seedRows = TextDedup.mixConsts(k).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |sh AS (SELECT DISTINCT doc_id,
        |         ${(0 until n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")} AS sh
        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-${n - 1})) AS i
        |             FROM words)),
-       |mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS mh
-       |       FROM sh, (SELECT unnest(generate_series(0, ${k - 1})) AS i) seeds
-       |       GROUP BY 1, 2),
-       |bands AS (SELECT doc_id, i // $r AS band, string_agg(mh, ',' ORDER BY i) AS sig
+       |sh0 AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS h0 FROM sh),
+       |shd AS (SELECT DISTINCT doc_id, h0 FROM sh0),
+       |seeds(i, a, b) AS (VALUES $seedRows),
+       |mh AS (SELECT doc_id, i, min((h0 * a + b) % ${TextDedup.P}) AS mh
+       |       FROM sh0, seeds GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, i // $r AS band,
+       |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
        |          FROM mh GROUP BY 1, 2)""".stripMargin
+  }
 
   def registerAll(reg: (String, Option[String], (SparkSession, String) => DataFrame) => Unit): Unit = {
 
@@ -67,11 +76,11 @@ object LlmQueries {
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM bands a JOIN bands b
          |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
          |inter AS (SELECT doc_a, doc_b, count(*) AS ni
          |          FROM cand
-         |          JOIN sh sa ON sa.doc_id = doc_a
-         |          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+         |          JOIN shd sa ON sa.doc_id = doc_a
+         |          JOIN shd sb ON sb.doc_id = doc_b AND sb.h0 = sa.h0
          |          GROUP BY 1, 2)
          |SELECT doc_a, doc_b, ni / (za.nsh + zb.nsh - ni) AS jaccard
          |FROM inter
@@ -93,11 +102,11 @@ object LlmQueries {
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM bands a JOIN bands b
          |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
          |inter AS (SELECT doc_a, doc_b, count(*) AS ni
          |          FROM cand
-         |          JOIN sh sa ON sa.doc_id = doc_a
-         |          JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+         |          JOIN shd sa ON sa.doc_id = doc_a
+         |          JOIN shd sb ON sb.doc_id = doc_b AND sb.h0 = sa.h0
          |          GROUP BY 1, 2),
          |pairs AS (SELECT doc_a, doc_b FROM inter
          |          JOIN sizes za ON za.doc_id = doc_a

@@ -8,16 +8,66 @@ import org.apache.spark.sql.functions._
   * generation, and exact-Jaccard verification.
   *
   * Everything is declarative DataFrame code so Catalyst plans the
-  * shuffles; nothing materializes on the driver. Crucially there is NO
-  * all-pairs comparison anywhere: candidate pairs come from equality
-  * joins on (band, signature) buckets, so the join fan-out at 100 TB is
-  * proportional to the number of true near-duplicates, not n².
+  * shuffles; nothing corpus-sized materializes on the driver. Crucially
+  * there is NO all-pairs comparison anywhere: candidate pairs come from
+  * equality joins on (band, signature) buckets, so the join fan-out at
+  * 100 TB is proportional to the number of true near-duplicates, not n².
   *
-  * Hashes are md5-based (not Spark's murmur3) so an external engine can
-  * reproduce the exact signatures for verification; md5 hex strings
-  * compare lexicographically the same everywhere.
+  * Hashing: ONE md5 per shingle (the expensive digest), folded to a
+  * 28-bit integer, then k cheap affine mixes `(h0*a_i + b_i) mod P`
+  * (P prime < 2^28 — a 2-universal family, and products stay < 2^59 so
+  * engines with checked 64-bit arithmetic can replay the formula
+  * exactly). md5-based so any external engine reproduces the exact
+  * signatures for verification.
   */
 object TextDedup {
+
+  /** Modulus for the affine minhash mixes: largest prime below 2^28. */
+  val P: Long = 268435399L
+
+  /** Run `f` (which triggers eager jobs) under settings sized to the
+    * input, restoring session settings afterwards.
+    *
+    * The dedup pipelines are many small dependent stages, and they make
+    * their own measured size decisions (candidate/dup counts gate every
+    * broadcast). On a SMALL input (≤1 GB by optimizer stats) the
+    * per-stage constants dominate: AQE's stage-at-a-time
+    * materialization adds a scheduling round-trip per stage without
+    * contributing a decision, and a full complement of shuffle tasks
+    * costs more to launch than to run — together ~2× wall-clock
+    * measured at sf0.1. So the small regime runs AQE-off with
+    * parallelism/4 shuffle partitions. A large input keeps the session
+    * exactly as configured — AQE's coalescing/skew handling is the
+    * right tool at the 100 TB design point.
+    */
+  private def tunedForSize[A](df: DataFrame)(f: => A): A =
+    tuned(df.sparkSession, scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30)).getOrElse(false))(f)
+
+  private def tuned[A](spark: org.apache.spark.sql.SparkSession, small: Boolean)(f: => A): A = {
+    if (!small) f
+    else {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val partKey = "spark.sql.shuffle.partitions"
+      val prevAqe = spark.conf.get(aqeKey, "true")
+      val prevPart = spark.conf.get(partKey)
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(partKey,
+        math.max(1, spark.sparkContext.defaultParallelism / 4).toString)
+      try f finally {
+        spark.conf.set(aqeKey, prevAqe)
+        spark.conf.set(partKey, prevPart)
+      }
+    }
+  }
+
+  /** Deterministic per-hash affine constants (Knuth/Fibonacci multiplier
+    * streams reduced mod P); replayable anywhere from this formula. */
+  def mixConsts(k: Int): Seq[(Long, Long)] = (0 until k).map { i =>
+    val a = (2654435761L * (i + 1)) % P
+    val b = (2246822519L * (i + 1)) % P
+    (if (a == 0) 1L else a, b)
+  }
 
   /** Exact dedup, keep-first: one row per distinct content hash with the
     * smallest id. Equivalent shape to dropDuplicates(subset) but with an
@@ -34,15 +84,21 @@ object TextDedup {
   }
 
   /** Word n-gram shingles: (id, sh); `distinct = false` keeps the raw
-    * stream (no shuffle) for consumers where duplicates are harmless. */
+    * stream (no shuffle) for consumers where duplicates are harmless.
+    * `spread = false` skips the small-source fan-out for inputs that are
+    * already shuffle-distributed. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      distinct: Boolean = true): DataFrame = {
+      distinct: Boolean = true, spread: Boolean = true): DataFrame = {
     // A corpus read from few splits (one small file locally) would run
-    // the explode + hashing chain near-serially; spread it first. With
-    // a well-split source (the 100 TB case) this is a no-op.
+    // the explode + hashing chain near-serially; spread it first. The
+    // file count comes from scan metadata (no RDD conversion, which
+    // would force an early physical plan); non-file sources report no
+    // files and are left alone. With a well-split source (the 100 TB
+    // case) this is a no-op.
     val spark = docs.sparkSession
+    val nFiles = docs.inputFiles.length
     val src =
-      if (docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      if (spread && nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
         docs.repartition(spark.sparkContext.defaultParallelism)
       else docs
     val ws = split(col(textCol), " ")
@@ -54,50 +110,102 @@ object TextDedup {
     if (distinct) raw.distinct() else raw
   }
 
-  /** MinHash signature rows: (id, i, mh) for i in [0, k).
-    * mh_i = min over shingles of md5(i || '|' || shingle). Long format
-    * for per-hash inspection; the LSH pipeline uses the wide
+  /** 28-bit base hash of a shingle: first 7 hex chars of its md5. The
+    * one digest evaluation each shingle ever pays. */
+  def baseHash(sh: Column): Column =
+    conv(substring(md5(sh), 1, 7), 16, 10).cast("long")
+
+  /** MinHash signature rows: (id, i, mh) for i in [0, k), where
+    * mh_i = min over shingles of (h0*a_i + b_i) mod P. Long format for
+    * per-hash inspection; the LSH pipeline uses the wide
     * `bandSignatures` path below, which never explodes per-hash rows.
     */
-  def minHash(sh: DataFrame, idCol: String, k: Int): DataFrame =
-    sh.select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(k - 1)),
-          i => md5(concat(i.cast("string"), lit("|"), col("sh"))))).as(Seq("i", "h")))
+  def minHash(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val consts = mixConsts(k)
+    sh.select(col(idCol), baseHash(col("sh")).as("__h0"))
+      .select(col(idCol),
+        posexplode(array(consts.map { case (a, b) =>
+          (col("__h0") * a + b) % P }: _*)).as(Seq("i", "h")))
       .groupBy(col(idCol), col("i"))
       .agg(min("h").as("mh"))
+  }
 
   /** Banded signatures: (id, band, sig) with r minhashes concatenated per
     * band in hash-index order, straight from the shingle stream.
     *
-    * One groupBy(id) with k `min` aggregates: partial aggregation
-    * combines map-side, so the only shuffle carries one k-string row per
-    * (id, input partition) — not k× the shingle count. Duplicate
-    * shingles don't change a min, so the input needs no distinct pass.
+    * The base hash is projected once per shingle row, then one
+    * groupBy(id) runs k integer-only `min` aggregates: partial
+    * aggregation combines map-side, so the only shuffle carries one
+    * k-long row per (id, input partition) — not k× the shingle count.
+    * Duplicate shingles don't change a min, so the input needs no
+    * distinct pass.
     */
-  def bandSignatures(sh: DataFrame, idCol: String, k: Int, r: Int): DataFrame = {
-    val mins = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"__mh$i"))
-    val wide = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  def bandSignatures(sh: DataFrame, idCol: String, k: Int, r: Int): DataFrame =
+    bandSignaturesFromHashes(
+      sh.select(col(idCol), baseHash(col("sh")).as("__h0")), idCol, k, r)
+
+  /** As `bandSignatures`, over a pre-hashed (id, __h0) stream — lets a
+    * pipeline pay the md5 once and feed both the signature and the
+    * verification paths from the cached integer stream. */
+  def bandSignaturesFromHashes(hashed: DataFrame, idCol: String, k: Int, r: Int): DataFrame = {
+    val consts = mixConsts(k)
+    val mins = consts.zipWithIndex.map { case ((a, b), i) =>
+      min((col("__h0") * a + b) % P).as(s"__mh$i") }
+    val wide = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     val bandStructs = (0 until k / r).map(b =>
       struct(lit(b).as("band"),
-        concat_ws(",", (b * r until (b + 1) * r).map(i => col(s"__mh$i")): _*).as("sig")))
+        concat_ws(",",
+          (b * r until (b + 1) * r).map(i => col(s"__mh$i").cast("string")): _*).as("sig")))
     wide.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Candidate pairs from LSH buckets: ids sharing any (band, sig). */
-  def candidatePairs(sig: DataFrame, idCol: String): DataFrame = {
-    val a = sig.select(col(idCol).as("doc_a"), col("band"), col("sig"))
-    val b = sig.select(col(idCol).as("doc_b"), col("band"), col("sig"))
+  /** Candidate pairs from LSH buckets: ids sharing any (band, sig).
+    *
+    * `maxBucketSize`: a degenerate bucket with m members yields m²/2
+    * pairs — boilerplate-heavy corpora can produce such buckets even
+    * after exact dedup. With a cap set, buckets larger than the cap are
+    * dropped (left-semi against the under-cap bucket list) so the pair
+    * fan-out is bounded by cap²/2 per bucket; near-dups inside a dropped
+    * bucket typically still surface through one of the other k/r bands.
+    * Default None preserves exact LSH semantics (the oracle-checked
+    * configuration).
+    */
+  def candidatePairs(sig: DataFrame, idCol: String,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val base = maxBucketSize match {
+      case Some(cap) =>
+        val ok = sig.groupBy("band", "sig").agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= cap)
+        sig.join(ok, Seq("band", "sig"), "left_semi")
+      case None => sig
+    }
+    val a = base.select(col(idCol).as("doc_a"), col("band"), col("sig"))
+    val b = base.select(col(idCol).as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
   }
 
-  /** Full near-duplicate pipeline: shingle → MinHash(k) → LSH(r-row
-    * bands) → candidate pairs → exact-Jaccard verify ≥ threshold.
-    * Returns (doc_a, doc_b, jaccard).
+  /** Oversized-bucket count for a signature table — the observability
+    * companion to `candidatePairs(maxBucketSize=...)`: callers log this
+    * next to the capped run so silently dropped buckets stay visible. */
+  def oversizedBuckets(sig: DataFrame, cap: Int): Long =
+    sig.groupBy("band", "sig").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > cap).count()
+
+  /** Full near-duplicate pipeline: exact-dedup (identical texts collapse
+    * to one representative) → shingle → MinHash(k) → LSH(r-row bands) →
+    * candidate pairs → exact-Jaccard verify ≥ threshold → expand back to
+    * member docs. Returns (doc_a, doc_b, jaccard).
+    *
+    * Exact-dedup-first is the scale guard: a 10k-copy boilerplate doc
+    * would otherwise put 10k identical signatures in every one of its
+    * buckets (10⁸ candidate pairs); collapsed to one representative it
+    * contributes one. Identical texts share every band, so expanding
+    * representative-level pairs to clique members (plus jaccard-1.0
+    * within-clique pairs) reproduces the all-docs answer exactly.
     */
   def nearDuplicates(
       docs: DataFrame,
@@ -106,38 +214,120 @@ object TextDedup {
       shingleLen: Int = 3,
       numHashes: Int = 16,
       bandRows: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
-    // Raw shingles feed both the signature path (no distinct needed
-    // under min) and the Jaccard arithmetic — cache once so the corpus
-    // is shingled exactly once.
-    val raw = shingles(docs, idCol, textCol, shingleLen, distinct = false).cache()
-    // Both cached: the band table is self-joined (two subtree copies
-    // otherwise), and the candidate set feeds three broadcast subtrees —
-    // without storage each consumer re-runs the signature pipeline.
-    val sig = bandSignatures(raw, idCol, numHashes, bandRows).cache()
-    val cand = candidatePairs(sig, idCol).cache()
-    // The Jaccard arithmetic (sizes + intersection) only ever touches
-    // docs that appear in a candidate pair — a tiny set. Semi-filter the
-    // raw stream down to those docs BEFORE the distinct, so the
-    // full-corpus shingle stream is never shuffled for dedup: the only
-    // corpus-wide exchange in the whole pipeline is the map-side-combined
-    // signature groupBy.
+      threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): DataFrame = tunedForSize(docs) {
+    // doc → content-clique representative (smallest id per text hash),
+    // assigned in ONE exchange: a whole-partition min window over the
+    // content hash. Cached once; members and reps are projections of it.
+    import org.apache.spark.sql.expressions.Window
+    val wRep = Window.partitionBy("__th")
+    val tagged = docs.select(col(idCol), col(textCol))
+      .withColumn("__th", md5(col(textCol)))
+      .withColumn("__rep", min(col(idCol)).over(wRep))
+      .withColumn("__csz", count(lit(1)).over(wRep))
+      .cache()
+    val reps = tagged.filter(col(idCol) === col("__rep"))
+      .select(col(idCol), col(textCol))
+
+    // Distinct shingle HASHES (of representatives only): each text is
+    // shingled and digested exactly once, and only 8-byte hashes (never
+    // shingle strings) ever reach a shuffle — the distinct is an
+    // integer-pair exchange that combines map-side. Jaccard over 28-bit
+    // shingle hashes is this operator's documented verification
+    // semantics (the oracle replays it exactly); within one document a
+    // hash collision is ~|shingles| in 2^28 — noise far below the LSH
+    // band resolution. `spread = false`: the rep window above already
+    // shuffle-distributed the docs.
+    val raw = shingles(reps, idCol, textCol, shingleLen,
+        distinct = false, spread = false)
+      .select(col(idCol), baseHash(col("sh")).as("__h0"))
+      .distinct().cache()
+    // Signature AND set size in ONE aggregation over the hash stream:
+    // the k affine-mix mins plus a row count share the same
+    // map-side-combined groupBy — the set sizes for Jaccard cost
+    // nothing extra.
+    val consts = mixConsts(numHashes)
+    val aggs = consts.zipWithIndex.map { case ((a, b), i) =>
+      min((col("__h0") * a + b) % P).as(s"__mh$i") } :+ count(lit(1)).as("__nsh")
+    val wide = raw.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*).cache()
+    val bandStructs = (0 until numHashes / bandRows).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * bandRows until (b + 1) * bandRows)
+          .map(i => col(s"__mh$i").cast("string")): _*).as("sig")))
+    val sig = wide.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = candidatePairs(sig, idCol, maxBucketSize).cache()
+    // The Jaccard arithmetic only ever touches docs that appear in a
+    // candidate pair — usually a tiny set, so broadcasting it keeps the
+    // corpus-wide hash stream from ever shuffling. "Usually" is
+    // measured, not assumed: the candidate set is cached, so counting
+    // it is cheap, and a duplicate-heavy corpus whose candidate set
+    // outgrows broadcast falls back to a shuffle join instead of
+    // OOMing.
+    val candN = cand.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (candN <= 2000000L) broadcast(df) else df
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    val sh = raw.join(broadcast(candDocs), Seq(idCol), "left_semi")
-      .distinct().cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
-    val shB = sh.select(col(idCol).as("doc_b"), col("sh"))
-    val inter = sh.join(broadcast(cand), col(idCol) === col("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("sh"))
-      .join(shB, Seq("doc_b", "sh"))
+    // Candidate docs' hashes, straight off the cached stream (the
+    // broadcast semi-join adds no exchange).
+    val shCand = raw.join(maybeBroadcast(candDocs), Seq(idCol), "left_semi")
+    val inter = shCand.join(maybeBroadcast(cand), col(idCol) === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("__h0"))
+      .join(shCand.select(col(idCol).as("doc_b"), col("__h0")), Seq("doc_b", "__h0"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-    val ja = inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("nsh").as("na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("nsh").as("nb")), "doc_b")
+    // Set sizes ride along in `wide`; only candidate docs' rows join.
+    val sizes = wide.select(col(idCol), col("__nsh"))
+      .join(maybeBroadcast(candDocs), Seq(idCol), "left_semi")
+    val repPairs = inter
+      .join(maybeBroadcast(sizes.select(col(idCol).as("doc_a"), col("__nsh").as("na"))), "doc_a")
+      .join(maybeBroadcast(sizes.select(col(idCol).as("doc_b"), col("__nsh").as("nb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("ni") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
-    ja.filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold)
+      .cache()
+    // Materialize the verified pairs inside the AQE-off scope: the whole
+    // heavy middle of the pipeline runs here, as one straight-line
+    // schedule; consumers read the (tiny) cached result.
+    repPairs.count()
+
+    // Expansion: representative pairs fan out to all clique-member
+    // pairs (same texts ⇒ same jaccard); identical-text pairs within a
+    // clique are jaccard-1.0 by definition. Output size here equals the
+    // true answer size — no blowup beyond the actual duplicates.
+    //
+    // Only members of non-trivial cliques (clique size > 1 — i.e. the
+    // actual duplicates, a set proportional to the corpus' true dup
+    // count, not its size) participate: singleton docs ARE their reps,
+    // handled by the left-join + coalesce. One count action against the
+    // tagged cache sizes that set; a clean corpus skips expansion
+    // entirely, and a dup-heavy one falls back from broadcast to
+    // shuffle joins.
+    val nDup = tagged.agg(count(when(col("__csz") > 1, lit(1)))).head().getLong(0)
+    if (nDup == 0) repPairs
+    else {
+      val dupMembers = tagged.filter(col("__csz") > 1)
+        .select(col("__rep"), col(idCol))
+      def maybeB(df: DataFrame): DataFrame =
+        if (nDup <= 2000000L) broadcast(df) else df
+      val mA = dupMembers.select(col("__rep").as("doc_a"), col(idCol).as("__ida"))
+      val mB = dupMembers.select(col("__rep").as("doc_b"), col(idCol).as("__idb"))
+      val cross = repPairs
+        .join(maybeB(mA), Seq("doc_a"), "left")
+        .join(maybeB(mB), Seq("doc_b"), "left")
+        .select(
+          least(coalesce(col("__ida"), col("doc_a")),
+            coalesce(col("__idb"), col("doc_b"))).as("doc_a"),
+          greatest(coalesce(col("__ida"), col("doc_a")),
+            coalesce(col("__idb"), col("doc_b"))).as("doc_b"),
+          col("jaccard"))
+      val within = dupMembers.select(col("__rep"), col(idCol).as("__x"))
+        .join(maybeB(dupMembers.select(col("__rep"), col(idCol).as("__y"))), Seq("__rep"))
+        .filter(col("__x") < col("__y"))
+        .select(col("__x").as("doc_a"), col("__y").as("doc_b"),
+          lit(1.0).as("jaccard"))
+      cross.union(within)
+    }
   }
 
   /** Duplicate clusters from near-dup pairs: connected components by
@@ -160,8 +350,11 @@ object TextDedup {
     // The pair graph is tiny relative to the corpus (duplicates are the
     // exception); size the iterative stages to it, not to the corpus'
     // shuffle parallelism — locally that collapses each iteration to a
-    // single task, at scale it grows with the edge count.
-    val parts = math.max(1, (edgesRaw.count() / 500000L).toInt)
+    // single task, at scale it grows with the edge count. The measured
+    // edge count also picks the constants-vs-AQE execution regime.
+    val nEdges = edgesRaw.count()
+    val parts = math.max(1, (nEdges / 500000L).toInt)
+    tuned(pairs.sparkSession, nEdges <= 10000000L) {
     // localCheckpoint (eager) truncates lineage each step — the
     // standard pattern for iterative algorithms; plain cache() would
     // leave every iteration's plan chained to the full upstream
@@ -192,6 +385,7 @@ object TextDedup {
     }
     labels.select(col("n").as("doc_id"), col("lab").as("cluster_id"),
       (col("n") === col("lab")).as("is_rep"))
+    }
   }
 
   /** SimHash over the token stream (all occurrences, not distinct): for

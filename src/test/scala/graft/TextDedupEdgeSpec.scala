@@ -43,6 +43,48 @@ class TextDedupEdgeSpec extends SparkSpec {
     assert(sh(1L) != sh(3L))
   }
 
+  test("1k identical docs: candidate stage stays bounded, answer complete") {
+    import spark.implicits._
+    // The degenerate LSH input: every doc identical. Without the
+    // exact-dedup-first guard this is ~500k candidate pairs through the
+    // bucket join; with it, the pipeline sees ONE representative (zero
+    // candidate pairs) and the answer comes from clique expansion.
+    val docs = (1L to 1000L).map(i => (i, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val hashed = docs.withColumn("__th", md5(col("text")))
+    val repIds = hashed.groupBy("__th").agg(min(col("doc_id")).as("doc_id"))
+    val reps = hashed.join(repIds, Seq("__th", "doc_id"), "left_semi")
+    val sig = TextDedup.bandSignatures(
+      TextDedup.shingles(reps, "doc_id", "text", 3, distinct = false), "doc_id", 16, 4)
+    assert(TextDedup.candidatePairs(sig, "doc_id").count() == 0)
+    val pairs = TextDedup.nearDuplicates(docs, "doc_id", "text")
+    assert(pairs.count() == 1000L * 999 / 2)
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
+  test("bucket cap drops oversized buckets and bounds the pair fan-out") {
+    import spark.implicits._
+    // 50 distinct docs that still share every band signature would blow
+    // up quadratically; a cap of 10 drops those buckets entirely.
+    val docs = (1L to 50L).map(i => (i, s"x$i", 0, "sig")).toDF("doc_id", "t", "band", "sig")
+    val sig = docs.select(col("doc_id"), col("band"), col("sig"))
+    assert(TextDedup.candidatePairs(sig, "doc_id").count() == 50L * 49 / 2)
+    assert(TextDedup.candidatePairs(sig, "doc_id", maxBucketSize = Some(10)).count() == 0)
+    assert(TextDedup.oversizedBuckets(sig, 10) == 1)
+    assert(TextDedup.oversizedBuckets(sig, 100) == 0)
+  }
+
+  test("near-dup pairs across distinct near-identical texts still verify") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),                      // ~0.93 shingle-jaccard
+      (3L, (31 to 60).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextDedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("exact dedup keeps the smallest id per content") {
     import spark.implicits._
     val docs = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
