@@ -1297,6 +1297,7 @@ object Queries {
   // registry stays one insertion-ordered map.
   // ---------------------------------------------------------------
   LlmQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
+  ApiQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
   IoQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
   UdxQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
   ExtraQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))

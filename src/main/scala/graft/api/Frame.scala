@@ -1,0 +1,381 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/** The user-facing collection API: a pandas/dask-shaped facade over a
+  * Spark `DataFrame` (reference `_collection.py:292` FrameBase, `:2677`
+  * DataFrame). Thin and lazy: every method is a direct delegation to
+  * the DataFrame/Column algebra (or to a graft operator), so Catalyst
+  * sees exactly the plans the operator library produces — the facade
+  * adds zero plan nodes of its own.
+  *
+  * Index policy (SURVEY §7.2): there is no hidden index. `setIndex`
+  * records an ordinary column as the frame's index and range-partitions
+  * + sorts by it (the Spark analogue of dask divisions); order-dependent
+  * operations (`tail`, `locRange`, keep-first dedup) require it.
+  */
+final case class Frame(df: DataFrame, index: Option[String] = None) {
+
+  private def spark: SparkSession = df.sparkSession
+  private def keep(d: DataFrame): Frame = Frame(d, index.filter(d.columns.contains))
+  private def idx: String = index.getOrElse(
+    throw new IllegalArgumentException(
+      "this operation needs an index — call setIndex(col) first"))
+
+  // ---- projections / filters / row ops (reference _expr.py:1996-2122) ----
+
+  def select(cols: String*): Frame = keep(df.select(cols.map(col): _*))
+  def apply(name: String): Series = Series(df(name))
+  def columns: Seq[String] = df.columns.toSeq
+  def filter(cond: Series): Frame = keep(df.filter(cond.col))
+  /** `df.query("a > 1 and b < 2")` — Spark SQL predicate string. */
+  def query(predicate: String): Frame = keep(df.filter(predicate))
+  /** `df.eval("z", "x + y")` — add a column from a SQL expression. */
+  def eval(name: String, expression: String): Frame =
+    keep(df.withColumn(name, expr(expression)))
+  def assign(cols: (String, Series)*): Frame =
+    keep(cols.foldLeft(df) { case (d, (n, s)) => d.withColumn(n, s.col) })
+  def drop(cols: String*): Frame = keep(df.drop(cols: _*))
+  def rename(pairs: (String, String)*): Frame = {
+    val renamed = pairs.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    val m = pairs.toMap
+    Frame(renamed, index.map(i => m.getOrElse(i, i)))
+  }
+  def addPrefix(p: String): Frame =
+    rename(df.columns.map(c => c -> s"$p$c").toIndexedSeq: _*)
+  def addSuffix(s: String): Frame =
+    rename(df.columns.map(c => c -> s"$c$s").toIndexedSeq: _*)
+  def astype(casts: (String, String)*): Frame =
+    keep(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) })
+  def explode(column: String, as: String): Frame =
+    keep(df.withColumn(as, org.apache.spark.sql.functions.explode(col(column))))
+  def dropna(how: String = "any", subset: Seq[String] = Nil): Frame =
+    keep(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset))
+  def fillna(value: Any, subset: Seq[String] = Nil): Frame = keep {
+    (value, subset) match {
+      case (v: Double, Nil) => df.na.fill(v)
+      case (v: Double, s)   => df.na.fill(v, s)
+      case (v: Long, Nil)   => df.na.fill(v)
+      case (v: Long, s)     => df.na.fill(v, s)
+      case (v: Int, Nil)    => df.na.fill(v.toLong)
+      case (v: Int, s)      => df.na.fill(v.toLong, s)
+      case (v: String, Nil) => df.na.fill(v)
+      case (v: String, s)   => df.na.fill(v, s)
+      case (v, _) => throw new IllegalArgumentException(s"fillna: unsupported $v")
+    }
+  }
+  def replaceValues(column: String, mapping: Map[Any, Any]): Frame = keep(
+    df.withColumn(column, mapping.foldLeft(when(lit(false), col(column))) {
+      case (w, (from, to)) => w.when(col(column) === lit(from), lit(to))
+    }.otherwise(col(column))))
+
+  /** Content-hash sample (SURVEY's reproducible, partition-independent
+    * policy — reference Sample `_expr.py:1168`): keeps rows whose
+    * md5(key) falls under `frac` of the hex space. */
+  def sampleByHash(keyCol: String, frac: Double): Frame = {
+    val bound = f"${(frac * 16).toInt}%x"
+    keep(df.filter(substring(md5(col(keyCol).cast("string")), 1, 1) < lit(bound)))
+  }
+
+  // ---- merge / concat (reference _merge.py:50-575) ----
+
+  /** pandas merge: equi-join on `on` with overlap suffixes. `how` ∈
+    * inner/left/right/outer/cross/leftsemi/leftanti. */
+  def merge(right: Frame, on: Seq[String] = Nil, how: String = "inner",
+      suffixes: (String, String) = ("_x", "_y")): Frame = {
+    val sparkHow = how match {
+      case "outer" => "full_outer"
+      case "leftsemi" => "left_semi"
+      case "leftanti" => "left_anti"
+      case h => h
+    }
+    if (how == "cross") return keep(df.crossJoin(right.df))
+    require(on.nonEmpty, "merge needs join keys (on = ...)")
+    val overlap = (df.columns.toSet intersect right.df.columns.toSet) -- on.toSet
+    val l = overlap.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val r = overlap.foldLeft(right.df)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    keep(l.join(r, on, sparkHow))
+  }
+
+  /** merge_asof (reference `_merge_asof.py:17-425`) via the graft
+    * AsOfJoin operator. */
+  def mergeAsof(right: Frame, on: String, by: Seq[String] = Nil,
+      direction: String = "backward", tolerance: Option[Double] = None): Frame =
+    keep(graft.operators.AsOfJoin.mergeAsOf(df, right.df, on = on, by = by,
+      direction = direction, tolerance = tolerance))
+
+  /** Row-wise concat, outer-aligning columns (reference Concat). */
+  def concat(other: Frame): Frame = keep(df.unionByName(other.df, allowMissingColumns = true))
+
+  /** n-frame fold join on shared keys (reference JoinRecursive
+    * `_merge.py:939-988`): pairwise joins, letting Catalyst reorder. */
+  def mergeMulti(others: Seq[Frame], on: Seq[String], how: String = "inner"): Frame =
+    others.foldLeft(this)((acc, o) => acc.merge(o, on, how))
+
+  /** One-hot encode with DYNAMICALLY discovered categories (reference
+    * `_dummies.py:1-177`, `_categorical.py:157` GetCategories): a
+    * bounded distinct pass discovers the dictionary (capped —
+    * get_dummies over an unbounded-cardinality column is a modeling
+    * bug, not a scale problem), then the encoding is a static
+    * projection. */
+  def getDummies(column: String, prefix: String = "", maxCategories: Int = 1000): Frame = {
+    val vals = df.select(col(column).cast("string")).na.drop()
+      .distinct().limit(maxCategories + 1).collect().map(_.getString(0))
+    require(vals.length <= maxCategories,
+      s"getDummies($column): over $maxCategories categories")
+    val dummies = vals.sorted.toIndexedSeq.map { v =>
+      val safe = v.replaceAll("[^A-Za-z0-9]", "_")
+      when(col(column) === lit(v), 1).otherwise(0).as(s"$prefix$safe")
+    }
+    keep(df.select(df.columns.map(col).toIndexedSeq ++ dummies: _*))
+  }
+
+  // ---- group-by (reference _groupby.py) ----
+
+  def groupby(keys: String*): GroupBy = new GroupBy(this, keys.map(col), keys)
+
+  // ---- sorts / limits / index (reference _expr.py SortValues; _indexing.py) ----
+
+  def sortValues(by: String*): Frame = keep(df.orderBy(by.map(col): _*))
+  def sortValuesBy(keys: (String, Boolean)*): Frame =
+    keep(df.orderBy(keys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }: _*))
+  def head(n: Int): Frame = keep(df.limit(n))
+  /** Last n by index order — TakeOrderedAndProject, not a full sort. */
+  def tail(n: Int): Frame = keep(df.orderBy(col(idx).desc).limit(n).orderBy(col(idx)))
+  def nlargest(n: Int, by: String*): Frame =
+    keep(df.orderBy(by.map(col(_).desc): _*).limit(n))
+  def nsmallest(n: Int, by: String*): Frame =
+    keep(df.orderBy(by.map(col(_).asc): _*).limit(n))
+
+  /** Declare `column` as the index: range-partition + sort by it — the
+    * Spark analogue of dask's divisions (reference SetIndex,
+    * `_shuffle.py`). Downstream locRange/tail/dedup-keep-first use it. */
+  def setIndex(column: String): Frame =
+    Frame(df.repartitionByRange(col(column)).sortWithinPartitions(column), Some(column))
+  def resetIndex: Frame = Frame(df, None)
+
+  /** loc[lo:hi] on the index: a between-filter that Catalyst pushes
+    * into the scan, culling range partitions / row groups (reference
+    * LocIndexer `_indexing.py:38-405`). */
+  def locRange(lo: Any, hi: Any): Frame = keep(df.filter(col(idx).between(lo, hi)))
+  /** loc[v] point lookup on the index. */
+  def loc(v: Any): Frame = keep(df.filter(col(idx) === lit(v)))
+
+  /** Keep first/last row per `subset` by index order; `keep="any"`
+    * needs no index (Spark's arbitrary-row dropDuplicates). */
+  def dropDuplicates(subset: Seq[String] = Nil, keepRow: String = "any"): Frame = keepRow match {
+    case "any" => keep(if (subset.isEmpty) df.dropDuplicates() else df.dropDuplicates(subset))
+    case k =>
+      val ord = if (k == "first") col(idx).asc else col(idx).desc
+      val w = Window.partitionBy(subset.map(col): _*).orderBy(ord)
+      keep(df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  // ---- reductions (reference _reductions.py, _describe.py, _quantile.py) ----
+
+  def count(): Long = df.count()
+  def valueCounts(column: String, normalize: Boolean = false): Frame = {
+    val counted = df.groupBy(col(column).as("value")).agg(F.count(lit(1)).as("cnt"))
+    val out =
+      if (!normalize) counted
+      else counted.withColumn("proportion",
+        col("cnt") / sum("cnt").over(Window.partitionBy()).cast("double"))
+    keep(out.orderBy(col("cnt").desc, col("value")))
+  }
+  def nunique(cols: String*): DataFrame =
+    df.agg(countDistinct(col(cols.head)).as(s"${cols.head}_nunique"),
+      cols.tail.map(c => countDistinct(col(c)).as(s"${c}_nunique")): _*)
+  /** Exact quantiles via the distributed Quantiles operator (never
+    * Spark's unbounded-buffer percentile aggregate). */
+  def quantile(column: String, qs: Seq[Double]): Seq[Double] =
+    graft.operators.Quantiles.exactQuantiles(df, column, qs)
+  def median(column: String): Double = quantile(column, Seq(0.5)).head
+
+  /** Numeric describe row for `column` (reference `_describe.py:66`). */
+  def describe(column: String): DataFrame = {
+    val med = median(column)
+    df.agg(F.count(col(column)).as("cnt"), avg(column).as("mean"),
+      stddev_samp(col(column)).as("std"), min(column).as("min_v"),
+      lit(med).as("p50"), max(column).as("max_v"))
+  }
+
+  // ---- windows (reference _rolling.py, _resample.py, _expr.py:3292) ----
+
+  def rolling(n: Int, order: Seq[String], by: Seq[String] = Nil): Rolling =
+    new Rolling(this, Window.partitionBy(by.map(col): _*).orderBy(order.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow))
+  def rollingRange(interval: Long, order: Column, by: Seq[String] = Nil): Rolling =
+    new Rolling(this, Window.partitionBy(by.map(col): _*).orderBy(order)
+      .rangeBetween(-interval, 0))
+  def resample(freq: String, on: String): Resampler = new Resampler(this, freq, on)
+  def shift(column: String, n: Int, order: String, by: Seq[String] = Nil): Frame = {
+    val w = Window.partitionBy(by.map(col): _*).orderBy(order)
+    keep(df.withColumn(s"${column}_shift", lag(col(column), n).over(w)))
+  }
+  def diff(column: String, order: String, by: Seq[String] = Nil): Frame = {
+    val w = Window.partitionBy(by.map(col): _*).orderBy(order)
+    keep(df.withColumn(s"${column}_diff", col(column) - lag(col(column), 1).over(w)))
+  }
+
+  // ---- escape hatches ----
+
+  /** Apply any DataFrame → DataFrame transform (the reference's
+    * map_partitions spirit at plan level). */
+  def transform(f: DataFrame => DataFrame): Frame = keep(f(df))
+  def toDF: DataFrame = df
+  def cache(): Frame = { df.cache(); this }
+}
+
+object Frame {
+  def apply(df: DataFrame): Frame = Frame(df, None)
+  /** Read helpers mirroring the reference io surface. */
+  def readParquet(spark: SparkSession, path: String): Frame = Frame(spark.read.parquet(path))
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true): Frame =
+    Frame(spark.read.option("header", header.toString).option("inferSchema", "true").csv(path))
+  def readJson(spark: SparkSession, path: String): Frame = Frame(spark.read.json(path))
+  def readOrc(spark: SparkSession, path: String): Frame = Frame(spark.read.orc(path))
+  def fromSeq(spark: SparkSession, rows: Seq[Product], cols: Seq[String]): Frame = {
+    import scala.jdk.CollectionConverters._
+    val rs = rows.map(p => org.apache.spark.sql.Row.fromTuple(p)).asJava
+    val fields = rows.headOption.map(_.productIterator.zipWithIndex.map { case (v, i) =>
+      val dt = v match {
+        case _: Int => org.apache.spark.sql.types.IntegerType
+        case _: Long => org.apache.spark.sql.types.LongType
+        case _: Double => org.apache.spark.sql.types.DoubleType
+        case _: String => org.apache.spark.sql.types.StringType
+        case _: Boolean => org.apache.spark.sql.types.BooleanType
+        case other => throw new IllegalArgumentException(s"fromSeq: unsupported $other")
+      }
+      org.apache.spark.sql.types.StructField(cols(i), dt)
+    }.toSeq).getOrElse(cols.map(c => org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    Frame(spark.createDataFrame(rs, org.apache.spark.sql.types.StructType(fields)))
+  }
+}
+
+/** Grouped frame (reference `_groupby.py:331` GroupbyAggregation + the
+  * apply/transform/head family). */
+final class GroupBy(frame: Frame, keys: Seq[Column], keyNames: Seq[String]) {
+
+  private def fnCol(fn: String, c: String): Column = fn match {
+    case "sum" => F.sum(c)
+    case "mean" | "avg" => avg(c)
+    case "min" => F.min(c)
+    case "max" => F.max(c)
+    case "count" => F.count(col(c))
+    case "size" => F.count(lit(1))
+    case "nunique" => countDistinct(col(c))
+    case "var" => var_samp(col(c))
+    case "std" => stddev_samp(col(c))
+    case "first" => min_by(col(c), col(frame.index.getOrElse(c)))
+    case "last" => max_by(col(c), col(frame.index.getOrElse(c)))
+    case "collect_set" => sort_array(collect_set(col(c)))
+    case other => throw new IllegalArgumentException(s"groupby agg: unknown fn $other")
+  }
+
+  /** Dict-style agg: (column, fn) pairs → `<column>_<fn>` columns. */
+  def agg(specs: (String, String)*): Frame =
+    aggNamed(specs.map { case (c, fn) => (s"${c}_$fn", fn, c) }: _*)
+  /** Named agg: (outputName, fn, column) triples. */
+  def aggNamed(specs: (String, String, String)*): Frame = {
+    val aggs = specs.map { case (out, fn, c) => fnCol(fn, c).as(out) }
+    Frame(frame.df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), None)
+  }
+  /** Arbitrary column aggregates with explicit names. */
+  def aggExpr(aliased: (String, Series)*): Frame = {
+    val aggs = aliased.map { case (n, s) => s.col.as(n) }
+    Frame(frame.df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*), None)
+  }
+  def sum(cols: String*): Frame = agg(cols.map(_ -> "sum"): _*)
+  def mean(cols: String*): Frame = agg(cols.map(_ -> "mean"): _*)
+  def count(): Frame =
+    Frame(frame.df.groupBy(keys: _*).agg(org.apache.spark.sql.functions.count(lit(1)).as("count")), None)
+  /** Per-group exact median/quantile — bounded by group size, so the
+    * per-group percentile aggregate is safe here (SURVEY §2.5). */
+  def median(c: String): Frame =
+    Frame(frame.df.groupBy(keys: _*).agg(expr(s"percentile($c, 0.5)").as(s"${c}_median")), None)
+
+  /** First n rows per group by `order` (reference GroupBy.head). */
+  def head(n: Int, order: String*): Frame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order.map(col): _*)
+    Frame(frame.df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn"), frame.index)
+  }
+  /** Group-wise transform: each member row gains `out` computed from a
+    * whole-group window aggregate (reference GroupByApply/Transform —
+    * the zscore pattern without collecting groups). */
+  def transform(out: String, aggFn: WindowSpec => Column): Frame = {
+    val w = Window.partitionBy(keys: _*)
+    Frame(frame.df.withColumn(out, aggFn(w)), frame.index)
+  }
+  /** Cumulative aggregate within the group in `order` (reference
+    * GroupByCumulative): fn ∈ sum/max/min/count. */
+  def cumulative(out: String, fn: String, c: String, order: String*): Frame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = fn match {
+      case "sum" => F.sum(c)
+      case "max" => F.max(c)
+      case "min" => F.min(c)
+      case "count" => F.count(lit(1))
+      case other => throw new IllegalArgumentException(s"cumulative: unknown fn $other")
+    }
+    Frame(frame.df.withColumn(out, a.over(w)), frame.index)
+  }
+  def cumsum(c: String, order: String*): Frame =
+    cumulative(s"${c}_cumsum", "sum", c, order: _*)
+  /** One group's rows (reference GetGroup). */
+  def getGroup(values: Any*): Frame = {
+    val cond = keyNames.zip(values).map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
+    Frame(frame.df.filter(cond), frame.index)
+  }
+}
+
+/** Rolling window (reference `_rolling.py:43`): aggregates over a
+  * trailing row/range frame, appended as named columns. */
+final class Rolling(frame: Frame, w: WindowSpec) {
+  private def add(out: String, c: Column): Rolling =
+    new Rolling(Frame(frame.df.withColumn(out, c.over(w)), frame.index), w)
+  def sum(c: String, out: String): Rolling = add(out, org.apache.spark.sql.functions.sum(c))
+  def mean(c: String, out: String): Rolling = add(out, avg(c))
+  def min(c: String, out: String): Rolling = add(out, org.apache.spark.sql.functions.min(c))
+  def max(c: String, out: String): Rolling = add(out, org.apache.spark.sql.functions.max(c))
+  def count(out: String): Rolling = add(out, org.apache.spark.sql.functions.count(lit(1)))
+  def variance(c: String, out: String): Rolling = add(out, var_samp(col(c)))
+  def std(c: String, out: String): Rolling = add(out, stddev_samp(col(c)))
+  def toFrame: Frame = frame
+}
+
+/** Tumbling-window resample (reference `_resample.py:23`): groups by
+  * `window(on, freq)` and exposes the same dict-style agg as GroupBy,
+  * with the bucket start as `<on>_bucket`. */
+final class Resampler(frame: Frame, freq: String, on: String) {
+  def agg(specs: (String, String)*): Frame = aggNamed(
+    specs.map { case (c, fn) => (s"${c}_$fn", fn, c) }: _*)
+  def aggNamed(specs: (String, String, String)*): Frame = {
+    val aggs = specs.map { case (out, fn, c) =>
+      (fn match {
+        case "sum" => F.sum(c)
+        case "mean" | "avg" => avg(c)
+        case "min" => F.min(c)
+        case "max" => F.max(c)
+        case "count" => F.count(col(c))
+        case "size" => F.count(lit(1))
+        case other => throw new IllegalArgumentException(s"resample agg: unknown fn $other")
+      }).as(out)
+    }
+    Frame(frame.df.groupBy(window(col(on), freq))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(s"${on}_bucket", col("window.start")).drop("window"), None)
+  }
+  /** Arbitrary column aggregates with explicit names (e.g. OHLC via
+    * min_by/max_by Series expressions). */
+  def aggExpr(aliased: (String, Series)*): Frame = {
+    val aggs = aliased.map { case (n, se) => se.col.as(n) }
+    Frame(frame.df.groupBy(window(col(on), freq))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(s"${on}_bucket", col("window.start")).drop("window"), None)
+  }
+}

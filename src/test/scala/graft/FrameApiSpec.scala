@@ -1,0 +1,348 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.api.{Frame, Series}
+
+/** The user-facing Frame/Series facade, proven against the oracle-green
+  * query registry: each test re-expresses a CORRECTNESS-gated registry
+  * query through the facade and asserts identical results (same columns,
+  * same rows). This is the "facade-vs-registry" equivalence the engine
+  * ships on — a user composing `graft.api` gets the exact plans the
+  * registry was value-checked with.
+  */
+class FrameApiSpec extends SparkSpec {
+
+  private def fr(name: String): Frame = Frame(Tables.load(spark, sfDir, name))
+
+  /** Facade result must equal the registry query's result: same columns,
+    * same rows, doubles within 1e-9 relative (join-strategy changes can
+    * reorder float summation by a last ulp — same tolerance as the
+    * driver's hash gate, which rounds floats before hashing). */
+  private def same(name: String, got: Frame): Unit = {
+    val want = SparkEntry.queries(name)(spark, sfDir)
+    assert(got.toDF.columns.toSeq == want.columns.toSeq,
+      s"$name columns: ${got.toDF.columns.toSeq} vs ${want.columns.toSeq}")
+    def key(r: org.apache.spark.sql.Row): String = r.toSeq.map {
+      case d: Double => f"$d%.9e"
+      case v => String.valueOf(v)
+    }.mkString("|")
+    val g = got.toDF.collect().map(key).sorted.toSeq
+    val w = want.collect().map(key).sorted.toSeq
+    assert(g == w, s"$name rows differ (facade ${g.size} vs registry ${w.size}): " +
+      s"first diff ${g.zip(w).find(p => p._1 != p._2)}")
+  }
+
+  test("q1_pricing_summary via facade") {
+    val li = fr("lineitem")
+    same("q1_pricing_summary", li
+      .filter(li("l_shipdate") <= java.sql.Timestamp.valueOf("1998-09-02 00:00:00"))
+      .groupby("l_returnflag", "l_linestatus")
+      .aggExpr(
+        "sum_qty" -> Series(sum("l_quantity")),
+        "sum_base_price" -> Series(sum("l_extendedprice")),
+        "sum_disc_price" -> Series(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))),
+        "sum_charge" -> Series(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))),
+        "avg_qty" -> Series(avg("l_quantity")),
+        "avg_price" -> Series(avg("l_extendedprice")),
+        "avg_disc" -> Series(avg("l_discount")),
+        "count_order" -> Series(count(lit(1))))
+      .sortValues("l_returnflag", "l_linestatus"))
+  }
+
+  test("q_projection_filter via facade") {
+    val li = fr("lineitem")
+    same("q_projection_filter", li
+      .filter(li("l_quantity") > 45 && li("l_discount") < 0.02)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .sortValues("l_orderkey", "l_linenumber"))
+  }
+
+  test("q_assign_arithmetic via facade") {
+    val li = fr("lineitem")
+    same("q_assign_arithmetic", li
+      .filter(li("l_orderkey") < 2000)
+      .assign(
+        "disc_price" -> li("l_extendedprice") * (Series.lit_(1) - li("l_discount")),
+        "charge" -> li("l_extendedprice") * (Series.lit_(1) - li("l_discount")) * (Series.lit_(1) + li("l_tax")),
+        "qty_plus" -> (li("l_quantity") + li("l_linenumber")),
+        "unit_price" -> li("l_extendedprice") / li("l_quantity"),
+        "key_mod" -> li("l_orderkey") % 7,
+        "qty_div5" -> li("l_quantity").floordiv(5),
+        "disc_sq" -> li("l_discount") ** 2,
+        "neg_tax" -> -li("l_tax"))
+      .select("l_orderkey", "l_linenumber", "disc_price", "charge", "qty_plus",
+        "unit_price", "key_mod", "qty_div5", "disc_sq", "neg_tax")
+      .sortValues("l_orderkey", "l_linenumber"))
+  }
+
+  test("q_case_when via facade (eval)") {
+    same("q_case_when", fr("lineitem")
+      .eval("qty_bucket",
+        "CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END")
+      .groupby("qty_bucket")
+      .aggExpr("n" -> Series(count(lit(1))), "total" -> Series(sum("l_extendedprice")))
+      .sortValues("qty_bucket"))
+  }
+
+  test("q_isin_between via facade") {
+    val li = fr("lineitem")
+    same("q_isin_between", li
+      .filter(li("l_returnflag").isin("R", "A") && li("l_quantity").between(10, 20))
+      .groupby("l_returnflag").aggExpr("n" -> Series(count(lit(1))))
+      .sortValues("l_returnflag"))
+  }
+
+  test("q_rename_drop via facade") {
+    val o = fr("orders")
+    same("q_rename_drop", o
+      .filter(o("o_orderkey") < 3000)
+      .rename("o_orderkey" -> "order_id", "o_totalprice" -> "total",
+        "o_orderstatus" -> "status")
+      .drop("o_custkey", "o_orderdate", "o_orderpriority")
+      .sortValues("order_id"))
+  }
+
+  test("q_dropna via facade") {
+    val ev = fr("events")
+    same("q_dropna", ev
+      .assign("value" -> Series(nullif(col("value"), lit(0.0))))
+      .select("event_id", "value")
+      .dropna(subset = Seq("value"))
+      .sortValues("event_id").head(2000))
+  }
+
+  test("q_clip_where_mask via facade") {
+    val li = fr("lineitem")
+    same("q_clip_where_mask", li
+      .filter(li("l_orderkey") < 1500)
+      .assign(
+        "qty_clipped" -> li("l_quantity").clip(5.0, 45.0),
+        "big_disc" -> li("l_discount").where(li("l_discount") > 0.05, 0.0),
+        "masked_tax" -> li("l_tax").mask(li("l_tax") > 0.04))
+      .select("l_orderkey", "l_linenumber", "qty_clipped", "big_disc", "masked_tax")
+      .sortValues("l_orderkey", "l_linenumber"))
+  }
+
+  test("q_astype_cast via facade") {
+    val li = fr("lineitem")
+    same("q_astype_cast", li
+      .filter(li("l_orderkey") < 1000)
+      .sortValues("l_orderkey", "l_linenumber")
+      .assign(
+        "qty_int" -> li("l_quantity").floor.astype("int"),
+        "line_dbl" -> li("l_linenumber").astype("double"),
+        "okey_str" -> li("l_orderkey").astype("string"),
+        "ship_day" -> li("l_shipdate").astype("date"))
+      .select("l_orderkey", "qty_int", "line_dbl", "okey_str", "ship_day"))
+  }
+
+  test("q_topk via facade") {
+    same("q_topk", fr("lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .sortValuesBy("l_extendedprice" -> false, "l_orderkey" -> true, "l_linenumber" -> true)
+      .head(50))
+  }
+
+  test("q_join_inner via facade merge") {
+    val o = fr("orders"); val li = fr("lineitem")
+    same("q_join_inner", o
+      .filter(o("o_orderkey") < 1500)
+      .transform(_.join(li.toDF, col("o_orderkey") === col("l_orderkey")))
+      .select("o_orderkey", "o_totalprice", "l_linenumber", "l_extendedprice")
+      .sortValues("o_orderkey", "l_linenumber"))
+  }
+
+  test("q_join_semi and q_join_anti via facade merge") {
+    val c = fr("customer")
+    val big = fr("orders").query("o_totalprice > 400000")
+      .rename("o_custkey" -> "c_custkey")
+    same("q_join_semi", c
+      .merge(big, on = Seq("c_custkey"), how = "leftsemi")
+      .select("c_custkey", "c_acctbal").sortValues("c_custkey"))
+    same("q_join_anti", c
+      .merge(big, on = Seq("c_custkey"), how = "leftanti")
+      .select("c_custkey", "c_mktsegment").sortValues("c_custkey"))
+  }
+
+  test("q_join_broadcast_star via facade merge") {
+    same("q_join_broadcast_star", fr("customer")
+      .rename("c_nationkey" -> "n_nationkey")
+      .merge(fr("nation"), on = Seq("n_nationkey"))
+      .rename("n_regionkey" -> "r_regionkey")
+      .merge(fr("region"), on = Seq("r_regionkey"))
+      .assign("region" -> Series("r_name"), "nation" -> Series("n_name"))
+      .groupby("region", "nation")
+      .aggExpr("n_customers" -> Series(count(lit(1))),
+        "total_bal" -> Series(sum("c_acctbal")))
+      .sortValues("region", "nation"))
+  }
+
+  test("q_groupby_firstlast via facade") {
+    same("q_groupby_firstlast", fr("events")
+      .groupby("event_type")
+      .aggExpr(
+        "idxmin_ev" -> Series(min_by(col("event_id"), col("value"))),
+        "idxmax_ev" -> Series(max_by(col("event_id"), col("value"))),
+        "first_value" -> Series(min_by(col("value"), col("event_id"))),
+        "last_value" -> Series(max_by(col("value"), col("event_id"))))
+      .sortValues("event_type"))
+  }
+
+  test("q_value_counts via facade") {
+    same("q_value_counts", fr("orders").valueCounts("o_orderpriority", normalize = true))
+  }
+
+  test("q_group_head via facade") {
+    same("q_group_head", fr("orders")
+      .groupby("o_custkey").head(2, "o_orderdate", "o_orderkey")
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .sortValues("o_custkey", "o_orderdate", "o_orderkey"))
+  }
+
+  test("q_cumulative via facade") {
+    val ev = fr("events")
+    same("q_cumulative", ev
+      .filter(ev("user_id") < 20)
+      .groupby("user_id")
+      .cumulative("cum_sum", "sum", "value", "ts", "event_id")
+      .groupby("user_id").cumulative("cum_max", "max", "value", "ts", "event_id")
+      .groupby("user_id").cumulative("cum_min", "min", "value", "ts", "event_id")
+      .groupby("user_id").cumulative("cum_count", "count", "value", "ts", "event_id")
+      .select("event_id", "user_id", "cum_sum", "cum_max", "cum_min", "cum_count")
+      .sortValues("event_id"))
+  }
+
+  test("q_rolling_rows via facade") {
+    val ev = fr("events")
+    same("q_rolling_rows", ev
+      .filter(ev("user_id") < 10)
+      .rolling(3, order = Seq("ts", "event_id"), by = Seq("user_id"))
+      .mean("value", "roll_avg").sum("value", "roll_sum")
+      .min("value", "roll_min").max("value", "roll_max").count("roll_n")
+      .toFrame
+      .select("event_id", "user_id", "roll_avg", "roll_sum", "roll_min", "roll_max", "roll_n")
+      .sortValues("event_id"))
+  }
+
+  test("q_resample_daily via facade") {
+    same("q_resample_daily", fr("events")
+      .resample("1 day", on = "ts")
+      .aggExpr(
+        "n" -> Series(count(lit(1))), "total" -> Series(sum("value")),
+        "mean" -> Series(avg("value")),
+        "open" -> Series(min_by(col("value"), col("event_id"))),
+        "high" -> Series(max("value")), "low" -> Series(min("value")),
+        "close" -> Series(max_by(col("value"), col("event_id"))))
+      .rename("ts_bucket" -> "day")
+      .select("day", "n", "total", "mean", "open", "high", "low", "close")
+      .sortValues("day"))
+  }
+
+  test("q_merge_asof_backward via facade") {
+    val ev = fr("events")
+    val clicks = ev.filter(ev("event_type") === "click")
+      .select("event_id", "ts", "user_id", "value")
+    val purchases = ev.filter(ev("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+      .rename("event_id" -> "purchase_id", "value" -> "purchase_value")
+    same("q_merge_asof_backward", clicks
+      .mergeAsof(purchases, on = "ts", by = Seq("user_id"))
+      .select("event_id", "user_id", "value", "purchase_id", "purchase_value")
+      .sortValues("event_id"))
+  }
+
+  test("q_explode_words via facade") {
+    val d = fr("documents")
+    same("q_explode_words", d
+      .assign("words" -> d("text").str.split(" "))
+      .explode("words", as = "word")
+      .select("word")
+      .filter(Series("word") =!= "")
+      .groupby("word").aggExpr("cnt" -> Series(count(lit(1))))
+      .sortValuesBy("cnt" -> false, "word" -> true)
+      .head(100))
+  }
+
+  test("q_str_basic via facade str accessor") {
+    val p = fr("part")
+    same("q_str_basic", p
+      .filter(p("p_partkey") < 2000)
+      .assign(
+        "up" -> p("p_name").str.upper,
+        "lo" -> p("p_brand").str.lower,
+        "len" -> p("p_name").str.len,
+        "pre" -> p("p_name").str.slice(0, 8),
+        "padded" -> p("p_brand").str.rjust(12, "_"),
+        "trimmed" -> p("p_brand").str.rjust(12, " ").str.strip,
+        "has_a" -> p("p_name").str.contains("a"),
+        "std" -> p("p_type").str.startswith("STANDARD"),
+        "joined" -> p("p_name").str.cat(col("p_brand"), "/"),
+        "dashed" -> p("p_type").str.replace(" ", "-"),
+        "rev" -> p("p_brand").str.reverse,
+        "rep" -> p("p_brand").str.repeat(2))
+      .select("p_partkey", "up", "lo", "len", "pre", "padded", "trimmed",
+        "has_a", "std", "joined", "dashed", "rev", "rep")
+      .sortValues("p_partkey"))
+  }
+
+  test("q_dt_parts via facade dt accessor") {
+    val o = fr("orders")
+    same("q_dt_parts", o
+      .assign("y" -> o("o_orderdate").dt.year, "m" -> o("o_orderdate").dt.month)
+      .groupby("y", "m")
+      .aggExpr("n" -> Series(count(lit(1))),
+        "min_day" -> Series(min(dayofmonth(col("o_orderdate")))),
+        "max_q" -> Series(max(quarter(col("o_orderdate")))),
+        "min_doy" -> Series(min(dayofyear(col("o_orderdate")))),
+        "max_wd" -> Series(max(weekday(col("o_orderdate")) + 1)))
+      .sortValues("y", "m"))
+  }
+
+  test("q_quantiles via facade quantile()") {
+    val li = fr("lineitem")
+    val want = SparkEntry.queries("q_quantiles")(spark, sfDir).head()
+    val got = li.quantile("l_quantity", Seq(0.25, 0.5, 0.75)) :+ li.median("l_extendedprice")
+    assert(got == Seq(want.getDouble(0), want.getDouble(1), want.getDouble(2), want.getDouble(3)))
+  }
+
+  test("q_describe via facade describe()") {
+    val got = Frame(Tables.events(spark, sfDir)).describe("value")
+    val want = SparkEntry.queries("q_describe")(spark, sfDir)
+    assert(got.columns.toSeq == want.columns.toSeq)
+    assert(got.collect().map(_.toString).toSeq == want.collect().map(_.toString).toSeq)
+  }
+
+  test("locRange prunes via pushed index filter; loc point lookup works") {
+    val o = fr("orders").setIndex("o_orderkey")
+    val sliced = o.locRange(100L, 200L)
+    val p = sliced.toDF.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(o_orderkey") || p.contains("IsNotNull(o_orderkey")),
+      s"index slice filter not pushed to scan:\n$p")
+    val want = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey").between(100L, 200L)).count()
+    assert(sliced.count() == want)
+    assert(o.loc(150L).count() ==
+      Tables.orders(spark, sfDir).filter(col("o_orderkey") === 150L).count())
+  }
+
+  test("setIndex supports tail and keep-first/last dedup") {
+    val ev = Frame(Tables.events(spark, sfDir)).setIndex("event_id")
+    val t = ev.tail(5).toDF.collect().map(_.getLong(0))
+    val want = Tables.events(spark, sfDir).orderBy(col("event_id").desc)
+      .limit(5).orderBy("event_id").collect().map(_.getLong(0))
+    assert(t.toSeq == want.toSeq)
+    val first = ev.dropDuplicates(Seq("user_id"), keepRow = "first")
+    val perUser = first.toDF.groupBy("user_id").count()
+      .filter(col("count") > 1).count()
+    assert(perUser == 0)
+    // keep-first must pick the smallest event_id per user
+    val got = first.toDF.select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantMin = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(min("event_id").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == wantMin)
+  }
+}
