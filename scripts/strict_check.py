@@ -26,8 +26,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].map(lambda v: hasattr(v, "__len__") and not isinstance(v, (str, bytes))).any():
             df[c] = df[c].map(
                 lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, (str, bytes)) else v)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+    # Sort on ROUNDED float keys (the comparison below tolerates 1e-9
+    # relative drift; raw float sort keys could order the two frames
+    # differently within that tolerance and misalign rows), non-float
+    # columns first so equal-prefix rows tie-break on the rounded key.
+    keys = {}
+    float_cols, other_cols = [], []
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            keys[f"__k_{c}"] = df[c].map(
+                lambda v: None if pd.isna(v) else float(f"{v:.9e}"))
+            float_cols.append(f"__k_{c}")
+        else:
+            other_cols.append(c)
+    tmp = df.assign(**keys) if keys else df
+    tmp = tmp.sort_values(by=other_cols + float_cols, ignore_index=True)
+    return tmp[df.columns.tolist()]
 
 
 import datetime
@@ -124,7 +138,12 @@ def main():
             print(f"{name:40s} FAIL oracle error: {e}")
             n_fail += 1
             continue
-        problems = diff(name, spark_df, ora_df)
+        # A pathological frame (mixed tuple/NaN sort keys etc.) must fail
+        # that query alone, not abort the whole check run.
+        try:
+            problems = diff(name, spark_df, ora_df)
+        except Exception as e:
+            problems = [f"comparator error: {type(e).__name__}: {e}"]
         if problems:
             n_fail += 1
             print(f"{name:40s} STRICT-FAIL")

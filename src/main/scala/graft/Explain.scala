@@ -2,11 +2,40 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: print the formatted physical plan of a registered query
-  * and time its materialization. Usage:
-  *   runMain graft.Explain <queryName> [sfDir]
+/** Staged plan diagnostics + dev main.
+  *
+  * `stages(df)` mirrors the reference's staged `explain()` (reference
+  * `diagnostics/_explain.py:18-49`: logical → simplified → lowered →
+  * fused stages) by mapping each dask-expr optimizer stage to its
+  * Catalyst analogue:
+  *   - "parsed"    ≈ the raw expression tree (logical, pre-resolution)
+  *   - "analyzed"  ≈ resolved schema/meta (the reference's `_meta` pass)
+  *   - "optimized" ≈ simplify+lower (pushdown, pruning, fusion)
+  *   - "physical"  ≈ the executable plan (task graph)
+  *   - "final"     ≈ post-AQE replanned plan, available after execution
+  *     (the reference has no runtime replan — Spark-only stage)
+  *
+  * `analyze(df)` is the runtime half (reference `_analyze.py:36-80`):
+  * executes the plan and returns the final adaptive plan string with
+  * per-node runtime statistics embedded.
   */
 object Explain {
+
+  /** Stage-name → plan-string map for the reference's staged explain. */
+  def stages(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] = {
+    val qe = df.queryExecution
+    Seq(
+      "parsed" -> qe.logical.toString,
+      "analyzed" -> qe.analyzed.toString,
+      "optimized" -> qe.optimizedPlan.toString,
+      "physical" -> qe.executedPlan.toString)
+  }
+
+  /** Execute and return the final (post-AQE) plan with runtime stats. */
+  def analyze(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"

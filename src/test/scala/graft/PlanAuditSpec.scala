@@ -65,6 +65,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("Explain.stages exposes the reference's staged explain") {
+    val df = SparkEntry.queries("q_projection_filter")(spark, sfDir)
+    val st = Explain.stages(df)
+    assert(st.map(_._1) == Seq("parsed", "analyzed", "optimized", "physical"))
+    assert(st.forall(_._2.nonEmpty))
+    // the optimized stage must show pushdown did its work: the filter
+    // survives while the physical stage shows the parquet-level pushdown
+    assert(st.toMap.apply("physical").contains("PushedFilters"))
+  }
+
   test("value_counts normalizes in-plan, not via a pre-computed scalar") {
     val analyzed = SparkEntry.queries("q_value_counts")(spark, sfDir)
       .queryExecution.analyzed.toString
