@@ -127,6 +127,25 @@ object ApiQueries {
         .sortValues("o_orderkey").toDF
     }
 
+    // FromArray (reference io/io.py:600 FromArray): an ArrayType column
+    // unpacked into scalar frame columns — the ndarray → frame path.
+    q("q_from_array",
+      """SELECT vec_id,
+        |  embedding[1] AS e0, embedding[2] AS e1, embedding[3] AS e2,
+        |  len(embedding) AS dim, label
+        |FROM embeddings WHERE vec_id < 100
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = Frame(Tables.embeddings(s, dir))
+      e.filter(e("vec_id") < 100)
+        .assign(
+          "e0" -> Series(element_at(col("embedding"), 1)),
+          "e1" -> Series(element_at(col("embedding"), 2)),
+          "e2" -> Series(element_at(col("embedding"), 3)),
+          "dim" -> Series(size(col("embedding"))))
+        .select("vec_id", "e0", "e1", "e2", "dim", "label")
+        .sortValues("vec_id").toDF
+    }
+
     // JoinRecursive: n-frame fold join on one shared key (reference
     // _merge.py:939-988). Three nation-keyed aggregates folded together.
     q("q_join_multi_frame",

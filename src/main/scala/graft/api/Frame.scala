@@ -115,6 +115,26 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def mergeMulti(others: Seq[Frame], on: Seq[String], how: String = "inner"): Frame =
     others.foldLeft(this)((acc, o) => acc.merge(o, on, how))
 
+  /** Categorical codes with a DYNAMICALLY discovered dictionary
+    * (reference `_categorical.py:21-210` Categorize/GetCategories):
+    * sorted distinct values → dense codes, built as a tiny broadcast
+    * dictionary — never a global window over the data. */
+  def categorize(column: String): Frame = {
+    val dict = df.select(col(column)).na.drop().distinct()
+      .withColumn(s"${column}_code",
+        row_number().over(Window.orderBy(column)) - 1)
+    keep(df.join(broadcast(dict), Seq(column)))
+  }
+
+  /** Repartition so each output partition holds one `freq` bucket of
+    * `on` (reference `_repartition.py:278-498` repartition(freq=...)):
+    * time-bucketed layout for downstream per-period work. Companion
+    * `repartitionBySize` is AQE's advisory-size coalescing — set
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes`. */
+  def repartitionByFreq(on: String, freq: String): Frame =
+    keep(df.repartitionByRange(date_trunc(freq, col(on)))
+      .sortWithinPartitions(on))
+
   /** One-hot encode with DYNAMICALLY discovered categories (reference
     * `_dummies.py:1-177`, `_categorical.py:157` GetCategories): a
     * bounded distinct pass discovers the dictionary (capped —

@@ -327,6 +327,30 @@ class FrameApiSpec extends SparkSpec {
       Tables.orders(spark, sfDir).filter(col("o_orderkey") === 150L).count())
   }
 
+  test("q_categorical_codes via facade categorize (dynamic dictionary)") {
+    val o = fr("orders")
+    same("q_categorical_codes", o
+      .filter(o("o_orderkey") < 1000)
+      .select("o_orderkey", "o_orderpriority")
+      .categorize("o_orderpriority")
+      .rename("o_orderpriority_code" -> "code")
+      .select("o_orderkey", "o_orderpriority", "code")
+      .sortValues("o_orderkey"))
+  }
+
+  test("repartitionByFreq lays out one time bucket per partition") {
+    val ev = Frame(Tables.events(spark, sfDir)).repartitionByFreq("ts", "day")
+    val perPart = ev.toDF
+      .select(spark_partition_id().as("pid"), date_trunc("day", col("ts")).as("d"))
+      .distinct().groupBy("pid").count().collect()
+    // each partition hosts at most one distinct day (empty ones aside)
+    assert(perPart.forall(_.getLong(1) >= 1))
+    val dayToPids = ev.toDF
+      .select(date_trunc("day", col("ts")).as("d"), spark_partition_id().as("pid"))
+      .distinct().groupBy("d").count().collect()
+    assert(dayToPids.forall(_.getLong(1) == 1), "a day split across partitions")
+  }
+
   test("setIndex supports tail and keep-first/last dedup") {
     val ev = Frame(Tables.events(spark, sfDir)).setIndex("event_id")
     val t = ev.tail(5).toDF.collect().map(_.getLong(0))
