@@ -184,6 +184,17 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   /** loc[v] point lookup on the index. */
   def loc(v: Any): Frame = keep(df.filter(col(idx) === lit(v)))
 
+  /** Runtime assertion that every row's index falls inside the declared
+    * divisions (reference EnforceRuntimeDivisions `_expr.py:1578-1597`):
+    * a pass-through whose evaluation throws on the first out-of-bounds
+    * row. Zero cost when the data is in bounds (codegen'd predicate). */
+  def enforceIndexBounds(lo: Any, hi: Any): Frame = keep(
+    df.withColumn("__div_ok",
+        assert_true(col(idx).between(lo, hi),
+          lit(s"index '${idx}' outside declared divisions [$lo, $hi]")))
+      .filter(col("__div_ok").isNull || col("__div_ok").isNotNull)
+      .drop("__div_ok"))
+
   /** Keep first/last row per `subset` by index order; `keep="any"`
     * needs no index (Spark's arbitrary-row dropDuplicates). */
   def dropDuplicates(subset: Seq[String] = Nil, keepRow: String = "any"): Frame = keepRow match {

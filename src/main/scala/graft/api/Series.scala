@@ -194,3 +194,11 @@ final class DtOps(private val c: Column) {
     * subtraction for pandas' timedelta total_seconds. */
   def epochSeconds: Series = Series(unix_micros(c).cast("double") / 1e6)
 }
+
+/** Module conversions (reference to_timedelta `_collection.py:6110`). */
+object DtOps {
+  /** Numeric seconds → DayTimeIntervalType timedelta (pandas
+    * to_timedelta(unit="s")); composes with timestamp +/-. */
+  def toTimedeltaSeconds(seconds: Series): Series =
+    Series(make_dt_interval(lit(0), lit(0), lit(0), seconds.col))
+}

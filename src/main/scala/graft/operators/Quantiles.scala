@@ -39,11 +39,13 @@ object Quantiles {
   /** Exact linear-interpolation quantiles of `valueCol` (nulls excluded),
     * as one driver-side Double per requested fraction.
     */
-  def exactQuantiles(df: DataFrame, valueCol: String, fractions: Seq[Double]): Seq[Double] = {
+  def exactQuantiles(df: DataFrame, valueCol: String, fractions: Seq[Double]): Seq[Double] = Tuning.forSize(df) {
     require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must be in [0,1]: $fractions")
     val spark = df.sparkSession
-    val parts = spark.sparkContext.defaultParallelism
+    // Session shuffle parallelism (which Tuning.forSize just right-sized
+    // for small inputs) also drives the range-partition count.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = df.select(col(valueCol).cast("double").as("__v")).na.drop("any")
       .repartitionByRange(parts, col("__v"))
       .persist()

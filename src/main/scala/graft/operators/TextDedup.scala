@@ -25,42 +25,6 @@ object TextDedup {
   /** Modulus for the affine minhash mixes: largest prime below 2^28. */
   val P: Long = 268435399L
 
-  /** Run `f` (which triggers eager jobs) under settings sized to the
-    * input, restoring session settings afterwards.
-    *
-    * The dedup pipelines are many small dependent stages, and they make
-    * their own measured size decisions (candidate/dup counts gate every
-    * broadcast). On a SMALL input (≤1 GB by optimizer stats) the
-    * per-stage constants dominate: AQE's stage-at-a-time
-    * materialization adds a scheduling round-trip per stage without
-    * contributing a decision, and a full complement of shuffle tasks
-    * costs more to launch than to run — together ~2× wall-clock
-    * measured at sf0.1. So the small regime runs AQE-off with
-    * parallelism/4 shuffle partitions. A large input keeps the session
-    * exactly as configured — AQE's coalescing/skew handling is the
-    * right tool at the 100 TB design point.
-    */
-  private def tunedForSize[A](df: DataFrame)(f: => A): A =
-    tuned(df.sparkSession, scala.util.Try(
-      df.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30)).getOrElse(false))(f)
-
-  private def tuned[A](spark: org.apache.spark.sql.SparkSession, small: Boolean)(f: => A): A = {
-    if (!small) f
-    else {
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val partKey = "spark.sql.shuffle.partitions"
-      val prevAqe = spark.conf.get(aqeKey, "true")
-      val prevPart = spark.conf.get(partKey)
-      spark.conf.set(aqeKey, "false")
-      spark.conf.set(partKey,
-        math.max(1, spark.sparkContext.defaultParallelism / 4).toString)
-      try f finally {
-        spark.conf.set(aqeKey, prevAqe)
-        spark.conf.set(partKey, prevPart)
-      }
-    }
-  }
-
   /** Deterministic per-hash affine constants (Knuth/Fibonacci multiplier
     * streams reduced mod P); replayable anywhere from this formula. */
   def mixConsts(k: Int): Seq[(Long, Long)] = (0 until k).map { i =>
@@ -215,7 +179,7 @@ object TextDedup {
       numHashes: Int = 16,
       bandRows: Int = 4,
       threshold: Double = 0.8,
-      maxBucketSize: Option[Int] = None): DataFrame = tunedForSize(docs) {
+      maxBucketSize: Option[Int] = None): DataFrame = Tuning.forSize(docs) {
     // doc → content-clique representative (smallest id per text hash),
     // assigned in ONE exchange: a whole-partition min window over the
     // content hash. Cached once; members and reps are projections of it.
@@ -354,7 +318,7 @@ object TextDedup {
     // edge count also picks the constants-vs-AQE execution regime.
     val nEdges = edgesRaw.count()
     val parts = math.max(1, (nEdges / 500000L).toInt)
-    tuned(pairs.sparkSession, nEdges <= 10000000L) {
+    Tuning.scoped(pairs.sparkSession, nEdges <= 10000000L) {
     // localCheckpoint (eager) truncates lineage each step — the
     // standard pattern for iterative algorithms; plain cache() would
     // leave every iteration's plan chained to the full upstream

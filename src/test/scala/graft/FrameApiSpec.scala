@@ -351,6 +351,28 @@ class FrameApiSpec extends SparkSpec {
     assert(dayToPids.forall(_.getLong(1) == 1), "a day split across partitions")
   }
 
+  test("enforceIndexBounds passes in-bounds data and throws out of bounds") {
+    val o = Frame(Tables.orders(spark, sfDir)).setIndex("o_orderkey")
+    val maxKey = Tables.orders(spark, sfDir)
+      .agg(max("o_orderkey")).head().getLong(0)
+    assert(o.enforceIndexBounds(0L, maxKey).count() == o.count())
+    val ex = intercept[Exception] {
+      o.enforceIndexBounds(0L, maxKey - 1).count()
+    }
+    assert(ex.getMessage.contains("divisions") ||
+      Option(ex.getCause).exists(_.getMessage.contains("divisions")))
+  }
+
+  test("to_timedelta seconds composes with timestamp arithmetic") {
+    import graft.api.DtOps
+    val ev = Frame(Tables.events(spark, sfDir)).head(10)
+    val shifted = ev.assign(
+        "later" -> Series(col("ts") + DtOps.toTimedeltaSeconds(Series.lit_(90)).col))
+      .toDF.select(unix_micros(col("later")) - unix_micros(col("ts")))
+      .collect().map(_.getLong(0))
+    assert(shifted.forall(_ == 90L * 1000000))
+  }
+
   test("setIndex supports tail and keep-first/last dedup") {
     val ev = Frame(Tables.events(spark, sfDir)).setIndex("event_id")
     val t = ev.tail(5).toDF.collect().map(_.getLong(0))
