@@ -76,8 +76,8 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * policy — reference Sample `_expr.py:1168`): keeps rows whose
     * md5(key) falls under `frac` of the hex space. */
   def sampleByHash(keyCol: String, frac: Double): Frame = {
-    val bound = f"${(frac * 16).toInt}%x"
-    keep(df.filter(substring(md5(col(keyCol).cast("string")), 1, 1) < lit(bound)))
+    val bound = f"${math.round(frac * 256).toInt}%02x"
+    keep(df.filter(substring(md5(col(keyCol).cast("string")), 1, 2) < lit(bound)))
   }
 
   // ---- merge / concat (reference _merge.py:50-575) ----
@@ -151,6 +151,60 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       when(col(column) === lit(v), 1).otherwise(0).as(s"$prefix$safe")
     }
     keep(df.select(df.columns.map(col).toIndexedSeq ++ dummies: _*))
+  }
+
+  /** Column-wise concat (pandas concat axis=1) on a shared key: full
+    * outer join, key coalesced (reference Concat axis=1). */
+  def concatCols(other: Frame, on: String): Frame = {
+    val l = df; val r = other.df
+    keep(l.join(r, l(on) === r(on), "full_outer")
+      .select(Seq(coalesce(l(on), r(on)).as(on)) ++
+        l.columns.filterNot(_ == on).map(l(_)) ++
+        r.columns.filterNot(_ == on).map(r(_)): _*))
+  }
+
+  /** pivot_table (reference PivotTable `_reductions.py:655`). Explicit
+    * `pivotValues` keep the output schema static (no distinct pass);
+    * empty → Spark discovers them (bounded by its pivot max). */
+  def pivotTable(index: String, columns: String, values: String,
+      aggFn: String = "sum", pivotValues: Seq[Any] = Nil): Frame = {
+    val g = df.groupBy(col(index))
+    val p = if (pivotValues.isEmpty) g.pivot(columns) else g.pivot(columns, pivotValues)
+    val out = aggFn match {
+      case "sum" => p.sum(values)
+      case "mean" | "avg" => p.avg(values)
+      case "min" => p.min(values)
+      case "max" => p.max(values)
+      case "count" => p.count()
+      case other => throw new IllegalArgumentException(s"pivotTable: unknown fn $other")
+    }
+    Frame(out, None)
+  }
+
+  /** melt / unpivot (reference `_collection.py` melt): value columns may
+    * be (column, label) pairs. */
+  def melt(ids: Seq[String], values: Seq[(String, String)],
+      varName: String = "variable", valueName: String = "value"): Frame =
+    keep(df.unpivot(ids.map(col).toArray,
+      values.map { case (c, label) => col(c).as(label) }.toArray,
+      varName, valueName))
+
+  /** Fixed-bin cut (reference cut): bucket i for bins(i) <= v < bins(i+1),
+    * labeled 0..n-1; out-of-range → null. */
+  def cut(column: String, bins: Seq[Double], as: String): Frame = {
+    val v = col(column)
+    val bucket = bins.sliding(2).zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (Seq(lo, hi), i)) => when(v >= lo && v < hi, i).otherwise(acc)
+    }
+    keep(df.withColumn(as, bucket))
+  }
+
+  /** Quantile-bin qcut (reference qcut): thresholds from the distributed
+    * exact-quantile operator, bucket = 1 + #(thresholds below v). */
+  def qcut(column: String, nq: Int, as: String): Frame = {
+    val ts = quantile(column, (1 until nq).map(_.toDouble / nq))
+    keep(df.withColumn(as,
+      ts.map(t => when(col(column) > t, 1).otherwise(0)).reduce(_ + _) + 1))
   }
 
   // ---- group-by (reference _groupby.py) ----

@@ -327,6 +327,53 @@ class FrameApiSpec extends SparkSpec {
       Tables.orders(spark, sfDir).filter(col("o_orderkey") === 150L).count())
   }
 
+  test("q_pivot via facade pivotTable") {
+    val o = fr("orders")
+    same("q_pivot", o
+      .assign("y" -> o("o_orderdate").dt.year)
+      .pivotTable(index = "y", columns = "o_orderstatus", values = "o_totalprice",
+        aggFn = "sum", pivotValues = Seq("F", "O", "P"))
+      .sortValues("y"))
+  }
+
+  test("q_melt via facade melt") {
+    val o = fr("orders")
+    same("q_melt", o
+      .filter(o("o_orderkey") < 1000)
+      .assign("o_custkey" -> o("o_custkey").astype("double"))
+      .melt(ids = Seq("o_orderkey"),
+        values = Seq("o_totalprice" -> "totalprice", "o_custkey" -> "custkey"),
+        varName = "var", valueName = "val")
+      .sortValues("o_orderkey", "var"))
+  }
+
+  test("q_concat_cols via facade concatCols") {
+    val a = fr("orders").rename("o_custkey" -> "k")
+      .groupby("k").aggNamed(("n_orders", "size", "k"))
+    val b = fr("customer").query("c_custkey < 700").rename("c_custkey" -> "k")
+      .groupby("k").aggNamed(("total_bal", "sum", "c_acctbal"))
+    same("q_concat_cols", a.concatCols(b, on = "k")
+      .rename("k" -> "custkey")
+      .sortValues("custkey"))
+  }
+
+  test("q_cut_qcut via facade cut/qcut building blocks") {
+    val o = fr("orders")
+    same("q_cut_qcut", o
+      .assign("price_bin" -> Series(least(floor(col("o_totalprice") / 100000), lit(5)).cast("long")))
+      .qcut("o_totalprice", 4, as = "quartile")
+      .groupby("price_bin", "quartile")
+      .aggExpr("n" -> Series(count(lit(1))))
+      .sortValues("price_bin", "quartile"))
+  }
+
+  test("q_sample_hash via facade sampleByHash") {
+    same("q_sample_hash", fr("orders")
+      .sampleByHash("o_orderkey", 26.0 / 256)
+      .select("o_orderkey", "o_totalprice")
+      .sortValues("o_orderkey"))
+  }
+
   test("q_categorical_codes via facade categorize (dynamic dictionary)") {
     val o = fr("orders")
     same("q_categorical_codes", o

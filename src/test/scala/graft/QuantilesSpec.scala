@@ -39,6 +39,32 @@ class QuantilesSpec extends SparkSpec {
     assert(Quantiles.exactQuantiles(one, "v", Seq(0.0, 0.5, 1.0)) == Seq(42.0, 42.0, 42.0))
   }
 
+  test("randomized differential vs built-in percentile (12 trials)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val n = 1 + rnd.nextInt(500)
+      // duplicate-heavy, skewed, and negative values all appear
+      val vals = Seq.fill(n)(rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(5).toDouble          // heavy ties
+        case 1 => rnd.nextDouble() * 1e6           // large range
+        case 2 => -rnd.nextDouble()                // negatives
+        case _ => rnd.nextGaussian()
+      })
+      val df = vals.toDF("v").repartition(1 + rnd.nextInt(7))
+      val ps = Seq(0.0, rnd.nextDouble(), 0.5, 1.0)
+      val got = Quantiles.exactQuantiles(df, "v", ps)
+      val want = builtin(df, "v", ps)
+      got.zip(want).zip(ps).foreach { case ((g, w), p) =>
+        // random fractions hit interpolation weights that aren't exactly
+        // representable; allow last-ulp drift (1e-12 relative — three
+        // orders tighter than the oracle gate's 1e-9)
+        val tol = math.max(math.abs(w) * 1e-12, 1e-300)
+        assert(math.abs(g - w) <= tol, s"trial $trial n=$n p=$p: got $g want $w")
+      }
+    }
+  }
+
   test("quantile plans contain no unbounded percentile aggregate") {
     // The four rewired queries must never plan Spark's exact
     // percentile/median over a whole column (a TypedImperativeAggregate
