@@ -18,6 +18,25 @@ object IoQueries {
     def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Unit =
       reg(name, Some(oracle), fn)
 
+    // FromMap / FromMapProjectable (reference io/io.py:218-386): the
+    // DSv2 generator source. Requested columns are PUSHED INTO the
+    // generator (payload is never computed here) and the seq-range
+    // predicate is pushed into partition planning (rows outside
+    // [500, 1500) are never generated) — asserted behaviorally in
+    // MapSourceSpec. The oracle replays the md5-derived generator.
+    q("q_from_map_source",
+      """SELECT i AS seq,
+        |  'k' || (CAST('0x' || substr(md5('k|' || i), 1, 4) AS BIGINT) % 10) AS key,
+        |  CAST('0x' || substr(md5('v|' || i), 1, 8) AS BIGINT) / 4294967296.0 AS value
+        |FROM generate_series(0, 1999) t(i)
+        |WHERE i >= 500 AND i < 1500
+        |ORDER BY seq""".stripMargin) { (s, dir) =>
+      Io.readMap(s, rows = 2000, partitions = 8)
+        .filter(col("seq") >= 500 && col("seq") < 1500)
+        .select("seq", "key", "value")
+        .orderBy("seq")
+    }
+
     // read_csv / to_csv (reference _collection.py:5092, io/csv.py:1).
     q("q_csv_roundtrip",
       """SELECT n_nationkey, n_name, n_regionkey

@@ -354,8 +354,11 @@ final class GroupBy(frame: Frame, keys: Seq[Column], keyNames: Seq[String]) {
     case "nunique" => countDistinct(col(c))
     case "var" => var_samp(col(c))
     case "std" => stddev_samp(col(c))
-    case "first" => min_by(col(c), col(frame.index.getOrElse(c)))
-    case "last" => max_by(col(c), col(frame.index.getOrElse(c)))
+    case "first" | "last" =>
+      // positional semantics need an order — the declared index
+      val i = frame.index.getOrElse(throw new IllegalArgumentException(
+        s"groupby $fn($c) needs an index order — call setIndex first"))
+      if (fn == "first") min_by(col(c), col(i)) else max_by(col(c), col(i))
     case "collect_set" => sort_array(collect_set(col(c)))
     case other => throw new IllegalArgumentException(s"groupby agg: unknown fn $other")
   }

@@ -49,6 +49,14 @@ object Io {
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
 
+  /** Generator-table source (reference io/io.py:218 FromMap) — see
+    * [[graft.sources.MapSource]] for pushdown semantics. */
+  def readMap(spark: SparkSession, rows: Long, partitions: Int): DataFrame =
+    spark.read.format("graft.sources.MapSource")
+      .option("rows", rows.toString)
+      .option("partitions", partitions.toString)
+      .load()
+
   /** JDBC source/sink (reference io/sql.py). Spark's JDBC relation
     * handles predicate pushdown and partitioned reads
     * (partitionColumn/lowerBound/upperBound for parallel scans at
