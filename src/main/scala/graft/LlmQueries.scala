@@ -309,6 +309,34 @@ object LlmQueries {
       }
     }
 
+    // Embedding-cosine near-duplicate pairs: 4-plane LSH buckets, pairs
+    // generated only within a bucket, cosine-verified. The oracle
+    // replays the identical plane literals and fold arithmetic.
+    {
+      val planes = (0 until 4).map(p =>
+        s"list_transform(generate_series(1, 64), d -> " +
+          s"(CAST('0x' || substr(md5('${p}_' || CAST(d - 1 AS VARCHAR)), 1, 4) AS BIGINT)" +
+          s" - CAST(32768 AS DOUBLE)) / CAST(32768 AS DOUBLE)) AS p$p").mkString(", ")
+      val bucketOf = (v: String) => (0 until 4).map(p =>
+        s"CASE WHEN ${dotSql(s"p$p", v)} >= 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
+      q("q_embedding_near_dup",
+        s"""WITH planes AS (SELECT $planes),
+           |b AS (SELECT vec_id, embedding,
+           |        sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+           |        ${bucketOf("embedding")} AS bucket
+           |      FROM embeddings, planes),
+           |pr AS (SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+           |         ${dotSql("a.embedding", "x.embedding")} / (a.nrm * x.nrm) AS c
+           |       FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id)
+           |SELECT vec_a, vec_b, round(c, 9) AS cosine
+           |FROM pr WHERE c >= 0.3 ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+        Similarity.cosineNearDup(Tables.embeddings(s, dir),
+            dim = 64, numPlanes = 4, threshold = 0.3)
+          .select(col("vec_a"), col("vec_b"), round(col("cosine"), 9).as("cosine"))
+          .orderBy("vec_a", "vec_b")
+      }
+    }
+
     // Per-label embedding statistics (vector-norm reductions).
     q("q_embedding_stats",
       s"""WITH n AS (SELECT label, sqrt(${dotSql("embedding", "embedding")}) AS nrm

@@ -65,6 +65,31 @@ object Similarity {
       when(dot(w, vec) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus, pair
+    * only WITHIN buckets (the shuffle key at 100 TB — never all-pairs),
+    * verify cosine ≥ threshold. Norms are computed once per vector
+    * before the join, so each candidate pair costs one dot product.
+    * Returns (vec_a, vec_b, cosine).
+    */
+  def cosineNearDup(
+      corpus: DataFrame,    // (vec_id, embedding, ...)
+      dim: Int,
+      numPlanes: Int,
+      threshold: Double): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", lshBucket(col("embedding"), dim, numPlanes))
+      .withColumn("nrm", norm(col("embedding")))
+    val a = b.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val c = b.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(c, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** ANN via hyperplane LSH: queries only score candidates in their own
     * bucket. Recall is tunable via numPlanes (fewer planes → bigger
     * buckets → higher recall, more work).
