@@ -100,6 +100,28 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(l.join(r, on, sparkHow))
   }
 
+  /** pandas merge(left_on=, right_on=): differently-named equi-keys;
+    * both key columns survive (pandas semantics). */
+  def mergeOn(right: Frame, leftOn: Seq[String], rightOn: Seq[String],
+      how: String = "inner", suffixes: (String, String) = ("_x", "_y")): Frame = {
+    require(leftOn.length == rightOn.length && leftOn.nonEmpty,
+      "mergeOn needs equal-length non-empty key lists")
+    val sparkHow = how match {
+      case "outer" => "full_outer"
+      case "leftsemi" => "left_semi"
+      case "leftanti" => "left_anti"
+      case h => h
+    }
+    val overlap = (df.columns.toSet intersect right.df.columns.toSet)
+    val l = overlap.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val r = overlap.foldLeft(right.df)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    def fix(names: Seq[String], sfx: String) =
+      names.map(n => if (overlap(n)) n + sfx else n)
+    val cond = fix(leftOn, suffixes._1).zip(fix(rightOn, suffixes._2))
+      .map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
+    keep(l.join(r, cond, sparkHow))
+  }
+
   /** merge_asof (reference `_merge_asof.py:17-425`) via the graft
     * AsOfJoin operator. */
   def mergeAsof(right: Frame, on: String, by: Seq[String] = Nil,

@@ -50,6 +50,29 @@ object StreamOps {
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Stream-static enrichment join: the streaming side joins a batch
+    * dimension table (broadcast by Catalyst when small) — the streaming
+    * form of the star-schema join (§2.3). Stateless: no watermark
+    * needed on the static side.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
+    stream.join(dim, on)
+
+  /** Stream-stream inner join with event-time range: each side
+    * watermarked, right events join left events within `within` after
+    * them — state on both sides is bounded by the watermark + interval
+    * (the streaming as-of-like join, §2.3 analogue).
+    */
+  def joinWithin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, watermarkDelay: String,
+      within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs" +
+      s" AND $rightTs <= $leftTs + INTERVAL $within"))
+  }
+
   /** Arbitrary stateful processing via mapGroupsWithState: a per-key
     * running (count, sum) that emits the updated aggregate on every
     * micro-batch — the custom-state escape hatch (§2.11 analogue for

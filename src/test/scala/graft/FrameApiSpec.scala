@@ -327,6 +327,20 @@ class FrameApiSpec extends SparkSpec {
       Tables.orders(spark, sfDir).filter(col("o_orderkey") === 150L).count())
   }
 
+  test("mergeOn joins differently-named keys, keeping both columns") {
+    val c = fr("customer").select("c_custkey", "c_name")
+    val o = fr("orders").select("o_orderkey", "o_custkey")
+    val j = c.mergeOn(o, leftOn = Seq("c_custkey"), rightOn = Seq("o_custkey"))
+    assert(j.columns == Seq("c_custkey", "c_name", "o_orderkey", "o_custkey"))
+    val want = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"))
+      .count()
+    assert(j.count() == want)
+    // left join keeps unmatched left rows
+    val lj = c.mergeOn(o, Seq("c_custkey"), Seq("o_custkey"), how = "left")
+    assert(lj.count() >= j.count())
+  }
+
   test("q_pivot via facade pivotTable") {
     val o = fr("orders")
     same("q_pivot", o

@@ -85,4 +85,42 @@ class StreamingSpec extends SparkSpec {
       assert(last(2L) == ((2L, 1L, 10.0)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment join broadcasts the dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val stream = in.toDF().toDF("user_id", "value")
+    val q = StreamOps.enrich(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      in.addData((1L, 5.0), (2L, 7.0), (3L, 9.0)) // user 3 has no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched").orderBy("user_id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+        Seq((1L, "gold"), (2L, "silver")))
+    } finally q.stop()
+  }
+
+  test("stream-stream join matches right events within the interval") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)]   // (user, sec)
+    val buys = MemoryStream[(Long, Long)]
+    val l = clicks.toDF().toDF("cu", "csec").withColumn("cts", timestamp_seconds(col("csec")))
+    val r = buys.toDF().toDF("bu", "bsec").withColumn("bts", timestamp_seconds(col("bsec")))
+    val joined = StreamOps.joinWithin(l, r, "cu", "bu", "cts", "bts",
+      watermarkDelay = "1 minute", within = "30 seconds")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 100L), (2L, 100L))
+      buys.addData((1L, 110L), (2L, 200L)) // user 2 buys too late (100s gap)
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L),
+        s"expected only user 1 within 30s: ${rows.mkString(";")}")
+    } finally q.stop()
+  }
 }
