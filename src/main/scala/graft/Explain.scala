@@ -31,10 +31,14 @@ object Explain {
       "physical" -> qe.executedPlan.toString)
   }
 
-  /** Execute and return the final (post-AQE) plan with runtime stats. */
+  /** Execute and return the final (post-AQE) plan with runtime stats.
+    * Executes `df`'s OWN QueryExecution (a sink write would wrap a new
+    * one and leave this plan unexecuted/non-final); rows are consumed on
+    * the executors, nothing is collected. */
   def analyze(df: org.apache.spark.sql.DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan
+    plan.execute().foreachPartition(_ => ())
+    plan.toString
   }
   def main(args: Array[String]): Unit = {
     val name = args(0)

@@ -40,8 +40,11 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(cols.foldLeft(df) { case (d, (n, s)) => d.withColumn(n, s.col) })
   def drop(cols: String*): Frame = keep(df.drop(cols: _*))
   def rename(pairs: (String, String)*): Frame = {
-    val renamed = pairs.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    // SIMULTANEOUS rename (one select) — a sequential fold would cascade
+    // when a new name collides with a not-yet-renamed column
+    // (rename("a"->"b", "b"->"c") or addPrefix over ["x", "px"]).
     val m = pairs.toMap
+    val renamed = df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))).toIndexedSeq: _*)
     Frame(renamed, index.map(i => m.getOrElse(i, i)))
   }
   def addPrefix(p: String): Frame =
@@ -76,8 +79,12 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * policy — reference Sample `_expr.py:1168`): keeps rows whose
     * md5(key) falls under `frac` of the hex space. */
   def sampleByHash(keyCol: String, frac: Double): Frame = {
-    val bound = f"${math.round(frac * 256).toInt}%02x"
-    keep(df.filter(substring(md5(col(keyCol).cast("string")), 1, 2) < lit(bound)))
+    require(frac >= 0.0 && frac <= 1.0, s"sampleByHash: frac $frac outside [0,1]")
+    val b = math.round(frac * 256).toInt
+    if (b >= 256) this // f"%02x" of 256 would be "100", which sorts BELOW "11"
+    else if (b <= 0) keep(df.filter(lit(false)))
+    else keep(df.filter(
+      substring(md5(col(keyCol).cast("string")), 1, 2) < lit(f"$b%02x")))
   }
 
   // ---- merge / concat (reference _merge.py:50-575) ----
@@ -168,8 +175,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       .distinct().limit(maxCategories + 1).collect().map(_.getString(0))
     require(vals.length <= maxCategories,
       s"getDummies($column): over $maxCategories categories")
+    // sanitization is lossy ("a.b" and "a_b" both → "a_b"); disambiguate
+    // collisions with a deterministic ordinal suffix
+    val seen = scala.collection.mutable.Map.empty[String, Int]
     val dummies = vals.sorted.toIndexedSeq.map { v =>
-      val safe = v.replaceAll("[^A-Za-z0-9]", "_")
+      val base = v.replaceAll("[^A-Za-z0-9]", "_")
+      val n = seen.getOrElse(base, 0); seen(base) = n + 1
+      val safe = if (n == 0) base else s"${base}_$n"
       when(col(column) === lit(v), 1).otherwise(0).as(s"$prefix$safe")
     }
     keep(df.select(df.columns.map(col).toIndexedSeq ++ dummies: _*))
@@ -225,8 +237,10 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * exact-quantile operator, bucket = 1 + #(thresholds below v). */
   def qcut(column: String, nq: Int, as: String): Frame = {
     val ts = quantile(column, (1 until nq).map(_.toDouble / nq))
+    // cast-based sum so a NULL input propagates to a NULL bucket
+    // (when/otherwise would silently bucket nulls as 1)
     keep(df.withColumn(as,
-      ts.map(t => when(col(column) > t, 1).otherwise(0)).reduce(_ + _) + 1))
+      ts.map(t => (col(column) > t).cast("int")).reduce(_ + _) + 1))
   }
 
   // ---- group-by (reference _groupby.py) ----

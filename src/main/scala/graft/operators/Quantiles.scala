@@ -46,9 +46,15 @@ object Quantiles {
     // Session shuffle parallelism (which Tuning.forSize just right-sized
     // for small inputs) also drives the range-partition count.
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint (eager) PINS the partition layout: the range
+    // sampler is seeded per-execution, so a plain persist() whose
+    // partition is evicted/lost would silently recompute under freshly
+    // sampled bounds and desynchronize pass-2 ranks from pass-1 offsets.
+    // With the lineage cut, a lost partition fails the job instead of
+    // corrupting the answer — fail-fast over silently wrong.
     val sorted = df.select(col(valueCol).cast("double").as("__v")).na.drop("any")
       .repartitionByRange(parts, col("__v"))
-      .persist()
+      .localCheckpoint()
     try {
       // Pass 1: per-partition counts → global offsets.
       val counts = sorted

@@ -76,9 +76,13 @@ object Similarity {
       dim: Int,
       numPlanes: Int,
       threshold: Double): DataFrame = {
+    // cached: the self-join references this subtree twice — without
+    // storage every vector would pay the bucket + norm dot products
+    // (the expensive part) twice
     val b = corpus.select(col("vec_id"), col("embedding"))
       .withColumn("bucket", lshBucket(col("embedding"), dim, numPlanes))
       .withColumn("nrm", norm(col("embedding")))
+      .cache()
     val a = b.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val c = b.select(col("bucket"), col("vec_id").as("vec_b"),

@@ -254,6 +254,14 @@ object TextDedup {
     // heavy middle of the pipeline runs here, as one straight-line
     // schedule; consumers read the (tiny) cached result.
     repPairs.count()
+    // The verified pairs are materialized; the intermediate caches
+    // (hash stream, signatures, candidates) have served every consumer —
+    // release them so repeated calls in a long-lived session don't
+    // accumulate corpus-sized executor storage. `tagged` stays: the
+    // expansion below still projects members from it.
+    raw.unpersist(blocking = false)
+    wide.unpersist(blocking = false)
+    cand.unpersist(blocking = false)
 
     // Expansion: representative pairs fan out to all clique-member
     // pairs (same texts ⇒ same jaccard); identical-text pairs within a
@@ -324,6 +332,8 @@ object TextDedup {
     // leave every iteration's plan chained to the full upstream
     // pipeline and risk recomputing it on cache misses.
     val edges = edgesRaw.repartition(parts).localCheckpoint()
+    // the checkpoint above owns the data now; drop the upstream cache
+    edgesRaw.unpersist(blocking = false)
     var labels = edges.select(col("n")).distinct()
       .withColumn("lab", col("n")).repartition(parts).localCheckpoint()
     var iter = 0

@@ -25,9 +25,16 @@ object Tuning {
 
   def forSize[A](df: DataFrame)(f: => A): A = scoped(df.sparkSession, isSmall(df))(f)
 
+  /** NOTE: the small regime temporarily mutates session-level conf; the
+    * lock below serializes concurrent Tuning scopes on one session so
+    * interleaved save/restore pairs can't strand a stale setting. An
+    * unrelated query PLANNED by another thread during the scope would
+    * still see the scoped values — callers sharing one session across
+    * threads should pass their operators a dedicated session
+    * (`spark.newSession()` shares the cluster, isolates conf). */
   def scoped[A](spark: SparkSession, small: Boolean)(f: => A): A = {
     if (!small) f
-    else {
+    else spark.synchronized {
       val aqeKey = "spark.sql.adaptive.enabled"
       val partKey = "spark.sql.shuffle.partitions"
       val prevAqe = spark.conf.get(aqeKey, "true")
