@@ -52,9 +52,10 @@ object Quantiles {
     // sampled bounds and desynchronize pass-2 ranks from pass-1 offsets.
     // With the lineage cut, a lost partition fails the job instead of
     // corrupting the answer — fail-fast over silently wrong.
+    // (lazy: materializes during the pass-1 count — no extra job)
     val sorted = df.select(col(valueCol).cast("double").as("__v")).na.drop("any")
       .repartitionByRange(parts, col("__v"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     try {
       // Pass 1: per-partition counts → global offsets.
       val counts = sorted
