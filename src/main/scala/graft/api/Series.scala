@@ -110,6 +110,14 @@ final class StrOps(private val c: Column) {
     * findall — the per-match rows come from Frame.explode over this). */
   def findall(re: String): Series = Series(regexp_extract_all(c, org.apache.spark.sql.functions.lit(re), org.apache.spark.sql.functions.lit(0)))
   def count(re: String): Series = Series(regexp_count(c, org.apache.spark.sql.functions.lit(re)))
+  /** Every match of `re` with its capture groups, as an array of
+    * structs (group_1..group_n) — the reference's extractall rows come
+    * from Frame.explode over this (reference `_str_accessor.py`
+    * extractall). */
+  def extractall(re: String, groups: Int = 1): Series =
+    Series(transform(
+      regexp_extract_all(c, org.apache.spark.sql.functions.lit(re), org.apache.spark.sql.functions.lit(0)),
+      m => struct((1 to groups).map(g => regexp_extract(m, re, g).as(s"group_$g")): _*)))
   def find(sub: String): Series = Series(instr(c, sub) - 1)
   def split(sep: String): Series = Series(org.apache.spark.sql.functions.split(c, java.util.regex.Pattern.quote(sep)))
   def splitGet(sep: String, i: Int): Series =

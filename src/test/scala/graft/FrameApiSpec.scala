@@ -412,6 +412,16 @@ class FrameApiSpec extends SparkSpec {
     assert(dayToPids.forall(_.getLong(1) == 1), "a day split across partitions")
   }
 
+  test("str.extractall yields per-match capture groups for explode") {
+    import spark.implicits._
+    val f = Frame(Seq((1L, "a1 b2 c33")).toDF("id", "s"))
+    val rows = f.assign("m" -> f("s").str.extractall("([a-z])([0-9]+)", groups = 2))
+      .explode("m", as = "hit")
+      .toDF.select("hit.group_1", "hit.group_2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("a", "1"), ("b", "2"), ("c", "33")))
+  }
+
   test("enforceIndexBounds passes in-bounds data and throws out of bounds") {
     val o = Frame(Tables.orders(spark, sfDir)).setIndex("o_orderkey")
     val maxKey = Tables.orders(spark, sfDir)
