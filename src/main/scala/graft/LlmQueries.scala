@@ -507,6 +507,82 @@ object LlmQueries {
         .orderBy("doc_id", "frame_idx")
     }
 
+    // ---- IVF similarity / clustering ------------------------------------
+
+    // Shared oracle CTEs for the IVF family: the 8 lowest-id vectors seed
+    // the cells; every vector's nearest cell is rank-1 of (cosine desc,
+    // cell asc). The fold arithmetic is bit-identical to
+    // Clustering.cosineToLit, so cell decisions replay exactly.
+    val ivfCtes =
+      s"""c AS (SELECT vec_id AS cell, embedding AS cv,
+         |        sqrt(${dotSql("embedding", "embedding")}) AS cn
+         |      FROM embeddings WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.embedding, c.cell,
+         |        ${dotSql("cv", "e.embedding")}
+         |          / (cn * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cc,
+         |        row_number() OVER (PARTITION BY e.vec_id
+         |          ORDER BY ${dotSql("cv", "e.embedding")}
+         |            / (cn * sqrt(${dotSql("e.embedding", "e.embedding")})) DESC, c.cell) AS crn
+         |      FROM embeddings e, c)""".stripMargin
+
+    // IVF top-k: nlist=8 cells seeded by the lowest-id vectors, queries
+    // probe their 2 nearest cells, exact cosine inside. Cell assignment
+    // is a literal projection (no shuffle) — the IVF counterpart to
+    // q_ann_lsh's hyperplane buckets.
+    q("q_ivf_topk",
+      s"""WITH $ivfCtes,
+         |asn AS (SELECT vec_id, embedding, cell FROM a WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, cell
+         |           FROM a WHERE vec_id < 3 AND crn <= 2),
+         |sc AS (SELECT query_id, asn.vec_id,
+         |         ${cosSql("qv", "asn.embedding")} AS c
+         |       FROM asn JOIN probes USING (cell)
+         |       WHERE asn.vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, c,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+         |      FROM sc)
+         |SELECT query_id, vec_id, round(c, 9) AS cosine
+         |FROM r WHERE rn <= 3 ORDER BY query_id, vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      operators.Clustering.ivfTopK(queries, e, "vec_id", "embedding",
+          nlist = 8, nprobe = 2, k = 3)
+        .select(col("query_id"), col("vec_id"), round(col("c"), 9).as("cosine"))
+        .orderBy("query_id", "vec_id")
+    }
+
+    // Semantic dedup: keep the most-central vector per IVF cell — the
+    // embedding-space counterpart of MinHash near-dup clustering.
+    q("q_semantic_dedup",
+      s"""WITH $ivfCtes,
+         |asn AS (SELECT vec_id, cell, cc,
+         |          row_number() OVER (PARTITION BY cell ORDER BY cc DESC, vec_id) AS rrn
+         |        FROM a WHERE crn = 1)
+         |SELECT cell, min(CASE WHEN rrn = 1 THEN vec_id END) AS rep_id,
+         |  round(max(cc), 9) AS rep_cos, count(*) AS cell_size
+         |FROM asn GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
+      operators.Clustering.semanticDedup(Tables.embeddings(s, dir),
+          "vec_id", "embedding", nlist = 8)
+        .select(col("cell"), col("rep_id"),
+          round(col("rep_cos"), 9).as("rep_cos"), col("cell_size"))
+        .orderBy("cell")
+    }
+
+    // Distributed k-means (3 Lloyd iterations, k=8): centroid updates are
+    // scalar shuffles + an O(k×dim) collect per round. Rows-only check —
+    // the averaged centroids are distributed float sums, not
+    // bit-reproducible across engines (see Clustering.kmeans scaladoc);
+    // convergence and partitioning-invariance are ScalaTest-gated.
+    reg("q_kmeans_cells", None, { (s, dir) =>
+      val (assigned, _) = operators.Clustering.kmeans(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3)
+      assigned.groupBy("cell")
+        .agg(count(lit(1)).as("cell_size"),
+          round(avg("cell_cos"), 6).as("avg_cos"))
+        .orderBy("cell")
+    })
+
     // Stratified sampling: per-group hash thresholds (downsample the
     // dominant language, keep the rest) — the data-balancing op,
     // reproducible under any partitioning.

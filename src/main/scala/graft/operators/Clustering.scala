@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering: IVF (inverted-file) similarity search, semantic
+  * dedup, and distributed Lloyd's k-means.
+  *
+  * IVF is the scale path for nearest-neighbor search that LSH bucketing
+  * (see [[Similarity]]) does not cover well when the corpus is clustered
+  * rather than uniform: partition the corpus into `nlist` cells keyed by
+  * the nearest centroid, then probe only the `nprobe` cells nearest each
+  * query. The cell id is the shuffle/partition key at 100 TB — queries
+  * never touch the other `nlist - nprobe` cells, so the scan cost drops
+  * by ~nlist/nprobe versus brute force.
+  *
+  * Centroids are deliberately DRIVER-SIDE literals: a centroid table is
+  * O(nlist × dim) — a few MB even at nlist=65536 — and inlining it lets
+  * cell assignment run as a pure projection inside whole-stage codegen:
+  * no crossJoin row explosion, no shuffle, no broadcast round-trip.
+  * The cosine folds left-to-right in double (same as [[Similarity.dot]]),
+  * so an external engine replaying the fold reproduces every decision
+  * bit-for-bit.
+  */
+object Clustering {
+
+  /** Cosine of `vec` against one literal centroid, folded in element
+    * order in double — bit-compatible with [[Similarity.dot]] /
+    * the DuckDB `list_reduce` mirror.
+    */
+  private def cosineToLit(vec: Column, centroid: Seq[Double], norm: Double): Column = {
+    val w = typedLit(centroid)
+    Similarity.dot(w, vec) / (lit(norm) * Similarity.norm(vec))
+  }
+
+  /** Collect the `nlist` seed centroids: the vectors whose id is lowest
+    * (deterministic, reproducible anywhere). O(nlist × dim) driver
+    * traffic — bounded and documented, same class as AsOfJoin's global
+    * min/max. Returns (id, vector-as-double, norm) sorted by id.
+    */
+  def seedCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): Seq[(Long, Seq[Double], Double)] = {
+    val rows = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy("id").limit(nlist)
+      .collect()
+    rows.map { r =>
+      val v = r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }
+      // norm via the same left-to-right double fold
+      val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+      (r.getLong(0), v, n)
+    }.sortBy(_._1)
+  }
+
+  /** Array of cosines of `vec` against every centroid, in centroid order. */
+  private def cosArray(vec: Column, cents: Seq[(Long, Seq[Double], Double)]): Column =
+    array(cents.map { case (_, cv, nrm) => cosineToLit(vec, cv, nrm) }: _*)
+
+  /** Nearest-centroid cell id as a single codegen'd projection:
+    * argmax of the cosine array, first-max-wins (ties → lowest cell id,
+    * matching `ORDER BY c DESC, cell` in a replaying engine).
+    */
+  def cellOf(vec: Column, cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    val arr = cosArray(vec, cents)
+    val ids = typedLit(cents.map(_._1))
+    element_at(ids, array_position(arr, array_max(arr)).cast("int"))
+  }
+
+  /** Assign every corpus vector to its nearest seed-centroid cell.
+    * Pure projection — no shuffle, no join. Adds `cell` (centroid id)
+    * and `cell_cos` (cosine to that centroid).
+    */
+  def assignCells(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    val arr = cosArray(col(vecCol), cents)
+    corpus
+      .withColumn("__cos", arr)
+      .withColumn("cell",
+        element_at(typedLit(cents.map(_._1)),
+          array_position(col("__cos"), array_max(col("__cos"))).cast("int")))
+      .withColumn("cell_cos", array_max(col("__cos")))
+      .drop("__cos")
+  }
+
+  /** IVF approximate top-k: corpus vectors live in their nearest-centroid
+    * cell; each query probes only its `nprobe` nearest cells and scores
+    * exact cosine inside them. The probe list is broadcast (queries are
+    * small); the corpus side is one projection + one equi-join on `cell`.
+    */
+  def ivfTopK(
+      queries: DataFrame,   // (query_id, qv)
+      corpus: DataFrame,    // (vec_id, embedding, ...)
+      idCol: String, vecCol: String,
+      nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = seedCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = assignCells(corpus, idCol, vecCol, cents)
+
+    // each query → nprobe rows (query_id, qv, cell): explode its nprobe
+    // best cells, ranked by (cosine desc, cell asc)
+    val probes = queries
+      .withColumn("__cos", cosArray(col("qv"), cents))
+      .withColumn("__probe", explode(slice(array_sort(
+        zip_with(col("__cos"), typedLit(cents.map(_._1)),
+          (c, id) => struct((-c).as("negc"), id.as("cell")))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("__probe.cell").as("cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("c", Similarity.cosine(col("qv"), col(vecCol)))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Semantic dedup: one representative per IVF cell — the vector most
+    * central to its cell (max cosine to the centroid, ties → lowest id).
+    * The coarse counterpart to MinHash near-dup: collapses *semantically*
+    * redundant regions of embedding space to one exemplar each. One
+    * projection + one partial-aggregating groupBy on `cell`.
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
+    val cents = seedCentroids(corpus, idCol, vecCol, nlist)
+    assignCells(corpus, idCol, vecCol, cents)
+      .groupBy("cell")
+      .agg(
+        min_by(col(idCol), struct((-col("cell_cos")).as("negc"), col(idCol))).as("rep_id"),
+        max(col("cell_cos")).as("rep_cos"),
+        count(lit(1)).as("cell_size"))
+  }
+
+  /** Distributed Lloyd's k-means over an embedding column.
+    *
+    * Each iteration is two bounded jobs: (1) cell assignment is a literal
+    * projection (no shuffle); (2) the centroid update is
+    * posexplode → groupBy (cell, dim) → avg — scalar shuffles, never
+    * array-valued aggregation buffers — then an O(k × dim) collect.
+    * Driver traffic per iteration is exactly the new centroid matrix;
+    * executor memory is bounded by the partition size. Empty cells keep
+    * their previous centroid.
+    *
+    * Returns (assignments DataFrame with `cell`, final centroids).
+    * Not oracle-checked: the centroid averages are distributed float
+    * sums whose summation order differs across engines, so assignment
+    * decisions near cell boundaries are not bit-reproducible outside
+    * Spark. Covered by ScalaTest (convergence + partitioning
+    * invariance) instead.
+    */
+  def kmeans(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, Seq[(Long, Seq[Double], Double)]) = {
+    var cents = seedCentroids(corpus, idCol, vecCol, k)
+    val dim = cents.head._2.length
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, idCol, vecCol, cents)
+      val updated = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          val v: Seq[Double] = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+          cell -> ((v, n))
+        }
+      require(updated.values.forall(_._1.length == dim))
+      cents = cents.map { case old @ (id, _, _) =>
+        updated.get(id).map { case (v, n) => (id, v, n) }.getOrElse(old)
+      }
+    }
+    (assignCells(corpus, idCol, vecCol, cents), cents)
+  }
+}
