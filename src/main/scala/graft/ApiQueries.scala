@@ -68,6 +68,31 @@ object ApiQueries {
         .sortValues("p_partkey").toDF
     }
 
+    // str.normalize (reference _str_accessor.py normalize) — native
+    // codegen'd NFC over a decomposed input (combining acute, U+0301),
+    // plus casefold (upper∘lower handles one-to-many folds like ß→ss).
+    // length() counts code points on both engines, so pre/post lengths
+    // prove composition actually happened.
+    q("q_str_normalize",
+      """SELECT p_partkey,
+        |  nfc_normalize('Cafe' || chr(769) || ' ' || substr(p_name, 1, 10)) AS nfc,
+        |  length('Cafe' || chr(769) || ' ' || substr(p_name, 1, 10)) AS len_raw,
+        |  length(nfc_normalize('Cafe' || chr(769) || ' ' || substr(p_name, 1, 10))) AS len_nfc,
+        |  lower(upper('STRASSE-' || p_brand)) AS folded
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val p = Frame(Tables.part(s, dir))
+      val raw = Series(concat(lit("Cafe\u0301 "), substring(col("p_name"), 1, 10)))
+      p.filter(p("p_partkey") < 500)
+        .assign(
+          "nfc" -> raw.str.normalize("NFC"),
+          "len_raw" -> raw.str.len,
+          "len_nfc" -> raw.str.normalize("NFC").str.len,
+          "folded" -> Series(concat(lit("STRASSE-"), col("p_brand"))).str.casefold)
+        .select("p_partkey", "nfc", "len_raw", "len_nfc", "folded")
+        .sortValues("p_partkey").toDF
+    }
+
     // dt accessor tail (reference _datetime.py: tz_localize/tz_convert
     // via fixed offsets — session-TZ-independent on both engines —
     // to_period, total_seconds).

@@ -153,6 +153,15 @@ final class StrOps(private val c: Column) {
   def wrap(width: Int): Series =
     Series(array_join(regexp_extract_all(c, org.apache.spark.sql.functions.lit(s".{1,$width}"), org.apache.spark.sql.functions.lit(0)), "\n"))
   def cat(other: Column, sep: String = ""): Series = Series(concat_ws(sep, c, other))
+  /** Unicode normalization (pandas str.normalize; NFC/NFD/NFKC/NFKD) —
+    * a native codegen'd expression, see functions.UnicodeNormalize. */
+  def normalize(form: String = "NFC"): Series =
+    Series(graft.functions.UnicodeNormalize(c, form))
+  /** Aggressive case-insensitive fold (pandas str.casefold). Upper-then-
+    * lower resolves the one-to-many folds (ß→SS→ss) that plain lower()
+    * leaves alone; locale-independent on both engines. */
+  def casefold: Series =
+    Series(org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.upper(c)))
 }
 
 /** `.dt` accessor (reference `_datetime.py:4-72` + the 29 datetime

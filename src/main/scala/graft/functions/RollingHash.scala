@@ -71,13 +71,27 @@ object RollingHash {
 object GraftFunctions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("rolling_hash"),
-      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (args: Seq[Expression]) => {
-        require(args.length == 1, "rolling_hash takes exactly one argument")
-        RollingHash(args.head)
-      }))
+    Seq(
+      (
+        FunctionIdentifier("rolling_hash"),
+        new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "rolling_hash takes exactly one argument")
+          RollingHash(args.head)
+        }),
+      (
+        FunctionIdentifier("unicode_normalize"),
+        new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "unicode_normalize(str, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+          val form = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null =>
+              s.toString
+            case other => throw new IllegalArgumentException(
+              s"unicode_normalize form must be a string literal, got $other")
+          }
+          UnicodeNormalize(args.head, form)
+        }))
 
   /** Imperative registration on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -30,6 +30,36 @@ class RollingHashSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("unicode_normalize composes and decomposes; nulls pass through") {
+    import spark.implicits._
+    import graft.api.Series
+    val decomposed = "Café"   // e + combining acute
+    val composed = "Caf\u00e9"     // precomposed e-acute
+    val df = Seq(Some(decomposed), Some(composed), None).toDF("s")
+    val got = df.select(
+        Series(col("s")).str.normalize("NFC").col.as("nfc"),
+        Series(col("s")).str.normalize("NFD").col.as("nfd"))
+      .collect()
+    assert(got(0).getString(0) == composed && got(1).getString(0) == composed)
+    assert(got(0).getString(1) == decomposed && got(1).getString(1) == decomposed)
+    assert(got(2).isNullAt(0) && got(2).isNullAt(1))
+    // SQL surface via the registry, and form validation
+    GraftFunctions.register(spark)
+    assert(spark.sql(s"SELECT unicode_normalize('$decomposed', 'NFC') AS n")
+      .head().getString(0) == composed)
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
+  }
+
+  test("casefold resolves one-to-many folds") {
+    import spark.implicits._
+    import graft.api.Series
+    val got = Seq("Straße", "HELLO").toDF("s")
+      .select(Series(col("s")).str.casefold.col).as[String].collect()
+    assert(got.toSeq == Seq("strasse", "hello"))
+  }
+
   test("GraftExtensions injects the function set") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)   // must not throw; wiring smoke test
