@@ -30,6 +30,37 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def select(cols: String*): Frame = keep(df.select(cols.map(col): _*))
   def apply(name: String): Series = Series(df(name))
   def columns: Seq[String] = df.columns.toSeq
+  /** Column-positional selection (reference iloc — dask supports the
+    * column axis only, `_collection.py` ILocIndexer; so do we). */
+  def iloc(positions: Seq[Int]): Frame = {
+    val names = df.columns
+    keep(df.select(positions.map(i => col(names(i))): _*))
+  }
+  /** Keep only columns whose Spark SQL type matches `include`
+    * (reference select_dtypes; names per `DataType.simpleString`:
+    * "bigint", "double", "string", "timestamp", ...). */
+  def selectDtypes(include: String*): Frame = {
+    val inc = include.toSet
+    keep(df.select(df.schema.fields.toIndexedSeq
+      .filter(f => inc.contains(f.dataType.simpleString))
+      .map(f => col(f.name)): _*))
+  }
+  /** Apply `f` to this frame (reference pipe — method-chain escape hatch). */
+  def pipe(f: Frame => Frame): Frame = f(this)
+  /** Remove `column`, returning it alongside the remaining frame
+    * (reference pop). */
+  def pop(column: String): (Series, Frame) = (apply(column), drop(column))
+  /** Collapse a single-column frame to its Series (reference squeeze). */
+  def squeeze: Series = {
+    require(df.columns.length == 1,
+      s"squeeze: expected exactly 1 column, found ${df.columns.length}")
+    apply(df.columns.head)
+  }
+  /** Rename the declared index column (reference rename_axis). */
+  def renameAxis(name: String): Frame = index match {
+    case Some(i) => Frame(df.withColumnRenamed(i, name), Some(name))
+    case None => throw new IllegalStateException("renameAxis: no index declared")
+  }
   def filter(cond: Series): Frame = keep(df.filter(cond.col))
   /** `df.query("a > 1 and b < 2")` — Spark SQL predicate string. */
   def query(predicate: String): Frame = keep(df.filter(predicate))
@@ -157,12 +188,23 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
 
   /** Repartition so each output partition holds one `freq` bucket of
     * `on` (reference `_repartition.py:278-498` repartition(freq=...)):
-    * time-bucketed layout for downstream per-period work. Companion
-    * `repartitionBySize` is AQE's advisory-size coalescing — set
-    * `spark.sql.adaptive.advisoryPartitionSizeInBytes`. */
+    * time-bucketed layout for downstream per-period work. */
   def repartitionByFreq(on: String, freq: String): Frame =
     keep(df.repartitionByRange(date_trunc(freq, col(on)))
       .sortWithinPartitions(on))
+
+  /** Repartition toward a target partition SIZE (reference
+    * `_repartition.py` repartition(partition_size=...)): partition count
+    * from the optimizer's size estimate — a plan-time decision, no extra
+    * job. Inside a shuffle pipeline AQE's advisory size does this
+    * adaptively; this is the explicit knob for writes/layout. */
+  def repartitionBySize(targetBytes: Long): Frame = {
+    require(targetBytes > 0, "repartitionBySize: targetBytes must be > 0")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(1L, math.min(
+      ((est + targetBytes - 1) / targetBytes).toLong, 1 << 20)).toInt
+    keep(df.repartition(n))
+  }
 
   /** One-hot encode with DYNAMICALLY discovered categories (reference
     * `_dummies.py:1-177`, `_categorical.py:157` GetCategories): a

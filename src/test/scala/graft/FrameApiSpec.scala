@@ -444,6 +444,35 @@ class FrameApiSpec extends SparkSpec {
     assert(shifted.forall(_ == 90L * 1000000))
   }
 
+  test("iloc / selectDtypes / pipe / pop / squeeze / renameAxis") {
+    val o = fr("orders")
+    assert(o.iloc(Seq(0, 2)).columns == Seq(o.columns(0), o.columns(2)))
+    val numeric = o.selectDtypes("bigint", "double").columns
+    assert(numeric.contains("o_orderkey") && numeric.contains("o_totalprice")
+      && !numeric.contains("o_orderpriority"))
+    val piped = o.pipe(_.select("o_orderkey")).pipe(_.head(3))
+    assert(piped.count() == 3 && piped.columns == Seq("o_orderkey"))
+    val (popped, rest) = o.pop("o_comment")
+    assert(!rest.columns.contains("o_comment"))
+    assert(popped.col != null)
+    assert(o.select("o_orderkey").squeeze.col != null)
+    intercept[IllegalArgumentException](o.squeeze)
+    val renamed = o.setIndex("o_orderkey").renameAxis("idx")
+    assert(renamed.columns.contains("idx") && !renamed.columns.contains("o_orderkey"))
+    intercept[IllegalStateException](o.renameAxis("x"))
+  }
+
+  test("repartitionBySize targets a partition byte size from plan stats") {
+    val li = fr("lineitem")
+    val est = li.toDF.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    // target = est/8 → ~8 partitions (ceil division, bounded below by 1)
+    val n8 = li.repartitionBySize(math.max(est / 8, 1)).toDF.rdd.getNumPartitions
+    assert(n8 >= 8 && n8 <= 9, s"expected ~8 partitions, got $n8")
+    val n1 = li.repartitionBySize(est * 2 + 1).toDF.rdd.getNumPartitions
+    assert(n1 == 1)
+    intercept[IllegalArgumentException](li.repartitionBySize(0))
+  }
+
   test("setIndex supports tail and keep-first/last dedup") {
     val ev = Frame(Tables.events(spark, sfDir)).setIndex("event_id")
     val t = ev.tail(5).toDF.collect().map(_.getLong(0))
