@@ -66,15 +66,39 @@ object Bench {
       r
     }
 
-    // Millisecond precision keeps the one-line JSON compact: the round
-    // driver captures only a bounded tail of stdout, and a full-precision
-    // 133-query line overflows that window, truncating the line start and
-    // making the JSON unparseable (BENCH_r03 "parsed": null).
+    // The round driver captures only a bounded (~4 KB) tail of stdout; a
+    // full per-query map over 140+ queries is ~3.5 KB and, together with
+    // sbt's trailing "[success]" line, overflows that window and truncates
+    // the JSON line start (BENCH_r03/r06 "parsed": null). So: the FULL
+    // per-query map goes to bench_full.json (and to an early stdout line
+    // that may scroll out of the tail), while the final line — the one the
+    // driver parses — carries the total plus a fixed headline subset,
+    // bounded well under the capture window.
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","cold_value":${f(cold)},"queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","cold_value":${f(cold)},"n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
+    val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
+    java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
+    println(full) // early line: full detail for anyone reading the whole log
+
+    val headline = Seq(
+      "q1_pricing_summary", "q_shipping_priority", "q_local_supplier_volume",
+      "q_groupby_multi", "q_join_inner", "q_join_broadcast_star",
+      "q_merge_asof_backward", "q_window_rank", "q_topk", "q_set_index",
+      "q_quantiles", "q_rolling_time", "q_resample_daily", "q_pivot",
+      "q_dedup_exact_hash", "q_near_dup_minhash", "q_dup_clusters",
+      "q_minhash_bands", "q_simhash", "q_tfidf", "q_cosine_topk",
+      "q_ann_lsh", "q_ivf_topk", "q_semantic_dedup", "q_kmeans_cells",
+      "q_embedding_near_dup", "q_text_quality", "q_lang_id",
+      "q_token_count", "q_doc_fingerprint", "q_pipeline_e2e",
+      "q_stratified_sample", "q_cumulative", "q_str_regex")
+    val byName = results.toMap
+    val head = headline.flatMap(n => byName.get(n).map(n -> _))
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","cold_value":${f(cold)},"n_queries":${results.size},"full":"${fullPath}","queries":${jmap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
