@@ -595,11 +595,14 @@ object Queries {
       |  median(l_extendedprice) AS med_price
       |FROM lineitem""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
-    val qs = operators.Quantiles.exactQuantiles(li, "l_quantity", Seq(0.25, 0.5, 0.75))
-    val med = operators.Quantiles.exactMedian(li, "l_extendedprice")
+    // both columns ride one range-partition pipeline (one shuffle, one
+    // count, one probe — not two of each)
+    val m = operators.Quantiles.exactQuantilesMulti(li, Seq(
+      "l_quantity" -> Seq(0.25, 0.5, 0.75), "l_extendedprice" -> Seq(0.5)))
+    val qs = m("l_quantity")
     li.sparkSession.range(1).select(
       lit(qs(0)).as("p25"), lit(qs(1)).as("p50"), lit(qs(2)).as("p75"),
-      lit(med).as("med_price"))
+      lit(m("l_extendedprice").head).as("med_price"))
   }
 
   // Describe (reference _describe.py:16) — composed aggs, one row per stat

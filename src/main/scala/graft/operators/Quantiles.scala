@@ -39,9 +39,23 @@ object Quantiles {
   /** Exact linear-interpolation quantiles of `valueCol` (nulls excluded),
     * as one driver-side Double per requested fraction.
     */
-  def exactQuantiles(df: DataFrame, valueCol: String, fractions: Seq[Double]): Seq[Double] = Tuning.forSize(df) {
-    require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
-      s"fractions must be in [0,1]: $fractions")
+  def exactQuantiles(df: DataFrame, valueCol: String, fractions: Seq[Double]): Seq[Double] =
+    exactQuantilesMulti(df, Seq(valueCol -> fractions))(valueCol)
+
+  /** Exact quantiles for SEVERAL columns in ONE range-partition
+    * pipeline: the columns union into a (tag, value) long-format stream
+    * range-partitioned on (tag, value), so tag runs are contiguous and
+    * per-tag offsets fall out of one per-(partition, tag) count. Versus
+    * one pipeline per column this divides the job count (shuffle +
+    * count + probe, ~4 jobs each) by the column count — same driver
+    * traffic, same bounded executor memory.
+    */
+  def exactQuantilesMulti(df: DataFrame,
+      specs: Seq[(String, Seq[Double])]): Map[String, Seq[Double]] = Tuning.forSize(df) {
+    require(specs.nonEmpty, "at least one (column, fractions) spec")
+    specs.foreach { case (c, fs) =>
+      require(fs.nonEmpty && fs.forall(f => f >= 0.0 && f <= 1.0),
+        s"fractions must be in [0,1] for $c: $fs") }
     val spark = df.sparkSession
     // Session shuffle parallelism (which Tuning.forSize just right-sized
     // for small inputs) also drives the range-partition count.
@@ -53,58 +67,75 @@ object Quantiles {
     // With the lineage cut, a lost partition fails the job instead of
     // corrupting the answer — fail-fast over silently wrong.
     // (lazy: materializes during the pass-1 count — no extra job)
-    val sorted = df.select(col(valueCol).cast("double").as("__v")).na.drop("any")
-      .repartitionByRange(parts, col("__v"))
+    val tagged = df.select(explode(array(specs.map { case (c, _) =>
+        struct(lit(c).as("__t"), col(c).cast("double").as("__v")) }: _*)).as("s"))
+      .select(col("s.__t").as("__t"), col("s.__v").as("__v"))
+      .na.drop("any", Seq("__v"))
+      .repartitionByRange(parts, col("__t"), col("__v"))
       .localCheckpoint(false)
     try {
-      // Pass 1: per-partition counts → global offsets.
-      val counts = sorted
-        .groupBy(spark_partition_id().as("__pid")).agg(count(lit(1)).as("__c"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val n = counts.map(_._2).sum
-      require(n > 0, s"exactQuantiles($valueCol): no non-null rows")
-      // (pid, first global index in pid, count)
-      val spans = counts.scanLeft((0, 0L, 0L)) { case ((_, off, c), (pid, cnt)) =>
-        (pid, off + c, cnt)
-      }.drop(1)
+      // Pass 1: per-(partition, tag) counts → per-tag global offsets.
+      // Range partitioning on (tag, value) keeps each tag's rows
+      // contiguous across the partition sequence, so scanning the
+      // counts in (pid) order per tag yields that tag's value-order
+      // offsets exactly as in the single-column case.
+      val counts = tagged
+        .groupBy(spark_partition_id().as("__pid"), col("__t"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getString(1), r.getInt(0), r.getLong(2)))
+      val byTag = counts.groupBy(_._1)
 
-      // Global 0-based order statistics needed: floor/ceil of p*(n-1).
-      val targets = fractions.map { p =>
-        val pos = p * (n - 1)
-        (p, math.floor(pos).toLong, math.ceil(pos).toLong, pos - math.floor(pos))
+      // For each tag: (pid, first global index in pid, count) spans,
+      // then the wanted order statistics floor/ceil of p*(n-1).
+      case class Probe(tag: String, g: Long, pid: Int, rank: Long)
+      val targetsByTag = specs.map { case (tag, fractions) =>
+        val tagCounts = byTag.getOrElse(tag,
+          throw new IllegalArgumentException(
+            s"exactQuantiles($tag): no non-null rows")).map(c => c._2 -> c._3).sortBy(_._1)
+        val n = tagCounts.map(_._2).sum
+        val spans = tagCounts.scanLeft((0, 0L, 0L)) { case ((_, off, c), (pid, cnt)) =>
+          (pid, off + c, cnt)
+        }.drop(1)
+        val targets = fractions.map { p =>
+          val pos = p * (n - 1)
+          (p, math.floor(pos).toLong, math.ceil(pos).toLong, pos - math.floor(pos))
+        }
+        val probes = targets.flatMap(t => Seq(t._2, t._3)).distinct.map { g =>
+          val (pid, off, _) = spans.find { case (_, off, c) => off <= g && g < off + c }.get
+          Probe(tag, g, pid, g - off + 1)
+        }
+        (tag, targets, probes)
       }
-      val wanted = targets.flatMap(t => Seq(t._2, t._3)).distinct
-      val located = wanted.map { g =>
-        val (pid, off, _) = spans.find { case (_, off, c) => off <= g && g < off + c }.get
-        Row(g, pid, g - off + 1)
-      }
-      val neededPids = located.map(_.getInt(1)).distinct
+      val located = targetsByTag.flatMap(_._3)
+      val neededPids = located.map(_.pid).distinct
 
-      // Pass 2 (cache read): partition-local ranks via a window keyed on
-      // the partition id — groups are whole range-partitions — then an
+      // Pass 2 (checkpoint read): (partition, tag)-local ranks via a
+      // window — groups are whole range-partition tag runs — then an
       // equi-join against the tiny broadcast lookup fetches only the
-      // wanted rows.
+      // wanted rows. Partitions holding no wanted order statistic are
+      // dropped before the window, so the exchange moves only the few
+      // partitions actually probed — O(fractions) of them.
       val lookupDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(located, 1),
-        StructType(Seq(StructField("__g", LongType),
+        spark.sparkContext.parallelize(
+          located.map(p => Row(p.tag, p.g, p.pid, p.rank)), 1),
+        StructType(Seq(StructField("__t", org.apache.spark.sql.types.StringType),
+          StructField("__g", LongType),
           StructField("__pid", IntegerType), StructField("__rank", LongType))))
-      // Partitions holding no wanted order statistic are dropped before
-      // the window, so the pid-hash exchange moves only the few
-      // partitions actually probed — O(fractions) of them — not the
-      // whole column.
-      val w = Window.partitionBy("__pid").orderBy("__v")
-      val picked = sorted.withColumn("__pid", spark_partition_id())
+      val w = Window.partitionBy("__pid", "__t").orderBy("__v")
+      val picked = tagged.withColumn("__pid", spark_partition_id())
         .filter(col("__pid").isin(neededPids: _*))
         .withColumn("__rank", row_number().over(w).cast("long"))
-        .join(broadcast(lookupDf), Seq("__pid", "__rank"))
-        .select("__g", "__v")
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        .join(broadcast(lookupDf), Seq("__t", "__pid", "__rank"))
+        .select("__t", "__g", "__v")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
-      targets.map { case (_, lo, hi, wgt) =>
-        val a = picked(lo); val b = picked(hi)
-        if (lo == hi) a else a + (b - a) * wgt
-      }
-    } finally sorted.unpersist(blocking = false)
+      targetsByTag.map { case (tag, targets, _) =>
+        tag -> targets.map { case (_, lo, hi, wgt) =>
+          val a = picked((tag, lo)); val b = picked((tag, hi))
+          if (lo == hi) a else a + (b - a) * wgt
+        }
+      }.toMap
+    } finally tagged.unpersist(blocking = false)
   }
 
   /** Convenience: exact median. */

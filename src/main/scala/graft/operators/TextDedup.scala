@@ -193,27 +193,27 @@ object TextDedup {
     val reps = tagged.filter(col(idCol) === col("__rep"))
       .select(col(idCol), col(textCol))
 
-    // Distinct shingle HASHES (of representatives only): each text is
-    // shingled and digested exactly once, and only 8-byte hashes (never
-    // shingle strings) ever reach a shuffle — the distinct is an
-    // integer-pair exchange that combines map-side. Jaccard over 28-bit
-    // shingle hashes is this operator's documented verification
-    // semantics (the oracle replays it exactly); within one document a
-    // hash collision is ~|shingles| in 2^28 — noise far below the LSH
-    // band resolution. `spread = false`: the rep window above already
-    // shuffle-distributed the docs.
+    // Shingle HASHES (of representatives only), RAW — not distinct:
+    // each text is shingled and digested exactly once, and the min
+    // aggregates below are duplicate-insensitive, so the corpus-wide
+    // stream never pays a distinct exchange. Only candidate docs'
+    // hashes (a tiny set) get deduplicated, for the Jaccard set
+    // arithmetic. Jaccard over 28-bit shingle hashes is this operator's
+    // documented verification semantics (the oracle replays it
+    // exactly); within one document a hash collision is ~|shingles| in
+    // 2^28 — noise far below the LSH band resolution. `spread = false`:
+    // the rep window above already shuffle-distributed the docs.
     val raw = shingles(reps, idCol, textCol, shingleLen,
         distinct = false, spread = false)
       .select(col(idCol), baseHash(col("sh")).as("__h0"))
-      .distinct().cache()
-    // Signature AND set size in ONE aggregation over the hash stream:
-    // the k affine-mix mins plus a row count share the same
-    // map-side-combined groupBy — the set sizes for Jaccard cost
-    // nothing extra.
+      .cache()
+    // Signatures: k integer-only min aggregates, partial aggregation
+    // combining map-side — the only corpus-wide exchange after the rep
+    // window, carrying one k-long row per (id, input partition).
     val consts = mixConsts(numHashes)
     val aggs = consts.zipWithIndex.map { case ((a, b), i) =>
-      min((col("__h0") * a + b) % P).as(s"__mh$i") } :+ count(lit(1)).as("__nsh")
-    val wide = raw.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*).cache()
+      min((col("__h0") * a + b) % P).as(s"__mh$i") }
+    val wide = raw.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val bandStructs = (0 until numHashes / bandRows).map(b =>
       struct(lit(b).as("band"),
         concat_ws(",", (b * bandRows until (b + 1) * bandRows)
@@ -233,16 +233,19 @@ object TextDedup {
       if (candN <= 2000000L) broadcast(df) else df
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    // Candidate docs' hashes, straight off the cached stream (the
-    // broadcast semi-join adds no exchange).
+    // Candidate docs' DISTINCT hashes: the semi-join culls the cached
+    // raw stream to candidate docs first (broadcast — no exchange),
+    // so the distinct shuffles only the candidates' hash pairs, not
+    // the corpus's. Cached: the intersection reads it twice and the
+    // set sizes once.
     val shCand = raw.join(maybeBroadcast(candDocs), Seq(idCol), "left_semi")
+      .distinct().cache()
     val inter = shCand.join(maybeBroadcast(cand), col(idCol) === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("__h0"))
       .join(shCand.select(col(idCol).as("doc_b"), col("__h0")), Seq("doc_b", "__h0"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-    // Set sizes ride along in `wide`; only candidate docs' rows join.
-    val sizes = wide.select(col(idCol), col("__nsh"))
-      .join(maybeBroadcast(candDocs), Seq(idCol), "left_semi")
+    // Set sizes: one count over the candidates' distinct hashes.
+    val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("__nsh"))
     val repPairs = inter
       .join(maybeBroadcast(sizes.select(col(idCol).as("doc_a"), col("__nsh").as("na"))), "doc_a")
       .join(maybeBroadcast(sizes.select(col(idCol).as("doc_b"), col("__nsh").as("nb"))), "doc_b")
@@ -260,7 +263,7 @@ object TextDedup {
     // accumulate corpus-sized executor storage. `tagged` stays: the
     // expansion below still projects members from it.
     raw.unpersist(blocking = false)
-    wide.unpersist(blocking = false)
+    shCand.unpersist(blocking = false)
     cand.unpersist(blocking = false)
 
     // Expansion: representative pairs fan out to all clique-member
@@ -315,7 +318,8 @@ object TextDedup {
     * reads a change count off the just-checkpointed result — no
     * re-join.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
     val edgesRaw = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
       .union(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
       .distinct().cache()
@@ -325,6 +329,41 @@ object TextDedup {
     // single task, at scale it grows with the edge count. The measured
     // edge count also picks the constants-vs-AQE execution regime.
     val nEdges = edgesRaw.count()
+    // A graph under `driverEdgeLimit` edges fits comfortably on the
+    // driver (≤ ~80 MB of long pairs): union-find there is O(E α(E))
+    // with ONE collect and zero iterative jobs, versus O(log diameter)
+    // rounds of two shuffles plus a checkpoint each. Same decision
+    // shape as AQE's broadcast conversion — the measured size, not the
+    // declared plan, picks the execution strategy. Past the limit the
+    // distributed label-propagation path below takes over unchanged.
+    if (nEdges <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      val edges = edgesRaw
+        .select(col("n").cast("long"), col("m").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edgesRaw.unpersist(blocking = false)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id so labels converge to the component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      import spark.implicits._
+      // Seq.toDF is a LocalRelation — the labels flow into downstream
+      // plans without a single job.
+      return nodes.map(n => (n, find(n), n == find(n)))
+        .toDF("doc_id", "cluster_id", "is_rep")
+    }
     val parts = math.max(1, (nEdges / 500000L).toInt)
     Tuning.scoped(pairs.sparkSession, nEdges <= 10000000L) {
     // localCheckpoint (eager) truncates lineage each step — the

@@ -65,6 +65,23 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("multi-column one-pass agrees with built-in per column") {
+    val li = Tables.lineitem(spark, sfDir)
+    val specs = Seq("l_quantity" -> Seq(0.25, 0.5, 0.75),
+      "l_extendedprice" -> Seq(0.1, 0.5, 0.9),
+      "l_discount" -> Seq(0.5))
+    val got = Quantiles.exactQuantilesMulti(li, specs)
+    // ULP-level tolerance: Spark's builtin interpolates as
+    // (1-w)*lo + w*hi while we pin DuckDB's lo + (hi-lo)*w (the
+    // oracle-replayable form) — algebraically equal, one ULP apart.
+    specs.foreach { case (c, ps) =>
+      val want = builtin(li, c, ps)
+      got(c).zip(want).zip(ps).foreach { case ((g, w), p) =>
+        assert(math.abs(g - w) <= math.ulp(w) * 4, s"$c p=$p: got $g want $w")
+      }
+    }
+  }
+
   test("quantile plans contain no unbounded percentile aggregate") {
     // The four rewired queries must never plan Spark's exact
     // percentile/median over a whole column (a TypedImperativeAggregate

@@ -26,9 +26,29 @@ class TextDedupEdgeSpec extends SparkSpec {
     import spark.implicits._
     // 1-2, 2-3, 3-4 chain plus isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    // default: small graph → driver union-find path
     val got = TextDedup.dupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(got == expect)
+    // driverEdgeLimit=0 forces the distributed label-propagation path;
+    // both strategies must agree exactly
+    val gotDist = TextDedup.dupClusters(pairs, driverEdgeLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expect)
+  }
+
+  test("dup clusters: driver and distributed paths agree on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("doc_a", "doc_b")
+    def run(limit: Long) = TextDedup.dupClusters(pairs, driverEdgeLimit = limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(run(Long.MaxValue) == run(0L))
   }
 
   test("simhash of identical docs is identical, different docs differ") {
