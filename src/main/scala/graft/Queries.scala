@@ -1300,6 +1300,7 @@ object Queries {
   // registry stays one insertion-ordered map.
   // ---------------------------------------------------------------
   LlmQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
+  TrainPrepQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
   ApiQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
   IoQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
   UdxQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))

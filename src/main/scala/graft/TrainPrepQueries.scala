@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Packing, TextDedup}
+
+/** Training-data preparation surface beyond dedup/similarity: repetition
+  * quality signals, rule-composed quality filtering (Gopher-style),
+  * passage-level dedup, benchmark-contamination detection, and sequence
+  * packing into fixed context windows. Each query has a DuckDB oracle
+  * replaying the identical arithmetic (md5 hashes, integer divisions),
+  * so results are value-checked end to end.
+  */
+object TrainPrepQueries {
+
+  def registerAll(reg: (String, Option[String], (SparkSession, String) => DataFrame) => Unit): Unit = {
+
+    def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Unit =
+      reg(name, Some(oracle), fn)
+
+    // Repetition signals (the Gopher/RefinedWeb-style dup-text class):
+    // top-bigram share of all bigrams plus distinct-word fraction. One
+    // bigram explode + two bounded aggregations; the doc-level stats are
+    // pure projections joined back on doc_id.
+    q("q_repetition_ratio",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i FROM ws)),
+        |top AS (SELECT doc_id, max(c) AS top_bg FROM (
+        |          SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, bg)
+        |        GROUP BY doc_id),
+        |st AS (SELECT doc_id, len(w) AS nw,
+        |         len(list_distinct(w)) AS ndw FROM ws)
+        |SELECT st.doc_id, round(top_bg / (nw - 1), 9) AS rep_ratio,
+        |  round(ndw / nw, 9) AS distinct_frac,
+        |  (top_bg / (nw - 1) > 0.1 OR ndw / nw < 0.3) AS is_repetitive
+        |FROM st JOIN top ON st.doc_id = top.doc_id
+        |ORDER BY st.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ws = split(col("text"), " ")
+      val stats = docs.select(col("doc_id"), size(ws).as("nw"),
+        size(array_distinct(ws)).as("ndw"))
+      val top = docs
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(ws) - 1),
+          i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bg"))
+      stats.join(top, "doc_id")
+        .select(col("doc_id"),
+          round(col("top_bg") / (col("nw") - 1), 9).as("rep_ratio"),
+          round(col("ndw") / col("nw"), 9).as("distinct_frac"),
+          (col("top_bg") / (col("nw") - 1) > 0.1 ||
+            col("ndw") / col("nw") < 0.3).as("is_repetitive"))
+        .orderBy("doc_id")
+    }
+
+    // Rule-composed quality filter (Gopher rules shape): word-count
+    // bounds, mean word length bounds, stopword presence, lexical
+    // diversity — each rule a named boolean, plus the composed keep.
+    // Pure projection: scales as a map-only scan.
+    q("q_gopher_rules",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w, n_chars FROM documents),
+        |st AS (SELECT doc_id, len(w) AS nw,
+        |         list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a, x) -> a + x) AS wchars,
+        |         len(list_filter(w, x -> x IN ('the', 'a'))) AS nstop,
+        |         len(list_distinct(w)) AS ndw
+        |       FROM ws)
+        |SELECT doc_id, nw >= 10 AND nw <= 1000 AS ok_words,
+        |  wchars / nw >= 2 AND wchars / nw <= 12 AS ok_wordlen,
+        |  nstop / nw >= 0.01 AS ok_stopwords,
+        |  ndw / nw >= 0.2 AS ok_diversity,
+        |  (nw >= 10 AND nw <= 1000) AND (wchars / nw >= 2 AND wchars / nw <= 12)
+        |    AND nstop / nw >= 0.01 AND ndw / nw >= 0.2 AS keep
+        |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = split(col("text"), " ")
+      val st = Tables.documents(s, dir).select(col("doc_id"),
+        size(ws).as("nw"),
+        aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x).as("wchars"),
+        size(filter(ws, w => w === "the" || w === "a")).as("nstop"),
+        size(array_distinct(ws)).as("ndw"))
+      val okWords = col("nw") >= 10 && col("nw") <= 1000
+      val okWordlen = col("wchars") / col("nw") >= 2 && col("wchars") / col("nw") <= 12
+      val okStop = col("nstop") / col("nw") >= 0.01
+      val okDiv = col("ndw") / col("nw") >= 0.2
+      st.select(col("doc_id"), okWords.as("ok_words"), okWordlen.as("ok_wordlen"),
+          okStop.as("ok_stopwords"), okDiv.as("ok_diversity"),
+          (okWords && okWordlen && okStop && okDiv).as("keep"))
+        .orderBy("doc_id")
+    }
+
+    // Passage-level dedup: non-overlapping 20-word chunks, exact md5
+    // keep-first across the corpus — the sub-document counterpart of
+    // q_dedup_exact_hash (boilerplate paragraphs dedup at this
+    // granularity). One explode + one hash shuffle.
+    q("q_passage_dedup",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ps AS (SELECT doc_id, i AS chunk_idx,
+        |         md5(array_to_string(list_slice(w, 20*i + 1, 20*i + 20), ' ')) AS h
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(0, CAST(ceil(len(w) / 20.0) AS BIGINT) - 1)) AS i
+        |             FROM ws)),
+        |rk AS (SELECT doc_id, chunk_idx, h,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+        |       FROM ps)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ws = split(col("text"), " ")
+      val passages = Tables.documents(s, dir).select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ceil(size(ws) / lit(20.0)).cast("long") - 1),
+            i => md5(concat_ws(" ", slice(ws, i * 20 + 1, lit(20))))))
+            .as(Seq("chunk_idx", "h")))
+      val w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+      passages.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).as("n_kept"))
+        .orderBy("doc_id")
+    }
+
+    // Benchmark-contamination check: fraction of each training doc's
+    // distinct 8-grams that appear in the (small) benchmark set — the
+    // decontamination op every eval-aware pipeline runs. The benchmark
+    // gram set is broadcast; the corpus side is one explode + one
+    // aggregation, never a corpus×corpus join.
+    q("q_contamination",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gr AS (SELECT DISTINCT doc_id,
+        |         array_to_string(list_slice(w, i, i + 7), ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM ws)),
+        |bench AS (SELECT DISTINCT g FROM gr WHERE doc_id < 10),
+        |tr AS (SELECT gr.doc_id, count(*) AS n_grams,
+        |         CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |       FROM gr LEFT JOIN bench ON gr.g = bench.g
+        |       WHERE gr.doc_id >= 10 GROUP BY gr.doc_id)
+        |SELECT doc_id, n_grams, n_hit, n_hit > 0 AS contaminated
+        |FROM tr ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val grams = TextDedup.shingles(
+        Tables.documents(s, dir), "doc_id", "text", n = 8)
+      val bench = grams.filter(col("doc_id") < 10).select(col("sh").as("g")).distinct()
+      grams.filter(col("doc_id") >= 10)
+        .join(broadcast(bench), col("sh") === col("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("g").isNotNull, 1).otherwise(0)).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          (col("n_hit") > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }
+
+    // Sequence packing: documents in id order cut into 2048-token
+    // context windows (offset-cut policy; see operators.Packing for the
+    // two-pass no-global-window plan). Oracle replays the global running
+    // offset as a plain window cumsum — single-node DuckDB can afford
+    // what a cluster cannot.
+    q("q_pack_sequences",
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tok_offset
+        |      FROM t)
+        |SELECT CAST(tok_offset // 2048 AS BIGINT) AS bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM o GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      Packing.packSequences(docs, "doc_id", "n_tokens", capacity = 2048L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin")
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data preparation: documents in id
+  * order are laid head-to-tail into fixed `capacity`-token context
+  * windows, and each document is assigned the window (bin) its first
+  * token lands in — the deterministic offset-cut packing policy
+  * (reproducible under any partitioning, unlike best-fit heuristics
+  * whose output depends on visit order).
+  *
+  * The global running token offset is the same primitive as a global
+  * cumulative sum, which Spark's `Window.orderBy` would funnel into ONE
+  * partition — the classic scale-killer. Instead this uses the two-pass
+  * offset pattern (same shape as [[Quantiles]]):
+  *
+  *  1. range-partition by id (`repartitionByRange`) and pin the layout
+  *     with an eager-on-first-use localCheckpoint, so both passes see
+  *     identical partition bounds;
+  *  2. one tiny aggregation collects per-partition token sums →
+  *     cumulative partition offsets on the driver (O(partitions) rows);
+  *  3. a per-partition window adds the local running sum to the
+  *     partition's offset — every window group is one range partition,
+  *     no single-partition funnel anywhere.
+  */
+object Packing {
+
+  /** Assign each row a `bin` (0-based context-window index) plus its
+    * `tok_offset` (global tokens before it). `tokensCol` must be a
+    * non-negative integral column; rows are packed in `idCol` order.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      capacity: Long): DataFrame = Tuning.forSize(df) {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pinned = df
+      .select(col(idCol), col(tokensCol).cast("long").as("__tok"))
+      .repartitionByRange(parts, col(idCol))
+      .localCheckpoint(false)
+    // Pass 1: per-partition token sums → cumulative offsets (driver,
+    // O(partitions)).
+    val sums = pinned
+      .groupBy(spark_partition_id().as("__pid")).agg(sum("__tok").as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.zip(sums.scanLeft(0L) { case (acc, (_, s)) => acc + s })
+      .map { case ((pid, _), before) => pid -> before }.toMap
+    // Pass 2: partition-local running sum + broadcast offset lookup
+    // (a join, not a chained CASE — O(1) per row at any partition count).
+    val lookup = spark.createDataFrame(offsets.toSeq.map { case (p, o) => (p, o) })
+      .toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pinned.withColumn("__pid", spark_partition_id())
+      .withColumn("__cum", sum("__tok").over(w))
+      .join(broadcast(lookup), Seq("__pid"))
+      .withColumn("tok_offset", col("__off") + col("__cum") - col("__tok"))
+      .withColumn("bin", floor(col("tok_offset") / capacity))
+      .select(col(idCol), col("__tok").as("n_tokens"), col("tok_offset"), col("bin"))
+  }
+}

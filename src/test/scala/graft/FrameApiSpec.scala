@@ -452,8 +452,8 @@ class FrameApiSpec extends SparkSpec {
       && !numeric.contains("o_orderpriority"))
     val piped = o.pipe(_.select("o_orderkey")).pipe(_.head(3))
     assert(piped.count() == 3 && piped.columns == Seq("o_orderkey"))
-    val (popped, rest) = o.pop("o_comment")
-    assert(!rest.columns.contains("o_comment"))
+    val (popped, rest) = o.pop("o_orderpriority")
+    assert(!rest.columns.contains("o_orderpriority"))
     assert(popped.col != null)
     assert(o.select("o_orderkey").squeeze.col != null)
     intercept[IllegalArgumentException](o.squeeze)
