@@ -501,6 +501,33 @@ object Queries {
         (abs(col("a90") - exact(1)) <= exact(1) * 0.05).as("ok_p90"))
   }
 
+  // Mergeable HLL sketches (Apache DataSketches via Spark's
+  // hll_sketch_agg/hll_union_agg): per-group sketches estimate each
+  // group's distinct count, and the SAME sketches re-merge into the
+  // global estimate WITHOUT rescanning — the mergeable-summary pattern
+  // that makes distinct counts tractable at 100 TB (partial aggregation
+  // map-side, sketch-sized shuffle rows, re-aggregation at any
+  // granularity). Gated like q_nunique_approx: estimates must land
+  // within 5% of exact.
+  q("q_hll_sketch",
+    "SELECT true AS ok_groups, true AS ok_merged") { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val perGroup = li.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"),
+        countDistinct(col("l_partkey")).as("exact"))
+    val groupsOk = perGroup
+      .select((abs(expr("hll_sketch_estimate(sk)") - col("exact")) <=
+        col("exact") * 0.05).as("ok"))
+      .agg(min("ok").as("ok_groups"))
+    val merged = perGroup.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_all"))
+    val exactAll = li.agg(countDistinct(col("l_partkey")).as("exact_all"))
+    groupsOk.crossJoin(merged).crossJoin(exactAll)
+      .select(col("ok_groups"),
+        (abs(col("est_all") - col("exact_all")) <=
+          col("exact_all") * 0.05).as("ok_merged"))
+  }
+
   // Unique / NUnique exact (reference _reductions.py:565, _groupby nunique).
   q("q_nunique_exact",
     """SELECT count(DISTINCT l_partkey) AS n_parts,

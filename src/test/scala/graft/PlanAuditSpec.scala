@@ -75,6 +75,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(st.toMap.apply("physical").contains("PushedFilters"))
   }
 
+  test("train-prep projections prune the document scan to used columns") {
+    // q_gopher_rules derives every stat from the word array: the scan
+    // must read (doc_id, text) only — lang/source/n_chars pruned.
+    val p = plan("q_gopher_rules")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      "gopher rules scan reads columns it never uses")
+    val p2 = plan("q_repetition_ratio")
+    assert(!p2.contains("n_chars") && !p2.contains("source"),
+      "repetition scan reads columns it never uses")
+  }
+
+  test("contamination benchmark gram set broadcasts") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark grams did not broadcast — corpus-side shuffle at scale")
+  }
+
+  test("runtime bloom filter prunes a selective join's probe side") {
+    // The runtime-filtering story at 100 TB: a selective dimension
+    // filter injects a bloom-filter semi-filter on the fact scan, so
+    // most probe rows die before the join shuffle. Thresholds are
+    // lowered to let the tiny local tables qualify.
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sfDir)
+      val ord = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n${p.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("value_counts normalizes in-plan, not via a pre-computed scalar") {
     val analyzed = SparkEntry.queries("q_value_counts")(spark, sfDir)
       .queryExecution.analyzed.toString
