@@ -383,6 +383,32 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(df.withColumn(s"${column}_diff", col(column) - lag(col(column), 1).over(w)))
   }
 
+  // ---- training-data pipeline (graft extensions beyond the reference) ----
+
+  /** Exact content dedup, keep smallest index per identical `textCol`. */
+  def dedupExact(textCol: String): Frame =
+    keep(graft.operators.TextDedup.exactDedupKeepFirst(df, idx, textCol)
+      .drop("h"))
+
+  /** Near-duplicate pairs by MinHash-LSH + exact-Jaccard verify
+    * (see operators.TextDedup.nearDuplicates for the scale design). */
+  def nearDuplicates(textCol: String, threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): Frame =
+    Frame(graft.operators.TextDedup.nearDuplicates(df, idx, textCol,
+      threshold = threshold, maxBucketSize = maxBucketSize))
+
+  /** Connected duplicate clusters over `nearDuplicates` output. */
+  def dupClusters(textCol: String, threshold: Double = 0.8): Frame =
+    Frame(graft.operators.TextDedup.dupClusters(
+      graft.operators.TextDedup.nearDuplicates(df, idx, textCol,
+        threshold = threshold).select("doc_a", "doc_b")))
+
+  /** Pack rows into fixed-capacity token windows in index order
+    * (see operators.Packing — two-pass offsets, no global window). */
+  def packSequences(tokensCol: String, capacity: Long): Frame =
+    Frame(graft.operators.Packing.packSequences(df, idx, tokensCol, capacity),
+      index)
+
   // ---- escape hatches ----
 
   /** Apply any DataFrame → DataFrame transform (the reference's

@@ -491,4 +491,25 @@ class FrameApiSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == wantMin)
   }
+
+  test("training-prep ops on the facade match the registry queries") {
+    val docs = fr("documents").setIndex("doc_id")
+    // near-dup pairs via facade == q_near_dup_minhash (ordered identically)
+    same("q_near_dup_minhash",
+      docs.nearDuplicates("text").sortValues("doc_a", "doc_b"))
+    // packing via facade == the registry's per-bin summary
+    same("q_pack_sequences", docs
+      .assign("n_tokens" -> Series(size(split(col("text"), " "))))
+      .select("doc_id", "n_tokens")
+      .setIndex("doc_id")
+      .packSequences("n_tokens", 2048L)
+      .groupby("bin").aggNamed(("n_docs", "count", "n_tokens"),
+        ("total_tokens", "sum", "n_tokens"),
+        ("first_doc", "min", "doc_id"), ("last_doc", "max", "doc_id"))
+      .sortValues("bin"))
+    // exact dedup keeps one row per distinct text, smallest id
+    val deduped = docs.dedupExact("text")
+    assert(deduped.toDF.count() ==
+      Tables.documents(spark, sfDir).select("text").distinct().count())
+  }
 }
