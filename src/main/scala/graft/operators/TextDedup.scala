@@ -124,6 +124,39 @@ object TextDedup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Band signatures as a PURE PROJECTION — no explode, no groupBy:
+    * each minhash is `array_min` over the shingle-hash array, computed
+    * row-locally. Produces exactly the same (id, band, sig) rows as
+    * [[bandSignatures]] (differentially tested), but as a stateless
+    * map — the form a STREAMING plan needs (no aggregation state, no
+    * watermark) and the right shape whenever one row = one document.
+    * The aggregating form remains preferable when a single document's
+    * shingle set is too large to hold as one array value.
+    */
+  def bandSignaturesProjected(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, r: Int): DataFrame = {
+    val consts = mixConsts(k)
+    val ws = split(col(textCol), " ")
+    // min is duplicate-insensitive, so no distinct pass on the hashes
+    val shingleHashes = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => conv(substring(md5(
+          concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)),
+          1, 7), 16, 10).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val mins = consts.map { case (a, b) =>
+      array_min(transform(col("__sh"), h => (h * a + b) % P)) }
+    val bandStructs = (0 until k / r).map(bi =>
+      struct(lit(bi).as("band"),
+        concat_ws(",", (bi * r until (bi + 1) * r)
+          .map(i => col(s"__mh$i").cast("string")): _*).as("sig")))
+    docs.select(col(idCol), shingleHashes.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol) +: mins.zipWithIndex.map { case (m, i) => m.as(s"__mh$i") }: _*)
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** Candidate pairs from LSH buckets: ids sharing any (band, sig).
     *
     * `maxBucketSize`: a degenerate bucket with m members yields m²/2

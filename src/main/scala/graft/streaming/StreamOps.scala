@@ -73,6 +73,31 @@ object StreamOps {
       s" AND $rightTs <= $leftTs + INTERVAL $within"))
   }
 
+  /** Streaming near-duplicate detection against a static corpus index:
+    * incoming documents get MinHash band signatures via the PROJECTED
+    * form (graft.operators.TextDedup.bandSignaturesProjected — a
+    * stateless row-local map, so the streaming plan needs no
+    * aggregation state and no watermark), then stream-static join the
+    * prebuilt (id, band, sig) index on the bucket key. Emits candidate
+    * (stream doc, corpus doc) pairs per micro-batch — the online form
+    * of the batch LSH dedup, with the corpus index refreshable out of
+    * band. At scale the index side is bucketed on (band, sig) so the
+    * per-batch join is a bounded hash probe, never a corpus scan.
+    */
+  def streamingNearDupCandidates(stream: DataFrame, index: DataFrame,
+      idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 16, bandRows: Int = 4): DataFrame = {
+    val sigs = graft.operators.TextDedup.bandSignaturesProjected(
+      stream, idCol, textCol, shingleLen, numHashes, bandRows)
+    sigs.join(index
+        .withColumnRenamed(idCol, "corpus_id"), Seq("band", "sig"))
+      .filter(col(idCol) =!= col("corpus_id"))
+      .select(col(idCol), col("corpus_id"), col("band"))
+    // deliberately NOT distinct(): cross-batch dedup would need
+    // unbounded streaming state; a pair surfaces once per shared band
+    // and consumers collapse it in their (bounded) sink.
+  }
+
   /** Arbitrary stateful processing via mapGroupsWithState: a per-key
     * running (count, sum) that emits the updated aggregate on every
     * micro-batch — the custom-state escape hatch (§2.11 analogue for

@@ -123,4 +123,43 @@ class StreamingSpec extends SparkSpec {
         s"expected only user 1 within 30s: ${rows.mkString(";")}")
     } finally q.stop()
   }
+
+  test("projected band signatures equal the aggregating form on the corpus") {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val agg = key(TextDedup.bandSignatures(
+      TextDedup.shingles(docs, "doc_id", "text", 3, distinct = false),
+      "doc_id", 16, 4))
+    val proj = key(TextDedup.bandSignaturesProjected(docs, "doc_id", "text", 3, 16, 4))
+    assert(proj == agg, s"projected ${proj.size} vs aggregated ${agg.size} rows")
+  }
+
+  test("streaming near-dup candidates fire against a static corpus index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextDedup
+    val corpus = Seq(
+      (100L, "a b c d e f g h i j"),
+      (200L, "p q r s t u v w x y")).toDF("doc_id", "text")
+    val index = TextDedup.bandSignatures(
+      TextDedup.shingles(corpus, "doc_id", "text", 3, distinct = false),
+      "doc_id", 16, 4).cache()
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val cands = StreamOps.streamingNearDupCandidates(stream, index, "doc_id", "text")
+    val q = cands.writeStream.format("memory").queryName("near_dup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "a b c d e f g h i j"),        // exact dup of corpus 100
+        (2L, "entirely novel words only here today")) // no corpus match
+      q.processAllAvailable()
+      val hits = spark.table("near_dup_stream")
+        .select("doc_id", "corpus_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((1L, 100L)), s"got $hits")
+    } finally { q.stop(); index.unpersist() }
+  }
 }
