@@ -178,6 +178,20 @@ object LlmQueries {
         .orderBy("doc_id", "band")
     }
 
+    // Same signatures via the PROJECTED (stateless, streaming-safe)
+    // form — one row-local array computation per document, no
+    // explode/groupBy. Identical oracle: both forms must reproduce the
+    // reference MinHash formula exactly.
+    q("q_minhash_projected",
+      s"""WITH ${minhashCtes(n = 3, k = 16, r = 4)}
+         |SELECT doc_id, band, sig FROM bands
+         |WHERE doc_id < 50 ORDER BY doc_id, band""".stripMargin) { (s, dir) =>
+      TextDedup.bandSignaturesProjected(
+          Tables.documents(s, dir), "doc_id", "text", 3, 16, 4)
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id", "band")
+    }
+
     // SimHash(16-bit) signatures.
     {
       val bitTerms = (0 until 16).map(j =>
