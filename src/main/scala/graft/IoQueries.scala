@@ -91,6 +91,26 @@ object IoQueries {
 
     // read_text / to_text: line-oriented corpus IO (the raw form LLM
     // text pipelines start from).
+    // Hive-style partitioned layout: the write creates one directory
+    // per o_orderpriority; the read-back filter prunes non-matching
+    // partitions at PLANNING time (PartitionFilters — asserted in
+    // LayoutSpec), so at scale the unselected directories cost zero IO.
+    q("q_partitioned_pruning",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_totalprice) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val path = s"$ioDir/orders_partitioned"
+      graft.sources.Layout.writePartitioned(
+        Tables.orders(s, dir), path, "o_orderpriority")
+      Io.readParquet(s, path)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum("o_totalprice").cast("double").as("total"))
+        .orderBy("o_orderpriority")
+    }
+
     q("q_text_roundtrip",
       """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  min(md5(text)) AS min_h

@@ -186,8 +186,13 @@ object LlmQueries {
       s"""WITH ${minhashCtes(n = 3, k = 16, r = 4)}
          |SELECT doc_id, band, sig FROM bands
          |WHERE doc_id < 50 ORDER BY doc_id, band""".stripMargin) { (s, dir) =>
+      // the projection itself adds no shuffle, so map parallelism comes
+      // entirely from input splits: spread the single local file the
+      // way a many-split 100 TB source would arrive pre-split
       TextDedup.bandSignaturesProjected(
-          Tables.documents(s, dir), "doc_id", "text", 3, 16, 4)
+          Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", 3, 16, 4)
         .filter(col("doc_id") < 50)
         .orderBy("doc_id", "band")
     }

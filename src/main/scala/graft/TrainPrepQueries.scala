@@ -36,7 +36,11 @@ object TrainPrepQueries {
         |  (top_bg / (nw - 1) > 0.1 OR ndw / nw < 0.3) AS is_repetitive
         |FROM st JOIN top ON st.doc_id = top.doc_id
         |ORDER BY st.doc_id""".stripMargin) { (s, dir) =>
+      // single local file → spread so the bigram explode and the
+      // array_distinct projection use all cores (no-op on a well-split
+      // source)
       val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
       val ws = split(col("text"), " ")
       val stats = docs.select(col("doc_id"), size(ws).as("nw"),
         size(array_distinct(ws)).as("ndw"))

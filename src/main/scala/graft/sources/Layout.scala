@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Write-side data layout for scan pruning at scale.
+  *
+  * At 100 TB the cheapest scan is the one that never happens: directory
+  * partitioning prunes whole partitions at planning time
+  * (`PartitionFilters` in the scan), range-clustered writes give each
+  * parquet file/row-group tight min/max stats so selective filters skip
+  * them, and Z-ordering extends that skipping to SEVERAL filter columns
+  * at once — a filter on either dimension maps to a contiguous band of
+  * the interleaved-bit curve, so most files miss it entirely (the
+  * Delta/Iceberg OPTIMIZE ZORDER technique, here as a plain column
+  * expression + repartitionByRange).
+  */
+object Layout {
+
+  /** Hive-style directory partitioning: one directory per distinct
+    * value of `cols`. Readers with equality/range filters on those
+    * columns prune at planning time, before any file IO. Keep the
+    * partition column count low-cardinality — a high-cardinality
+    * partition key means millions of tiny files (the classic lake
+    * mistake).
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** Range-clustered write: rows range-partitioned and sorted within
+    * partitions on `cols`, so each output file covers a narrow key
+    * range and its parquet min/max stats make row-group skipping
+    * effective for filters on the leading columns.
+    */
+  def writeClustered(df: DataFrame, path: String, numFiles: Int, cols: String*): Unit =
+    df.repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Z-value of `cols`: each column bucketed into 2^`bits` rank buckets
+    * by approx-percentile split points (ONE bounded aggregation, driver
+    * traffic O(cols × 2^bits) — never a global-order window), then the
+    * bucket bits interleaved LSB-first. Rank bucketing is
+    * distribution-free: skewed values still spread over all buckets.
+    * Two-column filters both map to contiguous curve segments.
+    */
+  def zValue(df: DataFrame, bits: Int, cols: Seq[String]): DataFrame = {
+    val n = 1 << bits
+    val fracs = (1 until n).map(_.toDouble / n)
+    val splitRow = df.select(cols.map(c =>
+      expr(s"approx_percentile(CAST($c AS DOUBLE), array(${fracs.mkString(",")}), 10000)")
+        .as(s"__s_$c")): _*).head()
+    val bucketed = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val splits = splitRow.getSeq[Double](i)
+      d.withColumn(s"__b$i",
+        splits.map(s => when(col(c).cast("double") > s, 1L).otherwise(0L))
+          .reduce(_ + _))
+    }
+    val z = (0 until bits).flatMap { bit =>
+      cols.indices.map { i =>
+        (shiftright(col(s"__b$i"), bit).bitwiseAND(1) *
+          lit(1L << (bit.toLong * cols.size + i))): Column
+      }
+    }.reduce(_ + _)
+    bucketed.withColumn("__z", z).drop(cols.indices.map(i => s"__b$i"): _*)
+  }
+
+  /** Z-ordered clustered write on `cols`: compute the z-value, range
+    * partition + sort the data by it, drop the helper column, write.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int, bits: Int,
+      cols: String*): Unit =
+    zValue(df, bits, cols)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+}

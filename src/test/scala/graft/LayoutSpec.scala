@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Io, Layout}
+
+/** Write-side layout: partition pruning is visible in the plan, and
+  * clustered / Z-ordered files have the narrow per-file value spans
+  * that make parquet min/max skipping effective.
+  */
+class LayoutSpec extends SparkSpec {
+
+  // unique dir per run: Spark's session-shared FileStatusCache can
+  // serve a stale listing for a path rewritten mid-suite
+  private val dir = s"/root/repo/target/io/layout_spec_${System.nanoTime}"
+
+  test("partitioned write prunes at planning time") {
+    Layout.writePartitioned(Tables.orders(spark, sfDir), s"$dir/part", "o_orderpriority")
+    val read = Io.readParquet(spark, s"$dir/part")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderpriority"),
+      s"no partition filter in scan:\n${plan.take(1500)}")
+    assert(read.count() ==
+      Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
+  /** Mean per-file span of `c` as a fraction of its global span — the
+    * min/max-skipping effectiveness metric: for a uniform point filter,
+    * the expected fraction of files that CANNOT be skipped. The mean
+    * (not max) is the right statistic for a Z layout: a contiguous
+    * curve segment that crosses a high-order bit boundary legitimately
+    * has a full-width bounding box in one dimension. */
+  private def meanSpanFrac(path: String, c: String): Double = {
+    val df = Io.readParquet(spark, path)
+      .select(col(c).cast("timestamp").cast("double").as("v"),
+        input_file_name().as("f"))
+    val g = df.agg(max("v") - min("v")).head.getDouble(0)
+    df.groupBy("f").agg((max("v") - min("v")).as("span"))
+      .agg(avg("span")).head.getDouble(0) / g
+  }
+
+  test("range-clustered files cover narrow key ranges") {
+    Layout.writeClustered(Tables.orders(spark, sfDir), s"$dir/clustered",
+      numFiles = 8, "o_orderdate")
+    val frac = meanSpanFrac(s"$dir/clustered", "o_orderdate")
+    assert(frac <= 0.25, f"clustered files span $frac%.2f of the key range on average")
+  }
+
+  test("z-ordered files are narrow on BOTH columns; plain clustering is not") {
+    val li = Tables.lineitem(spark, sfDir)
+    Layout.writeZOrdered(li, s"$dir/zorder", numFiles = 16, bits = 4,
+      "l_orderkey", "l_partkey")
+    val fo = meanSpanFrac(s"$dir/zorder", "l_orderkey")
+    val fp = meanSpanFrac(s"$dir/zorder", "l_partkey")
+    // files touch bounded bands of BOTH dimensions on average — the
+    // property single-column clustering cannot give the second column
+    assert(fo <= 0.5 && fp <= 0.5, f"z-order mean spans: orderkey $fo%.2f partkey $fp%.2f")
+    Layout.writeClustered(li, s"$dir/cl1", numFiles = 16, "l_orderkey")
+    val fpPlain = meanSpanFrac(s"$dir/cl1", "l_partkey")
+    assert(fpPlain >= 0.85,
+      f"expected near-full second-column span under single-key clustering, got $fpPlain%.2f")
+    // row count is preserved by the layout shuffle
+    assert(Io.readParquet(spark, s"$dir/zorder").count() == li.count())
+  }
+
+  test("zValue interleaves bucket bits reversibly") {
+    import spark.implicits._
+    val df = (0 until 256).map(i => (i.toLong, (255 - i).toLong)).toDF("a", "b")
+    val z = Layout.zValue(df, bits = 4, Seq("a", "b"))
+    // decode: even bit positions (LSB-first) are a's bits, odd are b's
+    val rows = z.select(col("a"), col("b"), col("__z")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def abits(zv: Long) = (0 until 4).map(k => ((zv >> (2 * k)) & 1L) << k).sum
+    def bbits(zv: Long) = (0 until 4).map(k => ((zv >> (2 * k + 1)) & 1L) << k).sum
+    // a's decoded bucket is monotone in a and fills all 16 buckets;
+    // b's decoded bucket is monotone in b (= anti-monotone in a here)
+    val as = rows.map { case (_, _, zv) => abits(zv) }
+    val bs = rows.map { case (_, _, zv) => bbits(zv) }
+    assert(as.zip(as.tail).forall { case (x, y) => x <= y }, "a buckets not monotone")
+    assert(bs.zip(bs.tail).forall { case (x, y) => x >= y }, "b buckets not anti-monotone")
+    assert(as.distinct.size == 16 && bs.distinct.size == 16, "buckets not all used")
+  }
+}
