@@ -409,6 +409,15 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.Packing.packSequences(df, idx, tokensCol, capacity),
       index)
 
+  // ---- write-side layout (sources.Layout — scan pruning at scale) ----
+
+  def writePartitioned(path: String, cols: String*): Unit =
+    graft.sources.Layout.writePartitioned(df, path, cols: _*)
+  def writeClustered(path: String, numFiles: Int, cols: String*): Unit =
+    graft.sources.Layout.writeClustered(df, path, numFiles, cols: _*)
+  def writeZOrdered(path: String, numFiles: Int, bits: Int, cols: String*): Unit =
+    graft.sources.Layout.writeZOrdered(df, path, numFiles, bits, cols: _*)
+
   // ---- escape hatches ----
 
   /** Apply any DataFrame → DataFrame transform (the reference's
