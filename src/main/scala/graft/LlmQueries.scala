@@ -589,18 +589,56 @@ object LlmQueries {
     }
 
     // Distributed k-means (3 Lloyd iterations, k=8): centroid updates are
-    // scalar shuffles + an O(k×dim) collect per round. Rows-only check —
-    // the averaged centroids are distributed float sums, not
-    // bit-reproducible across engines (see Clustering.kmeans scaladoc);
-    // convergence and partitioning-invariance are ScalaTest-gated.
-    reg("q_kmeans_cells", None, { (s, dir) =>
+    // scalar shuffles + an O(k×dim) collect per round. roundTo=6 snaps
+    // each centroid mean to 6 decimals, absorbing distributed-sum float
+    // drift — the whole iteration becomes a deterministic function of
+    // the input, so the oracle replays seed → assign → round(avg) three
+    // times and every cell decision matches bit-for-bit (see
+    // Clustering.kmeans scaladoc). Convergence and
+    // partitioning-invariance stay ScalaTest-gated.
+    val kmeansIterCtes = {
+      val iters = 3
+      def cos(cv: String, e: String) =
+        s"${dotSql(cv, e)} / (sqrt(${dotSql(cv, cv)}) * sqrt(${dotSql(e, e)}))"
+      val sb = new StringBuilder(
+        "c0 AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8)")
+      for (i <- 1 to iters) {
+        sb.append(s""",
+           |s$i AS (SELECT e.vec_id, e.embedding, c.cell,
+           |          ${cos("c.cv", "e.embedding")} AS cc
+           |        FROM embeddings e, c${i - 1} c),
+           |a$i AS (SELECT vec_id, embedding, cell, cc,
+           |          row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS crn
+           |        FROM s$i),
+           |u$i AS (SELECT cell, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+           |        FROM (SELECT cell, embedding, unnest(generate_series(1, len(embedding))) AS i
+           |              FROM a$i WHERE crn = 1)
+           |        GROUP BY cell, i),
+           |c$i AS (SELECT c.cell, COALESCE(n.cv, CAST(c.cv AS DOUBLE[])) AS cv
+           |        FROM c${i - 1} c LEFT JOIN
+           |          (SELECT cell, list(m ORDER BY i) AS cv FROM u$i GROUP BY cell) n
+           |          USING (cell))""".stripMargin)
+      }
+      sb.append(s""",
+         |sf AS (SELECT e.vec_id, c.cell, ${cos("c.cv", "e.embedding")} AS cc
+         |       FROM embeddings e, c$iters c),
+         |af AS (SELECT vec_id, cell, cc,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS crn
+         |       FROM sf)""".stripMargin)
+      sb.toString
+    }
+    q("q_kmeans_cells",
+      s"""WITH $kmeansIterCtes
+         |SELECT cell, count(*) AS cell_size, round(avg(cc), 6) AS avg_cos
+         |FROM af WHERE crn = 1 GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
       val (assigned, _) = operators.Clustering.kmeans(
-        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3)
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3,
+        roundTo = 6)
       assigned.groupBy("cell")
         .agg(count(lit(1)).as("cell_size"),
           round(avg("cell_cos"), 6).as("avg_cos"))
         .orderBy("cell")
-    })
+    }
 
     // Stratified sampling: per-group hash thresholds (downsample the
     // dominant language, keep the rest) — the data-balancing op,

@@ -145,23 +145,32 @@ object Clustering {
     * their previous centroid.
     *
     * Returns (assignments DataFrame with `cell`, final centroids).
-    * Not oracle-checked: the centroid averages are distributed float
-    * sums whose summation order differs across engines, so assignment
-    * decisions near cell boundaries are not bit-reproducible outside
-    * Spark. Covered by ScalaTest (convergence + partitioning
-    * invariance) instead.
+    *
+    * `roundTo >= 0` rounds each centroid mean to that many decimals
+    * after every update. The raw averages are distributed float sums
+    * whose summation order differs across engines (and across runs),
+    * so unrounded centroids make boundary assignments
+    * non-reproducible; rounding absorbs the ~1e-12 relative drift and
+    * turns the whole iteration into a deterministic function of the
+    * input — an external engine replaying seed → assign → round(avg)
+    * reproduces every centroid (and so every cell decision)
+    * bit-for-bit. Default -1 keeps full precision for callers that
+    * only need convergence, not cross-engine replay.
     */
   def kmeans(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): (DataFrame, Seq[(Long, Seq[Double], Double)]) = {
+      k: Int, iters: Int, roundTo: Int = -1): (DataFrame, Seq[(Long, Seq[Double], Double)]) = {
     var cents = seedCentroids(corpus, idCol, vecCol, k)
     val dim = cents.head._2.length
     for (_ <- 0 until iters) {
       val assigned = assignCells(corpus, idCol, vecCol, cents)
+      val meanCol =
+        if (roundTo >= 0) round(avg(col("x").cast("double")), roundTo)
+        else avg(col("x").cast("double"))
       val updated = assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg(meanCol.as("m"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>
