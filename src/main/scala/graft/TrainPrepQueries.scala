@@ -42,11 +42,16 @@ object TrainPrepQueries {
       val docs = Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
       val ws = split(col("text"), " ")
+      val wsa = col("__ws")
       val stats = docs.select(col("doc_id"), size(ws).as("nw"),
         size(array_distinct(ws)).as("ndw"))
+      // split projected to an attribute first: the transform lambda is
+      // interpreted, so an inlined split expression would re-split the
+      // document per element_at reference (see TextDedup.shingles)
       val top = docs
-        .select(col("doc_id"), explode(transform(sequence(lit(1), size(ws) - 1),
-          i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))).as("bg"))
+        .select(col("doc_id"), ws.as("__ws"))
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(wsa) - 1),
+          i => concat(element_at(wsa, i), lit(" "), element_at(wsa, i + 1)))).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max("c").as("top_bg"))
       stats.join(top, "doc_id")
@@ -126,29 +131,41 @@ object TrainPrepQueries {
 
     // Benchmark-contamination check: fraction of each training doc's
     // distinct 8-grams that appear in the (small) benchmark set — the
-    // decontamination op every eval-aware pipeline runs. The benchmark
-    // gram set is broadcast; the corpus side is one explode + one
-    // aggregation, never a corpus×corpus join.
+    // decontamination op every eval-aware pipeline runs. Grams travel as
+    // 60-bit md5-derived integers everywhere past the projection: the
+    // distinct exchanges and the probe join carry 8-byte keys instead of
+    // ~50-char strings, and the oracle replays the identical hash so
+    // distinct-hash counts match exactly (a collision inside one doc is
+    // ~n²/2^61 — effectively never, and identically never in both
+    // engines). The benchmark side shingles only the filtered benchmark
+    // docs; the corpus chain is computed once, never twice.
     q("q_contamination",
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |gr AS (SELECT DISTINCT doc_id,
-        |         array_to_string(list_slice(w, i, i + 7), ' ') AS g
+        |gr AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
         |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM ws)),
-        |bench AS (SELECT DISTINCT g FROM gr WHERE doc_id < 10),
-        |tr AS (SELECT gr.doc_id, count(*) AS n_grams,
-        |         CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-        |       FROM gr LEFT JOIN bench ON gr.g = bench.g
-        |       WHERE gr.doc_id >= 10 GROUP BY gr.doc_id)
+        |bench AS (SELECT DISTINCT h FROM gr WHERE doc_id < 10),
+        |grd AS (SELECT DISTINCT doc_id, h FROM gr WHERE doc_id >= 10),
+        |tr AS (SELECT grd.doc_id, count(*) AS n_grams,
+        |         CAST(sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |       FROM grd LEFT JOIN bench ON grd.h = bench.h
+        |       GROUP BY grd.doc_id)
         |SELECT doc_id, n_grams, n_hit, n_hit > 0 AS contaminated
         |FROM tr ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val grams = TextDedup.shingles(
-        Tables.documents(s, dir), "doc_id", "text", n = 8)
-      val bench = grams.filter(col("doc_id") < 10).select(col("sh").as("g")).distinct()
-      grams.filter(col("doc_id") >= 10)
-        .join(broadcast(bench), col("sh") === col("g"), "left")
+      def gramHash(docs: DataFrame) =
+        TextDedup.shingles(docs, "doc_id", "text", n = 8, distinct = false)
+          .select(col("doc_id"),
+            conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      val docs = Tables.documents(s, dir)
+      val bench = gramHash(docs.filter(col("doc_id") < 10))
+        .select("h").distinct()
+      gramHash(docs.filter(col("doc_id") >= 10))
+        .distinct()
+        .join(broadcast(bench.withColumnRenamed("h", "bh")),
+          col("h") === col("bh"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("g").isNotNull, 1).otherwise(0)).as("n_hit"))
+          sum(when(col("bh").isNotNull, 1).otherwise(0)).as("n_hit"))
         .select(col("doc_id"), col("n_grams"), col("n_hit"),
           (col("n_hit") > 0).as("contaminated"))
         .orderBy("doc_id")

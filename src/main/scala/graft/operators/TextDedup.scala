@@ -65,12 +65,21 @@ object TextDedup {
       if (spread && nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
         docs.repartition(spark.sparkContext.defaultParallelism)
       else docs
-    val ws = split(col(textCol), " ")
-    val raw = src.select(col(idCol),
-      explode(when(size(ws) >= n,
-        transform(sequence(lit(0), size(ws) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
-        .otherwise(array())).as("sh"))
+    // The split array goes through a projection of its own so the
+    // transform lambda below consumes a bound ATTRIBUTE. Higher-order
+    // functions are interpreted (no whole-stage codegen, no
+    // common-subexpression elimination inside the lambda), so an
+    // inlined split(text) expression would re-split the document for
+    // EVERY element_at reference of every gram — measured ~5× the
+    // query time at sf0.1. CollapseProject keeps the projection: the
+    // array is referenced more than once and split is not cheap.
+    val wsa = col("__ws")
+    val raw = src.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol),
+        explode(when(size(wsa) >= n,
+          transform(sequence(lit(0), size(wsa) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(wsa, i + j + 1)): _*)))
+          .otherwise(array())).as("sh"))
     if (distinct) raw.distinct() else raw
   }
 
@@ -137,11 +146,17 @@ object TextDedup {
       n: Int, k: Int, r: Int): DataFrame = {
     val consts = mixConsts(k)
     val ws = split(col(textCol), " ")
-    // min is duplicate-insensitive, so no distinct pass on the hashes
-    val shingleHashes = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
+    // min is duplicate-insensitive, so no distinct pass on the hashes.
+    // The lambda reads the split array through the bound `__ws`
+    // attribute, never the split expression itself: HOF lambdas are
+    // interpreted with no subexpression elimination, so an inlined
+    // split would re-split the document per element_at reference (see
+    // shingles()).
+    val wsa = col("__ws")
+    val shingleHashes = when(size(wsa) >= n,
+      transform(sequence(lit(0), size(wsa) - n),
         i => conv(substring(md5(
-          concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)),
+          concat_ws(" ", (0 until n).map(j => element_at(wsa, i + j + 1)): _*)),
           1, 7), 16, 10).cast("long")))
       .otherwise(array().cast("array<long>"))
     // ALL k mins in ONE aggregate over the hash array: the accumulator
@@ -166,6 +181,7 @@ object TextDedup {
     // projections, so size(__sh) > 0 would re-evaluate the whole md5
     // array once more per row just to test emptiness
     docs.filter(size(ws) >= n)
+      .select(col(idCol), ws.as("__ws"))
       .select(col(idCol), shingleHashes.as("__sh"))
       .select(col(idCol), minsVec.as("__mins"))
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))

@@ -23,9 +23,17 @@ object Layout {
     * partition column count low-cardinality — a high-cardinality
     * partition key means millions of tiny files (the classic lake
     * mistake).
+    *
+    * Rows are shuffled onto the partition columns before the write:
+    * without that, every one of the N input tasks opens a writer for
+    * every partition value it sees (N × values small files, N × values
+    * commit round-trips); with it, each directory receives a few
+    * well-sized files. AQE splits any skewed partition value across
+    * tasks, so one hot value doesn't serialize the write.
     */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
-    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+    df.repartition(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
   /** Range-clustered write: rows range-partitioned and sorted within
     * partitions on `cols`, so each output file covers a narrow key
