@@ -81,12 +81,16 @@ object TrainPrepQueries {
         |  (nw >= 10 AND nw <= 1000) AND (wchars / nw >= 2 AND wchars / nw <= 12)
         |    AND nstop / nw >= 0.01 AND ndw / nw >= 0.2 AS keep
         |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val ws = split(col("text"), " ")
-      val st = Tables.documents(s, dir).select(col("doc_id"),
-        size(ws).as("nw"),
-        aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x).as("wchars"),
-        size(filter(ws, w => w === "the" || w === "a")).as("nstop"),
-        size(array_distinct(ws)).as("ndw"))
+      // one split per row: the four consumers read the projected
+      // attribute, not four copies of the split expression
+      val wsa = col("__ws")
+      val st = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+        .select(col("doc_id"),
+          size(wsa).as("nw"),
+          aggregate(transform(wsa, w => length(w)), lit(0), (a, x) => a + x).as("wchars"),
+          size(filter(wsa, w => w === "the" || w === "a")).as("nstop"),
+          size(array_distinct(wsa)).as("ndw"))
       val okWords = col("nw") >= 10 && col("nw") <= 1000
       val okWordlen = col("wchars") / col("nw") >= 2 && col("wchars") / col("nw") <= 12
       val okStop = col("nstop") / col("nw") >= 0.01
@@ -115,11 +119,16 @@ object TrainPrepQueries {
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val ws = split(col("text"), " ")
-      val passages = Tables.documents(s, dir).select(col("doc_id"),
+      // split projected to an attribute: the slice inside the
+      // interpreted lambda would otherwise re-split the document per
+      // chunk (see TextDedup.shingles)
+      val wsa = col("__ws")
+      val passages = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+        .select(col("doc_id"),
           posexplode(transform(
-            sequence(lit(0), ceil(size(ws) / lit(20.0)).cast("long") - 1),
-            i => md5(concat_ws(" ", slice(ws, i * 20 + 1, lit(20))))))
+            sequence(lit(0), ceil(size(wsa) / lit(20.0)).cast("long") - 1),
+            i => md5(concat_ws(" ", slice(wsa, i * 20 + 1, lit(20))))))
             .as(Seq("chunk_idx", "h")))
       val w = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
       passages.withColumn("rn", row_number().over(w))
