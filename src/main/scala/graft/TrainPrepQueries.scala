@@ -204,5 +204,119 @@ object TrainPrepQueries {
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("bin")
     }
+
+    // Model-based quality scoring, perplexity-filter shape (CCNet/
+    // RefinedWeb use a KenLM; here the LM is a corpus-trained bigram
+    // model with add-one smoothing, so the whole thing is replayable
+    // SQL): score(doc) = mean ln P(w_i | w_{i-1}). Training is two
+    // vocabulary-sized aggregations (bigram counts, prefix counts) —
+    // they shuffle on words, never on documents — and scoring joins the
+    // bigram stream back to the broadcast-or-shuffled LM table. Nothing
+    // corpus-sized ever sits on the driver, so the same plan trains on
+    // the full 100 TB corpus.
+    q("q_bigram_lm",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i FROM ws)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT u.w) AS v FROM (SELECT unnest(w) AS w FROM ws) u),
+        |p AS (SELECT c2.w1, c2.w2, ln((c2.c2 + 1) / (c1.c1 + v.v)) AS logp
+        |      FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v)
+        |SELECT bg.doc_id, count(*) AS n_bigrams, round(avg(p.logp), 9) AS avg_logp
+        |FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
+      val wsa = col("__ws")
+      // split once per row into a bound attribute (see q_gopher_rules)
+      val docsWs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      val bg = docsWs
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(wsa) - 1),
+          i => struct(element_at(wsa, i).as("w1"), element_at(wsa, i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      val v = docsWs.select(explode(wsa).as("w")).agg(countDistinct("w").as("v"))
+      val lm = c2.join(c1, "w1").crossJoin(broadcast(v))
+        .select(col("w1"), col("w2"),
+          log((col("c2") + lit(1)) / (col("c1") + col("v"))).as("logp"))
+      bg.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 9).as("avg_logp"))
+        .orderBy("doc_id")
+    }
+
+    // Data mixing to a per-source token budget: rank each source's docs
+    // by a deterministic md5 priority and keep rows while the running
+    // token total stays under budget — the "sample N tokens from each
+    // source" step that builds a training mixture. One shuffle on
+    // source + a per-source sort; at extreme per-source cardinality the
+    // same two-pass offset pattern as operators.Packing applies, but a
+    // per-source window is the right default (each source sorts in
+    // parallel, nothing global).
+    q("q_token_budget_mix",
+      """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        |             md5(CAST(doc_id AS VARCHAR)) AS pr FROM documents),
+        |c AS (SELECT source, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY pr, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN cum <= 800 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |  CAST(sum(CASE WHEN cum <= 800 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).as("n_tokens"),
+          md5(col("doc_id").cast("string").cast("binary")).as("pr"), col("doc_id"))
+      val w = Window.partitionBy("source").orderBy("pr", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum", sum("n_tokens").over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum(when(col("cum") <= 800, 1).otherwise(0)).as("kept_docs"),
+          sum(when(col("cum") <= 800, col("n_tokens")).otherwise(0)).as("kept_tokens"))
+        .orderBy("source")
+    }
+
+    // Cross-source contamination matrix: pairwise 8-gram Jaccard between
+    // sources — the corpus-analytics view of leakage between subsets
+    // (web snapshot vs books dump sharing boilerplate). Grams travel as
+    // 60-bit ints; the pair stream comes from a gram-bucket self-join
+    // (fan-out per gram = #sources containing it, never docs²), so at
+    // scale the cost is bounded by #distinct grams × source-multiplicity.
+    q("q_source_overlap",
+      """WITH ws AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |        CAST('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
+        |      FROM (SELECT source, w, unnest(generate_series(1, len(w) - 7)) AS i FROM ws)),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+        |ix AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |       FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |       GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+        |  round(inter / (sa.n + sb.n - inter), 9) AS jaccard
+        |FROM ix JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val g = TextDedup.shingles(Tables.documents(s, dir), "source", "text",
+          n = 8, distinct = false)
+        .select(col("source"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct()
+      val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
+      val a = g.select(col("source").as("src_a"), col("h"))
+      val b = g.select(col("source").as("src_b"), col("h").as("hb"))
+      a.join(b, col("h") === col("hb") && col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+        .join(sz.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+        .join(sz.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          round(col("inter") / (col("na") + col("nb") - col("inter")), 9).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    }
   }
 }
