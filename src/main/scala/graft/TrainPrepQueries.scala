@@ -226,24 +226,8 @@ object TrainPrepQueries {
         |SELECT bg.doc_id, count(*) AS n_bigrams, round(avg(p.logp), 9) AS avg_logp
         |FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
-      val wsa = col("__ws")
-      // split once per row into a bound attribute (see q_gopher_rules)
-      val docsWs = Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
-      val bg = docsWs
-        .select(col("doc_id"), explode(transform(sequence(lit(1), size(wsa) - 1),
-          i => struct(element_at(wsa, i).as("w1"), element_at(wsa, i + 1).as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-      val v = docsWs.select(explode(wsa).as("w")).agg(countDistinct("w").as("v"))
-      val lm = c2.join(c1, "w1").crossJoin(broadcast(v))
-        .select(col("w1"), col("w2"),
-          log((col("c2") + lit(1)) / (col("c1") + col("v"))).as("logp"))
-      bg.join(lm, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 9).as("avg_logp"))
+      operators.TextQuality
+        .bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     }
 
@@ -268,13 +252,11 @@ object TrainPrepQueries {
         |  CAST(sum(CASE WHEN cum <= 800 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
         |  CAST(sum(CASE WHEN cum <= 800 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val t = Tables.documents(s, dir)
         .select(col("source"), size(split(col("text"), " ")).as("n_tokens"),
-          md5(col("doc_id").cast("string").cast("binary")).as("pr"), col("doc_id"))
-      val w = Window.partitionBy("source").orderBy("pr", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.withColumn("cum", sum("n_tokens").over(w))
+          col("doc_id"))
+      operators.TextQuality
+        .tokenBudgetMix(t, "source", "doc_id", "n_tokens", budget = 800L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"),
@@ -302,20 +284,8 @@ object TrainPrepQueries {
         |  round(inter / (sa.n + sb.n - inter), 9) AS jaccard
         |FROM ix JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
-      val g = TextDedup.shingles(Tables.documents(s, dir), "source", "text",
-          n = 8, distinct = false)
-        .select(col("source"),
-          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
-        .distinct()
-      val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
-      val a = g.select(col("source").as("src_a"), col("h"))
-      val b = g.select(col("source").as("src_b"), col("h").as("hb"))
-      a.join(b, col("h") === col("hb") && col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
-        .join(sz.select(col("source").as("src_a"), col("n").as("na")), "src_a")
-        .join(sz.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
-        .select(col("src_a"), col("src_b"), col("inter"),
-          round(col("inter") / (col("na") + col("nb") - col("inter")), 9).as("jaccard"))
+      operators.TextQuality
+        .groupOverlap(Tables.documents(s, dir), "source", "text", n = 8)
         .orderBy("src_a", "src_b")
     }
   }

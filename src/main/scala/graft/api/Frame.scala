@@ -409,6 +409,22 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.Packing.packSequences(df, idx, tokensCol, capacity),
       index)
 
+  /** Perplexity-style quality score from a corpus-trained bigram LM
+    * (see operators.TextQuality.bigramLmScore). */
+  def bigramLmScore(textCol: String): Frame =
+    Frame(graft.operators.TextQuality.bigramLmScore(df, idx, textCol))
+
+  /** Mark rows to keep under a per-`groupCol` running token budget
+    * (mixture construction; operators.TextQuality.tokenBudgetMix). */
+  def tokenBudgetMix(groupCol: String, tokensCol: String, budget: Long): Frame =
+    keep(graft.operators.TextQuality.tokenBudgetMix(df, groupCol, idx,
+      tokensCol, budget))
+
+  /** Pairwise distinct-n-gram overlap between values of `groupCol`
+    * (leakage analytics; operators.TextQuality.groupOverlap). */
+  def groupOverlap(groupCol: String, textCol: String, n: Int = 8): Frame =
+    Frame(graft.operators.TextQuality.groupOverlap(df, groupCol, textCol, n))
+
   // ---- write-side layout (sources.Layout — scan pruning at scale) ----
 
   def writePartitioned(path: String, cols: String*): Unit =

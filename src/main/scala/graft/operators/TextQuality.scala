@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level quality scoring and mixture construction for training
+  * pipelines: a corpus-trained bigram language model (the replayable
+  * stand-in for CCNet/RefinedWeb's KenLM perplexity filter), per-source
+  * token-budget selection (mixture building), and pairwise cross-source
+  * n-gram overlap (leakage analytics between corpus subsets).
+  *
+  * All three are pure declarative plans: the LM is two vocabulary-sized
+  * aggregations (shuffles on words, never on documents), the budget mix
+  * is one per-source window, and the overlap matrix is a gram-bucket
+  * self-join whose fan-out per gram is the number of subsets containing
+  * it — nothing is ever all-pairs over documents, and nothing
+  * corpus-sized reaches the driver.
+  */
+object TextQuality {
+
+  /** Mean ln P(w_i | w_{i-1}) per document under an add-one-smoothed
+    * bigram LM trained on the corpus itself. Output: (idCol, n_bigrams,
+    * avg_logp rounded to 9 dp); documents with fewer than two tokens
+    * drop out (they have no bigrams to score).
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val wsa = col("__ws")
+    // split once per row into a bound attribute: higher-order-function
+    // lambdas are interpreted, so an inlined split would re-split the
+    // document per element_at reference (see TextDedup.shingles)
+    val docsWs = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+    val bg = docsWs
+      .select(col(idCol), explode(transform(sequence(lit(1), size(wsa) - 1),
+        i => struct(element_at(wsa, i).as("w1"), element_at(wsa, i + 1).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val v = docsWs.select(explode(wsa).as("w")).agg(countDistinct("w").as("v"))
+    val lm = c2.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        log((col("c2") + lit(1)) / (col("c1") + col("v"))).as("logp"))
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 9).as("avg_logp"))
+  }
+
+  /** Keep each group's rows, in deterministic md5-of-id priority order,
+    * while the running `tokensCol` total stays within `budget`. Returns
+    * the input plus (pr, cum, keep) — callers filter on `keep` to
+    * materialize the mixture or aggregate for a mixture report. One
+    * shuffle on `groupCol`; each group sorts independently in parallel.
+    */
+  def tokenBudgetMix(df: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy("__pr", idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__pr", md5(col(idCol).cast("string").cast("binary")))
+      .withColumn("__cum", sum(col(tokensCol).cast("long")).over(w))
+      .withColumn("keep", col("__cum") <= budget)
+      .withColumnRenamed("__pr", "pr").withColumnRenamed("__cum", "cum")
+  }
+
+  /** Pairwise distinct word-n-gram intersection and Jaccard between
+    * groups (sources). Output: (src_a, src_b, inter, jaccard), one row
+    * per unordered pair with src_a < src_b. Grams travel as 60-bit
+    * md5-derived ints; the pair stream is a gram-bucket equi-join.
+    */
+  def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val g = TextDedup.shingles(docs, groupCol, textCol, n = n, distinct = false)
+      .select(col(groupCol),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val sz = g.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val a = g.select(col(groupCol).as("src_a"), col("h"))
+    val b = g.select(col(groupCol).as("src_b"), col("h").as("hb"))
+    a.join(b, col("h") === col("hb") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col(groupCol).as("src_a"), col("n").as("na")), "src_a")
+      .join(sz.select(col(groupCol).as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 9).as("jaccard"))
+  }
+}

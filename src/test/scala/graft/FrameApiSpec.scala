@@ -512,4 +512,23 @@ class FrameApiSpec extends SparkSpec {
     assert(deduped.toDF.count() ==
       Tables.documents(spark, sfDir).select("text").distinct().count())
   }
+
+  test("quality/mixing ops on the facade match the registry queries") {
+    val docs = fr("documents").setIndex("doc_id")
+    same("q_bigram_lm", docs.bigramLmScore("text").sortValues("doc_id"))
+    same("q_source_overlap",
+      docs.groupOverlap("source", "text").sortValues("src_a", "src_b"))
+    // budget-mix `keep` marks reproduce the registry's kept counts
+    val marked = docs
+      .assign("n_tokens" -> Series(size(split(col("text"), " "))))
+      .tokenBudgetMix("source", "n_tokens", 800L)
+    val got = marked.toDF.filter(col("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kd"), sum("n_tokens").as("kt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = SparkEntry.queries("q_token_budget_mix")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+  }
 }
