@@ -40,6 +40,32 @@ object Explain {
     plan.execute().foreachPartition(_ => ())
     plan.toString
   }
+
+  /** Structured runtime statistics per physical operator (reference
+    * `_analyze.py:36-80` surfaces per-expression row counts/sizes the
+    * same way): executes the plan, then walks the FINAL adaptive tree
+    * collecting each node's SQL metrics (numOutputRows, dataSize, spill
+    * and shuffle byte counters, ...). Pre-order, so `(depth, nodeName)`
+    * reconstructs the tree shape. */
+  def analyzeStats(df: org.apache.spark.sql.DataFrame): Seq[(Int, String, Map[String, Long])] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val root = df.queryExecution.executedPlan
+    root.execute().foreachPartition(_ => ())
+    def walk(p: SparkPlan, depth: Int): Seq[(Int, String, Map[String, Long])] = {
+      // descend through AQE wrappers into the final (executed) subtree:
+      // AdaptiveSparkPlanExec holds it as executedPlan, and materialized
+      // QueryStageExec nodes hold theirs as `plan` (childless otherwise)
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (depth, p.nodeName, p.metrics.map { case (k, m) => k -> m.value }.toMap) +:
+        kids.flatMap(walk(_, depth + 1))
+    }
+    walk(root, 0)
+  }
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"

@@ -218,14 +218,16 @@ object TrainPrepQueries {
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
         |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i FROM ws)),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |bgc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM bg GROUP BY doc_id, w1, w2),
+        |c2 AS (SELECT w1, w2, sum(cnt) AS c2 FROM bgc GROUP BY w1, w2),
         |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
-        |v AS (SELECT count(DISTINCT u.w) AS v FROM (SELECT unnest(w) AS w FROM ws) u),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT w1 AS w FROM c2 UNION ALL SELECT w2 FROM c2)),
         |p AS (SELECT c2.w1, c2.w2, ln((c2.c2 + 1) / (c1.c1 + v.v)) AS logp
         |      FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v)
-        |SELECT bg.doc_id, count(*) AS n_bigrams, round(avg(p.logp), 9) AS avg_logp
-        |FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2
-        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, dir) =>
+        |SELECT bgc.doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  round(sum(cnt * logp) / sum(cnt), 9) AS avg_logp
+        |FROM bgc JOIN p ON bgc.w1 = p.w1 AND bgc.w2 = p.w2
+        |GROUP BY bgc.doc_id ORDER BY bgc.doc_id""".stripMargin) { (s, dir) =>
       operators.TextQuality
         .bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")

@@ -23,6 +23,15 @@ object TextQuality {
     * bigram LM trained on the corpus itself. Output: (idCol, n_bigrams,
     * avg_logp rounded to 9 dp); documents with fewer than two tokens
     * drop out (they have no bigrams to score).
+    *
+    * Plan shape: ONE pass materializes per-doc bigram counts
+    * (`bgc`), and every other piece derives from it — global bigram
+    * counts, prefix counts, and the vocabulary (distinct words seen in
+    * any bigram) all come from the vocabulary-sized `c2`, so the corpus
+    * is exploded exactly once and the LM training shuffles carry word
+    * keys, never documents. Scoring is a weighted mean
+    * sum(cnt·logp)/sum(cnt) over `bgc` — no second pass over the raw
+    * bigram stream.
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
@@ -30,22 +39,27 @@ object TextQuality {
     // split once per row into a bound attribute: higher-order-function
     // lambdas are interpreted, so an inlined split would re-split the
     // document per element_at reference (see TextDedup.shingles)
-    val docsWs = docs
+    val bgc = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
-    val bg = docsWs
       .select(col(idCol), explode(transform(sequence(lit(1), size(wsa) - 1),
         i => struct(element_at(wsa, i).as("w1"), element_at(wsa, i + 1).as("w2")))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .groupBy(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      // consumed twice (LM training + scoring); cache instead of
+      // re-running the corpus explode
+      .cache()
+    val c2 = bgc.groupBy("w1", "w2").agg(sum("cnt").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    val v = docsWs.select(explode(wsa).as("w")).agg(countDistinct("w").as("v"))
+    val v = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
+      .agg(countDistinct("w").as("v"))
     val lm = c2.join(c1, "w1").crossJoin(broadcast(v))
       .select(col("w1"), col("w2"),
         log((col("c2") + lit(1)) / (col("c1") + col("v"))).as("logp"))
-    bg.join(lm, Seq("w1", "w2"))
+    bgc.join(lm, Seq("w1", "w2"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), round(avg("logp"), 9).as("avg_logp"))
+      .agg(sum("cnt").as("n_bigrams"),
+        round(sum(col("cnt") * col("logp")) / sum("cnt"), 9).as("avg_logp"))
   }
 
   /** Keep each group's rows, in deterministic md5-of-id priority order,

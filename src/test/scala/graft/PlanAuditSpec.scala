@@ -75,6 +75,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(st.toMap.apply("physical").contains("PushedFilters"))
   }
 
+  test("Explain.analyzeStats returns per-operator runtime metrics") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+    val stats = Explain.analyzeStats(df)
+    assert(stats.nonEmpty && stats.head._1 == 0)
+    // the aggregate must report its actual output rows (6 flag/status
+    // groups), and the scan its row count — runtime numbers, not plans
+    val aggRows = stats.collect {
+      case (_, name, m) if name.contains("HashAggregate") => m.get("numOutputRows")
+    }.flatten
+    assert(aggRows.contains(6L), s"no 6-row aggregate metric in $aggRows")
+    assert(stats.exists { case (_, n, m) =>
+      n.toLowerCase.contains("scan") && m.getOrElse("numOutputRows", 0L) > 0L })
+  }
+
   test("train-prep projections prune the document scan to used columns") {
     // q_gopher_rules derives every stat from the word array: the scan
     // must read (doc_id, text) only — lang/source/n_chars pruned.
