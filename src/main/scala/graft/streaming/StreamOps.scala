@@ -98,6 +98,32 @@ object StreamOps {
     // and consumers collapse it in their (bounded) sink.
   }
 
+  /** Streaming benchmark-contamination check: each incoming document's
+    * distinct n-gram hashes are intersected row-locally against the
+    * benchmark gram set, carried as a plan literal (benchmark suites
+    * are small and static — the same broadcast-sized assumption as the
+    * batch q_contamination, made stateless here). Map-only: no
+    * aggregation state, no watermark, works in any output mode. The
+    * gram hashing replays TextDedup's md5→60-bit fold, so online
+    * verdicts are comparable with the batch pipeline's.
+    */
+  def streamingContamination(stream: DataFrame, idCol: String, textCol: String,
+      benchGrams: Seq[Long], n: Int = 8): DataFrame = {
+    val wsa = col("__ws")
+    val gramHashes = when(size(wsa) >= n,
+      array_distinct(transform(sequence(lit(0), size(wsa) - n),
+        i => conv(substring(md5(
+          concat_ws(" ", (0 until n).map(j => element_at(wsa, i + j + 1)): _*)),
+          1, 15), 16, 10).cast("long"))))
+      .otherwise(array().cast("array<long>"))
+    stream
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), gramHashes.as("__g"))
+      .select(col(idCol), size(col("__g")).as("n_grams"),
+        size(array_intersect(col("__g"), typedLit(benchGrams))).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
+  }
+
   /** Arbitrary stateful processing via mapGroupsWithState: a per-key
     * running (count, sum) that emits the updated aggregate on every
     * micro-batch — the custom-state escape hatch (§2.11 analogue for

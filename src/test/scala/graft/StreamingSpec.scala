@@ -162,4 +162,35 @@ class StreamingSpec extends SparkSpec {
       assert(hits == Set((1L, 100L)), s"got $hits")
     } finally { q.stop(); index.unpersist() }
   }
+
+  test("streaming contamination flags docs sharing benchmark n-grams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextDedup
+    val bench = Seq((1L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    // benchmark gram set via the batch pipeline's hash fold (the same
+    // 60-bit md5 prefix the streaming side replays)
+    val grams = TextDedup.shingles(bench, "doc_id", "text", 8, distinct = false)
+      .select(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct().as[Long].collect().toSeq
+    assert(grams.length == 5) // 12 words → 5 distinct 8-grams
+    val in = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingContamination(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", grams)
+    val q = out.writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (10L, "a b c d e f g h i j zz"),  // shares grams 1-3 of the benchmark
+        (11L, "totally different words that never overlap benchmark text here"),
+        (12L, "too short"))               // < 8 words: zero grams
+      q.processAllAvailable()
+      val got = spark.table("contam_stream")
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getBoolean(3))).toMap
+      assert(got(10L)._2 > 0 && got(10L)._3, s"got $got")
+      assert(got(11L) == (2, 0, false), s"got $got") // 9 words → 2 grams, no hits
+      assert(got(12L) == (0, 0, false), s"got $got")
+    } finally q.stop()
+  }
 }
