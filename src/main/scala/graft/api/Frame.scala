@@ -440,6 +440,14 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * map_partitions spirit at plan level). */
   def transform(f: DataFrame => DataFrame): Frame = keep(f(df))
   def toDF: DataFrame = df
+
+  // ---- diagnostics (reference diagnostics/_explain.py, _analyze.py) ----
+
+  /** Staged optimizer plans (parsed → analyzed → optimized → physical). */
+  def explainStages: Seq[(String, String)] = graft.Explain.stages(df)
+  /** Execute and collect per-operator runtime metrics (row counts,
+    * shuffle/spill bytes) from the final adaptive plan. */
+  def analyze: Seq[(Int, String, Map[String, Long])] = graft.Explain.analyzeStats(df)
   def cache(): Frame = { df.cache(); this }
 }
 

@@ -513,6 +513,15 @@ class FrameApiSpec extends SparkSpec {
       Tables.documents(spark, sfDir).select("text").distinct().count())
   }
 
+  test("facade diagnostics expose staged plans and runtime metrics") {
+    val f = fr("lineitem").groupby("l_returnflag").sum("l_quantity")
+    assert(f.explainStages.map(_._1) ==
+      Seq("parsed", "analyzed", "optimized", "physical"))
+    val stats = f.analyze
+    assert(stats.exists { case (_, n, m) =>
+      n.contains("HashAggregate") && m.getOrElse("numOutputRows", 0L) > 0L })
+  }
+
   test("quality/mixing ops on the facade match the registry queries") {
     val docs = fr("documents").setIndex("doc_id")
     same("q_bigram_lm", docs.bigramLmScore("text").sortValues("doc_id"))
