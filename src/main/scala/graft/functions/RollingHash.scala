@@ -80,6 +80,13 @@ object GraftFunctions {
           RollingHash(args.head)
         }),
       (
+        FunctionIdentifier("array_dot"),
+        new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "array_dot takes exactly two arguments")
+          ArrayDot(args(0), args(1))
+        }),
+      (
         FunctionIdentifier("unicode_normalize"),
         new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
         (args: Seq[Expression]) => {

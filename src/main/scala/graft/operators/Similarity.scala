@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Elementwise dot product of two array columns, accumulated in double
-    * in element order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    * in element order — the native codegen'd expression
+    * ([[graft.functions.ArrayDot]]): same fold semantics as
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but inside whole-stage
+    * codegen with no per-pair array allocation. */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -30,6 +30,34 @@ class RollingHashSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("array_dot equals the interpreted HOF fold on real embeddings") {
+    GraftFunctions.register(spark)
+    val hof = """aggregate(zip_with(embedding, embedding,
+                |  (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)),
+                |  cast(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    val mismatches = Tables.embeddings(spark, sfDir)
+      .selectExpr("array_dot(embedding, embedding) AS a", s"$hof AS b")
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+  }
+
+  test("array_dot null semantics match zip_with padding") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0))),   // 11.0
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0))),        // length mismatch → null
+      (Some(Seq(1.0, 2.0)), None),                  // null array → null
+      (None, Some(Seq(1.0)))).toDF("a", "b")        // null array → null
+    val got = rows.selectExpr("array_dot(a, b) AS d")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(11.0), None, None, None))
+    // mixed float/double inputs: float side widens to double
+    val mixed = Seq((Seq(1.5f, 2.5f), Seq(2.0, 4.0))).toDF("f", "d")
+      .selectExpr("array_dot(f, d) AS v").collect().head.getDouble(0)
+    assert(mixed == 13.0)
+  }
+
   test("unicode_normalize composes and decomposes; nulls pass through") {
     import spark.implicits._
     import graft.api.Series
