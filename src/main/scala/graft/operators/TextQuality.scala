@@ -56,10 +56,17 @@ object TextQuality {
     val lm = c2.join(c1, "w1").crossJoin(broadcast(v))
       .select(col("w1"), col("w2"),
         log((col("c2") + lit(1)) / (col("c1") + col("v"))).as("logp"))
-    bgc.join(lm, Seq("w1", "w2"))
+    val scored = bgc.join(lm, Seq("w1", "w2"))
       .groupBy(idCol)
       .agg(sum("cnt").as("n_bigrams"),
         round(sum(col("cnt") * col("logp")) / sum("cnt"), 9).as("avg_logp"))
+      .cache()
+    // materialize the (one-row-per-doc) scores, then release the
+    // corpus-sized bigram cache so repeated calls in a long-lived
+    // session don't accumulate executor storage (TextDedup pattern)
+    scored.count()
+    bgc.unpersist(blocking = false)
+    scored
   }
 
   /** Keep each group's rows, in deterministic md5-of-id priority order,
