@@ -267,6 +267,74 @@ object TrainPrepQueries {
         .orderBy("source")
     }
 
+    // Per-group winsorization (outlier clipping to the group's own
+    // p05/p95) — the numeric-feature cleaning step before training.
+    // Group quantiles via percentile (buffer bounded by the GROUP's
+    // rows, the per-group holistic-agg shape q_groupby_median documents)
+    // broadcast back onto the stream as a tiny join; the clip itself is
+    // a map-only projection. Spark's percentile and DuckDB's
+    // quantile_cont share the same linear interpolation, so values
+    // match bit-for-bit.
+    q("q_winsorize",
+      """WITH q AS (SELECT event_type,
+        |             quantile_cont(value, 0.05) AS p05,
+        |             quantile_cont(value, 0.95) AS p95
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN e.value < q.p05 OR e.value > q.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  round(avg(greatest(q.p05, least(q.p95, e.value))), 9) AS mean_winsorized
+        |FROM events e JOIN q ON e.event_type = q.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val q05 = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.05)").as("p05"),
+          expr("percentile(value, 0.95)").as("p95"))
+      ev.join(broadcast(q05), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("p05") || col("value") > col("p95"), 1)
+            .otherwise(0)).as("n_clipped"),
+          round(avg(greatest(col("p05"), least(col("p95"), col("value")))), 9)
+            .as("mean_winsorized"))
+        .orderBy("event_type")
+    }
+
+    // Leakage-safe train/validation split: the split decision hashes the
+    // CONTENT (md5 of text), not the row id, so exact duplicates always
+    // land in the same split — the train/eval-contamination guard every
+    // dedup-aware pipeline needs. `spans` makes the invariant visible:
+    // distinct splits per content hash is identically 1. Map-only
+    // projection + one bounded aggregation.
+    q("q_split_by_content",
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |             CASE WHEN CAST('0x' || substr(md5(text), 1, 7) AS BIGINT) % 10 < 9
+        |                  THEN 'train' ELSE 'val' END AS split,
+        |             md5(text) AS h
+        |           FROM documents),
+        |spans AS (SELECT max(ns) AS max_splits_per_hash FROM (
+        |            SELECT h, count(DISTINCT split) AS ns FROM t GROUP BY h))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS distinct_texts,
+        |  (SELECT max_splits_per_hash FROM spans) AS max_splits_per_hash
+        |FROM t GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+          md5(col("text")).as("h"))
+        .withColumn("split",
+          when(conv(substring(col("h"), 1, 7), 16, 10).cast("long") % 10 < 9,
+            lit("train")).otherwise(lit("val")))
+      val spans = t.groupBy("h")
+        .agg(countDistinct("split").as("ns"))
+        .agg(max("ns").as("max_splits_per_hash"))
+      t.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          countDistinct("h").as("distinct_texts"))
+        .crossJoin(broadcast(spans))
+        .orderBy("split")
+    }
+
     // Cross-source contamination matrix: pairwise 8-gram Jaccard between
     // sources — the corpus-analytics view of leakage between subsets
     // (web snapshot vs books dump sharing boilerplate). Grams travel as
