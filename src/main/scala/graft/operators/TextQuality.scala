@@ -46,9 +46,12 @@ object TextQuality {
         i => struct(element_at(wsa, i).as("w1"), element_at(wsa, i + 1).as("w2")))).as("b"))
       .groupBy(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
-      // consumed twice (LM training + scoring); cache instead of
-      // re-running the corpus explode
-      .cache()
+    // bgc is consumed twice (LM training + scoring). Deliberately NOT
+    // cached: measured at sf0.1 the recompute costs nothing over a
+    // cache (the explode+partial-agg pipelines, ~3.1 s either way)
+    // while cache+materialize variants measured 3-4× slower AND leak
+    // executor storage across calls. At 100 TB a caller who wants the
+    // explode paid once persists the packed input, not this stream.
     val c2 = bgc.groupBy("w1", "w2").agg(sum("cnt").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val v = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
@@ -56,17 +59,10 @@ object TextQuality {
     val lm = c2.join(c1, "w1").crossJoin(broadcast(v))
       .select(col("w1"), col("w2"),
         log((col("c2") + lit(1)) / (col("c1") + col("v"))).as("logp"))
-    val scored = bgc.join(lm, Seq("w1", "w2"))
+    bgc.join(lm, Seq("w1", "w2"))
       .groupBy(idCol)
       .agg(sum("cnt").as("n_bigrams"),
         round(sum(col("cnt") * col("logp")) / sum("cnt"), 9).as("avg_logp"))
-      .cache()
-    // materialize the (one-row-per-doc) scores, then release the
-    // corpus-sized bigram cache so repeated calls in a long-lived
-    // session don't accumulate executor storage (TextDedup pattern)
-    scored.count()
-    bgc.unpersist(blocking = false)
-    scored
   }
 
   /** Keep each group's rows, in deterministic md5-of-id priority order,
