@@ -312,25 +312,31 @@ object TrainPrepQueries {
         |                  THEN 'train' ELSE 'val' END AS split,
         |             md5(text) AS h
         |           FROM documents),
+        |hs AS (SELECT h, split, count(*) AS nd, sum(n_tokens) AS tok
+        |       FROM t GROUP BY h, split),
         |spans AS (SELECT max(ns) AS max_splits_per_hash FROM (
-        |            SELECT h, count(DISTINCT split) AS ns FROM t GROUP BY h))
-        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-        |  CAST(count(DISTINCT h) AS BIGINT) AS distinct_texts,
+        |            SELECT h, count(*) AS ns FROM hs GROUP BY h))
+        |SELECT split, CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) AS BIGINT) AS distinct_texts,
         |  (SELECT max_splits_per_hash FROM spans) AS max_splits_per_hash
-        |FROM t GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
-      val t = Tables.documents(s, dir)
-        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+        |FROM hs GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      // ONE corpus scan into the (hash, split)-sized table; both the
+      // per-split report and the no-hash-spans-splits invariant derive
+      // from it (distinct_texts = row count: h is unique within split).
+      val hs = Tables.documents(s, dir)
+        .select(size(split(col("text"), " ")).as("n_tokens"),
           md5(col("text")).as("h"))
         .withColumn("split",
           when(conv(substring(col("h"), 1, 7), 16, 10).cast("long") % 10 < 9,
             lit("train")).otherwise(lit("val")))
-      val spans = t.groupBy("h")
-        .agg(countDistinct("split").as("ns"))
+        .groupBy("h", "split")
+        .agg(count(lit(1)).as("nd"), sum("n_tokens").as("tok"))
+      val spans = hs.groupBy("h").agg(count(lit(1)).as("ns"))
         .agg(max("ns").as("max_splits_per_hash"))
-      t.groupBy("split")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
-          countDistinct("h").as("distinct_texts"))
+      hs.groupBy("split")
+        .agg(sum("nd").as("n_docs"), sum("tok").as("total_tokens"),
+          count(lit(1)).as("distinct_texts"))
         .crossJoin(broadcast(spans))
         .orderBy("split")
     }

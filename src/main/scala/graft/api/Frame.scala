@@ -425,6 +425,21 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def groupOverlap(groupCol: String, textCol: String, n: Int = 8): Frame =
     Frame(graft.operators.TextQuality.groupOverlap(df, groupCol, textCol, n))
 
+  /** Clip `valueCol` to its per-`groupCol` [lo, hi] quantiles
+    * (winsorization — outlier trimming before training). The group
+    * quantile table is group-count-sized and broadcast back; the clip
+    * is a map-only projection. Adds `<valueCol>_winsorized`. */
+  def winsorize(valueCol: String, groupCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): Frame = {
+    val q = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, $lo)").as("__qlo"),
+        expr(s"percentile($valueCol, $hi)").as("__qhi"))
+    keep(df.join(broadcast(q), Seq(groupCol))
+      .withColumn(s"${valueCol}_winsorized",
+        greatest(col("__qlo"), least(col("__qhi"), col(valueCol))))
+      .drop("__qlo", "__qhi"))
+  }
+
   // ---- write-side layout (sources.Layout — scan pruning at scale) ----
 
   def writePartitioned(path: String, cols: String*): Unit =

@@ -124,6 +124,34 @@ object StreamOps {
       .withColumn("contaminated", col("n_hit") > 0)
   }
 
+  /** Online mixture construction: the streaming counterpart of
+    * `TextQuality.tokenBudgetMix`. Per-source cumulative token counts
+    * live in flatMapGroupsWithState; each arriving (source, id, tokens)
+    * row is admitted iff the source's running total stays within
+    * budget, and emitted with its verdict. State is one long per
+    * source — bounded by source cardinality, no watermark needed.
+    * Admission order is arrival order (online policy) rather than the
+    * batch operator's deterministic hash priority — the inherent
+    * batch/stream difference for a budget gate, documented here.
+    */
+  def streamingTokenBudget(rows: Dataset[(String, Long, Long)],
+      budget: Long): Dataset[(String, Long, Long, Boolean)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (source, it, state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = it.map { case (_, id, tok) =>
+            val keep = used + tok <= budget
+            if (keep) used += tok
+            (source, id, tok, keep)
+          }.toVector
+          state.update(used)
+          out.iterator
+      }
+  }
+
   /** Arbitrary stateful processing via mapGroupsWithState: a per-key
     * running (count, sum) that emits the updated aggregate on every
     * micro-batch — the custom-state escape hatch (§2.11 analogue for

@@ -522,6 +522,20 @@ class FrameApiSpec extends SparkSpec {
       n.contains("HashAggregate") && m.getOrElse("numOutputRows", 0L) > 0L })
   }
 
+  test("facade winsorize reproduces the registry's clipped means") {
+    val got = fr("events").winsorize("value", "event_type").toDF
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") =!= col("value_winsorized"), 1).otherwise(0)).as("nc"),
+        round(avg("value_winsorized"), 9).as("mw"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val want = SparkEntry.queries("q_winsorize")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want)
+  }
+
   test("quality/mixing ops on the facade match the registry queries") {
     val docs = fr("documents").setIndex("doc_id")
     same("q_bigram_lm", docs.bigramLmScore("text").sortValues("doc_id"))

@@ -163,6 +163,28 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("streaming token budget admits per-source until exhausted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val out = StreamOps.streamingTokenBudget(in.toDS(), budget = 100L)
+    val q = out.toDF().toDF("source", "id", "tok", "keep")
+      .writeStream.format("memory").queryName("budget_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", 1L, 60L), ("a", 2L, 30L), ("b", 1L, 90L))
+      q.processAllAvailable()
+      in.addData(("a", 3L, 20L), ("a", 4L, 10L), ("b", 2L, 20L))  // a: 90 used
+      q.processAllAvailable()
+      val got = spark.table("budget_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+      // source a: 60+30 admitted, 20 would exceed (90+20>100), 10 fits
+      assert(got == Map(("a", 1L) -> true, ("a", 2L) -> true,
+        ("b", 1L) -> true, ("a", 3L) -> false, ("a", 4L) -> true,
+        ("b", 2L) -> false), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming contamination flags docs sharing benchmark n-grams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
