@@ -106,6 +106,18 @@ class PlanAuditSpec extends SparkSpec {
       "benchmark grams did not broadcast — corpus-side shuffle at scale")
   }
 
+  test("winsorize broadcasts the group-quantile table") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      "group quantiles did not broadcast — the clip would shuffle the stream")
+  }
+
+  test("embedding ops run the native array_dot, not the interpreted fold") {
+    val p = plan("q_embedding_near_dup")
+    assert(p.contains("array_dot"), "native dot-product expression missing")
+    assert(!p.contains("zip_with"), "interpreted zip_with fold still in the plan")
+  }
+
   test("runtime bloom filter prunes a selective join's probe side") {
     // The runtime-filtering story at 100 TB: a selective dimension
     // filter injects a bloom-filter semi-filter on the fact scan, so
