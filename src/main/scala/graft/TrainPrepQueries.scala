@@ -341,6 +341,95 @@ object TrainPrepQueries {
         .orderBy("split")
     }
 
+    // Capstone funnel: the full training-data preparation pipeline as
+    // ONE declarative plan — Gopher quality rules → exact dedup
+    // (keep-first) → benchmark decontamination → per-source token
+    // budget — reporting (docs, tokens) surviving each stage. Every
+    // stage is an already-audited pattern (map-only rules, hash-window
+    // dedup, broadcast gram probe, per-source budget window); the
+    // funnel output is 5 rows. The same composition at 100 TB is the
+    // same plan with bigger shuffles.
+    q("q_prep_funnel",
+      """WITH ws AS (SELECT doc_id, source, text, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id >= 10),
+        |st AS (SELECT doc_id, source, text, len(w) AS nw,
+        |         list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a, x) -> a + x) AS wchars,
+        |         len(list_filter(w, x -> x IN ('the', 'a'))) AS nstop,
+        |         len(list_distinct(w)) AS ndw
+        |       FROM ws),
+        |s1 AS (SELECT doc_id, source, text, nw FROM st
+        |       WHERE nw >= 10 AND nw <= 1000 AND wchars / nw >= 2 AND wchars / nw <= 12
+        |         AND nstop / nw >= 0.01 AND ndw / nw >= 0.2),
+        |s2 AS (SELECT s1.* FROM s1 JOIN (
+        |         SELECT md5(text) AS h, min(doc_id) AS keep_id FROM s1 GROUP BY md5(text)
+        |       ) k ON s1.doc_id = k.keep_id),
+        |bench AS (SELECT DISTINCT
+        |            CAST('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
+        |          FROM (SELECT w, unnest(generate_series(1, len(w) - 7)) AS i
+        |                FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id < 10))),
+        |hits AS (SELECT DISTINCT g.doc_id FROM (
+        |           SELECT DISTINCT doc_id,
+        |             CAST('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
+        |           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        |                 FROM (SELECT doc_id, string_split(text, ' ') AS w FROM s2))
+        |         ) g JOIN bench ON g.h = bench.h),
+        |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+        |s4 AS (SELECT * FROM (
+        |         SELECT doc_id, source, nw,
+        |           sum(nw) OVER (PARTITION BY source
+        |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |         FROM s3) WHERE cum <= 600)
+        |SELECT * FROM (
+        |  SELECT 's0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(w)) AS BIGINT) AS n_tokens FROM ws
+        |  UNION ALL SELECT 's1_quality', CAST(count(*) AS BIGINT), CAST(sum(nw) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 's2_dedup', CAST(count(*) AS BIGINT), CAST(sum(nw) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 's3_decontaminated', CAST(count(*) AS BIGINT), CAST(sum(nw) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 's4_budgeted', CAST(count(*) AS BIGINT), CAST(sum(nw) AS BIGINT) FROM s4
+        |) ORDER BY stage""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wsa = col("__ws")
+      val base = Tables.documents(s, dir).filter(col("doc_id") >= 10)
+        .select(col("doc_id"), col("source"), col("text"),
+          split(col("text"), " ").as("__ws"))
+      val st = base.select(col("doc_id"), col("source"), col("text"),
+        size(wsa).as("nw"),
+        aggregate(transform(wsa, w => length(w)), lit(0), (a, x) => a + x).as("wchars"),
+        size(filter(wsa, w => w === "the" || w === "a")).as("nstop"),
+        size(array_distinct(wsa)).as("ndw"))
+      val s1 = st.filter(col("nw") >= 10 && col("nw") <= 1000 &&
+          col("wchars") / col("nw") >= 2 && col("wchars") / col("nw") <= 12 &&
+          col("nstop") / col("nw") >= 0.01 && col("ndw") / col("nw") >= 0.2)
+        .select("doc_id", "source", "text", "nw")
+      val wRep = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val s2 = s1.withColumn("__rn", row_number().over(wRep))
+        .filter(col("__rn") === 1).drop("__rn")
+      def grams(d: DataFrame) =
+        TextDedup.shingles(d, "doc_id", "text", n = 8, distinct = false)
+          .select(col("doc_id"),
+            conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      val bench = grams(Tables.documents(s, dir).filter(col("doc_id") < 10))
+        .select("h").distinct()
+      val hits = grams(s2).distinct()
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .select("doc_id").distinct()
+      val s3 = s2.join(hits, Seq("doc_id"), "left_anti")
+      val s4 = operators.TextQuality
+        .tokenBudgetMix(s3, "source", "doc_id", "nw", budget = 600L)
+        .filter(col("keep"))
+      def stage(name: String, d: DataFrame,
+          tok: org.apache.spark.sql.Column): DataFrame =
+        d.agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("s0_raw", base, size(wsa))
+        .unionByName(stage("s1_quality", s1, col("nw")))
+        .unionByName(stage("s2_dedup", s2, col("nw")))
+        .unionByName(stage("s3_decontaminated", s3, col("nw")))
+        .unionByName(stage("s4_budgeted", s4, col("nw")))
+        .orderBy("stage")
+    }
+
     // Cross-source contamination matrix: pairwise 8-gram Jaccard between
     // sources — the corpus-analytics view of leakage between subsets
     // (web snapshot vs books dump sharing boilerplate). Grams travel as
