@@ -227,9 +227,14 @@ object LlmQueries {
         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin) { (s, dir) =>
       val g = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        // guard: sequence(1, len-2) DESCENDS for len < 3 (negative
+        // substr positions → wrong grams); empty array matches the
+        // oracle's empty generate_series
         .select(col("doc_id"), array_distinct(
-          transform(sequence(lit(1), length(col("text")) - 2),
-            i => col("text").substr(i, lit(3)))).as("gs"))
+          when(length(col("text")) >= 3,
+            transform(sequence(lit(1), length(col("text")) - 2),
+              i => col("text").substr(i, lit(3))))
+            .otherwise(array().cast("array<string>"))).as("gs"))
       val a = g.select(col("doc_id").as("doc_a"), col("gs").as("ga"))
       val b = g.select(col("doc_id").as("doc_b"), col("gs").as("gb"))
       a.join(b, col("doc_b") === col("doc_a") + 1)

@@ -50,8 +50,11 @@ object TrainPrepQueries {
       // document per element_at reference (see TextDedup.shingles)
       val top = docs
         .select(col("doc_id"), ws.as("__ws"))
-        .select(col("doc_id"), explode(transform(sequence(lit(1), size(wsa) - 1),
-          i => concat(element_at(wsa, i), lit(" "), element_at(wsa, i + 1)))).as("bg"))
+        // sequence(1, 0) DESCENDS in Spark: guard one-word docs (null
+        // branch explodes to zero rows, like DuckDB's empty series)
+        .select(col("doc_id"), explode(when(size(wsa) >= 2,
+          transform(sequence(lit(1), size(wsa) - 1),
+            i => concat(element_at(wsa, i), lit(" "), element_at(wsa, i + 1))))).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max("c").as("top_bg"))
       stats.join(top, "doc_id")

@@ -42,8 +42,12 @@ object TextQuality {
     val bgc = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .select(col(idCol), explode(transform(sequence(lit(1), size(wsa) - 1),
-        i => struct(element_at(wsa, i).as("w1"), element_at(wsa, i + 1).as("w2")))).as("b"))
+      // guard: sequence(1, 0) DESCENDS in Spark, so a one-word doc
+      // would index past the array — the null branch explodes to zero
+      // rows, same as DuckDB's empty generate_series(1, 0)
+      .select(col(idCol), explode(when(size(wsa) >= 2,
+        transform(sequence(lit(1), size(wsa) - 1),
+          i => struct(element_at(wsa, i).as("w1"), element_at(wsa, i + 1).as("w2"))))).as("b"))
       .groupBy(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("cnt"))
     // bgc is consumed twice (LM training + scoring). Deliberately NOT

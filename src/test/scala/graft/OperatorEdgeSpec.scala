@@ -98,4 +98,40 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(a == b)
     assert(a.forall(x => x >= 0 && x < 16))
   }
+
+  test("bigram LM scoring drops docs without bigrams; scores are partition-invariant") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val docs = Seq((1L, "one"), (2L, "two words"), (3L, "three word doc"))
+      .toDF("doc_id", "text")
+    val out = TextQuality.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.contains(1L) && out(2L) == 1L && out(3L) == 2L)
+    // same corpus through a different partitioning → identical scores
+    val big = Tables.documents(spark, sfDir).limit(100)
+    val a = TextQuality.bigramLmScore(big, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = TextQuality.bigramLmScore(big.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
+
+  test("token budget mix: zero budget keeps nothing, huge budget keeps all") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val df = Seq(("s", 1L, 10L), ("s", 2L, 20L), ("t", 3L, 5L))
+      .toDF("source", "doc_id", "tok")
+    def kept(budget: Long): Long =
+      TextQuality.tokenBudgetMix(df, "source", "doc_id", "tok", budget)
+        .filter(col("keep")).count()
+    assert(kept(0L) == 0 && kept(1000L) == 3)
+  }
+
+  test("array_dot of empty arrays is 0.0, matching the HOF fold") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val d = Seq((Seq.empty[Double], Seq.empty[Double])).toDF("a", "b")
+      .selectExpr("array_dot(a, b) AS v").head()
+    assert(!d.isNullAt(0) && d.getDouble(0) == 0.0)
+  }
 }
