@@ -448,6 +448,8 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     graft.sources.Layout.writeClustered(df, path, numFiles, cols: _*)
   def writeZOrdered(path: String, numFiles: Int, bits: Int, cols: String*): Unit =
     graft.sources.Layout.writeZOrdered(df, path, numFiles, bits, cols: _*)
+  def writeBucketed(table: String, numBuckets: Int, cols: String*): Unit =
+    graft.sources.Layout.writeBucketed(df, table, numBuckets, cols: _*)
 
   // ---- escape hatches ----
 

@@ -83,4 +83,23 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bucketed + sorted table write (`bucketBy`): rows hashed into a
+    * FIXED bucket count on `cols` and sorted within each bucket, with
+    * the layout recorded in the catalog. Two tables bucketed the same
+    * way join/aggregate on those columns with ZERO exchange — the
+    * co-located join (reference BlockwiseMerge `_merge.py`) that turns
+    * the recurring 100 TB fact-fact join into a map-side merge
+    * (asserted in PlanAuditSpec "bucketed tables join without a
+    * shuffle"). Bucket count is a layout contract: pick it for the
+    * TARGET scale (buckets ≈ total size / healthy task size), not the
+    * current one.
+    */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+      cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

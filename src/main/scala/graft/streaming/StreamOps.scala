@@ -124,6 +124,19 @@ object StreamOps {
       .withColumn("contaminated", col("n_hit") > 0)
   }
 
+  /** Windowed approximate distinct counts: tumbling event-time windows
+    * with `approx_count_distinct` (HLL++) — the streaming form of the
+    * batch HLL sketches (q_hll_sketch). Sketch-sized state per window,
+    * dropped once the watermark passes; exact distinct would need
+    * unbounded per-window sets.
+    */
+  def windowedDistinct(events: DataFrame, tsCol: String, keyCol: String,
+      window: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(approx_count_distinct(keyCol).as("n_distinct"))
+      .select(col("window.start").as("window_start"), col("n_distinct"))
+
   /** Online mixture construction: the streaming counterpart of
     * `TextQuality.tokenBudgetMix`. Per-source cumulative token counts
     * live in flatMapGroupsWithState; each arriving (source, id, tokens)

@@ -63,6 +63,28 @@ class LayoutSpec extends SparkSpec {
     assert(Io.readParquet(spark, s"$dir/zorder").count() == li.count())
   }
 
+  test("bucketed tables written via Layout join with zero exchange") {
+    import graft.api.Frame
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      Frame(Tables.orders(spark, sfDir)).writeBucketed("orders_lb", 4, "o_custkey")
+      Frame(Tables.customer(spark, sfDir)).writeBucketed("cust_lb", 4, "c_custkey")
+      // forbid broadcast so only the bucket layout can avoid the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_lb")
+        .join(spark.table("cust_lb"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still exchanges:\n${plan.take(1500)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_lb")
+      spark.sql("DROP TABLE IF EXISTS cust_lb")
+    }
+  }
+
   test("zValue interleaves bucket bits reversibly") {
     import spark.implicits._
     val df = (0 until 256).map(i => (i.toLong, (255 - i).toLong)).toDF("a", "b")

@@ -163,6 +163,24 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("windowed distinct counts approximate per-window cardinality") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val df = in.toDF().toDF("sec", "user")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val agg = StreamOps.windowedDistinct(df, "ts", "user", "10 seconds", "5 seconds")
+    val q = agg.writeStream.format("memory").queryName("win_distinct")
+      .outputMode("complete").start()
+    try {
+      in.addData((1L, 7L), (2L, 7L), (3L, 8L), (11L, 7L), (12L, 9L), (13L, 9L))
+      q.processAllAvailable()
+      val rows = spark.table("win_distinct").orderBy("window_start")
+        .collect().map(_.getLong(1)).toSeq
+      assert(rows == Seq(2L, 2L), s"got $rows")  // {7,8} then {7,9}
+    } finally q.stop()
+  }
+
   test("streaming token budget admits per-source until exhausted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
