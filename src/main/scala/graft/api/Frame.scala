@@ -428,12 +428,22 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   /** Clip `valueCol` to its per-`groupCol` [lo, hi] quantiles
     * (winsorization — outlier trimming before training). The group
     * quantile table is group-count-sized and broadcast back; the clip
-    * is a map-only projection. Adds `<valueCol>_winsorized`. */
+    * is a map-only projection. Adds `<valueCol>_winsorized`.
+    *
+    * Default bounds come from `approx_percentile` (GK sketch — buffer
+    * bounded by the accuracy knob, mergeable map-side): with FEW groups
+    * over much data, exact `percentile` buffers each group's every
+    * value in one task — the unbounded-buffer shape the quantile
+    * operator exists to avoid. `exact = true` opts into exact bounds
+    * (DuckDB `quantile_cont`-interpolation parity) when group sizes
+    * are known to be modest. */
   def winsorize(valueCol: String, groupCol: String,
-      lo: Double = 0.05, hi: Double = 0.95): Frame = {
+      lo: Double = 0.05, hi: Double = 0.95, exact: Boolean = false): Frame = {
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val acc = if (exact) "" else ", 10000"
     val q = df.groupBy(groupCol)
-      .agg(expr(s"percentile($valueCol, $lo)").as("__qlo"),
-        expr(s"percentile($valueCol, $hi)").as("__qhi"))
+      .agg(expr(s"$fn($valueCol, $lo$acc)").cast("double").as("__qlo"),
+        expr(s"$fn($valueCol, $hi$acc)").cast("double").as("__qhi"))
     keep(df.join(broadcast(q), Seq(groupCol))
       .withColumn(s"${valueCol}_winsorized",
         greatest(col("__qlo"), least(col("__qhi"), col(valueCol))))

@@ -523,7 +523,12 @@ class FrameApiSpec extends SparkSpec {
   }
 
   test("facade winsorize reproduces the registry's clipped means") {
-    val got = fr("events").winsorize("value", "event_type").toDF
+    // exact mode compares against the registry's quantile_cont oracle;
+    // the default approx mode is the scale path (bounded sketch buffer)
+    val approxN = fr("events").winsorize("value", "event_type").toDF
+      .filter(col("value") =!= col("value_winsorized")).count()
+    assert(approxN > 0)
+    val got = fr("events").winsorize("value", "event_type", exact = true).toDF
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(when(col("value") =!= col("value_winsorized"), 1).otherwise(0)).as("nc"),
