@@ -8,6 +8,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.functions.foreach(ext.injectFunction)
+    // declarative HOF dot-product folds → native codegen'd array_dot
+    ext.injectOptimizerRule(_ => functions.RewriteArrayDot)
+  }
 }

@@ -58,6 +58,28 @@ class RollingHashSpec extends SparkSpec {
     assert(mixed == 13.0)
   }
 
+  test("optimizer rule rewrites the HOF dot fold to native array_dot") {
+    val hof = """aggregate(zip_with(embedding, embedding,
+                |  (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)),
+                |  cast(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    val df = Tables.embeddings(spark, sfDir).selectExpr(s"$hof AS d")
+    val want = df.collect().map(_.getDouble(0)).toSeq  // un-rewritten
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq(graft.functions.RewriteArrayDot)
+    try {
+      val rewritten = Tables.embeddings(spark, sfDir).selectExpr(s"$hof AS d")
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("array_dot"),
+        "HOF fold not rewritten")
+      assert(rewritten.collect().map(_.getDouble(0)).toSeq == want)
+      // a fold with a DIFFERENT merge op must NOT be rewritten
+      val other = Tables.embeddings(spark, sfDir).selectExpr(
+        """aggregate(zip_with(embedding, embedding,
+          |  (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)),
+          |  cast(0.0 AS DOUBLE), (acc, v) -> acc - v) AS d""".stripMargin)
+      assert(!other.queryExecution.optimizedPlan.toString.contains("array_dot"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("unicode_normalize composes and decomposes; nulls pass through") {
     import spark.implicits._
     import graft.api.Series
