@@ -344,6 +344,35 @@ object TrainPrepQueries {
         .orderBy("split")
     }
 
+    // Sequence-length bucketing: assign each doc its token-length
+    // quartile — the batching-efficiency step (group similar-length
+    // sequences so padding waste stays low). Splits come from the
+    // distributed-exact quantile operator (bounded memory everywhere,
+    // O(partitions) driver traffic) and enter the plan as literals, so
+    // the bucket assignment is a map-only projection; DuckDB's
+    // quantile_cont replays the identical interpolation bit-for-bit.
+    q("q_length_buckets",
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+        |s AS (SELECT quantile_cont(nt, 0.25) AS q1, quantile_cont(nt, 0.5) AS q2,
+        |             quantile_cont(nt, 0.75) AS q3 FROM t),
+        |b AS (SELECT doc_id, nt,
+        |        (CASE WHEN nt > q1 THEN 1 ELSE 0 END + CASE WHEN nt > q2 THEN 1 ELSE 0 END
+        |          + CASE WHEN nt > q3 THEN 1 ELSE 0 END) AS bucket
+        |      FROM t CROSS JOIN s)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(nt) AS BIGINT) AS min_tokens, CAST(max(nt) AS BIGINT) AS max_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      val splits = operators.Quantiles.exactQuantiles(t, "nt", Seq(0.25, 0.5, 0.75))
+      t.withColumn("bucket",
+          splits.map(q => when(col("nt") > q, 1).otherwise(0)).reduce(_ + _))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("nt").as("min_tokens"), max("nt").as("max_tokens"))
+        .orderBy("bucket")
+    }
+
     // Capstone funnel: the full training-data preparation pipeline as
     // ONE declarative plan — Gopher quality rules → exact dedup
     // (keep-first) → benchmark decontamination → per-source token

@@ -88,14 +88,31 @@ object TextQuality {
   /** Pairwise distinct word-n-gram intersection and Jaccard between
     * groups (sources). Output: (src_a, src_b, inter, jaccard), one row
     * per unordered pair with src_a < src_b. Grams travel as 60-bit
-    * md5-derived ints; the pair stream is a gram-bucket equi-join.
+    * md5-derived ints; the pair stream is a gram-bucket equi-join whose
+    * fan-out per gram is the number of groups containing it.
+    *
+    * `maxGroupsPerGram`: with MANY groups, a gram present in g groups
+    * contributes g²/2 pair rows — ubiquitous boilerplate grams are both
+    * the quadratic blowup and overlap noise (they carry no
+    * discriminative signal, the same reason IDF down-weights them).
+    * With a cap set, grams in more than `cap` groups are dropped before
+    * the self-join (one extra vocabulary-sized aggregation). Default
+    * None keeps exact semantics (the oracle-checked configuration —
+    * right for tens of groups).
     */
   def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val g = TextDedup.shingles(docs, groupCol, textCol, n = n, distinct = false)
+      n: Int, maxGroupsPerGram: Option[Int] = None): DataFrame = {
+    val all = TextDedup.shingles(docs, groupCol, textCol, n = n, distinct = false)
       .select(col(groupCol),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
+    val g = maxGroupsPerGram match {
+      case Some(cap) =>
+        val ok = all.groupBy("h").agg(count(lit(1)).as("__gn"))
+          .filter(col("__gn") <= cap)
+        all.join(ok, Seq("h"), "left_semi")
+      case None => all
+    }
     val sz = g.groupBy(groupCol).agg(count(lit(1)).as("n"))
     val a = g.select(col(groupCol).as("src_a"), col("h"))
     val b = g.select(col(groupCol).as("src_b"), col("h").as("hb"))

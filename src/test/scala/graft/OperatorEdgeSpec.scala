@@ -127,6 +127,28 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(kept(0L) == 0 && kept(1000L) == 3)
   }
 
+  test("groupOverlap cap drops ubiquitous grams, bounding pair fan-out") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    // "a b c d e f g h" appears in ALL three groups (ubiquitous);
+    // groups s1/s2 also share a private gram run
+    val shared = "a b c d e f g h"
+    val docs = Seq(
+      ("s1", s"$shared p q r s t u v w x"),
+      ("s2", s"$shared p q r s t u v w x"),
+      ("s3", shared)).toDF("source", "text")
+    val uncapped = TextQuality.groupOverlap(docs, "source", "text", 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(uncapped.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    // cap 2: the one gram present in all 3 groups is dropped; the
+    // s1-s2 private overlap survives, s3's only link disappears
+    val capped = TextQuality.groupOverlap(docs, "source", "text", 8,
+        maxGroupsPerGram = Some(2))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped.keySet == Set(("s1", "s2")), s"got $capped")
+    assert(capped(("s1", "s2")) == uncapped(("s1", "s2")) - 1)
+  }
+
   test("array_dot of empty arrays is 0.0, matching the HOF fold") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
