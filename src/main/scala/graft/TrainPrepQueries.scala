@@ -344,6 +344,33 @@ object TrainPrepQueries {
         .orderBy("split")
     }
 
+    // Sliding-window chunking (RAG/embedding prep): 32-token windows
+    // every 16 tokens (50% overlap). Map-only row-local explode; the
+    // per-doc digest hashes the ordered chunk stream so the oracle
+    // value-checks every chunk boundary, not just counts.
+    q("q_chunk_sliding",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |        array_to_string(list_slice(w, i*16 + 1, i*16 + 32), ' ') AS chunk_text
+        |      FROM (SELECT doc_id, w,
+        |              unnest(generate_series(0, CAST(greatest(ceil((len(w) - 32) / 16.0), 0) AS BIGINT))) AS i
+        |            FROM ws))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(len(string_split(chunk_text, ' '))) AS BIGINT) AS chunk_tokens,
+        |  md5(string_agg(chunk_text, '|' ORDER BY chunk_idx)) AS chunks_digest
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      operators.TextQuality
+        .chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+          chunkSize = 32, stride = 16)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("n_tokens").as("chunk_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+            x => x.getField("chunk_text")), "|").cast("binary")).as("chunks_digest"))
+        .orderBy("doc_id")
+    }
+
     // Sequence-length bucketing: assign each doc its token-length
     // quartile — the batching-efficiency step (group similar-length
     // sequences so padding waste stays low). Splits come from the

@@ -422,8 +422,16 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
 
   /** Pairwise distinct-n-gram overlap between values of `groupCol`
     * (leakage analytics; operators.TextQuality.groupOverlap). */
-  def groupOverlap(groupCol: String, textCol: String, n: Int = 8): Frame =
-    Frame(graft.operators.TextQuality.groupOverlap(df, groupCol, textCol, n))
+  def groupOverlap(groupCol: String, textCol: String, n: Int = 8,
+      maxGroupsPerGram: Option[Int] = None): Frame =
+    Frame(graft.operators.TextQuality.groupOverlap(df, groupCol, textCol, n,
+      maxGroupsPerGram))
+
+  /** Sliding-window token chunks of `textCol` (RAG/embedding prep;
+    * operators.TextQuality.chunkDocuments — map-only explode). */
+  def chunkText(textCol: String, chunkSize: Int, stride: Int): Frame =
+    Frame(graft.operators.TextQuality.chunkDocuments(df, idx, textCol,
+      chunkSize, stride))
 
   /** Clip `valueCol` to its per-`groupCol` [lo, hi] quantiles
     * (winsorization — outlier trimming before training). The group

@@ -85,6 +85,32 @@ object TextQuality {
       .withColumnRenamed("__pr", "pr").withColumnRenamed("__cum", "cum")
   }
 
+  /** Sliding-window document chunking (the RAG/embedding-prep shape):
+    * word windows of `size` tokens every `stride` tokens, so
+    * consecutive chunks overlap by `size - stride`. Row-local explode —
+    * a map-only operator; chunk text re-joins with single spaces
+    * (whitespace-normalizing, like the shingle pipeline). Output:
+    * (idCol, chunk_idx, chunk_text, n_tokens).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize: $chunkSize/$stride")
+    val wsa = col("__ws")
+    // one chunk per stride step while the window start is in range;
+    // the last chunks may be short (slice past the end truncates)
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(ceil((size(wsa) - lit(chunkSize)) / lit(stride.toDouble)),
+              lit(0)).cast("long")),
+          i => concat_ws(" ", slice(wsa, i * stride + 1, lit(chunkSize)))))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+  }
+
   /** Pairwise distinct word-n-gram intersection and Jaccard between
     * groups (sources). Output: (src_a, src_b, inter, jaccard), one row
     * per unordered pair with src_a < src_b. Grams travel as 60-bit

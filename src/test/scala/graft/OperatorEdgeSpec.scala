@@ -149,6 +149,18 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(capped(("s1", "s2")) == uncapped(("s1", "s2")) - 1)
   }
 
+  test("sliding chunks overlap by size-stride; short docs yield one chunk") {
+    import spark.implicits._
+    import graft.operators.TextQuality
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextQuality.chunkDocuments(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // doc 1 (10 tokens): starts 0,3,6 → ceil((10-4)/3)=2 → idx 0..2
+    assert(got == Map(
+      (1L, 0) -> "a b c d", (1L, 1) -> "d e f g", (1L, 2) -> "g h i j",
+      (2L, 0) -> "x y"), s"got $got")
+  }
+
   test("array_dot of empty arrays is 0.0, matching the HOF fold") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
