@@ -344,6 +344,28 @@ object TrainPrepQueries {
         .orderBy("split")
     }
 
+    // Within-doc word entropy (quality/diversity signal; low entropy =
+    // repetitive boilerplate). Uses H = ln(n) - (Σ c·ln c)/n so the
+    // whole thing is one (doc, word) count shuffle plus one per-doc
+    // aggregation — no per-word probability join.
+    q("q_word_entropy",
+      """WITH wc AS (SELECT doc_id, u.w, count(*) AS c
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |                  FROM documents) u GROUP BY doc_id, u.w)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 9) AS entropy
+        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 9)
+            .as("entropy"))
+        .orderBy("doc_id")
+    }
+
     // Sliding-window chunking (RAG/embedding prep): 32-token windows
     // every 16 tokens (50% overlap). Map-only row-local explode; the
     // per-doc digest hashes the ordered chunk stream so the oracle
