@@ -546,6 +546,15 @@ class FrameApiSpec extends SparkSpec {
     same("q_bigram_lm", docs.bigramLmScore("text").sortValues("doc_id"))
     same("q_source_overlap",
       docs.groupOverlap("source", "text").sortValues("src_a", "src_b"))
+    // chunking via facade == the registry's digest-checked summary
+    same("q_chunk_sliding", docs.chunkText("text", 32, 16)
+      .groupby("doc_id").aggExpr(
+        ("n_chunks", Series(count(lit(1)))),
+        ("chunk_tokens", Series(sum("n_tokens"))),
+        ("chunks_digest", Series(md5(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          x => x.getField("chunk_text")), "|").cast("binary")))))
+      .sortValues("doc_id"))
     // budget-mix `keep` marks reproduce the registry's kept counts
     val marked = docs
       .assign("n_tokens" -> Series(size(split(col("text"), " "))))
