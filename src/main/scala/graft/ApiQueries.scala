@@ -113,7 +113,7 @@ object ApiQueries {
           "from_pst_utc" -> ev("ts").dt.tzLocalize("GMT-08:00"),
           "period_q" -> ev("ts").dt.toPeriod("quarter"),
           "epoch_s" -> ev("ts").dt.epochSeconds,
-          "secs_into_day" -> (ev("ts").dt.epochSeconds - ev("ts").dt.normalize.dt.epochSeconds))
+          "secs_into_day" -> ev("ts").dt.secondsIntoDay)
         .select("event_id", "ist_wall", "from_pst_utc", "period_q", "epoch_s", "secs_into_day")
         .sortValues("event_id").toDF
     }

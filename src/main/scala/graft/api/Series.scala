@@ -210,6 +210,13 @@ final class DtOps(private val c: Column) {
   /** Seconds (with fractional part) since the epoch — composes with
     * subtraction for pandas' timedelta total_seconds. */
   def epochSeconds: Series = Series(unix_micros(c).cast("double") / 1e6)
+  /** Fractional seconds since local midnight. Subtracts INTEGER
+    * microseconds before the one division: `epochSeconds -
+    * normalize.epochSeconds` differences two ~1e9-magnitude doubles
+    * and the cancellation leaves ~1e-8 s of noise (a real bug this
+    * accessor replaced — caught by the cross-scale oracle diff). */
+  def secondsIntoDay: Series =
+    Series((unix_micros(c) - unix_micros(date_trunc("day", c))).cast("double") / 1e6)
 }
 
 /** Module conversions (reference to_timedelta `_collection.py:6110`). */
