@@ -722,17 +722,29 @@ object Queries {
 
   // Grouped idxmin/idxmax + deterministic first/last (by explicit order)
   // (reference _groupby.py:561-677 First/Last/IdxMin/IdxMax).
+  // idxmin/idxmax tie-break on the smallest id: a bare min_by(id, value)
+  // is engine-nondeterministic when the extreme value is duplicated
+  // (bit at sf0.1 — caught by the cross-scale oracle diff), so both
+  // engines take min(id) over the rows achieving the group extreme.
+  // first/last keep min_by/max_by on the UNIQUE event_id key, which is
+  // deterministic by construction.
   q("q_groupby_firstlast",
-    """SELECT event_type,
-      |  min_by(event_id, value) AS idxmin_ev,
-      |  max_by(event_id, value) AS idxmax_ev,
-      |  min_by(value, event_id) AS first_value,
-      |  max_by(value, event_id) AS last_value
-      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    Tables.events(s, dir)
+    """WITH m AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+      |           FROM events GROUP BY 1)
+      |SELECT e.event_type,
+      |  min(CASE WHEN e.value = m.mn THEN e.event_id END) AS idxmin_ev,
+      |  min(CASE WHEN e.value = m.mx THEN e.event_id END) AS idxmax_ev,
+      |  min_by(e.value, e.event_id) AS first_value,
+      |  max_by(e.value, e.event_id) AS last_value
+      |FROM events e JOIN m ON e.event_type = m.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val m = ev.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+    ev.join(broadcast(m), "event_type")
       .groupBy("event_type")
-      .agg(min_by(col("event_id"), col("value")).as("idxmin_ev"),
-        max_by(col("event_id"), col("value")).as("idxmax_ev"),
+      .agg(min(when(col("value") === col("mn"), col("event_id"))).as("idxmin_ev"),
+        min(when(col("value") === col("mx"), col("event_id"))).as("idxmax_ev"),
         min_by(col("value"), col("event_id")).as("first_value"),
         max_by(col("value"), col("event_id")).as("last_value"))
       .orderBy("event_type")
