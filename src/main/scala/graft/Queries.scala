@@ -448,15 +448,23 @@ object Queries {
   }
 
   // IdxMin/IdxMax → min_by/max_by (reference _reductions.py:980-1008);
-  // Mode (ties impossible on l_returnflag at these SFs).
+  // Mode (ties impossible on o_orderstatus at these SFs). The ordering
+  // key is price*1e9 ± key, so a duplicated extreme price resolves to
+  // the smallest key in BOTH engines (bare min_by(key, price) is
+  // engine-nondeterministic under ties; o_totalprice has 257 duplicate
+  // values at sf0.1). The composite stays exact: price*1e9 ≤ 6e14 with
+  // 0.01-price granularity = 1e7 per step > max key 6e6, all < 2^53.
   q("q_idx_mode",
-    """SELECT min_by(o_orderkey, o_totalprice) AS cheapest_order,
-      |  max_by(o_orderkey, o_totalprice) AS priciest_order,
+    """SELECT min_by(o_orderkey, o_totalprice * 1000000000 + o_orderkey) AS cheapest_order,
+      |  max_by(o_orderkey, o_totalprice * 1000000000 - o_orderkey) AS priciest_order,
       |  mode(o_orderstatus) AS common_status
       |FROM orders""".stripMargin) { (s, dir) =>
     Tables.orders(s, dir)
-      .agg(min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
-        max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+      .agg(
+        min_by(col("o_orderkey"),
+          col("o_totalprice") * 1000000000L + col("o_orderkey")).as("cheapest_order"),
+        max_by(col("o_orderkey"),
+          col("o_totalprice") * 1000000000L - col("o_orderkey")).as("priciest_order"),
         mode(col("o_orderstatus")).as("common_status"))
   }
 
