@@ -74,6 +74,15 @@ object TextQuality {
     * the input plus (pr, cum, keep) — callers filter on `keep` to
     * materialize the mixture or aggregate for a mixture report. One
     * shuffle on `groupCol`; each group sorts independently in parallel.
+    *
+    * Policy: PREFIX-CUT — `cum` accumulates over every row in priority
+    * order and keep = (cum <= budget), so the kept set is a prefix of
+    * the priority order. A skip-and-continue greedy (reject the
+    * overflowing row, keep trying smaller ones — what
+    * [[graft.streaming.StreamOps.streamingTokenBudget]] does online) packs
+    * closer to the budget but is a sequential fold no window sum can
+    * express — prefix-cut is the declarative, any-engine-replayable
+    * batch policy.
     */
   def tokenBudgetMix(df: DataFrame, groupCol: String, idCol: String,
       tokensCol: String, budget: Long): DataFrame = {

@@ -143,9 +143,13 @@ object StreamOps {
     * row is admitted iff the source's running total stays within
     * budget, and emitted with its verdict. State is one long per
     * source — bounded by source cardinality, no watermark needed.
-    * Admission order is arrival order (online policy) rather than the
-    * batch operator's deterministic hash priority — the inherent
-    * batch/stream difference for a budget gate, documented here.
+    * Two deliberate differences from the batch
+    * [[graft.operators.TextQuality.tokenBudgetMix]]: admission order is
+    * arrival order (no global priority exists online), and the policy
+    * is skip-and-continue (an overflowing doc is rejected but smaller
+    * later ones may still fit) rather than prefix-cut — a sequential
+    * fold is exactly what per-key state gives a stream for free, while
+    * the batch form stays a window sum any engine can replay.
     */
   def streamingTokenBudget(rows: Dataset[(String, Long, Long)],
       budget: Long): Dataset[(String, Long, Long, Boolean)] = {

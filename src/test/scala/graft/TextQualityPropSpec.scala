@@ -1,0 +1,101 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.operators.TextQuality
+
+/** Randomized differential tests for the quality/mixing operators:
+  * each is checked against a brute-force single-node reference over
+  * seeded random corpora, and against itself under a different input
+  * partitioning (partitioning invariance is what lets the DuckDB
+  * oracle value-check the distributed runs). Seeded, so failures
+  * reproduce.
+  */
+class TextQualityPropSpec extends SparkSpec {
+
+  private val rnd = new Random(42)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa")
+
+  private def randomDocs(n: Int, maxLen: Int): Seq[(Long, String)] =
+    (0 until n).map { i =>
+      val len = 1 + rnd.nextInt(maxLen)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+
+  test("tokenBudgetMix matches the brute-force budget walk") {
+    import spark.implicits._
+    for (_ <- 0 until 5) {
+      val rows = (0 until 50).map { i =>
+        (s"src${rnd.nextInt(4)}", i.toLong, (1 + rnd.nextInt(30)).toLong)
+      }
+      val budget = 20 + rnd.nextInt(80)
+      // reference: per source, rows in (md5(id), id) order; PREFIX-CUT
+      // policy — the running total includes every row, keep while the
+      // prefix sum fits (see tokenBudgetMix scaladoc; skip-and-continue
+      // is the STREAMING gate's policy, deliberately different)
+      def md5hex(s: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        var cum = 0L
+        rs.sortBy { case (_, id, _) => (md5hex(id.toString), id) }.map {
+          case (_, id, tok) =>
+            cum += tok
+            (id, cum <= budget)
+        }
+      }
+      val got = TextQuality.tokenBudgetMix(
+          rows.toDF("source", "doc_id", "tok"), "source", "doc_id", "tok", budget)
+        .select("doc_id", "keep")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == want, s"budget=$budget")
+      // partitioning invariance
+      val got7 = TextQuality.tokenBudgetMix(
+          rows.toDF("source", "doc_id", "tok").repartition(7),
+          "source", "doc_id", "tok", budget)
+        .select("doc_id", "keep")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got7 == want)
+    }
+  }
+
+  test("chunkDocuments with stride == size partitions the token stream exactly") {
+    import spark.implicits._
+    for (_ <- 0 until 3) {
+      val docs = randomDocs(30, 40)
+      val size = 1 + rnd.nextInt(8)
+      val chunks = TextQuality.chunkDocuments(
+          docs.toDF("doc_id", "text"), "doc_id", "text", size, size)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      // reassembling each doc's chunks in index order reproduces it
+      val rebuilt = chunks.groupBy(_._1).map { case (id, cs) =>
+        id -> cs.sortBy(_._2).map(_._3).mkString(" ")
+      }
+      docs.foreach { case (id, text) =>
+        assert(rebuilt(id) == text, s"doc $id size=$size")
+      }
+      // every chunk except a doc's last has exactly `size` tokens
+      chunks.groupBy(_._1).foreach { case (id, cs) =>
+        cs.sortBy(_._2).dropRight(1).foreach { c =>
+          assert(c._3.split(" ").length == size, s"doc $id chunk ${c._2}")
+        }
+      }
+    }
+  }
+
+  test("bigramLmScore is a proper probability model over observed bigrams") {
+    import spark.implicits._
+    val docs = randomDocs(40, 30).filter(_._2.contains(" "))  // ≥2 tokens
+    val out = TextQuality.bigramLmScore(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    docs.foreach { case (id, text) =>
+      val nb = text.split(" ").length - 1
+      val (gotN, logp) = out(id)
+      assert(gotN == nb, s"doc $id bigram count")
+      // smoothed probabilities are strictly inside (0, 1) → ln < 0
+      assert(logp < 0.0, s"doc $id logp=$logp")
+    }
+  }
+}
