@@ -37,6 +37,20 @@ object IoQueries {
         .orderBy("seq")
     }
 
+    // XML roundtrip (Spark 4 built-in xml source; format-breadth
+    // extension beyond the reference's list). Oracle reads the parquet
+    // source — the roundtrip must be lossless to match.
+    q("q_xml_roundtrip",
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val supplier = Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      val path = s"$ioDir/xml_supplier"
+      Io.writeXml(supplier, path, rowTag = "supplier")
+      Io.readXml(s, path, rowTag = "supplier", schema = supplier.schema)
+        .orderBy("s_suppkey")
+    }
+
     // read_csv / to_csv (reference _collection.py:5092, io/csv.py:1).
     q("q_csv_roundtrip",
       """SELECT n_nationkey, n_name, n_regionkey

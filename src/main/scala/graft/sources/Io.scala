@@ -49,6 +49,19 @@ object Io {
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
 
+  /** XML source/sink (Spark 4 built-in data source; beyond the
+    * reference's format list — rounds out the IO surface the same way
+    * csv/json/orc do). `rowTag` names the per-record element. */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+      schema: StructType = null): DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", rowTag)
+    (if (schema != null) r.schema(schema) else r).load(path)
+  }
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("xml")
+      .option("rowTag", rowTag).save(path)
+
   /** Generator-table source (reference io/io.py:218 FromMap) — see
     * [[graft.sources.MapSource]] for pushdown semantics. */
   def readMap(spark: SparkSession, rows: Long, partitions: Int): DataFrame =
