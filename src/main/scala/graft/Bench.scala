@@ -7,10 +7,16 @@ import org.apache.spark.sql.SparkSession
   * the full plan executes (a bare count() lets Catalyst prune all
   * projections and would time scan+count instead of the query).
   *
-  * Protocol: one untimed warm-up pass over a trio of shape-diverse
-  * queries (scan+agg, join, window) to absorb JVM/codegen/classloading
-  * cost, then each query timed once in registration order. Failures
-  * propagate — a broken query must fail the bench, not record -1s.
+  * Protocol: one full untimed/cold pass (JIT + codegen + classloading),
+  * then each query timed SPARK_GRAFT_REPS times (default 3) back-to-back
+  * and reported as the per-query MEDIAN. Single-timing on a shared box
+  * proved contention-fragile two rounds running (r07 heavy-query spikes,
+  * r08 small-tail spikes, both 1.3-5x off the clean number); a 3-rep
+  * median rejects a transient spike on any one rep. `value` is the sum
+  * of medians; `min_value` the sum of per-query minima (contention-free
+  * floor); `dispersion` the summed (max-min) spread — a large value
+  * flags a contaminated capture. Failures propagate — a broken query
+  * must fail the bench, not record -1s.
   *
   * Prints ONE JSON line: {"metric":"total","value":N,"unit":"sec",
   * "queries":{...},"sf":...}.
@@ -58,13 +64,22 @@ object Bench {
       System.err.println("[bench] filter eliminated every query — nothing to run")
       sys.exit(2)
     }
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     val cold = names.map(runOnce).sum
     spark.catalog.clearCache()
-    val results = names.map { name =>
-      val r = name -> runOnce(name)
-      spark.catalog.clearCache()
-      r
+    // reps back-to-back per query, not reps full passes: a contention
+    // burst lasting seconds would distort one whole pass; here it can
+    // only hit one or two reps of a few queries, and the median drops it.
+    val samples: Seq[(String, Seq[Double])] = names.map { name =>
+      val ts = (1 to reps).map { _ =>
+        val t = runOnce(name); spark.catalog.clearCache(); t
+      }
+      name -> ts.sorted
     }
+    def median(ts: Seq[Double]): Double = ts(ts.size / 2) // ts sorted, odd reps exact
+    val results = samples.map { case (n, ts) => n -> median(ts) }
+    val mins = samples.map { case (_, ts) => ts.head }
+    val spread = samples.map { case (_, ts) => ts.last - ts.head }
 
     // The round driver captures only a bounded (~4 KB) tail of stdout; a
     // full per-query map over 140+ queries is ~3.5 KB and, together with
@@ -78,8 +93,14 @@ object Bench {
     def jmap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val minTotal = mins.sum
+    val disp = spread.sum
+    def jmapN(rs: Seq[(String, Seq[Double])], pick: Seq[Double] => Double): String =
+      jmap(rs.map { case (k, ts) => k -> pick(ts) })
+    val stats =
+      s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size}"""
     val full =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","cold_value":${f(cold)},"n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total",$stats,"queries":${jmap(results)},"queries_min":${jmapN(samples, _.head)},"queries_max":${jmapN(samples, _.last)},"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
     println(full) // early line: full detail for anyone reading the whole log
@@ -98,7 +119,7 @@ object Bench {
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","cold_value":${f(cold)},"n_queries":${results.size},"full":"${fullPath}","queries":${jmap(head)},"sf":"$sfDir"}""")
+      s"""{"metric":"total",$stats,"full":"${fullPath}","queries":${jmap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
