@@ -496,21 +496,67 @@ object LlmQueries {
         .orderBy("doc_id")
     }
 
-    // Multimodal plumbing: text bytes as the stand-in binary payload,
-    // metadata extracted partition-at-a-time (decode stubbed — see
-    // operators.Multimodal).
+    // Multimodal metadata: each doc carries a REAL container byte stream
+    // (PNG IHDR / JPEG SOF behind an APP0 segment / GIF screen
+    // descriptor, dims derived from doc_id) with the text bytes as
+    // trailing payload; extractMeta must actually parse the header —
+    // endian-correct field extraction, marker skipping, color-type →
+    // channels — to match the oracle, which re-derives the dims
+    // arithmetically and the payload digest by constructing the
+    // identical bytes from hex. Byte identity is proven by sha256 over
+    // the (uppercase) hex encoding, the blob-hash surface DuckDB shares
+    // with Spark.
     q("q_multimodal_meta",
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
-        |  CAST(1 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
-        |  CAST(3 AS INTEGER) AS channels,
-        |  sha256(text) AS sha256_hex
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |         1 + doc_id % 509 AS w,
+        |         1 + (doc_id * 7) % 389 AS h,
+        |         doc_id % 3 AS fmt,
+        |         doc_id % 2 = 0 AS alt
+        |  FROM documents),
+        |hdr AS (
+        |  SELECT doc_id, text, w, h, fmt, alt,
+        |    CASE fmt
+        |      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D49484452'
+        |        || lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0')
+        |        || '08' || CASE WHEN alt THEN '06' ELSE '02' END || '000000' || '00000000'
+        |      WHEN 1 THEN 'FFD8FFE000104A46494600010100000100010000'
+        |        || 'FFC0' || CASE WHEN alt THEN '000B' ELSE '0011' END || '08'
+        |        || lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0')
+        |        || CASE WHEN alt THEN '01011100' ELSE '03011100021101031101' END
+        |      ELSE '474946383961'
+        |        || lpad(to_hex(w % 256), 2, '0') || lpad(to_hex(w // 256), 2, '0')
+        |        || lpad(to_hex(h % 256), 2, '0') || lpad(to_hex(h // 256), 2, '0')
+        |        || '000000'
+        |    END AS hex
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(octet_length(unhex(hex)) + octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(CASE fmt WHEN 0 THEN CASE WHEN alt THEN 4 ELSE 3 END
+        |                WHEN 1 THEN CASE WHEN alt THEN 1 ELSE 3 END
+        |                ELSE 3 END AS INTEGER) AS channels,
+        |  sha256(to_hex(unhex(hex) || encode(text))) AS payload_sha256
+        |FROM hdr ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val mk = udf((docId: Long, text: String) => {
+        val w = 1 + (docId % 509).toInt
+        val h = 1 + ((docId * 7) % 389).toInt
+        val header = docId % 3 match {
+          case 0 => Multimodal.pngFixture(w, h, if (docId % 2 == 0) 6 else 2)
+          case 1 => Multimodal.jpegFixture(w, h, if (docId % 2 == 0) 1 else 3)
+          case _ => Multimodal.gifFixture(w, h)
+        }
+        header ++ text.getBytes("UTF-8")
+      })
       val withPayload = Tables.documents(s, dir)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      Multimodal.extractMeta(withPayload, "doc_id", "payload")
-        .orderBy("doc_id")
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("payload"))
+      val meta = Multimodal.extractMeta(withPayload, "doc_id", "payload")
+        .drop("sha256_hex") // raw-bytes sha: no DuckDB blob-hash to check it against
+      val digest = withPayload.select(col("doc_id"),
+        sha2(hex(col("payload")), 256).as("payload_sha256"))
+      meta.join(digest, Seq("doc_id")).orderBy("doc_id")
     }
 
     // Frame sampling: every 4th 64-byte frame of the payload, with the

@@ -9,30 +9,131 @@ import org.apache.spark.sql.types._
   * as a partition-batched function over the binary bytes — the Spark
   * analogue of a batched decode UDF.
   *
-  * The actual media decode is STUBBED (no image/audio codecs in this
-  * environment): `fakeDecode` derives deterministic "dimensions" from
-  * the byte stream. Everything around it — the binary schema, the
-  * partition batching, the output struct — is the real production
-  * plumbing; swapping `fakeDecode` for a JNI/codec call changes nothing
-  * else.
+  * Header decode is REAL: `decodeImageHeader` parses the public PNG
+  * (IHDR), JPEG (marker scan to SOF), GIF (logical screen descriptor)
+  * and BMP (BITMAPINFOHEADER) container formats from the leading bytes —
+  * format detection, big/little-endian field extraction, color-type →
+  * channel mapping. Full pixel decode (inflate/DCT) is out of scope for
+  * metadata extraction and would slot into the same partition-batched
+  * loop.
   */
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),
+    StructField("format", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
     StructField("sha256_hex", StringType)))
 
-  /** STUB decode: a real implementation would parse the container header
-    * (PNG/JPEG/WAV...). Deterministic fake: dimensions derived from byte
-    * count so external engines can verify the plumbing end-to-end.
+  /** Parsed container header: detected format plus pixel dimensions and
+    * channel count. `None` for payloads that match no known signature or
+    * are truncated before the header fields. */
+  final case class ImageHeader(format: String, width: Int, height: Int, channels: Int)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  private val pngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse a real image container header from the leading payload bytes.
+    *
+    * - PNG: 8-byte signature, then the IHDR chunk (always first, RFC 2083):
+    *   width/height big-endian u32 at offsets 16/20, color type at 25
+    *   (0 gray→1ch, 2 rgb→3, 3 palette→1, 4 gray+alpha→2, 6 rgba→4).
+    * - JPEG: SOI then a marker scan skipping variable-length segments
+    *   (each length field includes itself) until a frame header SOFn
+    *   (0xC0-0xCF minus DHT 0xC4 / JPG 0xC8 / DAC 0xCC): precision u8,
+    *   height/width big-endian u16, component count u8.
+    * - GIF: "GIF87a"/"GIF89a", then logical-screen width/height
+    *   little-endian u16; palette-based RGB → 3 channels.
+    * - BMP: "BM", BITMAPINFOHEADER width/height little-endian i32 at
+    *   18/22 (height may be negative = top-down), bits-per-pixel/8.
     */
-  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
-    val n = bytes.length
-    (1 + n % 64, 1 + (n / 64) % 64, 3)
+  def decodeImageHeader(b: Array[Byte]): Option[ImageHeader] = {
+    val n = b.length
+    if (n >= 26 && b.take(8).sameElements(pngSig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val channels = u8(b, 25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      Some(ImageHeader("png", be32(b, 16), be32(b, 20), channels))
+    } else if (n >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+      var i = 2
+      while (i + 3 < n) {
+        if (u8(b, i) != 0xff) return None // desynced: not a marker boundary
+        val m = u8(b, i + 1)
+        if (m == 0xff) i += 1 // fill byte before marker
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (i + 9 >= n) return None
+          return Some(ImageHeader("jpeg", be16(b, i + 7), be16(b, i + 5), u8(b, i + 9)))
+        } else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          i += 2 // standalone marker, no length field
+        } else {
+          val segLen = be16(b, i + 2)
+          if (segLen < 2) return None
+          i += 2 + segLen
+        }
+      }
+      None
+    } else if (n >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      Some(ImageHeader("gif", le16(b, 6), le16(b, 8), 3))
+    } else if (n >= 30 && b(0) == 'B' && b(1) == 'M') {
+      Some(ImageHeader("bmp", le32(b, 18), math.abs(le32(b, 22)), le16(b, 28) / 8))
+    } else None
+  }
+
+  // ---- deterministic fixture builders (tests + oracle queries) ---------
+  // Real container bytes with the given dimensions; payload content after
+  // the header fields is irrelevant to header decode, exactly like a real
+  // truncated-download check. CRCs are zeroed: header parsing never
+  // validates them (and neither do the fast paths of real decoders).
+
+  /** Minimal PNG: signature + IHDR chunk (zero CRC). colorType as in the
+    * PNG spec (2=rgb, 6=rgba, ...). 33 bytes. */
+  def pngFixture(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(33)
+    buf.put(pngSig)
+    buf.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    buf.putInt(w).putInt(h)
+    buf.put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.putInt(0) // CRC (unvalidated)
+    buf.array()
+  }
+
+  /** Minimal JPEG: SOI + APP0/JFIF segment (exercises marker skipping) +
+    * SOF0 with `nComp` components. 30 + 3*nComp bytes. */
+  def jpegFixture(w: Int, h: Int, nComp: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(30 + 3 * nComp)
+    buf.put(0xff.toByte).put(0xd8.toByte)
+    buf.put(0xff.toByte).put(0xe0.toByte).putShort(16)
+    buf.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    buf.putShort(0x0101.toShort).put(0.toByte).putShort(1).putShort(1)
+    buf.put(0.toByte).put(0.toByte)
+    buf.put(0xff.toByte).put(0xc0.toByte).putShort((8 + 3 * nComp).toShort)
+    buf.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(nComp.toByte)
+    (1 to nComp).foreach { c =>
+      buf.put(c.toByte).put(0x11.toByte).put((if (c == 1) 0 else 1).toByte)
+    }
+    buf.array()
+  }
+
+  /** Minimal GIF89a: signature + logical screen descriptor. 13 bytes. */
+  def gifFixture(w: Int, h: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+    buf.putShort(w.toShort).putShort(h.toShort)
+    buf.put(0.toByte).put(0.toByte).put(0.toByte)
+    buf.array()
   }
 
   val frameSchema: StructType = StructType(Seq(
@@ -68,9 +169,13 @@ object Multimodal {
     }
   }
 
-  /** Extract per-item metadata from (id, payload binary) rows. Runs
-    * partition-at-a-time so a real decoder could amortize codec init
-    * across the batch; one task per input partition, no shuffle.
+  /** Extract per-item metadata from (id, payload binary) rows by parsing
+    * the real container header (`decodeImageHeader`). Unknown/truncated
+    * payloads yield format "unknown" with null dimensions rather than
+    * failing the batch — corrupt items are data, not errors, at corpus
+    * scale. Runs partition-at-a-time so decoder state (here the digest;
+    * in a full decoder, codec contexts) is amortized across the batch;
+    * one task per input partition, no shuffle.
     */
   def extractMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
@@ -80,10 +185,14 @@ object Multimodal {
       val digest = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](payIdx)
-        val (w, h, c) = fakeDecode(bytes)
         digest.reset()
         val sha = digest.digest(bytes).map("%02x".format(_)).mkString
-        Row(r.getLong(idIdx), bytes.length, w, h, c, sha)
+        decodeImageHeader(bytes) match {
+          case Some(ImageHeader(fmt, w, h, c)) =>
+            Row(r.getLong(idIdx), bytes.length, fmt, w, h, c, sha)
+          case None =>
+            Row(r.getLong(idIdx), bytes.length, "unknown", null, null, null, sha)
+        }
       }
     }
   }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.operators.Multimodal.ImageHeader
+
+/** Real container-header decode: PNG/JPEG/GIF/BMP parsing against bytes
+  * built independently of the parser (javax.imageio for PNG/GIF/JPEG
+  * would be ideal but jpeg write needs no native codec either — we use
+  * ImageIO where the JDK provides an encoder, plus hand-layout for the
+  * rest), and the extractMeta plumbing end-to-end.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  /** Encode a real image via the JDK's own ImageIO writer — an encoder
+    * the parser has no knowledge of — to prove decode against bytes we
+    * didn't lay out ourselves. */
+  private def imageIoBytes(fmt: String, w: Int, h: Int, typ: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, typ)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  test("PNG from ImageIO: dims and channels recovered") {
+    val rgb = imageIoBytes("png", 640, 480, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(Multimodal.decodeImageHeader(rgb).contains(ImageHeader("png", 640, 480, 3)))
+    val rgba = imageIoBytes("png", 31, 17, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    assert(Multimodal.decodeImageHeader(rgba).contains(ImageHeader("png", 31, 17, 4)))
+    val gray = imageIoBytes("png", 5, 9, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    assert(Multimodal.decodeImageHeader(gray).contains(ImageHeader("png", 5, 9, 1)))
+  }
+
+  test("JPEG from ImageIO: marker scan reaches SOF past APP0/DQT/DHT segments") {
+    val jpg = imageIoBytes("jpeg", 320, 200, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(Multimodal.decodeImageHeader(jpg).contains(ImageHeader("jpeg", 320, 200, 3)))
+    val gray = imageIoBytes("jpeg", 12, 34, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    assert(Multimodal.decodeImageHeader(gray).contains(ImageHeader("jpeg", 12, 34, 1)))
+  }
+
+  test("GIF from ImageIO: little-endian screen descriptor") {
+    val gif = imageIoBytes("gif", 300, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(Multimodal.decodeImageHeader(gif).contains(ImageHeader("gif", 300, 2, 3)))
+  }
+
+  test("BMP from ImageIO: little-endian signed dims, bpp channels") {
+    val bmp = imageIoBytes("bmp", 77, 55, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(Multimodal.decodeImageHeader(bmp).contains(ImageHeader("bmp", 77, 55, 3)))
+  }
+
+  test("fixture builders parse back to their inputs") {
+    assert(Multimodal.decodeImageHeader(Multimodal.pngFixture(509, 389, 2))
+      .contains(ImageHeader("png", 509, 389, 3)))
+    assert(Multimodal.decodeImageHeader(Multimodal.pngFixture(1, 1, 6))
+      .contains(ImageHeader("png", 1, 1, 4)))
+    assert(Multimodal.decodeImageHeader(Multimodal.jpegFixture(65000, 1, 3))
+      .contains(ImageHeader("jpeg", 65000, 1, 3)))
+    assert(Multimodal.decodeImageHeader(Multimodal.jpegFixture(2, 3, 1))
+      .contains(ImageHeader("jpeg", 2, 3, 1)))
+    assert(Multimodal.decodeImageHeader(Multimodal.gifFixture(511, 257))
+      .contains(ImageHeader("gif", 511, 257, 3)))
+  }
+
+  test("unknown and truncated payloads decode to None, not exceptions") {
+    assert(Multimodal.decodeImageHeader("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageHeader(Array.empty[Byte]).isEmpty)
+    val png = Multimodal.pngFixture(10, 10, 2)
+    assert(Multimodal.decodeImageHeader(png.take(20)).isEmpty) // cut inside IHDR
+    val jpg = Multimodal.jpegFixture(10, 10, 3)
+    assert(Multimodal.decodeImageHeader(jpg.take(25)).isEmpty) // cut before SOF
+    // SOI then garbage: marker desync must bail, not loop
+    assert(Multimodal.decodeImageHeader(
+      Array(0xff, 0xd8, 0x00, 0x01, 0x02, 0x03).map(_.toByte)).isEmpty)
+  }
+
+  test("extractMeta end-to-end: mixed formats, corrupt row survives as unknown") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.pngFixture(100, 50, 6)),
+      (2L, imageIoBytes("jpeg", 64, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)),
+      (3L, Multimodal.gifFixture(8, 4)),
+      (4L, "corrupt".getBytes))
+    val out = Multimodal.extractMeta(rows.toDF("doc_id", "payload"), "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "png"), (2L, "jpeg"), (3L, "gif"), (4L, "unknown")))
+    assert(out(0).getInt(3) == 100 && out(0).getInt(4) == 50 && out(0).getInt(5) == 4)
+    assert(out(1).getInt(3) == 64 && out(1).getInt(4) == 32)
+    assert(out(3).isNullAt(3) && out(3).isNullAt(4) && out(3).isNullAt(5))
+    // digest column is the raw-bytes sha256
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("corrupt".getBytes).map("%02x".format(_)).mkString
+    assert(out(3).getString(6) == expected)
+  }
+}
