@@ -143,22 +143,52 @@ object ExtraQueries {
       }.drop("o_orderstatus").orderBy("o_orderkey")
     }
 
-    // Categorical codes (reference _categorical.py:21): dictionary built
-    // from sorted distinct values (tiny), broadcast back — never a
-    // global window over the data.
+    // Categorical codes (reference _categorical.py:21): dictionary
+    // discovered via the capped ordered-limit in Frame.categorize (a
+    // distributed top-k + broadcast join — no window anywhere).
     q("q_categorical_codes",
       """SELECT o_orderkey, o_orderpriority,
         |  dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS code
         |FROM orders WHERE o_orderkey < 1000
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val sub = Tables.orders(s, dir).filter(col("o_orderkey") < 1000)
-      val dict = sub.select(col("o_orderpriority")).distinct()
-        .withColumn("code",
-          row_number().over(Window.orderBy("o_orderpriority")) - 1)
-      sub.select("o_orderkey", "o_orderpriority")
-        .join(broadcast(dict), "o_orderpriority")
+        .select("o_orderkey", "o_orderpriority")
+      graft.api.Frame(sub).categorize("o_orderpriority")
+        .rename("o_orderpriority_code" -> "code").df
         .select("o_orderkey", "o_orderpriority", "code")
+        .orderBy("o_orderkey")
+    }
+
+    // Categorical management surface (reference _categorical.py:21-155
+    // as_known/as_unknown/categories/ordered): asKnown pins the sorted
+    // dictionary into column metadata; categorize on a known column uses
+    // the pinned dictionary with no discovery job; the dictionary size
+    // and ordered flag surface as plan-time constants. The oracle
+    // re-derives codes as a dense rank and the dictionary size as a
+    // scalar subquery over the same filtered set.
+    q("q_categorical_ops",
+      """SELECT o_orderkey, o_orderpriority,
+        |  dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS code,
+        |  CAST((SELECT count(DISTINCT o_orderpriority) FROM orders
+        |        WHERE o_orderkey < 1000) AS INTEGER) AS n_categories,
+        |  TRUE AS is_ordered, TRUE AS unknown_after_drop
+        |FROM orders WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val base = graft.api.Frame(Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderpriority"))
+      val known = base.asKnown("o_orderpriority", ordered = true)
+      val cats = known.knownCategories("o_orderpriority")
+        .getOrElse(sys.error("asKnown did not pin categories"))
+      known.categorize("o_orderpriority") // pinned dict: no discovery job
+        .rename(s"o_orderpriority_code" -> "code")
+        .df
+        .withColumn("n_categories", lit(cats.length))
+        .withColumn("is_ordered", lit(known.catOrdered("o_orderpriority")))
+        .withColumn("unknown_after_drop",
+          lit(!known.asUnknown("o_orderpriority").catKnown("o_orderpriority")))
+        .select("o_orderkey", "o_orderpriority", "code", "n_categories",
+          "is_ordered", "unknown_after_drop")
         .orderBy("o_orderkey")
     }
 

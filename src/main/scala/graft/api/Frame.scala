@@ -177,13 +177,94 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
 
   /** Categorical codes with a DYNAMICALLY discovered dictionary
     * (reference `_categorical.py:21-210` Categorize/GetCategories):
-    * sorted distinct values → dense codes, built as a tiny broadcast
-    * dictionary — never a global window over the data. */
-  def categorize(column: String): Frame = {
-    val dict = df.select(col(column)).na.drop().distinct()
-      .withColumn(s"${column}_code",
-        row_number().over(Window.orderBy(column)) - 1)
-    keep(df.join(broadcast(dict), Seq(column)))
+    * sorted distinct values → dense codes. The dictionary is discovered
+    * with a CAPPED ordered-limit (TakeOrderedAndProject — a distributed
+    * per-partition top-k, no single-task window) and fails fast past
+    * `maxCategories`: a dictionary that size is no longer categorical
+    * data, and silently funneling an unbounded distinct set through one
+    * task is exactly the failure mode this guards against. Codes join
+    * back as a broadcast dictionary; rows with a null value get code -1
+    * (the pandas NaN convention). If the column was marked known via
+    * [[asKnown]], the stored dictionary is reused and no discovery job
+    * runs at all. */
+  def categorize(column: String, maxCategories: Int = 65536): Frame = {
+    val field = df.schema(column)
+    val vals: Seq[Any] = knownCategories(column) match {
+      case Some(cats) => cats
+      case None =>
+        val rows = df.select(col(column)).na.drop().distinct()
+          .orderBy(col(column)).limit(maxCategories + 1).collect()
+        require(rows.length <= maxCategories,
+          s"categorize($column): over $maxCategories distinct values — raise maxCategories only if this is genuinely categorical")
+        rows.map(_.get(0)).toSeq
+    }
+    val dictRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(vals.zipWithIndex.map {
+        case (v, i) => org.apache.spark.sql.Row(v, i)
+      }: _*)
+    val dict = spark.createDataFrame(dictRows, org.apache.spark.sql.types.StructType(Seq(
+      field.copy(nullable = true),
+      org.apache.spark.sql.types.StructField(s"${column}_code",
+        org.apache.spark.sql.types.IntegerType))))
+    keep(df.join(broadcast(dict), Seq(column), "left")
+      .withColumn(s"${column}_code", coalesce(col(s"${column}_code"), lit(-1))))
+  }
+
+  // ---- categorical management (reference `_categorical.py:21-155`
+  // CategoricalAccessor, as_known/as_unknown) -------------------------
+  // The dictionary lives in the column's METADATA — the Spark analogue
+  // of pandas' known categorical dtype. Marking a column known makes its
+  // categories a plan-time constant: categorize/getDummies/lookups run
+  // with zero discovery jobs, the same contract dask's as_known buys by
+  // materializing divisions-time categories. String-keyed (categorical
+  // data is low-cardinality labels; numeric codes are already numeric).
+
+  private val CatKey = "graft.categories"
+  private val OrdKey = "graft.cat_ordered"
+
+  /** Discover and PIN the category dictionary into column metadata
+    * (reference `as_known`, `_categorical.py:60`). Sorted, capped,
+    * discovered via distributed ordered-limit; `ordered` records the
+    * pandas ordered-categorical flag. */
+  def asKnown(column: String, maxCategories: Int = 65536, ordered: Boolean = false): Frame = {
+    require(df.schema(column).dataType == org.apache.spark.sql.types.StringType,
+      s"asKnown($column): categorical metadata is string-keyed; cast first")
+    val rows = df.select(col(column)).na.drop().distinct()
+      .orderBy(col(column)).limit(maxCategories + 1).collect()
+    require(rows.length <= maxCategories,
+      s"asKnown($column): over $maxCategories distinct values — not categorical data")
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(df.schema(column).metadata)
+      .putStringArray(CatKey, rows.map(_.getString(0)).toArray)
+      .putBoolean(OrdKey, ordered).build()
+    keep(df.withColumn(column, col(column).as(column, md)))
+  }
+
+  /** Drop the known-categories mark (reference `as_unknown`,
+    * `_categorical.py:74`). */
+  def asUnknown(column: String): Frame = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(df.schema(column).metadata)
+      .remove(CatKey).remove(OrdKey).build()
+    keep(df.withColumn(column, col(column).as(column, md)))
+  }
+
+  /** The pinned dictionary, if the column is known (reference accessor
+    * `.cat.categories`); None for unknown columns. */
+  def knownCategories(column: String): Option[Seq[String]] = {
+    val md = df.schema(column).metadata
+    if (md.contains(CatKey)) Some(md.getStringArray(CatKey).toSeq) else None
+  }
+
+  /** Whether the column carries a pinned dictionary (reference
+    * `.cat.known`). */
+  def catKnown(column: String): Boolean = knownCategories(column).isDefined
+
+  /** The pandas ordered-categorical flag for a known column (reference
+    * `.cat.ordered`). */
+  def catOrdered(column: String): Boolean = {
+    val md = df.schema(column).metadata
+    md.contains(OrdKey) && md.getBoolean(OrdKey)
   }
 
   /** Repartition so each output partition holds one `freq` bucket of

@@ -388,6 +388,47 @@ class FrameApiSpec extends SparkSpec {
       .sortValues("o_orderkey"))
   }
 
+  test("categorize fails fast past maxCategories") {
+    val o = fr("orders")
+    val e = intercept[IllegalArgumentException] {
+      o.categorize("o_orderkey", maxCategories = 10)
+    }
+    assert(e.getMessage.contains("over 10 distinct values"))
+  }
+
+  test("categorize gives null values code -1 (pandas NaN convention)") {
+    import spark.implicits._
+    val f = Frame(Seq((1L, "a"), (2L, null), (3L, "b"), (4L, "a"))
+      .toDF("id", "v"))
+    val got = f.categorize("v").df.select("id", "v_code").orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(got.toSeq == Seq(1L -> 0, 2L -> -1, 3L -> 1, 4L -> 0))
+  }
+
+  test("asKnown pins categories; categorize reuses them; asUnknown drops them") {
+    val o = fr("orders").select("o_orderkey", "o_orderpriority")
+    val known = o.asKnown("o_orderpriority", ordered = true)
+    val cats = known.knownCategories("o_orderpriority").get
+    assert(cats == cats.sorted && cats.nonEmpty)
+    assert(known.catKnown("o_orderpriority") && known.catOrdered("o_orderpriority"))
+    // codes from the pinned dictionary match fresh discovery exactly
+    val viaKnown = known.categorize("o_orderpriority").df
+      .select("o_orderkey", "o_orderpriority_code").orderBy("o_orderkey").collect()
+    val viaFresh = o.categorize("o_orderpriority").df
+      .select("o_orderkey", "o_orderpriority_code").orderBy("o_orderkey").collect()
+    assert(viaKnown.sameElements(viaFresh))
+    val dropped = known.asUnknown("o_orderpriority")
+    assert(!dropped.catKnown("o_orderpriority") && !dropped.catOrdered("o_orderpriority"))
+    assert(dropped.knownCategories("o_orderpriority").isEmpty)
+  }
+
+  test("asKnown requires a string column and respects the cap") {
+    val o = fr("orders")
+    intercept[IllegalArgumentException](o.asKnown("o_orderkey"))
+    intercept[IllegalArgumentException](
+      o.asKnown("o_orderpriority", maxCategories = 2))
+  }
+
   test("q_categorical_codes via facade categorize (dynamic dictionary)") {
     val o = fr("orders")
     same("q_categorical_codes", o

@@ -151,4 +151,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(analyzed.contains("windowspecdefinition"),
       "proportion is not a window sum — was the total collected eagerly?")
   }
+
+  test("categorize builds its dictionary without an unpartitioned window") {
+    // The dictionary discovery must be a capped ordered-limit (a
+    // distributed top-k), never row_number() over an unpartitioned
+    // window funneling the whole distinct set through one task.
+    val p = plan("q_categorical_codes") + plan("q_categorical_ops")
+    assert(!p.contains("Window"),
+      "categorical dictionary built via a window — single-task funnel at scale")
+  }
 }
