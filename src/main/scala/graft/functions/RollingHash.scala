@@ -98,6 +98,26 @@ object GraftFunctions {
               s"unicode_normalize form must be a string literal, got $other")
           }
           UnicodeNormalize(args.head, form)
+        }),
+      (
+        FunctionIdentifier("shingle_min_hashes"),
+        new ExpressionInfo(classOf[ShingleMinHashes].getName, "shingle_min_hashes"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "shingle_min_hashes(text, n, k)")
+          def intLit(e: Expression, name: String): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"shingle_min_hashes $name must be an int literal, got $other")
+          }
+          ShingleMinHashes(args.head, intLit(args(1), "n"), intLit(args(2), "k"))
+        }),
+      (
+        FunctionIdentifier("bigram_pair_counts"),
+        new ExpressionInfo(classOf[BigramPairCounts].getName, "bigram_pair_counts"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "bigram_pair_counts takes exactly one argument")
+          BigramPairCounts(args.head)
         }))
 
   /** Imperative registration on an existing session (tests, notebooks). */

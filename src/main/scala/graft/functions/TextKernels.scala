@@ -1,0 +1,196 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text kernels for the dedup / LM-scoring hot paths.
+  *
+  * Both replace interpreted higher-order-function chains
+  * (`transform`/`aggregate` lambdas run with no whole-stage codegen and
+  * no common-subexpression elimination) with a single codegen'd call
+  * into a tight JVM loop: one split, one reusable digest, zero
+  * per-element Catalyst evaluation. Semantics are bit-identical to the
+  * SQL formulations they replace (differentially tested), so DuckDB
+  * oracles replay them exactly.
+  */
+object TextKernels {
+
+  /** Modulus for the affine minhash mixes: largest prime below 2^28
+    * (canonical home; `TextDedup.P` aliases this). */
+  val P: Long = 268435399L
+
+  /** Deterministic per-hash affine constants (Knuth/Fibonacci multiplier
+    * streams reduced mod P); replayable anywhere from this formula. */
+  def mixConsts(k: Int): Seq[(Long, Long)] = (0 until k).map { i =>
+    val a = (2654435761L * (i + 1)) % P
+    val b = (2246822519L * (i + 1)) % P
+    (if (a == 0) 1L else a, b)
+  }
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** k minhash values over the word n-gram shingles of `text`:
+    * min over shingles of (h0(shingle) * a_i + b_i) mod P, where h0 is
+    * the first 28 bits of the shingle's md5 — exactly
+    * `conv(substring(md5(sh),1,7),16,10)` folded with the SQL mixes.
+    * Texts with fewer than n words return an EMPTY array: callers must
+    * filter them out before banding (an all-sentinel signature would
+    * bucket every short doc together).
+    */
+  def shingleMinHashes(text: UTF8String, n: Int, a: Array[Long], b: Array[Long]): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val k = a.length
+    if (words.length < n) return new GenericArrayData(Array.empty[Long])
+    val wordBytes = new Array[Array[Byte]](words.length)
+    var w = 0
+    while (w < words.length) {
+      wordBytes(w) = words(w).getBytes(StandardCharsets.UTF_8); w += 1
+    }
+    val md = digests.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val last = words.length - n
+    while (i <= last) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(wordBytes(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      val h0 = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4)
+      var t = 0
+      while (t < k) {
+        val v = (h0 * a(t) + b(t)) % P
+        if (v < mins(t)) mins(t) = v
+        t += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Per-document bigram counts: one array of (w1, w2, cnt) structs per
+    * text, counted in-kernel — the `explode(bigrams) → groupBy(doc, w1,
+    * w2)` shuffle collapsed into a row-local hash aggregation. Texts
+    * with fewer than 2 words return an empty array. Insertion-ordered
+    * for deterministic output. */
+  def bigramPairCounts(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < 2) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[(String, String), Array[Long]]()
+    var i = 0
+    while (i < words.length - 1) {
+      val key = (words(i), words(i + 1))
+      val slot = counts.get(key)
+      if (slot == null) counts.put(key, Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var p = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(p) = InternalRow(
+        UTF8String.fromString(e.getKey._1),
+        UTF8String.fromString(e.getKey._2),
+        e.getValue()(0))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `shingle_min_hashes(text, n, k)`: array of the k minhash values of
+  * `text`'s word n-gram shingles (see [[TextKernels.shingleMinHashes]]).
+  */
+case class ShingleMinHashes(child: Expression, n: Int, k: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, "shingle_min_hashes: n must be >= 1")
+  require(k >= 1, "shingle_min_hashes: k must be >= 1")
+
+  @transient private lazy val (aArr, bArr) = {
+    val c = TextKernels.mixConsts(k)
+    (c.map(_._1).toArray, c.map(_._2).toArray)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_min_hashes requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_min_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleMinHashes(input.asInstanceOf[UTF8String], n, aArr, bArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("shingleMixA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("shingleMixB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingleMinHashes($c, $n, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHashes =
+    copy(child = newChild)
+}
+
+object ShingleMinHashes {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column, n: Int, k: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("shingle_min_hashes",
+      text, org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(k))
+  }
+}
+
+/** `bigram_pair_counts(text)`: per-document bigram counts as an array of
+  * (w1, w2, cnt) structs (see [[TextKernels.bigramPairCounts]]).
+  */
+case class BigramPairCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bigram_pair_counts requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bigram_pair_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.bigramPairCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.bigramPairCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramPairCounts =
+    copy(child = newChild)
+}
+
+object BigramPairCounts {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("bigram_pair_counts", text)
+  }
+}

@@ -22,16 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  /** Modulus for the affine minhash mixes: largest prime below 2^28. */
-  val P: Long = 268435399L
+  /** Modulus for the affine minhash mixes: largest prime below 2^28
+    * (canonical definition in [[graft.functions.TextKernels]], shared
+    * with the native kernel). */
+  val P: Long = graft.functions.TextKernels.P
 
   /** Deterministic per-hash affine constants (Knuth/Fibonacci multiplier
     * streams reduced mod P); replayable anywhere from this formula. */
-  def mixConsts(k: Int): Seq[(Long, Long)] = (0 until k).map { i =>
-    val a = (2654435761L * (i + 1)) % P
-    val b = (2246822519L * (i + 1)) % P
-    (if (a == 0) 1L else a, b)
-  }
+  def mixConsts(k: Int): Seq[(Long, Long)] = graft.functions.TextKernels.mixConsts(k)
 
   /** Exact dedup, keep-first: one row per distinct content hash with the
     * smallest id. Equivalent shape to dropDuplicates(subset) but with an
@@ -134,56 +132,28 @@ object TextDedup {
   }
 
   /** Band signatures as a PURE PROJECTION — no explode, no groupBy:
-    * each minhash is `array_min` over the shingle-hash array, computed
-    * row-locally. Produces exactly the same (id, band, sig) rows as
+    * all k minhashes come from ONE native codegen'd kernel call per
+    * document ([[graft.functions.ShingleMinHashes]]: one split, one
+    * reusable digest, the affine mixes folded in a tight JVM loop).
+    * Produces exactly the same (id, band, sig) rows as
     * [[bandSignatures]] (differentially tested), but as a stateless
     * map — the form a STREAMING plan needs (no aggregation state, no
     * watermark) and the right shape whenever one row = one document.
     * The aggregating form remains preferable when a single document's
-    * shingle set is too large to hold as one array value.
+    * shingle set is too large to stream through one kernel call.
     */
   def bandSignaturesProjected(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, r: Int): DataFrame = {
-    val consts = mixConsts(k)
-    val ws = split(col(textCol), " ")
-    // min is duplicate-insensitive, so no distinct pass on the hashes.
-    // The lambda reads the split array through the bound `__ws`
-    // attribute, never the split expression itself: HOF lambdas are
-    // interpreted with no subexpression elimination, so an inlined
-    // split would re-split the document per element_at reference (see
-    // shingles()).
-    val wsa = col("__ws")
-    val shingleHashes = when(size(wsa) >= n,
-      transform(sequence(lit(0), size(wsa) - n),
-        i => conv(substring(md5(
-          concat_ws(" ", (0 until n).map(j => element_at(wsa, i + j + 1)): _*)),
-          1, 7), 16, 10).cast("long")))
-      .otherwise(array().cast("array<long>"))
-    // ALL k mins in ONE aggregate over the hash array: the accumulator
-    // is the running k-vector of mins, each element folds in as k cheap
-    // affine mixes. One fold = one reference to the hash array — with k
-    // separate array_min(transform(...)) expressions Catalyst's project
-    // collapsing would inline (and so RECOMPUTE) the md5 array k times,
-    // measured ~6× slower at sf0.1.
-    val aLit = typedLit(consts.map(_._1))
-    val bLit = typedLit(consts.map(_._2))
-    val minsVec = aggregate(col("__sh"),
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc,
-        zip_with(aLit, bLit, (a, b) => (h * a + b) % P),
-        (m, v) => least(m, v)))
     val bandStructs = (0 until k / r).map(bi =>
       struct(lit(bi).as("band"),
         concat_ws(",", (bi * r until (bi + 1) * r)
           .map(i => element_at(col("__mins"), i + 1).cast("string")): _*).as("sig")))
-    // emptiness filter on the WORD count (cheap), not on the hash
-    // array: predicate pushdown substitutes filter conditions through
-    // projections, so size(__sh) > 0 would re-evaluate the whole md5
-    // array once more per row just to test emptiness
-    docs.filter(size(ws) >= n)
-      .select(col(idCol), ws.as("__ws"))
-      .select(col(idCol), shingleHashes.as("__sh"))
-      .select(col(idCol), minsVec.as("__mins"))
+    // short docs (< n words) yield an EMPTY mins array from the kernel;
+    // the word-count filter keeps them out of banding (an all-sentinel
+    // signature would bucket every short doc together)
+    docs.filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol),
+        graft.functions.ShingleMinHashes(col(textCol), n, k).as("__mins"))
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
@@ -257,33 +227,16 @@ object TextDedup {
     val reps = tagged.filter(col(idCol) === col("__rep"))
       .select(col(idCol), col(textCol))
 
-    // Shingle HASHES (of representatives only), RAW — not distinct:
-    // each text is shingled and digested exactly once, and the min
-    // aggregates below are duplicate-insensitive, so the corpus-wide
-    // stream never pays a distinct exchange. Only candidate docs'
-    // hashes (a tiny set) get deduplicated, for the Jaccard set
-    // arithmetic. Jaccard over 28-bit shingle hashes is this operator's
-    // documented verification semantics (the oracle replays it
-    // exactly); within one document a hash collision is ~|shingles| in
-    // 2^28 — noise far below the LSH band resolution. `spread = false`:
-    // the rep window above already shuffle-distributed the docs.
-    val raw = shingles(reps, idCol, textCol, shingleLen,
-        distinct = false, spread = false)
-      .select(col(idCol), baseHash(col("sh")).as("__h0"))
-      .cache()
-    // Signatures: k integer-only min aggregates, partial aggregation
-    // combining map-side — the only corpus-wide exchange after the rep
-    // window, carrying one k-long row per (id, input partition).
-    val consts = mixConsts(numHashes)
-    val aggs = consts.zipWithIndex.map { case ((a, b), i) =>
-      min((col("__h0") * a + b) % P).as(s"__mh$i") }
-    val wide = raw.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val bandStructs = (0 until numHashes / bandRows).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (b * bandRows until (b + 1) * bandRows)
-          .map(i => col(s"__mh$i").cast("string")): _*).as("sig")))
-    val sig = wide.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // Signatures as a PURE PROJECTION of the representatives: all k
+    // minhashes from one native kernel call per document
+    // (bandSignaturesProjected) — the corpus-wide pass is now map-only,
+    // no shingle explode, no groupBy exchange. Jaccard over 28-bit
+    // shingle hashes is this operator's documented verification
+    // semantics (the oracle replays it exactly); within one document a
+    // hash collision is ~|shingles| in 2^28 — noise far below the LSH
+    // band resolution.
+    val sig = bandSignaturesProjected(reps, idCol, textCol,
+      shingleLen, numHashes, bandRows)
     val cand = candidatePairs(sig, idCol, maxBucketSize).cache()
     // The Jaccard arithmetic only ever touches docs that appear in a
     // candidate pair — usually a tiny set, so broadcasting it keeps the
@@ -297,12 +250,18 @@ object TextDedup {
       if (candN <= 2000000L) broadcast(df) else df
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    // Candidate docs' DISTINCT hashes: the semi-join culls the cached
-    // raw stream to candidate docs first (broadcast — no exchange),
-    // so the distinct shuffles only the candidates' hash pairs, not
-    // the corpus's. Cached: the intersection reads it twice and the
-    // set sizes once.
-    val shCand = raw.join(maybeBroadcast(candDocs), Seq(idCol), "left_semi")
+    // Candidate docs' DISTINCT shingle hashes, shingled ON DEMAND: only
+    // docs that appear in a candidate pair (a tiny, measured set) ever
+    // pay the explode — the corpus at large was never shingled, only
+    // kernel-hashed. The semi-join culls reps first (broadcast — no
+    // exchange), so the explode + distinct touch candidate rows only.
+    // Cached: the intersection reads it twice and the set sizes once.
+    // `spread = false`: the rep window above already shuffle-distributed
+    // the docs.
+    val shCand = shingles(
+        reps.join(maybeBroadcast(candDocs), Seq(idCol), "left_semi"),
+        idCol, textCol, shingleLen, distinct = false, spread = false)
+      .select(col(idCol), baseHash(col("sh")).as("__h0"))
       .distinct().cache()
     val inter = shCand.join(maybeBroadcast(cand), col(idCol) === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("__h0"))
@@ -322,11 +281,10 @@ object TextDedup {
     // schedule; consumers read the (tiny) cached result.
     repPairs.count()
     // The verified pairs are materialized; the intermediate caches
-    // (hash stream, signatures, candidates) have served every consumer —
+    // (candidate hashes, candidates) have served every consumer —
     // release them so repeated calls in a long-lived session don't
     // accumulate corpus-sized executor storage. `tagged` stays: the
     // expansion below still projects members from it.
-    raw.unpersist(blocking = false)
     shCand.unpersist(blocking = false)
     cand.unpersist(blocking = false)
 

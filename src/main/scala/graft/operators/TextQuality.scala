@@ -35,30 +35,39 @@ object TextQuality {
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
-    val wsa = col("__ws")
-    // split once per row into a bound attribute: higher-order-function
-    // lambdas are interpreted, so an inlined split would re-split the
-    // document per element_at reference (see TextDedup.shingles)
+    // Per-doc bigram counts from ONE native kernel call per document
+    // (graft.functions.BigramPairCounts: one split, row-local hash
+    // aggregation) — the explode → groupBy(doc, w1, w2) exchange is
+    // gone; (doc_id, w1, w2) rows are unique by construction. A
+    // one-word doc yields an empty array and explodes to zero rows,
+    // same as DuckDB's empty generate_series(1, 0).
     val bgc = docs
       .repartition(spark.sparkContext.defaultParallelism)
-      .select(col(idCol), split(col(textCol), " ").as("__ws"))
-      // guard: sequence(1, 0) DESCENDS in Spark, so a one-word doc
-      // would index past the array — the null branch explodes to zero
-      // rows, same as DuckDB's empty generate_series(1, 0)
-      .select(col(idCol), explode(when(size(wsa) >= 2,
-        transform(sequence(lit(1), size(wsa) - 1),
-          i => struct(element_at(wsa, i).as("w1"), element_at(wsa, i + 1).as("w2"))))).as("b"))
-      .groupBy(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col(idCol),
+        explode(graft.functions.BigramPairCounts(col(textCol))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"),
+        col("b.cnt").as("cnt"))
     // bgc is consumed twice (LM training + scoring). Deliberately NOT
     // cached: measured at sf0.1 the recompute costs nothing over a
-    // cache (the explode+partial-agg pipelines, ~3.1 s either way)
-    // while cache+materialize variants measured 3-4× slower AND leak
-    // executor storage across calls. At 100 TB a caller who wants the
-    // explode paid once persists the packed input, not this stream.
+    // cache (map-only kernel pipelines) while cache+materialize
+    // variants measured 3-4× slower AND leak executor storage across
+    // calls. At 100 TB a caller who wants the kernel paid once
+    // persists the packed input, not this stream.
     val c2 = bgc.groupBy("w1", "w2").agg(sum("cnt").as("c2"))
-    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    val v = c2.select(col("w1").as("w")).union(c2.select(col("w2").as("w")))
+    // c1 and v are algebraically derivable from c2, but deriving them
+    // THROUGH c2 re-runs the whole scan + kernel + (w1,w2) exchange
+    // once per consumer (AQE does not reuse the identical exchange
+    // subtrees, and caching c2 measured slower — re-materialization
+    // outweighs the reuse at this scale). Instead each gets its
+    // cheapest independent formulation: c1 aggregates the bigram
+    // stream straight to w1 (sum cnt over w2 — same value as summing
+    // c2), and v counts the distinct bigram-participating words from a
+    // plain word explode (every word of a ≥2-word doc is a bigram
+    // endpoint — no kernel, no bigram shuffle).
+    val c1 = bgc.groupBy("w1").agg(sum("cnt").as("c1"))
+    val ws = split(col(textCol), " ")
+    val v = docs.filter(size(ws) >= 2)
+      .select(explode(ws).as("w"))
       .agg(countDistinct("w").as("v"))
     val lm = c2.join(c1, "w1").crossJoin(broadcast(v))
       .select(col("w1"), col("w2"),
