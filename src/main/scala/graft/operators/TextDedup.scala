@@ -204,6 +204,11 @@ object TextDedup {
     * contributes one. Identical texts share every band, so expanding
     * representative-level pairs to clique members (plus jaccard-1.0
     * within-clique pairs) reproduces the all-docs answer exactly.
+    *
+    * `broadcastLimit` gates the measured broadcast-vs-shuffle decisions
+    * (candidate set, dup-clique membership): a corpus whose candidate
+    * set outgrows it falls back to shuffle joins instead of OOMing.
+    * Tests close the gate (0) to prove the shuffle regime end-to-end.
     */
   def nearDuplicates(
       docs: DataFrame,
@@ -213,7 +218,8 @@ object TextDedup {
       numHashes: Int = 16,
       bandRows: Int = 4,
       threshold: Double = 0.8,
-      maxBucketSize: Option[Int] = None): DataFrame = Tuning.forSize(docs) {
+      maxBucketSize: Option[Int] = None,
+      broadcastLimit: Long = 2000000L): DataFrame = Tuning.forSize(docs) {
     // doc → content-clique representative (smallest id per text hash),
     // assigned in ONE exchange: a whole-partition min window over the
     // content hash. Cached once; members and reps are projections of it.
@@ -247,7 +253,7 @@ object TextDedup {
     // OOMing.
     val candN = cand.count()
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (candN <= 2000000L) broadcast(df) else df
+      if (candN <= broadcastLimit) broadcast(df) else df
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
     // Candidate docs' DISTINCT shingle hashes, shingled ON DEMAND: only
@@ -306,7 +312,7 @@ object TextDedup {
       val dupMembers = tagged.filter(col("__csz") > 1)
         .select(col("__rep"), col(idCol))
       def maybeB(df: DataFrame): DataFrame =
-        if (nDup <= 2000000L) broadcast(df) else df
+        if (nDup <= broadcastLimit) broadcast(df) else df
       val mA = dupMembers.select(col("__rep").as("doc_a"), col(idCol).as("__ida"))
       val mB = dupMembers.select(col("__rep").as("doc_b"), col(idCol).as("__idb"))
       val cross = repPairs

@@ -51,6 +51,49 @@ class TextDedupEdgeSpec extends SparkSpec {
     assert(run(Long.MaxValue) == run(0L))
   }
 
+  test("near-dup shuffle-join regime (broadcast gates closed) matches broadcast regime") {
+    import spark.implicits._
+    // Mixed corpus: identical-text cliques (exercises the expansion
+    // joins) plus genuine near-dups (exercises the Jaccard joins). With
+    // broadcastLimit=0 every measured broadcast gate closes, so the
+    // 100TB fallback — shuffle joins end to end — executes locally and
+    // must produce the identical answer.
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = (
+      Seq((1L, base), (2L, base + " extra"), (3L, base)) ++      // near-dup + clique
+      (10L to 14L).map(i => (i, "dup dup " + (1 to 20).map(j => s"d$j").mkString(" "))) ++
+      Seq((20L, (40 to 70).map(i => s"z$i").mkString(" ")))      // singleton
+    ).toDF("doc_id", "text")
+    def run(limit: Long) = TextDedup.nearDuplicates(
+        docs, "doc_id", "text", threshold = 0.5, broadcastLimit = limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val broadcastRegime = run(Long.MaxValue)
+    val shuffleRegime = run(0L)
+    assert(broadcastRegime.nonEmpty)
+    assert(shuffleRegime == broadcastRegime)
+  }
+
+  test("distributed label propagation clusters a 50k-node chain graph") {
+    // 1000 chains of 50 nodes each: 49k edges, diameter 49 — pointer
+    // jumping must converge in O(log d) rounds, and with
+    // driverEdgeLimit=0 the union-find shortcut is unavailable, so this
+    // runs the iterative distributed path on a graph big enough to
+    // exercise multi-partition shuffles and the checkpoint loop.
+    val chains = 1000
+    val len = 50
+    val edges = spark.range(0, chains.toLong * (len - 1)).selectExpr(
+      // chain c spans ids [c*len, c*len+len); edge i links consecutive ids
+      s"(id div ${len - 1}) * $len + (id % ${len - 1}) AS doc_a",
+      s"(id div ${len - 1}) * $len + (id % ${len - 1}) + 1 AS doc_b")
+    val out = graft.operators.TextDedup.dupClusters(edges, driverEdgeLimit = 0L)
+    // every node's cluster is its chain head, exactly one rep per chain
+    import org.apache.spark.sql.functions._
+    assert(out.count() == chains.toLong * len)
+    assert(out.filter(col("cluster_id") =!= (col("doc_id") - (col("doc_id") % len))).count() == 0)
+    assert(out.filter(col("is_rep")).count() == chains.toLong)
+  }
+
   test("simhash of identical docs is identical, different docs differ") {
     import spark.implicits._
     val docs = Seq(
