@@ -62,6 +62,22 @@ object IoQueries {
         .orderBy("n_nationkey")
     }
 
+    // read_fwf (reference _collection.py:5092-5150, delegating to the
+    // tabular text layer exactly as this shim does): write the dimension
+    // fixed-width, read it back through colspec substring projections
+    // with schema casts.
+    q("q_fwf_roundtrip",
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val nation = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+      val path = s"$ioDir/fwf_nation"
+      Io.writeFwf(nation, path, Seq(4, 20, 4))
+      Io.readFwf(s, path,
+          Seq(("n_nationkey", 0, 4), ("n_name", 4, 24), ("n_regionkey", 24, 28)),
+          schema = nation.schema)
+        .orderBy("n_nationkey")
+    }
+
     // read_json / to_json (reference io/json.py:9-117). Dates travel as
     // formatted strings so the roundtrip is timezone-independent.
     q("q_json_roundtrip",

@@ -62,6 +62,45 @@ object Io {
     df.write.mode(SaveMode.Overwrite).format("xml")
       .option("rowTag", rowTag).save(path)
 
+  /** Fixed-width reader (reference `_collection.py:5092-5150` read_fwf,
+    * which delegates to the tabular text layer): one text scan + a
+    * substring-and-trim projection per colspec. Split computation and
+    * parallelism come from the text source; the width arithmetic is an
+    * ordinary projection, so Catalyst prunes unused fields like any
+    * other column. `colspecs` are pandas-style half-open 0-based
+    * (name, start, end) character ranges; `schema` (by matching field
+    * name) adds the type casts.
+    */
+  def readFwf(spark: SparkSession, path: String,
+      colspecs: Seq[(String, Int, Int)], schema: StructType = null): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val types = if (schema == null) Map.empty[String, org.apache.spark.sql.types.DataType]
+      else schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = colspecs.map { case (name, start, end) =>
+      val s = trim(substring(col("value"), start + 1, end - start))
+      types.get(name).map(t => s.cast(t)).getOrElse(s).as(name)
+    }
+    spark.read.text(path).select(cols: _*)
+  }
+
+  /** Fixed-width writer (roundtrip companion to [[readFwf]]): each
+    * column right-padded to its width and concatenated into one line.
+    * Fails fast on values wider than their field — silent truncation
+    * would corrupt the roundtrip. */
+  def writeFwf(df: DataFrame, path: String, widths: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    require(widths.length == df.columns.length,
+      s"writeFwf: ${widths.length} widths for ${df.columns.length} columns")
+    val padded = df.columns.zip(widths).map { case (c, w) =>
+      val s = col(c).cast("string")
+      when(length(s) > w, raise_error(
+        concat(lit(s"writeFwf: value wider than $w in column $c: "), s)))
+        .otherwise(rpad(s, w, " "))
+    }
+    df.select(concat(padded: _*).as("value")).write
+      .mode(SaveMode.Overwrite).text(path)
+  }
+
   /** Generator-table source (reference io/io.py:218 FromMap) — see
     * [[graft.sources.MapSource]] for pushdown semantics. */
   def readMap(spark: SparkSession, rows: Long, partitions: Int): DataFrame =

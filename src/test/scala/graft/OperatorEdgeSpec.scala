@@ -168,4 +168,21 @@ class OperatorEdgeSpec extends SparkSpec {
       .selectExpr("array_dot(a, b) AS v").head()
     assert(!d.isNullAt(0) && d.getDouble(0) == 0.0)
   }
+
+  test("fwf: untyped read yields trimmed strings; overflow fails fast") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fwf").toString
+    val df = Seq((1, "ab"), (22, "cdef")).toDF("k", "v")
+    graft.sources.Io.writeFwf(df, s"$dir/ok", Seq(4, 6))
+    val back = graft.sources.Io.readFwf(spark, s"$dir/ok",
+      Seq(("k", 0, 4), ("v", 4, 10)))
+    assert(back.schema.fields.forall(_.dataType == StringType))
+    assert(back.orderBy("k").collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "ab"), ("22", "cdef")))
+    // a value wider than its field must error, not silently truncate
+    val e = intercept[Exception] {
+      graft.sources.Io.writeFwf(df, s"$dir/bad", Seq(1, 6))
+    }
+    assert(e.getMessage != null)
+  }
 }
