@@ -509,6 +509,30 @@ object Queries {
         (abs(col("a90") - exact(1)) <= exact(1) * 0.05).as("ok_p90"))
   }
 
+  // t-digest (reference _quantile.py:76 SeriesQuantileTdigest): the
+  // MERGEABLE quantile sketch as a native TypedImperativeAggregate
+  // (graft.functions.TDigestQuantile) — centroid buffers merge
+  // map-side like any partial agg. Gated like q_quantile_approx:
+  // global and per-group estimates must land within 5% of exact.
+  q("q_tdigest_quantile",
+    "SELECT true AS ok_p50, true AS ok_p99, true AS ok_grouped") { (s, dir) =>
+    functions.GraftFunctions.register(s)
+    val li = Tables.lineitem(s, dir)
+    val exact = operators.Quantiles.exactQuantiles(li, "l_extendedprice", Seq(0.5, 0.99))
+    val grouped = li.groupBy("l_returnflag")
+      .agg(expr("tdigest_quantile(l_extendedprice, 0.5)").as("t50"),
+        expr("percentile(l_extendedprice, 0.5)").as("e50"))
+      .agg(expr("bool_and(abs(t50 - e50) <= e50 * 0.05)").as("ok_grouped"))
+    li.agg(
+        expr("tdigest_quantile(l_extendedprice, 0.5)").as("t50"),
+        expr("tdigest_quantile(l_extendedprice, 0.99)").as("t99"))
+      .crossJoin(grouped)
+      .select(
+        (abs(col("t50") - exact(0)) <= exact(0) * 0.05).as("ok_p50"),
+        (abs(col("t99") - exact(1)) <= exact(1) * 0.05).as("ok_p99"),
+        col("ok_grouped"))
+  }
+
   // Mergeable HLL sketches (Apache DataSketches via Spark's
   // hll_sketch_agg/hll_union_agg): per-group sketches estimate each
   // group's distinct count, and the SAME sketches re-merge into the

@@ -118,6 +118,21 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 1, "bigram_pair_counts takes exactly one argument")
           BigramPairCounts(args.head)
+        }),
+      (
+        FunctionIdentifier("tdigest_quantile"),
+        new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2 || args.length == 3,
+            "tdigest_quantile(col, q[, compression])")
+          def dblLit(e: Expression, name: String): Double = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toDouble
+            case other => throw new IllegalArgumentException(
+              s"tdigest_quantile $name must be a numeric literal, got $other")
+          }
+          val comp = if (args.length == 3) dblLit(args(2), "compression") else 100.0
+          TDigestQuantile(args.head, dblLit(args(1), "q"), comp)
         }))
 
   /** Imperative registration on an existing session (tests, notebooks). */
