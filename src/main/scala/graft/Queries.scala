@@ -513,23 +513,27 @@ object Queries {
   // MERGEABLE quantile sketch as a native TypedImperativeAggregate
   // (graft.functions.TDigestQuantile) — centroid buffers merge
   // map-side like any partial agg. Gated like q_quantile_approx:
-  // global and per-group estimates must land within 5% of exact.
+  // global and per-group t-digest estimates must land within 5% of the
+  // GK sketch (itself 0.1%-rank-accurate at accuracy 1000) — one
+  // single-pass aggregation, no extra exact-quantile jobs; the
+  // differential against TRUE exact quantiles lives in TDigestSpec.
   q("q_tdigest_quantile",
     "SELECT true AS ok_p50, true AS ok_p99, true AS ok_grouped") { (s, dir) =>
     functions.GraftFunctions.register(s)
     val li = Tables.lineitem(s, dir)
-    val exact = operators.Quantiles.exactQuantiles(li, "l_extendedprice", Seq(0.5, 0.99))
     val grouped = li.groupBy("l_returnflag")
       .agg(expr("tdigest_quantile(l_extendedprice, 0.5)").as("t50"),
-        expr("percentile(l_extendedprice, 0.5)").as("e50"))
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("e50"))
       .agg(expr("bool_and(abs(t50 - e50) <= e50 * 0.05)").as("ok_grouped"))
     li.agg(
         expr("tdigest_quantile(l_extendedprice, 0.5)").as("t50"),
-        expr("tdigest_quantile(l_extendedprice, 0.99)").as("t99"))
+        expr("tdigest_quantile(l_extendedprice, 0.99)").as("t99"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("e50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("e99"))
       .crossJoin(grouped)
       .select(
-        (abs(col("t50") - exact(0)) <= exact(0) * 0.05).as("ok_p50"),
-        (abs(col("t99") - exact(1)) <= exact(1) * 0.05).as("ok_p99"),
+        (abs(col("t50") - col("e50")) <= col("e50") * 0.05).as("ok_p50"),
+        (abs(col("t99") - col("e99")) <= col("e99") * 0.05).as("ok_p99"),
         col("ok_grouped"))
   }
 
