@@ -120,6 +120,21 @@ object GraftFunctions {
           BigramPairCounts(args.head)
         }),
       (
+        FunctionIdentifier("shingle_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+        (args: Seq[Expression]) => {
+          require(args.length == 4, "shingle_hashes(text, n, hexLen, dedup)")
+          def lit(e: Expression, name: String): Any = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null => v
+            case other => throw new IllegalArgumentException(
+              s"shingle_hashes $name must be a literal, got $other")
+          }
+          ShingleHashes(args.head,
+            lit(args(1), "n").toString.toInt,
+            lit(args(2), "hexLen").toString.toInt,
+            lit(args(3), "dedup").toString.toBoolean)
+        }),
+      (
         FunctionIdentifier("tdigest_quantile"),
         new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
         (args: Seq[Expression]) => {

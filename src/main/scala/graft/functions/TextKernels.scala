@@ -82,6 +82,49 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  /** All shingle hashes of `text` (word n-grams, hash = first `hexLen`
+    * hex chars of the shingle's md5 as a long — the
+    * `conv(substring(md5(sh),1,hexLen),16,10)` SQL fold). `dedup`
+    * removes within-document duplicates in-kernel (insertion order),
+    * valid for duplicate-insensitive consumers (distinct, min folds) —
+    * it shrinks the exploded row count before any exchange. Texts with
+    * fewer than n words return an empty array. */
+  def shingleHashes(text: UTF8String, n: Int, hexLen: Int, dedup: Boolean): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Long])
+    val wordBytes = new Array[Array[Byte]](words.length)
+    var w = 0
+    while (w < words.length) {
+      wordBytes(w) = words(w).getBytes(StandardCharsets.UTF_8); w += 1
+    }
+    val md = digests.get()
+    val m = words.length - n + 1
+    val out = new Array[Long](m)
+    val seen = if (dedup) new java.util.HashSet[java.lang.Long](m * 2) else null
+    var p = 0
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(wordBytes(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      var h = 0L
+      var b = 0
+      while (b < hexLen) {
+        val nib = if (b % 2 == 0) (d(b / 2) >> 4) & 0xf else d(b / 2) & 0xf
+        h = (h << 4) | nib
+        b += 1
+      }
+      if (seen == null || seen.add(h)) { out(p) = h; p += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (p == m) out else java.util.Arrays.copyOf(out, p))
+  }
+
   /** Per-document bigram counts: one array of (w1, w2, cnt) structs per
     * text, counted in-kernel — the `explode(bigrams) → groupBy(doc, w1,
     * w2)` shuffle collapsed into a row-local hash aggregation. Texts
@@ -156,6 +199,45 @@ object ShingleMinHashes {
       .foreach(GraftFunctions.register)
     org.apache.spark.sql.functions.call_function("shingle_min_hashes",
       text, org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(k))
+  }
+}
+
+/** `shingle_hashes(text, n, hexLen, dedup)`: all word n-gram shingle
+  * hashes of `text` (see [[TextKernels.shingleHashes]]). */
+case class ShingleHashes(child: Expression, n: Int, hexLen: Int, dedup: Boolean)
+  extends UnaryExpression {
+
+  require(n >= 1, "shingle_hashes: n must be >= 1")
+  require(hexLen >= 1 && hexLen <= 15, "shingle_hashes: hexLen must be in [1,15]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String], n, hexLen, dedup)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingleHashes($c, $n, $hexLen, $dedup);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column, n: Int, hexLen: Int, dedup: Boolean): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("shingle_hashes",
+      text, org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(hexLen),
+      org.apache.spark.sql.functions.lit(dedup))
   }
 }
 

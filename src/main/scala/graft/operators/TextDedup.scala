@@ -256,19 +256,18 @@ object TextDedup {
       if (candN <= broadcastLimit) broadcast(df) else df
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    // Candidate docs' DISTINCT shingle hashes, shingled ON DEMAND: only
+    // Candidate docs' DISTINCT shingle hashes, hashed ON DEMAND: only
     // docs that appear in a candidate pair (a tiny, measured set) ever
     // pay the explode — the corpus at large was never shingled, only
     // kernel-hashed. The semi-join culls reps first (broadcast — no
-    // exchange), so the explode + distinct touch candidate rows only.
-    // Cached: the intersection reads it twice and the set sizes once.
-    // `spread = false`: the rep window above already shuffle-distributed
-    // the docs.
-    val shCand = shingles(
-        reps.join(maybeBroadcast(candDocs), Seq(idCol), "left_semi"),
-        idCol, textCol, shingleLen, distinct = false, spread = false)
-      .select(col(idCol), baseHash(col("sh")).as("__h0"))
-      .distinct().cache()
+    // exchange); the kernel dedups within each doc, and (id, hash) rows
+    // are unique across docs by construction, so no distinct exchange
+    // at all. Cached: the intersection reads it twice, set sizes once.
+    val shCand = reps.join(maybeBroadcast(candDocs), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(graft.functions.ShingleHashes(
+          col(textCol), shingleLen, 7, dedup = true)).as("__h0"))
+      .cache()
     val inter = shCand.join(maybeBroadcast(cand), col(idCol) === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("__h0"))
       .join(shCand.select(col(idCol).as("doc_b"), col("__h0")), Seq("doc_b", "__h0"))

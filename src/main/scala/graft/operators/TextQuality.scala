@@ -146,9 +146,22 @@ object TextQuality {
     */
   def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
       n: Int, maxGroupsPerGram: Option[Int] = None): DataFrame = {
-    val all = TextDedup.shingles(docs, groupCol, textCol, n = n, distinct = false)
+    // 60-bit gram hashes from the native kernel, deduped WITHIN each doc
+    // in-kernel (duplicate-insensitive here: a cross-group distinct
+    // follows) — one call per doc replaces the interpreted shingle
+    // explode + per-gram md5 projection, and the in-doc dedup shrinks
+    // the rows entering the distinct exchange. Same value as
+    // conv(substring(md5(sh),1,15),16,10). Spread first: a corpus read
+    // from few splits would run the kernel near-serially.
+    val spark = docs.sparkSession
+    val nFiles = docs.inputFiles.length
+    val src =
+      if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
+        docs.repartition(spark.sparkContext.defaultParallelism)
+      else docs
+    val all = src
       .select(col(groupCol),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+        explode(graft.functions.ShingleHashes(col(textCol), n, 15, dedup = true)).as("h"))
       .distinct()
     val g = maxGroupsPerGram match {
       case Some(cap) =>

@@ -29,6 +29,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("t-digest aggregates per stream window (mergeable sketch in streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // The mergeable-buffer contract is exactly what a streaming agg
+    // needs: per-micro-batch partial digests merge into window state.
+    val in = MemoryStream[(Long, Double)]
+    val df = in.toDF().toDF("sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val agg = df.groupBy(window(col("ts"), "10 seconds"))
+      .agg(expr("tdigest_quantile(value, 0.5)").as("p50"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("p50"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("td_win")
+      .outputMode("complete").start()
+    try {
+      in.addData((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      q.processAllAvailable()
+      in.addData((4L, 100.0), (11L, 7.0)) // second batch merges into window state
+      q.processAllAvailable()
+      val rows = spark.table("td_win").orderBy("ws").collect()
+      assert(rows.length == 2)
+      val w1 = rows(0)
+      assert(w1.getAs[Long]("n") == 4)
+      val p50 = w1.getAs[Double]("p50")
+      assert(p50 >= 2.0 && p50 <= 3.0, s"window median $p50")
+      assert(rows(1).getAs[Double]("p50") == 7.0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -51,6 +51,31 @@ class TextKernelsSpec extends SparkSpec {
     assert(rows("a  b") == expected)
   }
 
+  test("shingle_hashes equals the SQL md5 projection; dedup preserves the set") {
+    GraftFunctions.register(spark)
+    val n = 3
+    val docs = Tables.documents(spark, sfDir)
+    val expected = TextDedup.shingles(docs, "doc_id", "text", n, distinct = false)
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    val raw = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes(col("text"), n, 15, dedup = false)).as("h"))
+    assert(raw.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(raw).count() == 0)
+    // dedup=true: same distinct set, no within-doc duplicates
+    val deduped = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes(col("text"), n, 15, dedup = true)).as("h"))
+    assert(deduped.count() == deduped.distinct().count())
+    assert(deduped.distinct().exceptAll(raw.distinct()).count() == 0)
+    assert(raw.distinct().exceptAll(deduped.distinct()).count() == 0)
+    // 7-hex variant matches baseHash (the 28-bit minhash base)
+    val base7 = TextDedup.shingles(docs, "doc_id", "text", n, distinct = false)
+      .select(col("doc_id"), TextDedup.baseHash(col("sh")).as("h"))
+    val got7 = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes(col("text"), n, 7, dedup = false)).as("h"))
+    assert(got7.exceptAll(base7).count() == 0 && base7.exceptAll(got7).count() == 0)
+  }
+
   test("bigram_pair_counts equals the SQL explode+groupBy on the corpus") {
     GraftFunctions.register(spark)
     val wsa = col("__ws")
