@@ -1027,14 +1027,25 @@ object Queries {
       |JOIN region ON n_regionkey = r_regionkey
       |WHERE r_name = 'ASIA'
       |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin) { (s, dir) =>
-    Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
-      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.supplier(s, dir),
-        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-      .filter(col("r_name") === "ASIA")
+    // Star-schema join order: cull the fact table FIRST through the
+    // most selective broadcast dimension chain (region→nation→supplier,
+    // ASIA only), so the single unavoidable shuffle — lineitem⋈orders
+    // on orderkey — moves a pre-reduced fact stream. customer is a
+    // broadcast dimension too; only the region-filtered fan-in touches
+    // an exchange. Written-order joins matter: Catalyst does not
+    // reorder user join trees without CBO.
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val asiaSuppliers = Tables.supplier(s, dir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(asiaSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("c_custkey") === col("o_custkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("nation"))

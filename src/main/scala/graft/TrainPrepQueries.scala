@@ -164,15 +164,15 @@ object TrainPrepQueries {
         |       GROUP BY grd.doc_id)
         |SELECT doc_id, n_grams, n_hit, n_hit > 0 AS contaminated
         |FROM tr ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      def gramHash(docs: DataFrame) =
-        TextDedup.shingles(docs, "doc_id", "text", n = 8, distinct = false)
-          .select(col("doc_id"),
-            conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      // 60-bit grams from the native kernel, per-doc dedup in-kernel:
+      // (doc_id, h) rows are unique by construction, so the train-side
+      // distinct exchange disappears (the oracle's DISTINCT doc_id, h)
+      def gramHash(docs: DataFrame) = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(col("text"), 8, 15, dedup = true)).as("h"))
       val docs = Tables.documents(s, dir)
       val bench = gramHash(docs.filter(col("doc_id") < 10))
         .select("h").distinct()
       gramHash(docs.filter(col("doc_id") >= 10))
-        .distinct()
         .join(broadcast(bench.withColumnRenamed("h", "bh")),
           col("h") === col("bh"), "left")
         .groupBy("doc_id")
@@ -486,13 +486,14 @@ object TrainPrepQueries {
       val wRep = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       val s2 = s1.withColumn("__rn", row_number().over(wRep))
         .filter(col("__rn") === 1).drop("__rn")
-      def grams(d: DataFrame) =
-        TextDedup.shingles(d, "doc_id", "text", n = 8, distinct = false)
-          .select(col("doc_id"),
-            conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      // 60-bit grams from the native kernel, deduped per doc in-kernel —
+      // (doc_id, h) rows are unique by construction, so the contamination
+      // probe needs no distinct exchange before the broadcast semi-join
+      def grams(d: DataFrame) = d.select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(col("text"), 8, 15, dedup = true)).as("h"))
       val bench = grams(Tables.documents(s, dir).filter(col("doc_id") < 10))
         .select("h").distinct()
-      val hits = grams(s2).distinct()
+      val hits = grams(s2)
         .join(broadcast(bench), Seq("h"), "left_semi")
         .select("doc_id").distinct()
       val s3 = s2.join(hits, Seq("doc_id"), "left_anti")

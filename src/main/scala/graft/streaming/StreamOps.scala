@@ -109,16 +109,9 @@ object StreamOps {
     */
   def streamingContamination(stream: DataFrame, idCol: String, textCol: String,
       benchGrams: Seq[Long], n: Int = 8): DataFrame = {
-    val wsa = col("__ws")
-    val gramHashes = when(size(wsa) >= n,
-      array_distinct(transform(sequence(lit(0), size(wsa) - n),
-        i => conv(substring(md5(
-          concat_ws(" ", (0 until n).map(j => element_at(wsa, i + j + 1)): _*)),
-          1, 15), 16, 10).cast("long"))))
-      .otherwise(array().cast("array<long>"))
     stream
-      .select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .select(col(idCol), gramHashes.as("__g"))
+      .select(col(idCol),
+        graft.functions.ShingleHashes(col(textCol), n, 15, dedup = true).as("__g"))
       .select(col(idCol), size(col("__g")).as("n_grams"),
         size(array_intersect(col("__g"), typedLit(benchGrams))).as("n_hit"))
       .withColumn("contaminated", col("n_hit") > 0)
