@@ -120,6 +120,19 @@ object GraftFunctions {
           BigramPairCounts(args.head)
         }),
       (
+        FunctionIdentifier("sim_hash"),
+        new ExpressionInfo(classOf[SimHash].getName, "sim_hash"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "sim_hash(text, bits)")
+          val bits = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"sim_hash bits must be an int literal, got $other")
+          }
+          SimHash(args.head, bits)
+        }),
+      (
         FunctionIdentifier("shingle_hashes"),
         new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
         (args: Seq[Expression]) => {

@@ -125,6 +125,34 @@ object TextKernels {
     new GenericArrayData(if (p == m) out else java.util.Arrays.copyOf(out, p))
   }
 
+  /** SimHash over the token stream (all occurrences, not distinct):
+    * for each of `bits` positions, sum +1/−1 according to that bit of
+    * the token hash (first 16 bits of the token's md5 — the
+    * `conv(substring(md5(w),1,4),16,10)` SQL value); positive sums set
+    * the bit. One call per document replaces an explode + `bits`
+    * conditional-sum aggregates. */
+  def simHash(text: UTF8String, bits: Int): Long = {
+    val words = text.toString.split(" ", -1)
+    val counts = new Array[Int](bits)
+    val md = digests.get()
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val d = md.digest(words(i).getBytes(StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1) == 1) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) { if (counts(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
   /** Per-document bigram counts: one array of (w1, w2, cnt) structs per
     * text, counted in-kernel — the `explode(bigrams) → groupBy(doc, w1,
     * w2)` shuffle collapsed into a row-local hash aggregation. Texts
@@ -238,6 +266,41 @@ object ShingleHashes {
       text, org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(hexLen),
       org.apache.spark.sql.functions.lit(dedup))
+  }
+}
+
+/** `sim_hash(text, bits)`: SimHash signature of the token stream (see
+  * [[TextKernels.simHash]]). */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 63, "sim_hash: bits must be in [1,63]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sim_hash requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sim_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simHash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.simHash($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+object SimHash {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column, bits: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("sim_hash",
+      text, org.apache.spark.sql.functions.lit(bits))
   }
 }
 

@@ -432,17 +432,12 @@ object TextDedup {
     * each of `bits` positions, sum +1/-1 according to that bit of the
     * token hash; the sign vector packs into one integer signature.
     * Token hash = first 4 md5 hex chars as an int (16 usable bits) so an
-    * external engine reproduces it.
+    * external engine reproduces it. Computed row-locally by the native
+    * [[graft.functions.SimHash]] kernel — one call per document, no
+    * token explode, no per-bit aggregates, no shuffle (differentially
+    * tested against the SQL fold in TextKernelsSpec).
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    val tokens = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
-    val bitSums = (0 until bits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val packed = (0 until bits).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    tokens.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), packed.as("simhash"))
-  }
+  def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.SimHash(col(textCol), bits).as("simhash"))
 }

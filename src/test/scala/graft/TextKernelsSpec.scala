@@ -76,6 +76,26 @@ class TextKernelsSpec extends SparkSpec {
     assert(got7.exceptAll(base7).count() == 0 && base7.exceptAll(got7).count() == 0)
   }
 
+  test("sim_hash equals the SQL explode + bit-vote fold on the corpus") {
+    GraftFunctions.register(spark)
+    val bits = 16
+    val docs = Tables.documents(spark, sfDir)
+    val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
+    val bitSums = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val packed = (0 until bits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val expected = tokens.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("expected"))
+    val mismatches = docs
+      .select(col("doc_id"), graft.functions.SimHash(col("text"), bits).as("got"))
+      .join(expected, "doc_id")
+      .filter(col("got") =!= col("expected")).count()
+    assert(mismatches == 0)
+  }
+
   test("bigram_pair_counts equals the SQL explode+groupBy on the corpus") {
     GraftFunctions.register(spark)
     val wsa = col("__ws")
