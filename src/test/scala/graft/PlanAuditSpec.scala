@@ -152,6 +152,26 @@ class PlanAuditSpec extends SparkSpec {
       "proportion is not a window sum — was the total collected eagerly?")
   }
 
+  test("text hot paths run on native kernels, not interpreted lambdas") {
+    // The analyzed plans must carry the codegen'd kernel expressions;
+    // a regression to transform()/aggregate() lambdas (interpreted, no
+    // CSE) would re-introduce the round-7 constants.
+    def analyzed(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.toString
+    assert(analyzed("q_bigram_lm").contains("bigram_pair_counts"))
+    assert(analyzed("q_minhash_projected").contains("shingle_min_hashes"))
+    assert(analyzed("q_contamination").contains("shingle_hashes"))
+    assert(analyzed("q_source_overlap").contains("shingle_hashes"))
+    assert(analyzed("q_simhash").contains("sim_hash"))
+  }
+
+  test("simhash is shuffle-free up to its output sort") {
+    // Row-local signature: the only exchange in the plan is the range
+    // partitioning for the final orderBy.
+    val exchanges = "Exchange".r.findAllIn(plan("q_simhash")).length
+    assert(exchanges <= 1, s"q_simhash plans $exchanges exchanges")
+  }
+
   test("categorize builds its dictionary without an unpartitioned window") {
     // The dictionary discovery must be a capped ordered-limit (a
     // distributed top-k), never row_number() over an unpartitioned
