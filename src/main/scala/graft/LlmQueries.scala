@@ -559,6 +559,38 @@ object LlmQueries {
       meta.join(digest, Seq("doc_id")).orderBy("doc_id")
     }
 
+    // Audio metadata: real PCM WAV bytes per doc (RIFF/fmt/data chunk
+    // layout, parameters derived from doc_id, text bytes as the PCM
+    // payload); extractAudioMeta must walk the chunks and read the
+    // little-endian fmt fields to match the oracle's arithmetic
+    // predictions.
+    q("q_audio_meta",
+      """WITH p AS (SELECT doc_id, octet_length(encode(text)) AS len,
+        |        8000 * (1 + doc_id % 6) AS rate,
+        |        1 + doc_id % 2 AS ch,
+        |        CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits
+        |      FROM documents)
+        |SELECT doc_id,
+        |  CAST(44 + len AS INTEGER) AS n_bytes,
+        |  'wav' AS format,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(ch AS INTEGER) AS channels,
+        |  CAST(bits AS INTEGER) AS bits_per_sample,
+        |  CAST(len // (ch * bits // 8) AS BIGINT) AS n_frames
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val mk = udf((docId: Long, text: String) => {
+        val data = text.getBytes("UTF-8")
+        val rate = 8000 * (1 + (docId % 6)).toInt
+        val ch = 1 + (docId % 2).toInt
+        val bits = if (docId % 3 == 0) 8 else 16
+        Multimodal.wavFixture(rate, ch, bits, data.length) ++ data
+      })
+      val withPayload = Tables.documents(s, dir)
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("payload"))
+      Multimodal.extractAudioMeta(withPayload, "doc_id", "payload")
+        .orderBy("doc_id")
+    }
+
     // Frame sampling: every 4th 64-byte frame of the payload, with the
     // frame digest. The oracle mirrors byte slices as char slices
     // (ASCII payload), proving the imperative slicing path.

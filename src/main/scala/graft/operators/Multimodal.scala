@@ -92,6 +92,68 @@ object Multimodal {
     } else None
   }
 
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType)))
+
+  /** Parsed audio container header: PCM layout plus the frame count
+    * derived from the data chunk size. */
+  final case class AudioHeader(format: String, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nFrames: Long)
+
+  /** Parse a WAV (RIFF/WAVE) header: chunk walk to `fmt ` for the PCM
+    * layout (all little-endian) and to `data` for the payload size;
+    * frames = dataBytes / blockAlign. Truncated files that still carry
+    * a complete `fmt ` chunk decode with nFrames = 0 — the
+    * corrupt-download check a pipeline actually runs. */
+  def decodeWavHeader(b: Array[Byte]): Option[AudioHeader] = {
+    val n = b.length
+    if (n < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
+    var dataBytes = -1L
+    while (i + 8 <= n && (fmt.isEmpty || dataBytes < 0)) {
+      val id = new String(b.slice(i, i + 4), "US-ASCII")
+      val size = le32(b, i + 4).toLong & 0xffffffffL
+      if (id == "fmt " && i + 8 + 16 <= n) {
+        fmt = Some((le16(b, i + 10), le32(b, i + 12), le16(b, i + 20), le16(b, i + 22)))
+      } else if (id == "data") {
+        dataBytes = math.min(size, (n - i - 8).toLong) // tolerate truncation
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    fmt.map { case (ch, rate, blockAlign, bits) =>
+      val frames = if (dataBytes <= 0 || blockAlign <= 0) 0L else dataBytes / blockAlign
+      AudioHeader("wav", rate, ch, bits, frames)
+    }
+  }
+
+  /** Extract per-item audio metadata from (id, payload binary) rows;
+    * same partition-batched shape as [[extractMeta]]. Unknown payloads
+    * become format "unknown" with null fields. */
+  def extractAudioMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(audioMetaSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payIdx)
+        decodeWavHeader(bytes) match {
+          case Some(AudioHeader(fmt, rate, ch, bits, frames)) =>
+            Row(r.getLong(idIdx), bytes.length, fmt, rate, ch, bits, frames)
+          case None =>
+            Row(r.getLong(idIdx), bytes.length, "unknown", null, null, null, null)
+        }
+      }
+    }
+  }
+
   // ---- deterministic fixture builders (tests + oracle queries) ---------
   // Real container bytes with the given dimensions; payload content after
   // the header fields is irrelevant to header decode, exactly like a real
@@ -124,6 +186,22 @@ object Multimodal {
     (1 to nComp).foreach { c =>
       buf.put(c.toByte).put(0x11.toByte).put((if (c == 1) 0 else 1).toByte)
     }
+    buf.array()
+  }
+
+  /** Minimal PCM WAV: RIFF header + fmt chunk + data chunk descriptor
+    * for `dataBytes` of payload (not included). 44 bytes. */
+  def wavFixture(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      dataBytes: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val buf = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+    buf.putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+    buf.putShort(bitsPerSample.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
     buf.array()
   }
 

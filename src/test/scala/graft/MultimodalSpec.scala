@@ -74,6 +74,33 @@ class MultimodalSpec extends SparkSpec {
       Array(0xff, 0xd8, 0x00, 0x01, 0x02, 0x03).map(_.toByte)).isEmpty)
   }
 
+  test("WAV from the JDK's own encoder: chunk walk recovers the PCM layout") {
+    // javax.sound writes real RIFF/WAVE bytes — an encoder the parser
+    // has no knowledge of.
+    val fmt = new javax.sound.sampled.AudioFormat(44100f, 16, 2, true, false)
+    val pcm = new Array[Byte](4 * 100) // 100 stereo 16-bit frames
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 100)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val got = Multimodal.decodeWavHeader(out.toByteArray)
+    assert(got.contains(Multimodal.AudioHeader("wav", 44100, 2, 16, 100)))
+  }
+
+  test("WAV fixtures parse back; truncation and junk are survivable") {
+    assert(Multimodal.decodeWavHeader(Multimodal.wavFixture(8000, 1, 8, 123))
+      .contains(Multimodal.AudioHeader("wav", 8000, 1, 8, 0))) // no data bytes appended
+    val full = Multimodal.wavFixture(48000, 2, 16, 400) ++ new Array[Byte](400)
+    assert(Multimodal.decodeWavHeader(full)
+      .contains(Multimodal.AudioHeader("wav", 48000, 2, 16, 100)))
+    // truncated mid-data: frames count only what's actually present
+    assert(Multimodal.decodeWavHeader(full.take(44 + 40))
+      .contains(Multimodal.AudioHeader("wav", 48000, 2, 16, 10)))
+    assert(Multimodal.decodeWavHeader("RIFFjunk".getBytes).isEmpty)
+    assert(Multimodal.decodeWavHeader(Array.empty[Byte]).isEmpty)
+  }
+
   test("extractMeta end-to-end: mixed formats, corrupt row survives as unknown") {
     import spark.implicits._
     val rows = Seq(
