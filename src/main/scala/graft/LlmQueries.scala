@@ -591,6 +591,37 @@ object LlmQueries {
         .orderBy("doc_id")
     }
 
+    // Video metadata: real MP4 (ISO BMFF) bytes per doc — ftyp + nested
+    // moov{mvhd, trak{tkhd}} boxes with doc_id-derived parameters, text
+    // bytes appended as an opaque mdat stand-in; extractVideoMeta must
+    // walk the big-endian box tree and decode the 16.16 fixed-point
+    // track size to match the oracle's arithmetic.
+    q("q_video_meta",
+      """WITH p AS (SELECT doc_id, octet_length(encode(text)) AS len,
+        |        1000 * (1 + doc_id % 4) AS ts,
+        |        CAST(1000 * (1 + doc_id % 4) * (1 + doc_id % 30) AS BIGINT) AS dur,
+        |        CAST(16 * (8 + doc_id % 113) AS INTEGER) AS w,
+        |        CAST(16 * (8 + (doc_id * 3) % 59) AS INTEGER) AS h
+        |      FROM documents)
+        |SELECT doc_id,
+        |  CAST(232 + len AS INTEGER) AS n_bytes,
+        |  'mp4' AS format,
+        |  CAST(1000 * (1 + doc_id % 30) AS BIGINT) AS duration_ms,
+        |  w AS width, h AS height
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val mk = udf((docId: Long, text: String) => {
+        val ts = 1000 * (1 + (docId % 4)).toInt
+        val dur = ts * (1 + (docId % 30)).toInt
+        val w = 16 * (8 + (docId % 113)).toInt
+        val h = 16 * (8 + ((docId * 3) % 59)).toInt
+        Multimodal.mp4Fixture(ts, dur, w, h) ++ text.getBytes("UTF-8")
+      })
+      val withPayload = Tables.documents(s, dir)
+        .select(col("doc_id"), mk(col("doc_id"), col("text")).as("payload"))
+      Multimodal.extractVideoMeta(withPayload, "doc_id", "payload")
+        .orderBy("doc_id")
+    }
+
     // Frame sampling: every 4th 64-byte frame of the payload, with the
     // frame digest. The oracle mirrors byte slices as char slices
     // (ASCII payload), proving the imperative slicing path.

@@ -154,6 +154,96 @@ object Multimodal {
     }
   }
 
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("format", StringType),
+    StructField("duration_ms", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Parsed video container header. */
+  final case class VideoHeader(format: String, durationMs: Long, width: Int, height: Int)
+
+  /** Parse an MP4 (ISO BMFF) header: top-level box walk to `moov`, then
+    * a nested walk to `mvhd` (timescale + duration, version 0 = 32-bit
+    * fields, version 1 = 64-bit) and to `trak`/`tkhd` for the track's
+    * presentation width/height (16.16 fixed point). Box sizes are
+    * big-endian; size 0 = "to end of file". */
+  def decodeMp4Header(b: Array[Byte]): Option[VideoHeader] = {
+    val n = b.length
+    if (n < 16) return None
+    // ISO BMFF requires the file to start with a box; ftyp first in practice
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    var durationMs = -1L
+    var width = 0
+    var height = 0
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        var size = be32(b, i).toLong & 0xffffffffL
+        val typ = new String(b.slice(i + 4, i + 8), "US-ASCII")
+        var hdr = 8
+        if (size == 1 && i + 16 <= to) { // 64-bit size
+          size = (be32(b, i + 8).toLong << 32) | (be32(b, i + 12).toLong & 0xffffffffL)
+          hdr = 16
+        } else if (size == 0) size = (to - i).toLong
+        if (size < hdr) return // corrupt size: stop the walk
+        val end = math.min(i + size, to.toLong).toInt
+        typ match {
+          case "moov" | "trak" if depth < 4 => walk(i + hdr, end, depth + 1)
+          case "mvhd" if i + hdr + 20 <= to =>
+            val v = u8(b, i + hdr)
+            if (v == 1 && i + hdr + 28 <= to) {
+              val timescale = be32(b, i + hdr + 20).toLong & 0xffffffffL
+              val dur = (be32(b, i + hdr + 24).toLong << 32) |
+                (be32(b, i + hdr + 28).toLong & 0xffffffffL)
+              if (timescale > 0) durationMs = dur * 1000 / timescale
+            } else {
+              val timescale = be32(b, i + hdr + 12).toLong & 0xffffffffL
+              val dur = be32(b, i + hdr + 16).toLong & 0xffffffffL
+              if (timescale > 0) durationMs = dur * 1000 / timescale
+            }
+          case "tkhd" =>
+            val v = u8(b, i + hdr)
+            // v0: 4 vf + 4 ctime + 4 mtime + 4 track + 4 res + 4 dur +
+            // 8 res2 + 8 layer/group/volume/res + 36 matrix = 76 to width;
+            // v1 widens ctime/mtime/duration to 8 bytes (+12)
+            val off = if (v == 1) 88 else 76
+            if (i + hdr + off + 8 <= to) {
+              val w = be32(b, i + hdr + off) >>> 16
+              val h = be32(b, i + hdr + off + 4) >>> 16
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+          case _ =>
+        }
+        i = end
+      }
+    }
+    walk(0, n, 0)
+    if (durationMs >= 0) Some(VideoHeader("mp4", durationMs, width, height)) else None
+  }
+
+  /** Extract per-item video metadata; same partition-batched shape as
+    * [[extractMeta]]. Unknown payloads become format "unknown". */
+  def extractVideoMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    implicit val enc = Encoders.row(videoMetaSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payIdx)
+        decodeMp4Header(bytes) match {
+          case Some(VideoHeader(fmt, dur, w, h)) =>
+            Row(r.getLong(idIdx), bytes.length, fmt, dur,
+              if (w > 0) w else null, if (h > 0) h else null)
+          case None =>
+            Row(r.getLong(idIdx), bytes.length, "unknown", null, null, null)
+        }
+      }
+    }
+  }
+
   // ---- deterministic fixture builders (tests + oracle queries) ---------
   // Real container bytes with the given dimensions; payload content after
   // the header fields is irrelevant to header decode, exactly like a real
@@ -202,6 +292,40 @@ object Multimodal {
     buf.putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
     buf.putShort(bitsPerSample.toShort)
     buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    buf.array()
+  }
+
+  /** Minimal MP4: ftyp + moov{mvhd v0 + trak{tkhd v0}}. Duration in
+    * `timescale` units; width/height as integers (stored 16.16 fixed).
+    * 232 bytes. */
+  def mp4Fixture(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    val mvhdSize = 8 + 100        // header + v0 payload
+    val tkhdSize = 8 + 84         // header + v0 payload
+    val trakSize = 8 + tkhdSize
+    val moovSize = 8 + mvhdSize + trakSize
+    val buf = java.nio.ByteBuffer.allocate(16 + moovSize) // big-endian default
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+    buf.put("isom".getBytes("US-ASCII")).putInt(512)
+    buf.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    buf.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+    buf.putInt(0) // version 0 + flags
+    buf.putInt(0).putInt(0) // ctime, mtime
+    buf.putInt(timescale).putInt(duration)
+    buf.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, reserved
+    (0 until 2).foreach(_ => buf.putInt(0)) // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(buf.putInt)
+    (0 until 6).foreach(_ => buf.putInt(0)) // pre_defined
+    buf.putInt(2) // next_track_ID
+    buf.putInt(trakSize).put("trak".getBytes("US-ASCII"))
+    buf.putInt(tkhdSize).put("tkhd".getBytes("US-ASCII"))
+    buf.putInt(7) // version 0 + flags (enabled)
+    buf.putInt(0).putInt(0) // ctime, mtime
+    buf.putInt(1).putInt(0) // track_ID, reserved
+    buf.putInt(duration)
+    (0 until 2).foreach(_ => buf.putInt(0)) // reserved
+    buf.putShort(0).putShort(0).putShort(0).putShort(0) // layer, group, volume, reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(buf.putInt)
+    buf.putInt(w << 16).putInt(h << 16) // 16.16 fixed presentation size
     buf.array()
   }
 

@@ -101,6 +101,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavHeader(Array.empty[Byte]).isEmpty)
   }
 
+  test("MP4 box walk: mvhd duration and tkhd 16.16 dims; edge cases survive") {
+    val mp4 = Multimodal.mp4Fixture(timescale = 600, duration = 1500, w = 640, h = 360)
+    assert(Multimodal.decodeMp4Header(mp4)
+      .contains(Multimodal.VideoHeader("mp4", 2500, 640, 360)))
+    // trailing opaque payload (the mdat stand-in) must not confuse the walk
+    assert(Multimodal.decodeMp4Header(mp4 ++ "opaque media payload".getBytes)
+      .contains(Multimodal.VideoHeader("mp4", 2500, 640, 360)))
+    // truncated before moov → no duration → None; junk → None
+    assert(Multimodal.decodeMp4Header(mp4.take(20)).isEmpty)
+    assert(Multimodal.decodeMp4Header("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4Header(Array.empty[Byte]).isEmpty)
+  }
+
   test("extractMeta end-to-end: mixed formats, corrupt row survives as unknown") {
     import spark.implicits._
     val rows = Seq(
