@@ -512,6 +512,37 @@ object TrainPrepQueries {
         .orderBy("stage")
     }
 
+    // PII redaction (the scrub pass before training-data release):
+    // PII-bearing text is synthesized deterministically from doc_id so
+    // both engines run the same regex scrub over the same bytes and the
+    // per-category counts are non-trivially exercised. The regexes are
+    // the Java/RE2-shared subset in TextQuality.
+    q("q_pii_redact",
+      """WITH t AS (SELECT doc_id,
+        |    'ping user' || CAST(doc_id AS VARCHAR) || '@mail-' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.com from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.4 tel +1 555-010-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || substr(text, 1, 40) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS text_redacted,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS INTEGER) AS n_phones
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val synth = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("ping user"), col("doc_id").cast("string"),
+          lit("@mail-"), (col("doc_id") % 7).cast("string"),
+          lit(".com from 10."), (col("doc_id") % 200).cast("string"),
+          lit(".3.4 tel +1 555-010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" "), substring(col("text"), 1, 40)).as("text"))
+      operators.TextQuality.redactPii(synth, "doc_id", "text")
+        .orderBy("doc_id")
+    }
+
     // Cross-source contamination matrix: pairwise 8-gram Jaccard between
     // sources — the corpus-analytics view of leakage between subsets
     // (web snapshot vs books dump sharing boilerplate). Grams travel as

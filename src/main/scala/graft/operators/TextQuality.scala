@@ -78,6 +78,29 @@ object TextQuality {
         round(sum(col("cnt") * col("logp")) / sum("cnt"), 9).as("avg_logp"))
   }
 
+  /** PII redaction patterns — written in the regex subset Java and RE2
+    * share (no lookaround, no backrefs), so external engines replay the
+    * scrub byte-for-byte. Deliberately conservative shapes: redaction
+    * wants high precision (a false positive destroys training text). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2} \\d{3}-\\d{3}-\\d{4}"
+
+  /** Scrub emails / IPv4s / international-format phone numbers to typed
+    * placeholder tokens, counting each category on the raw text — the
+    * standard PII pass before training-data release. Map-only: three
+    * codegen'd regexp projections, no shuffle, trivially 100 TB-safe. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("text_redacted"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).as("n_phones"))
+
   /** Keep each group's rows, in deterministic md5-of-id priority order,
     * while the running `tokensCol` total stays within `budget`. Returns
     * the input plus (pr, cum, keep) — callers filter on `keep` to
