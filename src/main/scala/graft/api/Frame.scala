@@ -82,8 +82,15 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     rename(df.columns.map(c => c -> s"$p$c").toIndexedSeq: _*)
   def addSuffix(s: String): Frame =
     rename(df.columns.map(c => c -> s"$c$s").toIndexedSeq: _*)
+  /** Pandas astype, including the `astype("category")` idiom: the
+    * "category" target pins the discovered dictionary via [[asKnown]]
+    * instead of casting (reference `_categorical.py` — a categorical
+    * dtype IS a known dictionary). */
   def astype(casts: (String, String)*): Frame =
-    keep(casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) })
+    keep(casts.foldLeft(df) { case (d, (c, t)) =>
+      if (t == "category") Frame(d).asKnown(c).df
+      else d.withColumn(c, col(c).cast(t))
+    })
   def explode(column: String, as: String): Frame =
     keep(df.withColumn(as, org.apache.spark.sql.functions.explode(col(column))))
   def dropna(how: String = "any", subset: Seq[String] = Nil): Frame =

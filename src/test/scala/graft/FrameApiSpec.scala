@@ -422,6 +422,12 @@ class FrameApiSpec extends SparkSpec {
     assert(dropped.knownCategories("o_orderpriority").isEmpty)
   }
 
+  test("astype(\"category\") pins the dictionary like asKnown") {
+    val o = fr("orders").astype("o_orderpriority" -> "category")
+    assert(o.catKnown("o_orderpriority"))
+    assert(o.knownCategories("o_orderpriority").get.nonEmpty)
+  }
+
   test("asKnown requires a string column and respects the cap") {
     val o = fr("orders")
     intercept[IllegalArgumentException](o.asKnown("o_orderkey"))
