@@ -115,7 +115,9 @@ object Bench {
       "q_ann_lsh", "q_ivf_topk", "q_semantic_dedup", "q_kmeans_cells",
       "q_embedding_near_dup", "q_text_quality", "q_lang_id",
       "q_token_count", "q_doc_fingerprint", "q_pipeline_e2e",
-      "q_stratified_sample", "q_cumulative", "q_str_regex")
+      "q_stratified_sample", "q_cumulative", "q_str_regex",
+      "q_tdigest_quantile", "q_multimodal_meta", "q_audio_meta",
+      "q_video_meta", "q_pii_redact", "q_categorical_ops", "q_bigram_lm")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
     println(

@@ -59,6 +59,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PII redaction is stateless and runs unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = graft.operators.TextQuality.redactPii(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "mail me at a.b@c.io from 10.1.2.3"), (2L, "clean text"))
+      q.processAllAvailable()
+      val rows = spark.table("pii_stream").orderBy("doc_id").collect()
+      assert(rows(0).getString(1) == "mail me at <EMAIL> from <IP>")
+      assert(rows(0).getInt(2) == 1 && rows(0).getInt(3) == 1)
+      assert(rows(1).getString(1) == "clean text" && rows(1).getInt(2) == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
