@@ -118,7 +118,8 @@ object Multimodal {
     var i = 12
     var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
     var dataBytes = -1L
-    while (i + 8 <= n && (fmt.isEmpty || dataBytes < 0)) {
+    var ok = true
+    while (ok && i + 8 <= n && (fmt.isEmpty || dataBytes < 0)) {
       val id = new String(b.slice(i, i + 4), "US-ASCII")
       val size = le32(b, i + 4).toLong & 0xffffffffL
       if (id == "fmt " && i + 8 + 16 <= n) {
@@ -126,7 +127,11 @@ object Multimodal {
       } else if (id == "data") {
         dataBytes = math.min(size, (n - i - 8).toLong) // tolerate truncation
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // Long arithmetic + monotonic-advance guard: a corrupt 32-bit
+      // size would otherwise wrap toInt and stall or reverse the walk
+      val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+      if (next <= i || next > Int.MaxValue) ok = false
+      else i = next.toInt
     }
     fmt.map { case (ch, rate, blockAlign, bits) =>
       val frames = if (dataBytes <= 0 || blockAlign <= 0) 0L else dataBytes / blockAlign

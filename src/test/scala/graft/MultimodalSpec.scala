@@ -114,6 +114,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp4Header(Array.empty[Byte]).isEmpty)
   }
 
+  test("decoders never throw on adversarial bytes (fuzz)") {
+    // Corpus-scale inputs are untrusted: every decoder must return
+    // None/partial on ANY byte sequence, never raise or hang. Seeded
+    // for reproducibility.
+    val rnd = new scala.util.Random(0xbadbeef)
+    val valid: Seq[Array[Byte]] = Seq(
+      Multimodal.pngFixture(100, 50, 6),
+      Multimodal.jpegFixture(64, 32, 3),
+      Multimodal.gifFixture(8, 4),
+      Multimodal.wavFixture(8000, 1, 8, 64) ++ new Array[Byte](64),
+      Multimodal.mp4Fixture(600, 1200, 320, 240))
+    def decodeAll(b: Array[Byte]): Unit = {
+      Multimodal.decodeImageHeader(b)
+      Multimodal.decodeWavHeader(b)
+      Multimodal.decodeMp4Header(b)
+    }
+    (1 to 300).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(junk)
+      decodeAll(junk)
+    }
+    for (v <- valid; _ <- 1 to 200) {
+      // random truncation
+      decodeAll(v.take(rnd.nextInt(v.length + 1)))
+      // random single-byte corruption (catches length-field walks that
+      // stall or reverse — e.g. a WAV chunk size that wraps negative)
+      val mut = v.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      decodeAll(mut)
+    }
+  }
+
   test("extractMeta end-to-end: mixed formats, corrupt row survives as unknown") {
     import spark.implicits._
     val rows = Seq(
