@@ -28,6 +28,41 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   // ---- projections / filters / row ops (reference _expr.py:1996-2122) ----
 
   def select(cols: String*): Frame = keep(df.select(cols.map(col): _*))
+
+  // ---- pandas-shape conveniences (reference FrameBase properties) ----
+
+  /** (rows, columns) — the row count is an action, as in dask's
+    * computed shape. */
+  def shape: (Long, Int) = (df.count(), df.columns.length)
+  def ndim: Int = 2
+  /** rows × columns (pandas `size`; row count is an action). */
+  def sizeAll: Long = df.count() * df.columns.length
+  /** Schema + layout summary (pandas `info()`), plan-time only — no
+    * job. */
+  def info: String = {
+    val parts = df.rdd.getNumPartitions
+    val cols = df.schema.fields.map(f =>
+      s"  ${f.name}: ${f.dataType.simpleString}${if (f.nullable) "" else " not null"}")
+    (s"Frame: ${df.columns.length} columns, $parts partitions" +:
+      index.map(i => s"  index: $i").toSeq) ++: cols.toSeq mkString "\n"
+  }
+  /** pandas `join`: merge on a key column (the explicit-index analogue
+    * of join-on-index; reference `_collection.py` join). */
+  def join(other: Frame, on: String, how: String = "left"): Frame =
+    merge(other, Seq(on), how)
+  /** Hash-based sample (alias of [[sampleByHash]] — content-addressed,
+    * reproducible on any engine/partitioning, unlike RNG sampling). */
+  def sample(on: String, fraction: Double): Frame = sampleByHash(on, fraction)
+  /** Index label of the max/min of `column` (pandas idxmax/idxmin with
+    * the engine's deterministic tie-break: smallest index among ties).
+    * TakeOrderedAndProject — a distributed top-1, never a full sort. */
+  def idxmax(column: String): Any =
+    df.orderBy(col(column).desc, col(idx).asc).select(idx).head().get(0)
+  def idxmin(column: String): Any =
+    df.orderBy(col(column).asc, col(idx).asc).select(idx).head().get(0)
+  /** Frame-wide null masks (pandas isna/notna). */
+  def isna: Frame = keep(df.select(df.columns.map(c => col(c).isNull.as(c)): _*))
+  def notna: Frame = keep(df.select(df.columns.map(c => col(c).isNotNull.as(c)): _*))
   def apply(name: String): Series = Series(df(name))
   def columns: Seq[String] = df.columns.toSeq
   /** Column-positional selection (reference iloc — dask supports the
@@ -614,6 +649,15 @@ final class GroupBy(frame: Frame, keys: Seq[Column], keyNames: Seq[String]) {
     case "nunique" => countDistinct(col(c))
     case "var" => var_samp(col(c))
     case "std" => stddev_samp(col(c))
+    case "skew" => skewness(col(c))
+    case "kurt" => kurtosis(col(c))
+    case "sem" => stddev_samp(col(c)) / sqrt(F.count(col(c)))
+    case "prod" =>
+      // product via sign/zero-aware exp-sum-log (no product aggregate
+      // in Spark; same decomposition as the registry q_prod_sem)
+      when(F.sum(when(col(c) === 0, 1).otherwise(0)) > 0, lit(0.0))
+        .otherwise(exp(F.sum(log(abs(col(c))))) *
+          when(F.sum(when(col(c) < 0, 1).otherwise(0)) % 2 === 1, -1.0).otherwise(1.0))
     case "first" | "last" =>
       // positional semantics need an order — the declared index
       val i = frame.index.getOrElse(throw new IllegalArgumentException(

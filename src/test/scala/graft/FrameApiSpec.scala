@@ -422,6 +422,35 @@ class FrameApiSpec extends SparkSpec {
     assert(dropped.knownCategories("o_orderpriority").isEmpty)
   }
 
+  test("pandas-shape conveniences: shape/info/join/idxmax/isna/agg tail") {
+    import spark.implicits._
+    val o = fr("orders")
+    val (rows, cols) = o.shape
+    assert(rows > 0 && cols == o.columns.length && o.ndim == 2)
+    assert(o.sizeAll == rows * cols)
+    assert(o.info.contains("o_orderkey") && o.info.contains("partitions"))
+    // join = merge on key
+    val n = fr("nation").select("n_nationkey", "n_name")
+    val joined = fr("customer").select("c_custkey", "c_nationkey")
+      .join(n.rename("n_nationkey" -> "c_nationkey"), on = "c_nationkey")
+    assert(joined.columns.contains("n_name"))
+    // idxmax/idxmin with deterministic tie-break on the index
+    val f = Frame(Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0)).toDF("id", "v"))
+      .setIndex("id")
+    assert(f.idxmax("v") == 2L && f.idxmin("v") == 4L)
+    // isna mask
+    val m = Frame(Seq((1L, Some(1.0)), (2L, None)).toDF("id", "v")).isna
+    assert(m.df.orderBy("id").collect().map(_.getBoolean(1)).toSeq == Seq(false, true))
+    // groupby agg tail: prod/sem/skew/kurt produce finite values
+    val g = Frame(Seq(("a", 2.0), ("a", -3.0), ("a", 4.0), ("b", 5.0), ("b", 0.0))
+      .toDF("k", "v"))
+      .groupby("k").agg("v" -> "prod", "v" -> "sem")
+      .df.orderBy("k").collect()
+    assert(math.abs(g(0).getDouble(1) - -24.0) < 1e-9) // 2 * -3 * 4 (exp-sum-log)
+    assert(g(1).getDouble(1) == 0.0)   // zero-bearing group
+    assert(!g(0).isNullAt(2))
+  }
+
   test("astype(\"category\") pins the dictionary like asKnown") {
     val o = fr("orders").astype("o_orderpriority" -> "category")
     assert(o.catKnown("o_orderpriority"))
