@@ -61,8 +61,8 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def idxmin(column: String): Any =
     df.orderBy(col(column).asc, col(idx).asc).select(idx).head().get(0)
   /** Frame-wide null masks (pandas isna/notna). */
-  def isna: Frame = keep(df.select(df.columns.map(c => col(c).isNull.as(c)): _*))
-  def notna: Frame = keep(df.select(df.columns.map(c => col(c).isNotNull.as(c)): _*))
+  def isna: Frame = keep(df.select(df.columns.toIndexedSeq.map(c => col(c).isNull.as(c)): _*))
+  def notna: Frame = keep(df.select(df.columns.toIndexedSeq.map(c => col(c).isNotNull.as(c)): _*))
   def apply(name: String): Series = Series(df(name))
   def columns: Seq[String] = df.columns.toSeq
   /** Column-positional selection (reference iloc — dask supports the

@@ -52,7 +52,7 @@ object Clustering {
       // norm via the same left-to-right double fold
       val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
       (r.getLong(0), v, n)
-    }.sortBy(_._1)
+    }.toIndexedSeq.sortBy(_._1)
   }
 
   /** Array of cosines of `vec` against every centroid, in centroid order. */

@@ -97,7 +97,7 @@ object Io {
         concat(lit(s"writeFwf: value wider than $w in column $c: "), s)))
         .otherwise(rpad(s, w, " "))
     }
-    df.select(concat(padded: _*).as("value")).write
+    df.select(concat(padded.toIndexedSeq: _*).as("value")).write
       .mode(SaveMode.Overwrite).text(path)
   }
 
