@@ -654,10 +654,15 @@ final class GroupBy(frame: Frame, keys: Seq[Column], keyNames: Seq[String]) {
     case "sem" => stddev_samp(col(c)) / sqrt(F.count(col(c)))
     case "prod" =>
       // product via sign/zero-aware exp-sum-log (no product aggregate
-      // in Spark; same decomposition as the registry q_prod_sem)
-      when(F.sum(when(col(c) === 0, 1).otherwise(0)) > 0, lit(0.0))
-        .otherwise(exp(F.sum(log(abs(col(c))))) *
-          when(F.sum(when(col(c) < 0, 1).otherwise(0)) % 2 === 1, -1.0).otherwise(1.0))
+      // in Spark; same decomposition as the registry q_prod_sem); the
+      // outer coalesce yields pandas' empty-product convention (1.0) for
+      // all-null groups. FP caveat: exp-sum-log loses ULP-level
+      // precision vs an exact left fold.
+      coalesce(
+        when(F.sum(when(col(c) === 0, 1).otherwise(0)) > 0, lit(0.0))
+          .otherwise(exp(F.sum(log(abs(col(c))))) *
+            when(F.sum(when(col(c) < 0, 1).otherwise(0)) % 2 === 1, -1.0).otherwise(1.0)),
+        lit(1.0))
     case "first" | "last" =>
       // positional semantics need an order — the declared index
       val i = frame.index.getOrElse(throw new IllegalArgumentException(

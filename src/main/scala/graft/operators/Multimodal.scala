@@ -88,7 +88,14 @@ object Multimodal {
         (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
       Some(ImageHeader("gif", le16(b, 6), le16(b, 8), 3))
     } else if (n >= 30 && b(0) == 'B' && b(1) == 'M') {
-      Some(ImageHeader("bmp", le32(b, 18), math.abs(le32(b, 22)), le16(b, 28) / 8))
+      // Reject sub-byte palette depths (1/4 bpp would yield 0 channels)
+      // and corrupt negative/zero width; height may legitimately be
+      // negative (top-down rows) but not 0 or Int.MinValue.
+      val w = le32(b, 18)
+      val h = le32(b, 22)
+      val bpp = le16(b, 28)
+      if (w <= 0 || h == 0 || h == Int.MinValue || bpp < 8) None
+      else Some(ImageHeader("bmp", w, math.abs(h), bpp / 8))
     } else None
   }
 
@@ -149,7 +156,11 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](payIdx)
-        decodeWavHeader(bytes) match {
+        // corrupt items are data, not errors: any decode exception → unknown
+        val hdr = try decodeWavHeader(bytes) catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+        hdr match {
           case Some(AudioHeader(fmt, rate, ch, bits, frames)) =>
             Row(r.getLong(idIdx), bytes.length, fmt, rate, ch, bits, frames)
           case None =>
@@ -199,17 +210,21 @@ object Multimodal {
           case "moov" | "trak" if depth < 4 => walk(i + hdr, end, depth + 1)
           case "mvhd" if i + hdr + 20 <= to =>
             val v = u8(b, i + hdr)
-            if (v == 1 && i + hdr + 28 <= to) {
-              val timescale = be32(b, i + hdr + 20).toLong & 0xffffffffL
-              val dur = (be32(b, i + hdr + 24).toLong << 32) |
-                (be32(b, i + hdr + 28).toLong & 0xffffffffL)
-              if (timescale > 0) durationMs = dur * 1000 / timescale
+            if (v == 1) {
+              // v1 widens ctime/mtime/duration to 64-bit: timescale at
+              // +20 (4B), duration at +24 (8B) → needs +32 in bounds
+              if (i + hdr + 32 <= to) {
+                val timescale = be32(b, i + hdr + 20).toLong & 0xffffffffL
+                val dur = (be32(b, i + hdr + 24).toLong << 32) |
+                  (be32(b, i + hdr + 28).toLong & 0xffffffffL)
+                if (timescale > 0) durationMs = dur * 1000 / timescale
+              } // truncated v1 payload: skip rather than misread v0 offsets
             } else {
               val timescale = be32(b, i + hdr + 12).toLong & 0xffffffffL
               val dur = be32(b, i + hdr + 16).toLong & 0xffffffffL
               if (timescale > 0) durationMs = dur * 1000 / timescale
             }
-          case "tkhd" =>
+          case "tkhd" if i + hdr < to =>
             val v = u8(b, i + hdr)
             // v0: 4 vf + 4 ctime + 4 mtime + 4 track + 4 res + 4 dur +
             // 8 res2 + 8 layer/group/volume/res + 36 matrix = 76 to width;
@@ -238,7 +253,11 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](payIdx)
-        decodeMp4Header(bytes) match {
+        // corrupt items are data, not errors: any decode exception → unknown
+        val hdr = try decodeMp4Header(bytes) catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+        hdr match {
           case Some(VideoHeader(fmt, dur, w, h)) =>
             Row(r.getLong(idIdx), bytes.length, fmt, dur,
               if (w > 0) w else null, if (h > 0) h else null)
@@ -394,7 +413,11 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](payIdx)
         digest.reset()
         val sha = digest.digest(bytes).map("%02x".format(_)).mkString
-        decodeImageHeader(bytes) match {
+        // corrupt items are data, not errors: any decode exception → unknown
+        val hdr = try decodeImageHeader(bytes) catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+        hdr match {
           case Some(ImageHeader(fmt, w, h, c)) =>
             Row(r.getLong(idIdx), bytes.length, fmt, w, h, c, sha)
           case None =>

@@ -78,7 +78,9 @@ object Io {
       else schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = colspecs.map { case (name, start, end) =>
       val s = trim(substring(col("value"), start + 1, end - start))
-      types.get(name).map(t => s.cast(t)).getOrElse(s).as(name)
+      // blank field = null (pandas reads it as NaN; also writeFwf's null
+      // sentinel) — and ANSI cast of "" would throw rather than null out
+      types.get(name).map(t => nullif(s, lit("")).cast(t)).getOrElse(s).as(name)
     }
     spark.read.text(path).select(cols: _*)
   }
@@ -86,16 +88,20 @@ object Io {
   /** Fixed-width writer (roundtrip companion to [[readFwf]]): each
     * column right-padded to its width and concatenated into one line.
     * Fails fast on values wider than their field — silent truncation
-    * would corrupt the roundtrip. */
+    * would corrupt the roundtrip. Null values write as the all-spaces
+    * sentinel (fixed-width has no other null encoding); [[readFwf]]'s
+    * trim + cast recovers null for typed columns, empty string for
+    * untyped ones. */
   def writeFwf(df: DataFrame, path: String, widths: Seq[Int]): Unit = {
     import org.apache.spark.sql.functions._
     require(widths.length == df.columns.length,
       s"writeFwf: ${widths.length} widths for ${df.columns.length} columns")
     val padded = df.columns.zip(widths).map { case (c, w) =>
       val s = col(c).cast("string")
-      when(length(s) > w, raise_error(
+      val cell = when(length(s) > w, raise_error(
         concat(lit(s"writeFwf: value wider than $w in column $c: "), s)))
         .otherwise(rpad(s, w, " "))
+      coalesce(cell, lit(" " * w))
     }
     df.select(concat(padded.toIndexedSeq: _*).as("value")).write
       .mode(SaveMode.Overwrite).text(path)

@@ -449,6 +449,12 @@ class FrameApiSpec extends SparkSpec {
     assert(math.abs(g(0).getDouble(1) - -24.0) < 1e-9) // 2 * -3 * 4 (exp-sum-log)
     assert(g(1).getDouble(1) == 0.0)   // zero-bearing group
     assert(!g(0).isNullAt(2))
+    // pandas empty-product convention: an all-null group yields 1.0
+    val gn = Frame(Seq(("a", Some(2.0)), ("b", Option.empty[Double]))
+      .toDF("k", "v"))
+      .groupby("k").agg("v" -> "prod")
+      .df.orderBy("k").collect()
+    assert(gn(0).getDouble(1) == 2.0 && gn(1).getDouble(1) == 1.0)
   }
 
   test("astype(\"category\") pins the dictionary like asKnown") {

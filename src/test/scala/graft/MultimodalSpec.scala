@@ -135,15 +135,39 @@ class MultimodalSpec extends SparkSpec {
       rnd.nextBytes(junk)
       decodeAll(junk)
     }
-    for (v <- valid; _ <- 1 to 200) {
-      // random truncation
-      decodeAll(v.take(rnd.nextInt(v.length + 1)))
+    for (v <- valid) {
+      // EVERY truncation length, exhaustively — sampling missed the
+      // mp4.take(148) tkhd-at-buffer-end crash in round 9
+      (0 to v.length).foreach(k => decodeAll(v.take(k)))
       // random single-byte corruption (catches length-field walks that
       // stall or reverse — e.g. a WAV chunk size that wraps negative)
-      val mut = v.clone()
-      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
-      decodeAll(mut)
+      (1 to 200).foreach { _ =>
+        val mut = v.clone()
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+        decodeAll(mut)
+      }
     }
+  }
+
+  test("regression: mp4 truncation at box-header boundary and v1 mvhd tail") {
+    val mp4 = Multimodal.mp4Fixture(600, 1500, 640, 360)
+    // tkhd box header ends exactly at the buffer end: version byte must
+    // not be read past the array (round-9 advisor crash at take(148))
+    Multimodal.decodeMp4Header(mp4.take(148)) // must not throw
+    // version-1 mvhd truncated 28..31 bytes past the version byte: the
+    // 64-bit duration read needs +32, not +28
+    val v1 = {
+      val b = mp4.clone()
+      b(16 + 8 + 8) = 1 // flip mvhd version byte to 1
+      b
+    }
+    (0 to v1.length).foreach(k => Multimodal.decodeMp4Header(v1.take(k)))
+    // BMP sub-byte palette depths and corrupt widths → None, not 0-channel
+    val bmp = new Array[Byte](30)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(18) = 10; bmp(22) = 10; bmp(28) = 4 // 4bpp
+    assert(Multimodal.decodeImageHeader(bmp).isEmpty)
+    bmp(28) = 24; bmp(21) = 0x80.toByte // negative width, 24bpp
+    assert(Multimodal.decodeImageHeader(bmp).isEmpty)
   }
 
   test("extractMeta end-to-end: mixed formats, corrupt row survives as unknown") {

@@ -184,5 +184,13 @@ class OperatorEdgeSpec extends SparkSpec {
       graft.sources.Io.writeFwf(df, s"$dir/bad", Seq(1, 6))
     }
     assert(e.getMessage != null)
+    // nulls write as the all-spaces sentinel; typed readback recovers null
+    val withNull = Seq((1, Some(7)), (2, None)).toDF("k", "v")
+    graft.sources.Io.writeFwf(withNull, s"$dir/nulls", Seq(4, 6))
+    val typed = graft.sources.Io.readFwf(spark, s"$dir/nulls",
+      Seq(("k", 0, 4), ("v", 4, 10)),
+      StructType(Seq(StructField("k", IntegerType), StructField("v", IntegerType))))
+    val rows = typed.orderBy("k").collect()
+    assert(rows(0).getInt(1) == 7 && rows(1).isNullAt(1))
   }
 }
