@@ -171,17 +171,27 @@ object TextDedup {
     */
   def candidatePairs(sig: DataFrame, idCol: String,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    val base = maxBucketSize match {
-      case Some(cap) =>
-        val ok = sig.groupBy("band", "sig").agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= cap)
-        sig.join(ok, Seq("band", "sig"), "left_semi")
-      case None => sig
+    // ONE signature-sized exchange: bucket members aggregate in place
+    // (collect_list partials merge map-side), replacing the two-sided
+    // bucket self-join that shuffled the signature table twice and
+    // joined. Pair expansion then STREAMS through two generates —
+    // posexplode picks doc_a, slice takes the sorted suffix after it
+    // for doc_b — so no bucket ever materializes its m²/2 pairs in one
+    // row buffer; a degenerate bucket degrades exactly like the join
+    // shape did (streamed quadratic output), not worse. sort_array
+    // fixes collect_list's nondeterministic order and gives
+    // doc_a < doc_b by construction.
+    val sized = sig.groupBy("band", "sig")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+    val capped = maxBucketSize match {
+      case Some(cap) => sized.filter(size(col("__ids")) <= cap)
+      case None => sized
     }
-    val a = base.select(col(idCol).as("doc_a"), col("band"), col("sig"))
-    val b = base.select(col(idCol).as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
+    capped
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids")))).as("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
   }
@@ -219,19 +229,63 @@ object TextDedup {
       bandRows: Int = 4,
       threshold: Double = 0.8,
       maxBucketSize: Option[Int] = None,
-      broadcastLimit: Long = 2000000L): DataFrame = Tuning.forSize(docs) {
-    // doc → content-clique representative (smallest id per text hash),
-    // assigned in ONE exchange: a whole-partition min window over the
-    // content hash. Cached once; members and reps are projections of it.
-    import org.apache.spark.sql.expressions.Window
-    val wRep = Window.partitionBy("__th")
-    val tagged = docs.select(col(idCol), col(textCol))
-      .withColumn("__th", md5(col(textCol)))
-      .withColumn("__rep", min(col(idCol)).over(wRep))
-      .withColumn("__csz", count(lit(1)).over(wRep))
-      .cache()
-    val reps = tagged.filter(col(idCol) === col("__rep"))
-      .select(col(idCol), col(textCol))
+      broadcastLimit: Long = 2000000L): DataFrame = {
+    val small = Tuning.isSmall(docs)
+    Tuning.scoped(docs.sparkSession, small) {
+    // Broadcast policy, no measurement ACTION: in the measured-small
+    // regime (optimizer stats ≤ ~1 GB; AQE off) the candidate-side
+    // tables are bounded by the corpus, so hint broadcast outright; in
+    // the large regime leave the joins unhinted — AQE's runtime size
+    // measurement is the fallback that picks broadcast vs shuffle per
+    // stage. broadcastLimit == 0 still forces the shuffle regime
+    // everywhere (tests prove that path end-to-end).
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (small && broadcastLimit > 0) broadcast(df) else df
+    // Exact-dup collapse, regime-selected (measured, like every other
+    // gate here):
+    // - measured-small + gates open: ONE cached corpus pass — a
+    //   whole-partition min/count window over the content hash. The
+    //   corpus is optimizer-measured ≤ ~1 GB, so caching it and reading
+    //   reps/members as projections has the best constants (~0.3 s
+    //   faster than the scan-local shape at sf0.1).
+    // - at scale (or gates closed): the corpus TEXT never rides a
+    //   window sort — cliques aggregate in one (hash, id)-sized
+    //   exchange with map-side combine; representatives come from a
+    //   second map-only scan (left-semi on the rep ids) and per-doc dup
+    //   membership from a third. What gets cached is one small row per
+    //   distinct text plus the post-dedup working set, never the raw
+    //   corpus (a 100 TB corpus cannot sit in a cache, and a
+    //   full-text window sort is the shuffle that kills the stage).
+    //   broadcastLimit == 0 routes HERE, so the scale path is the one
+    //   the shuffle-regime tests execute end-to-end.
+    val windowRegime = small && broadcastLimit > 0
+    val tagged: Option[DataFrame] =
+      if (!windowRegime) None
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val wRep = Window.partitionBy("__th")
+        Some(docs.select(col(idCol), col(textCol))
+          .withColumn("__th", md5(col(textCol)))
+          .withColumn("__rep", min(col(idCol)).over(wRep))
+          .withColumn("__csz", count(lit(1)).over(wRep))
+          .cache())
+      }
+    val cliques: Option[DataFrame] =
+      if (windowRegime) None
+      else Some(docs.select(col(idCol), md5(col(textCol)).as("__th"))
+        .groupBy("__th")
+        .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__csz"))
+        .cache())
+    val reps = tagged match {
+      case Some(t) =>
+        t.filter(col(idCol) === col("__rep")).select(col(idCol), col(textCol))
+      case None =>
+        // cached: both the signature projection and the candidate-hash
+        // pass read it — the post-dedup working set, not the corpus
+        docs.select(col(idCol), col(textCol))
+          .join(cliques.get.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+          .cache()
+    }
 
     // Signatures as a PURE PROJECTION of the representatives: all k
     // minhashes from one native kernel call per document
@@ -241,44 +295,40 @@ object TextDedup {
     // semantics (the oracle replays it exactly); within one document a
     // hash collision is ~|shingles| in 2^28 — noise far below the LSH
     // band resolution.
+    // Cached: the bucket self-join streams BOTH sides from this table,
+    // and without the cache each side would re-run the md5 minhash
+    // kernel over the whole corpus (the two sides project different
+    // aliases, so exchange reuse can't kick in).
     val sig = bandSignaturesProjected(reps, idCol, textCol,
-      shingleLen, numHashes, bandRows)
+      shingleLen, numHashes, bandRows).cache()
     val cand = candidatePairs(sig, idCol, maxBucketSize).cache()
-    // The Jaccard arithmetic only ever touches docs that appear in a
-    // candidate pair — usually a tiny set, so broadcasting it keeps the
-    // corpus-wide hash stream from ever shuffling. "Usually" is
-    // measured, not assumed: the candidate set is cached, so counting
-    // it is cheap, and a duplicate-heavy corpus whose candidate set
-    // outgrows broadcast falls back to a shuffle join instead of
-    // OOMing.
-    val candN = cand.count()
-    def maybeBroadcast(df: DataFrame): DataFrame =
-      if (candN <= broadcastLimit) broadcast(df) else df
+    // No distinct: the left-semi probe dedups inherently, so the extra
+    // exchange would buy nothing.
     val candDocs = cand.select(col("doc_a").as(idCol))
-      .union(cand.select(col("doc_b").as(idCol))).distinct()
-    // Candidate docs' DISTINCT shingle hashes, hashed ON DEMAND: only
-    // docs that appear in a candidate pair (a tiny, measured set) ever
-    // pay the explode — the corpus at large was never shingled, only
-    // kernel-hashed. The semi-join culls reps first (broadcast — no
-    // exchange); the kernel dedups within each doc, and (id, hash) rows
-    // are unique across docs by construction, so no distinct exchange
-    // at all. Cached: the intersection reads it twice, set sizes once.
-    val shCand = reps.join(maybeBroadcast(candDocs), Seq(idCol), "left_semi")
-      .select(col(idCol),
-        explode(graft.functions.ShingleHashes(
-          col(textCol), shingleLen, 7, dedup = true)).as("__h0"))
+      .union(cand.select(col("doc_b").as(idCol)))
+    // Candidate docs' DISTINCT shingle-hash ARRAYS, hashed ON DEMAND:
+    // only docs that appear in a candidate pair (a tiny set) ever pay
+    // the md5 kernel — the corpus at large was never shingled, only
+    // kernel-hashed for signatures. The semi-join culls reps first; one
+    // kernel call per doc, no per-hash explode. Cached: both join sides
+    // read it.
+    val candHashes = reps.join(maybeBroadcast(candDocs), Seq(idCol), "left_semi")
+      .select(col(idCol), graft.functions.ShingleHashes(
+        col(textCol), shingleLen, 7, dedup = true).as("__hs"))
       .cache()
-    val inter = shCand.join(maybeBroadcast(cand), col(idCol) === col("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("__h0"))
-      .join(shCand.select(col(idCol).as("doc_b"), col("__h0")), Seq("doc_b", "__h0"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-    // Set sizes: one count over the candidates' distinct hashes.
-    val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("__nsh"))
-    val repPairs = inter
-      .join(maybeBroadcast(sizes.select(col(idCol).as("doc_a"), col("__nsh").as("na"))), "doc_a")
-      .join(maybeBroadcast(sizes.select(col(idCol).as("doc_b"), col("__nsh").as("nb"))), "doc_b")
+    // Jaccard verification FUSED into one projection: |A∩B| via
+    // array_intersect over the two per-doc hash arrays, set sizes via
+    // size(). Round 9 ran an explode + a per-hash equi-join + two count
+    // aggregations + two size joins here (three shuffles); this shape
+    // is two candidate-sized joins and zero aggregations.
+    val repPairs = maybeBroadcast(cand)
+      .join(candHashes.select(col(idCol).as("doc_a"), col("__hs").as("__ha")), "doc_a")
+      .join(maybeBroadcast(
+        candHashes.select(col(idCol).as("doc_b"), col("__hs").as("__hb"))), "doc_b")
+      .withColumn("__ni", size(array_intersect(col("__ha"), col("__hb"))))
       .select(col("doc_a"), col("doc_b"),
-        (col("ni") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
+        (col("__ni") / (size(col("__ha")) + size(col("__hb")) - col("__ni")))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .cache()
     // Materialize the verified pairs inside the AQE-off scope: the whole
@@ -286,12 +336,15 @@ object TextDedup {
     // schedule; consumers read the (tiny) cached result.
     repPairs.count()
     // The verified pairs are materialized; the intermediate caches
-    // (candidate hashes, candidates) have served every consumer —
-    // release them so repeated calls in a long-lived session don't
-    // accumulate corpus-sized executor storage. `tagged` stays: the
-    // expansion below still projects members from it.
-    shCand.unpersist(blocking = false)
+    // (candidate hash arrays, candidates, signatures, the scan-local
+    // regime's reps) have served every consumer — release them so
+    // repeated calls in a long-lived session don't accumulate
+    // corpus-sized executor storage. `tagged`/`cliques` stay: the
+    // expansion below still reads them lazily.
+    candHashes.unpersist(blocking = false)
     cand.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
+    if (!windowRegime) reps.unpersist(blocking = false)
 
     // Expansion: representative pairs fan out to all clique-member
     // pairs (same texts ⇒ same jaccard); identical-text pairs within a
@@ -301,17 +354,34 @@ object TextDedup {
     // Only members of non-trivial cliques (clique size > 1 — i.e. the
     // actual duplicates, a set proportional to the corpus' true dup
     // count, not its size) participate: singleton docs ARE their reps,
-    // handled by the left-join + coalesce. One count action against the
-    // tagged cache sizes that set; a clean corpus skips expansion
-    // entirely, and a dup-heavy one falls back from broadcast to
-    // shuffle joins.
-    val nDup = tagged.agg(count(when(col("__csz") > 1, lit(1)))).head().getLong(0)
+    // handled by the left-join + coalesce. One agg action against the
+    // (small) clique cache sizes that set; a clean corpus skips
+    // expansion entirely, and a dup-heavy one falls back from broadcast
+    // to shuffle joins.
+    val nDup = tagged match {
+      case Some(t) =>
+        t.agg(count(when(col("__csz") > 1, lit(1)))).head().getLong(0)
+      case None => cliques.get
+        .agg(coalesce(sum(when(col("__csz") > 1, col("__csz"))), lit(0L)))
+        .head().getLong(0)
+    }
     if (nDup == 0) repPairs
     else {
-      val dupMembers = tagged.filter(col("__csz") > 1)
-        .select(col("__rep"), col(idCol))
       def maybeB(df: DataFrame): DataFrame =
         if (nDup <= broadcastLimit) broadcast(df) else df
+      val dupMembers = tagged match {
+        case Some(t) =>
+          t.filter(col("__csz") > 1).select(col("__rep"), col(idCol))
+        case None =>
+          // per-doc membership re-derives the doc → content-hash map in
+          // a THIRD map-only scan — no text moves, and the nontrivial
+          // cliques broadcast unless the dup set outgrows the gate
+          val dupCliques = cliques.get.filter(col("__csz") > 1)
+            .select(col("__th"), col("__rep"))
+          docs.select(col(idCol), md5(col(textCol)).as("__th"))
+            .join(maybeB(dupCliques), Seq("__th"))
+            .select(col("__rep"), col(idCol))
+      }
       val mA = dupMembers.select(col("__rep").as("doc_a"), col(idCol).as("__ida"))
       val mB = dupMembers.select(col("__rep").as("doc_b"), col(idCol).as("__idb"))
       val cross = repPairs
@@ -330,6 +400,7 @@ object TextDedup {
           lit(1.0).as("jaccard"))
       cross.union(within)
     }
+  }
   }
 
   /** Duplicate clusters from near-dup pairs: connected components by
