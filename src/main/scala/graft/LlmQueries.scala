@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, Similarity, TextDedup}
+import graft.operators.{Bpe, Multimodal, Similarity, TextDedup}
 
 /** Training-data-pipeline operator coverage over the `documents` and
   * `embeddings` tables: dedup (exact / MinHash-LSH / SimHash / n-gram
@@ -477,6 +477,45 @@ object LlmQueries {
         size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0))).as("re_tokens"),
         ceil(length(col("text")) / 4).as("bpe_est"))
         .orderBy("doc_id")
+    }
+
+    // REAL BPE token counting (operators.Bpe): merge rules learned
+    // deterministically from an embedded seed, encoder run as a
+    // partition-batched map. The oracle replays the full merge loop in
+    // SQL: each word's symbols ride a \x01-delimited string through a
+    // recursive CTE that applies the lowest-rank applicable rule per
+    // step (string replace = BPE's left-to-right non-overlapping
+    // merge-all), then per-doc counts are word-frequency-weighted sums.
+    q("q_token_count_bpe",
+      s"""WITH RECURSIVE
+         |merges(rank, a, b) AS (VALUES ${Bpe.mergesSqlValues()}),
+         |words AS (
+         |  SELECT doc_id, tok, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         |          '${Bpe.PreTokenPattern}')) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |vocab AS (SELECT DISTINCT tok FROM words),
+         |enc(tok, s) AS (
+         |  SELECT tok, chr(1) || array_to_string(string_split(tok, ''), chr(1)) || chr(1)
+         |  FROM vocab
+         |  UNION ALL
+         |  SELECT e.tok,
+         |         replace(e.s, chr(1)||bm.a||chr(1)||bm.b||chr(1),
+         |                 chr(1)||bm.a||bm.b||chr(1))
+         |  FROM enc e, LATERAL (
+         |    SELECT m.a, m.b FROM merges m
+         |    WHERE contains(e.s, chr(1)||m.a||chr(1)||m.b||chr(1))
+         |    ORDER BY m.rank LIMIT 1) bm),
+         |final AS (
+         |  SELECT tok, min(length(s) - length(replace(s, chr(1), ''))) - 1 AS ntok
+         |  FROM enc GROUP BY tok),
+         |per_doc AS (
+         |  SELECT w.doc_id, sum(w.cnt * f.ntok) AS n
+         |  FROM words w JOIN final f USING (tok) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens_bpe
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Bpe.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     }
 
     // Document fingerprinting: 31-ary rolling hash (native codegen'd

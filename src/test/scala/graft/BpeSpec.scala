@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+
+  // Independent reference encoder: list-of-symbols, recompute the best
+  // pair from a rank map each round via a completely different code
+  // path (sliding collect + sortBy) — a differential check on
+  // Bpe.encodeCount's imperative loop.
+  private def refEncode(word: String, merges: Seq[(String, String)]): List[String] = {
+    val ranks = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toList
+    var continue = true
+    while (continue && syms.length > 1) {
+      val present = syms.sliding(2).collect {
+        case List(a, b) if ranks.contains((a, b)) => ((a, b), ranks((a, b)))
+      }.toList
+      if (present.isEmpty) continue = false
+      else {
+        val (pa, pb) = present.minBy(_._2)._1
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case a :: b :: tail if a == pa && b == pb => out += a + b; rest = tail
+          case h :: tail => out += h; rest = tail
+          case Nil =>
+        }
+        syms = out.toList
+      }
+    }
+    syms
+  }
+
+  test("learner is deterministic and learns the expected first merges") {
+    val m1 = Bpe.learn("aa ab aa ab aa", 4)
+    val m2 = Bpe.learn("aa ab aa ab aa", 4)
+    assert(m1 == m2)
+    // 'a','a' occurs 3x; 'a','b' 2x → first merge (a,a)
+    assert(m1.head == ("a", "a"))
+    assert(m1.contains(("a", "b")))
+    assert(Bpe.defaultMerges == Bpe.defaultMerges) // stable lazy val
+    assert(Bpe.defaultMerges.size == 64)
+  }
+
+  test("encodeCount matches the independent reference encoder") {
+    val merges = Bpe.defaultMerges
+    val ranks = merges.zipWithIndex.toMap
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val words = Seq("the", "encoder", "training", "a", "12345", "zzzz") ++
+      (1 to 200).map(_ => (1 to (1 + rnd.nextInt(12)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    words.foreach { w =>
+      assert(Bpe.encodeCount(w, ranks) == refEncode(w, merges).length,
+        s"word '$w': ${refEncode(w, merges)}")
+    }
+  }
+
+  test("merge-all is left-to-right non-overlapping (the aaa case)") {
+    val ranks = Map(("a", "a") -> 0)
+    // "aaa" → merge first two, third stays: 2 tokens (not 1, not 3)
+    assert(Bpe.encodeCount("aaa", ranks) == 2)
+    assert(Bpe.encodeCount("aaaa", ranks) == 2)
+    assert(Bpe.encodeCount("aaaaa", ranks) == 3)
+  }
+
+  test("tokenCount pre-tokenizes like the oracle and handles edge cases") {
+    val ranks = Bpe.defaultMerges.zipWithIndex.toMap
+    val memo = scala.collection.mutable.HashMap.empty[String, Int]
+    assert(Bpe.tokenCount(null, ranks, memo) == 0L)
+    assert(Bpe.tokenCount("", ranks, memo) == 0L)
+    assert(Bpe.tokenCount("   ", ranks, memo) == 0L)
+    // punctuation splits into single-char tokens; case-folds first
+    val n1 = Bpe.tokenCount("The cat, the hat.", ranks, memo)
+    val n2 = Bpe.tokenCount("the cat , the hat .", ranks, memo)
+    assert(n1 == n2 && n1 > 0)
+    // the \x01 delimiter char is excluded from pre-tokens entirely
+    assert(Bpe.tokenCount("abcd", ranks, memo) ==
+      Bpe.tokenCount("ab cd", ranks, memo))
+  }
+
+  test("tokenCounts DataFrame operator: per-doc counts, empty text = 0") {
+    import spark.implicits._
+    val df = Seq((1L, "the training corpus"), (2L, ""), (3L, "zq xv"))
+      .toDF("doc_id", "text")
+    val out = Bpe.tokenCounts(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).forall(_ >= 0))
+    assert(out(1).getLong(1) == 0L)
+    // unknown letters stay single chars: "zq xv" = 4 symbols unless a
+    // learned merge covers them
+    assert(out(2).getLong(1) >= 2L && out(2).getLong(1) <= 4L)
+    // a real English sentence compresses below its character count
+    val chars = "the training corpus".count(_ != ' ')
+    assert(out(0).getLong(1) < chars)
+  }
+}
