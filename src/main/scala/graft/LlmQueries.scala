@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Multimodal, Similarity, TextDedup}
+import graft.operators.{Bpe, ImageDedup, Multimodal, Similarity, TextDedup}
 
 /** Training-data-pipeline operator coverage over the `documents` and
   * `embeddings` tables: dedup (exact / MinHash-LSH / SimHash / n-gram
@@ -659,6 +659,60 @@ object LlmQueries {
         .select(col("doc_id"), mk(col("doc_id"), col("text")).as("payload"))
       Multimodal.extractVideoMeta(withPayload, "doc_id", "payload")
         .orderBy("doc_id")
+    }
+
+    // Perceptual image near-dup: each doc < 500 carries a REAL 24-bit
+    // BMP (9x8, pixels derived from doc_id: a shared per-group base
+    // pattern plus a variant-selected +128 perturbation); the engine
+    // decodes the actual bytes (data offset, bottom-up rows, padding,
+    // BGR -> BT.601 luma) and dHashes them, then byte-band LSH + exact
+    // hamming verify finds pairs. The oracle re-derives the grayscale
+    // arithmetically, replays the bit/band construction, the SAME
+    // band-bucket candidate restriction, and the hamming cut — so the
+    // full decode -> hash -> LSH -> verify pipeline is value-checked.
+    q("q_image_near_dup",
+      """WITH d AS (SELECT doc_id, doc_id % 25 AS grp, doc_id // 25 AS var
+        |           FROM documents WHERE doc_id < 500),
+        |     xs AS (SELECT unnest(generate_series(0, 8)) AS x),
+        |     ys AS (SELECT unnest(generate_series(0, 7)) AS y),
+        |px AS (
+        |  SELECT doc_id, x, y,
+        |    (grp*73 + x*29 + y*19 + CASE WHEN (x*3 + y*5 + var*7) % 11 = 0 THEN 128 ELSE 0 END) % 256 AS r,
+        |    (grp*59 + x*31 + y*13 + CASE WHEN (x*3 + y*5 + var*7) % 11 = 0 THEN 128 ELSE 0 END) % 256 AS g,
+        |    (grp*41 + x*23 + y*17 + CASE WHEN (x*3 + y*5 + var*7) % 11 = 0 THEN 128 ELSE 0 END) % 256 AS b
+        |  FROM d, xs, ys),
+        |gray AS (SELECT doc_id, x, y, (299*r + 587*g + 114*b) // 1000 AS gy FROM px),
+        |bands AS (
+        |  SELECT a.doc_id, a.y AS band,
+        |         CAST(sum(CASE WHEN b.gy > a.gy THEN 1 << a.x ELSE 0 END) AS BIGINT) AS sig
+        |  FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8 GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.doc_a, c.doc_b,
+        |          CAST(sum(bit_count(xor(ba.sig, bb.sig))) AS INTEGER) AS hamming
+        |        FROM cand c
+        |        JOIN bands ba ON ba.doc_id = c.doc_a
+        |        JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val mk = udf((docId: Long) => {
+        val grp = (docId % 25).toInt
+        val vr = (docId / 25).toInt
+        ImageDedup.bmpFixture(9, 8, (x, y) => {
+          val p = if ((x * 3 + y * 5 + vr * 7) % 11 == 0) 128 else 0
+          ((grp * 73 + x * 29 + y * 19 + p) % 256,
+            (grp * 59 + x * 31 + y * 13 + p) % 256,
+            (grp * 41 + x * 23 + y * 17 + p) % 256)
+        })
+      })
+      val imgs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      val hashes = ImageDedup.dHashes(imgs, "doc_id", "payload")
+      ImageDedup.imageNearDuplicates(hashes, "doc_id", "dhash", maxHamming = 8)
+        .orderBy("doc_a", "doc_b")
     }
 
     // Frame sampling: every 4th 64-byte frame of the payload, with the

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ImageDedup
+import graft.operators.ImageDedup.GrayImage
+
+/** Real BMP pixel decode (differential against the JDK's own BMP
+  * encoder), integer dHash arithmetic, truncation fuzz, and the banded
+  * hamming LSH pipeline checked against a brute-force reference. */
+class ImageDedupSpec extends SparkSpec {
+
+  /** Deterministic pixel function shared by the tests. */
+  private def pix(seed: Int)(x: Int, y: Int): (Int, Int, Int) =
+    ((seed * 73 + x * 29 + y * 19) % 256,
+      (seed * 59 + x * 31 + y * 13) % 256,
+      (seed * 41 + x * 23 + y * 17) % 256)
+
+  private def grayOf(px: (Int, Int) => (Int, Int, Int))(x: Int, y: Int): Int = {
+    val (r, g, b) = px(x, y)
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  test("decodeBmpGray matches the JDK BMP encoder pixel for pixel") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 5) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val expect = Array.ofDim[Int](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        expect(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "bmp", out), "no bmp writer")
+      val decoded = ImageDedup.decodeBmpGray(out.toByteArray)
+      assert(decoded.isDefined, s"failed to decode ${w}x$h JDK bmp")
+      val GrayImage(dw, dh, gray) = decoded.get
+      assert((dw, dh) === ((w, h)))
+      assert(gray.toSeq === expect.toSeq)
+    }
+  }
+
+  test("bmpFixture round-trips through the decoder (incl. row padding)") {
+    for (w <- Seq(1, 2, 9, 10); h <- Seq(1, 8)) {
+      val bytes = ImageDedup.bmpFixture(w, h, pix(7))
+      val decoded = ImageDedup.decodeBmpGray(bytes)
+      assert(decoded.isDefined, s"${w}x$h")
+      val GrayImage(dw, dh, gray) = decoded.get
+      assert((dw, dh) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(gray(y * w + x) === grayOf(pix(7))(x, y), s"($x,$y) in ${w}x$h")
+    }
+  }
+
+  test("top-down BMP (negative height) decodes to the same grid") {
+    val w = 9; val h = 8
+    val bottomUp = ImageDedup.bmpFixture(w, h, pix(3))
+    // rewrite as top-down: negate the height field and reverse the
+    // stored row order (top-down files store row 0 first)
+    val topDown = bottomUp.clone()
+    val negH = -h
+    for (i <- 0 until 4) topDown(22 + i) = ((negH >> (8 * i)) & 0xff).toByte
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    for (fy <- 0 until h; i <- 0 until rowSize)
+      topDown(54 + fy * rowSize + i) = bottomUp(54 + (h - 1 - fy) * rowSize + i)
+    assert(ImageDedup.decodeBmpGray(topDown).map(_.gray.toSeq) ===
+      ImageDedup.decodeBmpGray(bottomUp).map(_.gray.toSeq))
+  }
+
+  test("every truncation length decodes to None or a valid image — never throws") {
+    val full = ImageDedup.bmpFixture(9, 8, pix(11))
+    for (n <- 0 until full.length) {
+      val hdr = ImageDedup.decodeBmpGray(full.take(n)) // must not throw
+      assert(hdr.isEmpty, s"truncated to $n bytes should not decode")
+    }
+    assert(ImageDedup.decodeBmpGray(full).isDefined)
+    // corrupt geometry: zero/negative width, giant dims, wrong depth
+    def patched(off: Int, value: Int): Array[Byte] = {
+      val b = full.clone()
+      for (i <- 0 until 4) b(off + i) = ((value >> (8 * i)) & 0xff).toByte
+      b
+    }
+    assert(ImageDedup.decodeBmpGray(patched(18, 0)).isEmpty)
+    assert(ImageDedup.decodeBmpGray(patched(18, -5)).isEmpty)
+    assert(ImageDedup.decodeBmpGray(patched(18, 1 << 20)).isEmpty)
+    assert(ImageDedup.decodeBmpGray(patched(22, Int.MinValue)).isEmpty)
+    assert(ImageDedup.decodeBmpGray(patched(30, 1)).isEmpty) // compressed
+  }
+
+  test("boxResample computes integer block means; identity at target size") {
+    // 18x16 -> 9x8: each cell is the mean of a 2x2 block
+    val src = GrayImage(18, 16, Array.tabulate(18 * 16)(i => i % 251))
+    val down = ImageDedup.boxResample(src, 9, 8)
+    for (cy <- 0 until 8; cx <- 0 until 9) {
+      val vals = for (dy <- 0 until 2; dx <- 0 until 2)
+        yield src.gray((cy * 2 + dy) * 18 + (cx * 2 + dx))
+      assert(down(cy * 9 + cx) === vals.sum / 4, s"cell ($cx,$cy)")
+    }
+    val id = GrayImage(9, 8, Array.tabulate(72)(identity))
+    assert(ImageDedup.boxResample(id, 9, 8).toSeq === id.gray.toSeq)
+  }
+
+  test("dHash is invariant under 2x upscaling (block-replicated pixels)") {
+    val base = ImageDedup.decodeBmpGray(ImageDedup.bmpFixture(9, 8, pix(5))).get
+    val big = GrayImage(18, 16, Array.tabulate(18 * 16) { i =>
+      val x = i % 18; val y = i / 18
+      base.gray((y / 2) * 9 + (x / 2))
+    })
+    assert(ImageDedup.dHash64(big) === ImageDedup.dHash64(base))
+  }
+
+  test("imageNearDuplicates matches a brute-force band+hamming reference") {
+    import spark.implicits._
+    val nDocs = 120
+    def variantPix(docId: Int)(x: Int, y: Int): (Int, Int, Int) = {
+      val grp = docId % 12; val vr = docId / 12
+      val p = if ((x * 3 + y * 5 + vr * 7) % 11 == 0) 128 else 0
+      (((grp * 73 + x * 29 + y * 19 + p) % 256),
+        ((grp * 59 + x * 31 + y * 13 + p) % 256),
+        ((grp * 41 + x * 23 + y * 17 + p) % 256))
+    }
+    val payloads = (0 until nDocs).map(d =>
+      (d.toLong, ImageDedup.bmpFixture(9, 8, variantPix(d))))
+    // reference: hashes straight from the decoder, candidates = pairs
+    // sharing any byte band, verified by exact hamming
+    val refHash = payloads.map { case (d, bytes) =>
+      d -> ImageDedup.dHash64(ImageDedup.decodeBmpGray(bytes).get)
+    }.toMap
+    def bandsOf(h: Long): Seq[Long] = (0 until 8).map(b => (h >>> (b * 8)) & 0xffL)
+    val expected = (for {
+      a <- 0 until nDocs; b <- (a + 1) until nDocs
+      ha = refHash(a.toLong); hb = refHash(b.toLong)
+      if bandsOf(ha).zip(bandsOf(hb)).exists { case (x, y) => x == y }
+      ham = java.lang.Long.bitCount(ha ^ hb)
+      if ham <= 8
+    } yield (a.toLong, b.toLong, ham)).toSet
+    assert(expected.nonEmpty, "fixture should produce near-dup pairs")
+    assert(expected.size < nDocs * (nDocs - 1) / 2, "fixture must not be all-pairs")
+
+    val df = payloads.toDF("doc_id", "payload")
+    val hashes = ImageDedup.dHashes(df, "doc_id", "payload")
+    val got = ImageDedup.imageNearDuplicates(hashes, "doc_id", "dhash", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+  }
+
+  test("undecodable payloads hash to null and drop out of near-dup search") {
+    import spark.implicits._
+    val good = ImageDedup.bmpFixture(9, 8, pix(1))
+    val rows = Seq(
+      (0L, good), (1L, good),
+      (2L, Array[Byte](1, 2, 3)),
+      (3L, Array.empty[Byte]),
+      (4L, "not a bitmap at all, just text bytes".getBytes("UTF-8")))
+    val hashes = ImageDedup.dHashes(rows.toDF("doc_id", "payload"), "doc_id", "payload")
+    val byId = hashes.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(byId(0L).isDefined && byId(1L).isDefined)
+    assert(byId(2L).isEmpty && byId(3L).isEmpty && byId(4L).isEmpty)
+    val pairs = ImageDedup.imageNearDuplicates(hashes, "doc_id", "dhash", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L))) // identical images, hamming 0
+  }
+}
