@@ -479,6 +479,28 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def quantile(column: String, qs: Seq[Double]): Seq[Double] =
     graft.operators.Quantiles.exactQuantiles(df, column, qs)
   def median(column: String): Double = quantile(column, Seq(0.5)).head
+  /** Approximate quantiles in ONE single-pass mergeable aggregation
+    * (reference `_collection.py:3881` median_approximate(method=...)):
+    * method "dask"/"default" uses Spark's GK approx_percentile sketch;
+    * "tdigest" uses the native mergeable t-digest
+    * TypedImperativeAggregate ([[graft.functions.TDigestQuantile]] —
+    * centroid buffers combine map-side like any partial agg, so the
+    * shuffle carries one sketch per partition, never the column). */
+  def quantileApproximate(column: String, qs: Seq[Double],
+      method: String = "dask"): Seq[Double] = {
+    val aggs = method match {
+      case "tdigest" =>
+        qs.map(q => graft.functions.TDigestQuantile(col(column), q).as(s"q$q"))
+      case "dask" | "default" =>
+        qs.map(q => expr(s"approx_percentile($column, $q, 1000)").as(s"q$q"))
+      case other => throw new IllegalArgumentException(
+        s"unknown approximate-quantile method '$other' (expected dask|tdigest)")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    qs.indices.map(i => row.getDouble(i))
+  }
+  def medianApproximate(column: String, method: String = "dask"): Double =
+    quantileApproximate(column, Seq(0.5), method).head
 
   /** Numeric describe row for `column` (reference `_describe.py:66`). */
   def describe(column: String): DataFrame = {
@@ -693,6 +715,19 @@ final class GroupBy(frame: Frame, keys: Seq[Column], keyNames: Seq[String]) {
     * per-group percentile aggregate is safe here (SURVEY §2.5). */
   def median(c: String): Frame =
     Frame(frame.df.groupBy(keys: _*).agg(expr(s"percentile($c, 0.5)").as(s"${c}_median")), None)
+  /** Per-group approximate median via a mergeable sketch — bounded
+    * memory at ANY group size (the exact percentile above buffers a
+    * whole group per task; this never does). "tdigest" runs the native
+    * mergeable t-digest aggregate, "dask" the GK sketch. */
+  def medianApproximate(c: String, method: String = "dask"): Frame = {
+    val agg = method match {
+      case "tdigest" => graft.functions.TDigestQuantile(col(c), 0.5)
+      case "dask" | "default" => expr(s"approx_percentile($c, 0.5, 1000)")
+      case other => throw new IllegalArgumentException(
+        s"unknown approximate-quantile method '$other' (expected dask|tdigest)")
+    }
+    Frame(frame.df.groupBy(keys: _*).agg(agg.as(s"${c}_median")), None)
+  }
 
   /** First n rows per group by `order` (reference GroupBy.head). */
   def head(n: Int, order: String*): Frame = {

@@ -650,4 +650,33 @@ class FrameApiSpec extends SparkSpec {
         (r.getLong(3), r.getLong(4))).toMap
     assert(got == want)
   }
+
+  test("medianApproximate(method=tdigest) agrees with exact quantiles") {
+    val li = fr("lineitem")
+    val exact = li.median("l_extendedprice")
+    // global: both sketch methods within 5% of exact (the same gate
+    // q_tdigest_quantile ships with; tight rank bounds live in
+    // TDigestSpec)
+    for (m <- Seq("dask", "tdigest")) {
+      val approx = li.medianApproximate("l_extendedprice", m)
+      assert(math.abs(approx - exact) <= exact * 0.05, s"method=$m: $approx vs $exact")
+    }
+    val Seq(t50, t99) =
+      li.quantileApproximate("l_extendedprice", Seq(0.5, 0.99), "tdigest")
+    val Seq(e50, e99) = li.quantile("l_extendedprice", Seq(0.5, 0.99))
+    assert(math.abs(t50 - e50) <= e50 * 0.05)
+    assert(math.abs(t99 - e99) <= e99 * 0.05)
+    // grouped: per-group t-digest sketches vs per-group exact percentile
+    val byFlag = li.groupby("l_returnflag")
+      .medianApproximate("l_extendedprice", "tdigest").toDF
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exactByFlag = li.groupby("l_returnflag").median("l_extendedprice").toDF
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byFlag.keySet == exactByFlag.keySet)
+    exactByFlag.foreach { case (k, e) =>
+      assert(math.abs(byFlag(k) - e) <= math.abs(e) * 0.05, s"group $k") }
+    intercept[IllegalArgumentException] {
+      li.medianApproximate("l_extendedprice", "nope")
+    }
+  }
 }
