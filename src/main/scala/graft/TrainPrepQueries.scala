@@ -512,6 +512,119 @@ object TrainPrepQueries {
         .orderBy("stage")
     }
 
+    // Funnel rejects: the audit side of q_prep_funnel — every dropped
+    // doc with the stage that dropped it and the specific reason, from
+    // ONE corpus scan. Instead of chaining filters (each stage a new
+    // pass), every stage becomes a FLAG on the same stream: quality = a
+    // first-failing-rule case-when; dedup = "not the min q-passing
+    // doc_id in my content-hash clique" (hash-partitioned window);
+    // contamination = per-row membership of the doc's 60-bit grams in
+    // the benchmark gram set (benchmark suites are eval-sized, so the
+    // set ships broadcast in the task closure — the same
+    // never-corpus-squared shape as q_contamination, minus the join);
+    // budget = a CONDITIONAL cumulative window (only still-alive docs
+    // accumulate tokens, so the running total equals the staged
+    // pipeline's exactly). Reason priority = stage order, so each doc
+    // reports its FIRST failure, exactly as if the filters had chained.
+    // A real pipeline selects kept docs and rejects from this one
+    // flagged frame — two projections of one plan, no second scan
+    // (machine-asserted in PlanAuditSpec).
+    q("q_prep_funnel_rejects",
+      """WITH ws AS (SELECT doc_id, source, text, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id >= 10),
+        |st AS (SELECT doc_id, source, text, len(w) AS nw,
+        |         list_reduce(list_prepend(0, list_transform(w, x -> len(x))), (a, x) -> a + x) AS wchars,
+        |         len(list_filter(w, x -> x IN ('the', 'a'))) AS nstop,
+        |         len(list_distinct(w)) AS ndw
+        |       FROM ws),
+        |qr AS (SELECT doc_id, source, text, nw,
+        |         CASE WHEN nw < 10 OR nw > 1000 THEN 'word_count'
+        |              WHEN wchars / nw < 2 OR wchars / nw > 12 THEN 'word_length'
+        |              WHEN nstop / nw < 0.01 THEN 'stopword_ratio'
+        |              WHEN ndw / nw < 0.2 THEN 'distinct_ratio' END AS qreason
+        |       FROM st),
+        |dup AS (SELECT *, coalesce(qreason IS NULL AND doc_id <>
+        |            min(CASE WHEN qreason IS NULL THEN doc_id END)
+        |              OVER (PARTITION BY md5(text)), false) AS is_dup
+        |        FROM qr),
+        |bench AS (SELECT DISTINCT
+        |            CAST('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
+        |          FROM (SELECT w, unnest(generate_series(1, len(w) - 7)) AS i
+        |                FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id < 10))),
+        |hits AS (SELECT DISTINCT g.doc_id FROM (
+        |           SELECT DISTINCT doc_id,
+        |             CAST('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
+        |           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM ws)
+        |         ) g JOIN bench ON g.h = bench.h),
+        |fl AS (SELECT d.*, d.doc_id IN (SELECT doc_id FROM hits) AS cont FROM dup d),
+        |cum AS (SELECT *, sum(CASE WHEN qreason IS NULL AND NOT is_dup AND NOT cont
+        |                           THEN nw ELSE 0 END)
+        |          OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumt
+        |        FROM fl)
+        |SELECT doc_id,
+        |  CASE WHEN qreason IS NOT NULL THEN 's1_quality'
+        |       WHEN is_dup THEN 's2_dedup'
+        |       WHEN cont THEN 's3_decontaminated'
+        |       WHEN cumt > 600 THEN 's4_budgeted' END AS stage,
+        |  CASE WHEN qreason IS NOT NULL THEN qreason
+        |       WHEN is_dup THEN 'exact_duplicate'
+        |       WHEN cont THEN 'benchmark_overlap'
+        |       WHEN cumt > 600 THEN 'over_token_budget' END AS reason
+        |FROM cum
+        |WHERE qreason IS NOT NULL OR is_dup OR cont OR cumt > 600
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wsa = col("__ws")
+      val base = Tables.documents(s, dir).filter(col("doc_id") >= 10)
+        .select(col("doc_id"), col("source"), col("text"),
+          split(col("text"), " ").as("__ws"))
+      val st = base.select(col("doc_id"), col("source"), col("text"),
+        size(wsa).as("nw"),
+        aggregate(transform(wsa, w => length(w)), lit(0), (a, x) => a + x).as("wchars"),
+        size(filter(wsa, w => w === "the" || w === "a")).as("nstop"),
+        size(array_distinct(wsa)).as("ndw"))
+      val qReason = when(col("nw") < 10 || col("nw") > 1000, lit("word_count"))
+        .when(col("wchars") / col("nw") < 2 || col("wchars") / col("nw") > 12,
+          lit("word_length"))
+        .when(col("nstop") / col("nw") < 0.01, lit("stopword_ratio"))
+        .when(col("ndw") / col("nw") < 0.2, lit("distinct_ratio"))
+      // the benchmark gram set: one eager collect over the (tiny) bench
+      // slice, then a per-row set probe in the main plan — O(|bench|)
+      // driver/broadcast traffic, independent of corpus size
+      val benchGrams = Tables.documents(s, dir).filter(col("doc_id") < 10)
+        .select(explode(graft.functions.ShingleHashes(
+          col("text"), 8, 15, dedup = true)).as("h"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val contaminated = udf((hs: Seq[Long]) =>
+        hs != null && hs.exists(benchGrams.contains))
+      val wClique = Window.partitionBy(md5(col("text")))
+      val wBudget = Window.partitionBy("source").orderBy("__pr", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = st
+        .withColumn("__qr", qReason)
+        .withColumn("__dup", coalesce(col("__qr").isNull &&
+          col("doc_id") =!= min(when(col("__qr").isNull, col("doc_id")))
+            .over(wClique), lit(false)))
+        .withColumn("__cont", contaminated(graft.functions.ShingleHashes(
+          col("text"), 8, 15, dedup = true)))
+        .withColumn("__pr", md5(col("doc_id").cast("string").cast("binary")))
+        .withColumn("__cum", sum(
+          when(col("__qr").isNull && !col("__dup") && !col("__cont"),
+            col("nw").cast("long")).otherwise(lit(0L))).over(wBudget))
+      flagged.select(col("doc_id"),
+          when(col("__qr").isNotNull, lit("s1_quality"))
+            .when(col("__dup"), lit("s2_dedup"))
+            .when(col("__cont"), lit("s3_decontaminated"))
+            .when(col("__cum") > 600, lit("s4_budgeted")).as("stage"),
+          when(col("__qr").isNotNull, col("__qr"))
+            .when(col("__dup"), lit("exact_duplicate"))
+            .when(col("__cont"), lit("benchmark_overlap"))
+            .when(col("__cum") > 600, lit("over_token_budget")).as("reason"))
+        .filter(col("stage").isNotNull)
+        .orderBy("doc_id")
+    }
+
     // PII redaction (the scrub pass before training-data release):
     // PII-bearing text is synthesized deterministically from doc_id so
     // both engines run the same regex scrub over the same bytes and the

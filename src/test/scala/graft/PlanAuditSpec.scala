@@ -180,4 +180,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"),
       "categorical dictionary built via a window — single-task funnel at scale")
   }
+
+  test("funnel rejects come from ONE corpus scan, and reconcile with the funnel") {
+    // The rejects query flags every stage on a single stream instead of
+    // chaining filters: exactly one parquet scan (the corpus; the bench
+    // gram set was collected eagerly at build time), and no joins.
+    val p = plan("q_prep_funnel_rejects")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"q_prep_funnel_rejects plans $scans corpus scans:\n$p")
+    assert(!p.contains("Join"), s"rejects plan contains a join:\n$p")
+    // base minus rejects must equal the staged funnel's s4 survivors —
+    // the two queries are projections of the same semantics
+    val rejects = SparkEntry.queries("q_prep_funnel_rejects")(spark, sfDir)
+    val nBase = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 10).count()
+    val funnel = SparkEntry.queries("q_prep_funnel")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nBase - rejects.count() == funnel("s4_budgeted"),
+      "rejects + survivors != base docs")
+    // each stage's reject count equals the funnel's stage-to-stage drop
+    val byStage = rejects.groupBy("stage").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.getOrElse("s1_quality", 0L) ==
+      funnel("s0_raw") - funnel("s1_quality"))
+    assert(byStage.getOrElse("s2_dedup", 0L) ==
+      funnel("s1_quality") - funnel("s2_dedup"))
+    assert(byStage.getOrElse("s3_decontaminated", 0L) ==
+      funnel("s2_dedup") - funnel("s3_decontaminated"))
+    assert(byStage.getOrElse("s4_budgeted", 0L) ==
+      funnel("s3_decontaminated") - funnel("s4_budgeted"))
+  }
 }
