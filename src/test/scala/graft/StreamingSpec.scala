@@ -251,6 +251,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("progress rows surface throughput, state size and watermark lag") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamObs
+
+    // stateful: token budget via flatMapGroupsWithState — state rows =
+    // one per source, and they persist across micro-batches
+    val in = MemoryStream[(String, Long, Long)]
+    val out = StreamOps.streamingTokenBudget(in.toDS(), budget = 100L)
+    val q = out.toDF().toDF("source", "id", "tok", "keep")
+      .writeStream.format("memory").queryName("budget_obs")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", 1L, 60L), ("b", 1L, 90L))
+      q.processAllAvailable()
+      in.addData(("a", 2L, 30L), ("c", 1L, 10L))
+      q.processAllAvailable()
+      val rows = StreamObs.progressRows(q)
+      val stateRows = rows.filter(_.stateRowsTotal.isDefined)
+      assert(stateRows.nonEmpty, "no state-operator progress rows")
+      assert(stateRows.exists(_.operator.toLowerCase.contains("flatmapgroupswithstate")),
+        s"operators seen: ${stateRows.map(_.operator).distinct}")
+      // after batch 2 the state holds one row per source seen: a, b, c
+      assert(stateRows.maxBy(_.batchId).stateRowsTotal.contains(3L),
+        s"state rows: ${stateRows.map(r => r.batchId -> r.stateRowsTotal)}")
+      assert(rows.map(_.numInputRows).sum >= 4,
+        "input rows across batches not reflected")
+      assert(rows.forall(r => !r.inputRowsPerSecond.isNaN))
+      // the frame view is a LocalRelation over the same rows
+      val frame = StreamObs.progressFrame(spark, q)
+      assert(frame.count() == rows.size)
+      assert(frame.columns.contains("stateMemoryBytes"))
+    } finally q.stop()
+
+    // stateless: the near-dup candidate stream still yields per-batch
+    // throughput rows (operator "(query)", no state fields)
+    import graft.operators.TextDedup
+    val corpus = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val index = TextDedup.bandSignatures(
+      TextDedup.shingles(corpus, "doc_id", "text", 3, distinct = false),
+      "doc_id", 16, 4).cache()
+    val in2 = MemoryStream[(Long, String)]
+    val cands = StreamOps.streamingNearDupCandidates(
+      in2.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+    val q2 = cands.writeStream.format("memory").queryName("near_dup_obs")
+      .outputMode("append").start()
+    try {
+      in2.addData((1L, "a b c d e f g h i j"))
+      q2.processAllAvailable()
+      val rows = StreamObs.progressRows(q2)
+      assert(rows.nonEmpty && rows.forall(_.operator == "(query)"))
+      assert(rows.forall(_.stateRowsTotal.isEmpty))
+      assert(rows.map(_.numInputRows).sum == 1)
+    } finally { q2.stop(); index.unpersist() }
+
+    // watermarked: windowed stats expose the watermark and its lag
+    // behind the newest event once a second batch advances it
+    val in3 = MemoryStream[(Long, Double)]
+    val agg = StreamOps.windowedStats(in3.toDF().toDF("sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))),
+      "ts", "value", "10 seconds", "5 seconds")
+    val q3 = agg.writeStream.format("memory").queryName("win_obs")
+      .outputMode("complete").start()
+    try {
+      in3.addData((100L, 1.0), (200L, 2.0))
+      q3.processAllAvailable()
+      in3.addData((300L, 3.0))
+      q3.processAllAvailable()
+      val rows = StreamObs.progressRows(q3)
+      val wm = rows.filter(_.watermark.isDefined)
+      assert(wm.nonEmpty, "watermark never surfaced in progress rows")
+      val last = wm.maxBy(_.batchId)
+      // watermark = max event (300s) - 5s delay; lag = newest event -
+      // watermark. Both events in the same progress history.
+      assert(last.watermarkDelayMs.exists(_ >= 0L))
+      assert(rows.exists(_.stateRowsTotal.exists(_ > 0L)),
+        "window aggregate state not reported")
+    } finally q3.stop()
+  }
+
   test("streaming contamination flags docs sharing benchmark n-grams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
