@@ -148,6 +148,19 @@ object GraftFunctions {
             lit(args(3), "dedup").toString.toBoolean)
         }),
       (
+        FunctionIdentifier("shingle_minhash_set"),
+        new ExpressionInfo(classOf[ShingleMinHashSet].getName, "shingle_minhash_set"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "shingle_minhash_set(text, n, k)")
+          def intLit(e: Expression, name: String): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"shingle_minhash_set $name must be an int literal, got $other")
+          }
+          ShingleMinHashSet(args.head, intLit(args(1), "n"), intLit(args(2), "k"))
+        }),
+      (
         FunctionIdentifier("tdigest_quantile"),
         new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
         (args: Seq[Expression]) => {

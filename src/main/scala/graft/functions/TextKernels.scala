@@ -125,6 +125,58 @@ object TextKernels {
     new GenericArrayData(if (p == m) out else java.util.Arrays.copyOf(out, p))
   }
 
+  /** One pass, BOTH dedup outputs: the k minhash values AND the deduped
+    * 28-bit shingle-hash set of `text`'s word n-gram shingles, as a
+    * (mins, hs) struct. Each shingle's md5 is computed exactly once and
+    * feeds the affine minima and the hash set together — the fused form
+    * [[graft.operators.TextDedup.nearDuplicates]]'s small regime uses
+    * so signatures and Jaccard-verification inputs cost ONE digest pass
+    * over the corpus instead of two. Field values are bit-identical to
+    * `shingleMinHashes` / `shingleHashes(hexLen = 7, dedup = true)`
+    * (differentially tested). Texts with fewer than n words return two
+    * empty arrays. */
+  def shingleMinHashSet(text: UTF8String, n: Int, a: Array[Long], b: Array[Long]): InternalRow = {
+    val words = text.toString.split(" ", -1)
+    val k = a.length
+    if (words.length < n)
+      return InternalRow(new GenericArrayData(Array.empty[Long]),
+        new GenericArrayData(Array.empty[Long]))
+    val wordBytes = new Array[Array[Byte]](words.length)
+    var w = 0
+    while (w < words.length) {
+      wordBytes(w) = words(w).getBytes(StandardCharsets.UTF_8); w += 1
+    }
+    val md = digests.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val m = words.length - n + 1
+    val out = new Array[Long](m)
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    var p = 0
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(wordBytes(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      val h0 = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4)
+      var t = 0
+      while (t < k) {
+        val v = (h0 * a(t) + b(t)) % P
+        if (v < mins(t)) mins(t) = v
+        t += 1
+      }
+      if (seen.add(h0)) { out(p) = h0; p += 1 }
+      i += 1
+    }
+    InternalRow(new GenericArrayData(mins),
+      new GenericArrayData(if (p == m) out else java.util.Arrays.copyOf(out, p)))
+  }
+
   /** SimHash over the token stream (all occurrences, not distinct):
     * for each of `bits` positions, sum +1/−1 according to that bit of
     * the token hash (first 16 bits of the token's md5 — the
@@ -266,6 +318,54 @@ object ShingleHashes {
       text, org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(hexLen),
       org.apache.spark.sql.functions.lit(dedup))
+  }
+}
+
+/** `shingle_minhash_set(text, n, k)`: struct of (mins, hs) — the k
+  * minhashes and the deduped shingle-hash set in one digest pass (see
+  * [[TextKernels.shingleMinHashSet]]). */
+case class ShingleMinHashSet(child: Expression, n: Int, k: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, "shingle_minhash_set: n must be >= 1")
+  require(k >= 1, "shingle_minhash_set: k must be >= 1")
+
+  @transient private lazy val (aArr, bArr) = {
+    val c = TextKernels.mixConsts(k)
+    (c.map(_._1).toArray, c.map(_._2).toArray)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_minhash_set requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("mins", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("hs", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "shingle_minhash_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleMinHashSet(input.asInstanceOf[UTF8String], n, aArr, bArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("shingleMixA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("shingleMixB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingleMinHashSet($c, $n, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHashSet =
+    copy(child = newChild)
+}
+
+object ShingleMinHashSet {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column, n: Int, k: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("shingle_minhash_set",
+      text, org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(k))
   }
 }
 

@@ -232,15 +232,6 @@ object TextDedup {
       broadcastLimit: Long = 2000000L): DataFrame = {
     val small = Tuning.isSmall(docs)
     Tuning.scoped(docs.sparkSession, small) {
-    // Broadcast policy, no measurement ACTION: in the measured-small
-    // regime (optimizer stats ≤ ~1 GB; AQE off) the candidate-side
-    // tables are bounded by the corpus, so hint broadcast outright; in
-    // the large regime leave the joins unhinted — AQE's runtime size
-    // measurement is the fallback that picks broadcast vs shuffle per
-    // stage. broadcastLimit == 0 still forces the shuffle regime
-    // everywhere (tests prove that path end-to-end).
-    def maybeBroadcast(df: DataFrame): DataFrame =
-      if (small && broadcastLimit > 0) broadcast(df) else df
     // Exact-dup collapse, regime-selected (measured, like every other
     // gate here):
     // - measured-small + gates open: ONE cached corpus pass — a
@@ -287,64 +278,107 @@ object TextDedup {
           .cache()
     }
 
-    // Signatures as a PURE PROJECTION of the representatives: all k
-    // minhashes from one native kernel call per document
-    // (bandSignaturesProjected) — the corpus-wide pass is now map-only,
-    // no shingle explode, no groupBy exchange. Jaccard over 28-bit
-    // shingle hashes is this operator's documented verification
-    // semantics (the oracle replays it exactly); within one document a
-    // hash collision is ~|shingles| in 2^28 — noise far below the LSH
-    // band resolution.
-    // Cached: the bucket self-join streams BOTH sides from this table,
-    // and without the cache each side would re-run the md5 minhash
-    // kernel over the whole corpus (the two sides project different
-    // aliases, so exchange reuse can't kick in).
-    val sig = bandSignaturesProjected(reps, idCol, textCol,
-      shingleLen, numHashes, bandRows).cache()
-    val cand = candidatePairs(sig, idCol, maxBucketSize).cache()
-    // No distinct: the left-semi probe dedups inherently, so the extra
-    // exchange would buy nothing.
-    val candDocs = cand.select(col("doc_a").as(idCol))
-      .union(cand.select(col("doc_b").as(idCol)))
-    // Candidate docs' DISTINCT shingle-hash ARRAYS, hashed ON DEMAND:
-    // only docs that appear in a candidate pair (a tiny set) ever pay
-    // the md5 kernel — the corpus at large was never shingled, only
-    // kernel-hashed for signatures. The semi-join culls reps first; one
-    // kernel call per doc, no per-hash explode. Cached: both join sides
-    // read it.
-    val candHashes = reps.join(maybeBroadcast(candDocs), Seq(idCol), "left_semi")
-      .select(col(idCol), graft.functions.ShingleHashes(
-        col(textCol), shingleLen, 7, dedup = true).as("__hs"))
-      .cache()
-    // Jaccard verification FUSED into one projection: |A∩B| via
-    // array_intersect over the two per-doc hash arrays, set sizes via
-    // size(). Round 9 ran an explode + a per-hash equi-join + two count
-    // aggregations + two size joins here (three shuffles); this shape
-    // is two candidate-sized joins and zero aggregations.
-    val repPairs = maybeBroadcast(cand)
-      .join(candHashes.select(col(idCol).as("doc_a"), col("__hs").as("__ha")), "doc_a")
-      .join(maybeBroadcast(
-        candHashes.select(col(idCol).as("doc_b"), col("__hs").as("__hb"))), "doc_b")
-      .withColumn("__ni", size(array_intersect(col("__ha"), col("__hb"))))
-      .select(col("doc_a"), col("doc_b"),
-        (col("__ni") / (size(col("__ha")) + size(col("__hb")) - col("__ni")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .cache()
+    // Jaccard over 28-bit shingle hashes is this operator's documented
+    // verification semantics (the oracle replays it exactly); within
+    // one document a hash collision is ~|shingles| in 2^28 — noise far
+    // below the LSH band resolution. Two regime-selected verify shapes,
+    // identical output (differentially tested):
+    val (repPairs, releaseIntermediates) = if (windowRegime) {
+      // FUSED measured-small path: ONE digest pass per document
+      // produces the k minhashes AND the deduped hash set together
+      // (native shingle_minhash_set kernel), and each doc's hash array
+      // RIDES the bucket exchange inside the collect_list structs — so
+      // pair expansion computes Jaccard inline while streaming through
+      // the two generates. No candidate-hash stage, no verify joins,
+      // no broadcast builds: scan → bucket exchange → expand/verify is
+      // the whole middle (measured ~0.3 s off the sf0.1 wall-clock).
+      // The k/r-fold hash-array duplication through the one exchange is
+      // the deliberate small-regime trade (optimizer-measured ≤ ~1 GB
+      // corpus); the large regime below never ships corpus hash arrays.
+      val bandStructs = (0 until numHashes / bandRows).map(bi =>
+        struct(lit(bi).as("band"),
+          concat_ws(",", (bi * bandRows until (bi + 1) * bandRows)
+            .map(i => element_at(col("__p.mins"), i + 1).cast("string")): _*).as("sig")))
+      val sig = reps
+        .filter(size(split(col(textCol), " ")) >= shingleLen)
+        .select(col(idCol),
+          graft.functions.ShingleMinHashSet(col(textCol), shingleLen, numHashes).as("__p"))
+        .select(col(idCol), col("__p.hs").as("__hs"),
+          explode(array(bandStructs: _*)).as("bs"))
+        .select(col(idCol), col("__hs"),
+          col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val sized = sig.groupBy("band", "sig")
+        .agg(sort_array(collect_list(struct(col(idCol), col("__hs")))).as("__m"))
+        .filter(size(col("__m")) >= 2)
+      val capped = maxBucketSize match {
+        case Some(cap) => sized.filter(size(col("__m")) <= cap)
+        case None => sized
+      }
+      // Streamed expansion exactly like candidatePairs (posexplode picks
+      // doc_a, slice takes the sorted suffix for doc_b), but the structs
+      // carry the hash arrays so the verify is a projection here; the
+      // distinct collapses multi-band pair repeats AFTER the threshold
+      // filter, so the exchange carries only verified near-dup pairs.
+      val pairs = capped
+        .select(col("__m"), posexplode(col("__m")).as(Seq("__i", "__sa")))
+        .select(col("__sa")(idCol).as("doc_a"), col("__sa")("__hs").as("__ha"),
+          explode(slice(col("__m"), col("__i") + lit(2), size(col("__m")))).as("__sb"))
+        .select(col("doc_a"), col("__ha"),
+          col("__sb")(idCol).as("doc_b"), col("__sb")("__hs").as("__hb"))
+        .withColumn("__ni", size(array_intersect(col("__ha"), col("__hb"))))
+        .select(col("doc_a"), col("doc_b"),
+          (col("__ni") / (size(col("__ha")) + size(col("__hb")) - col("__ni")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .distinct()
+        .cache()
+      (pairs, () => ())
+    } else {
+      // Scale path: signatures as a PURE PROJECTION of the
+      // representatives (bandSignaturesProjected — map-only, no shingle
+      // explode), candidates from the streamed bucket expansion, and
+      // Jaccard from two candidate-sized joins against ON-DEMAND hash
+      // arrays: only docs that appear in a candidate pair (a tiny set
+      // at corpus scale) ever pay the second md5 kernel pass, and the
+      // bucket exchange carries signature rows, never hash arrays.
+      // Joins stay unhinted — AQE's runtime size measurement picks
+      // broadcast vs shuffle per stage (gates closed / AQE off in tests
+      // proves the shuffle regime end-to-end).
+      val sig = bandSignaturesProjected(reps, idCol, textCol,
+        shingleLen, numHashes, bandRows).cache()
+      val cand = candidatePairs(sig, idCol, maxBucketSize).cache()
+      // No distinct: the left-semi probe dedups inherently, so the extra
+      // exchange would buy nothing.
+      val candDocs = cand.select(col("doc_a").as(idCol))
+        .union(cand.select(col("doc_b").as(idCol)))
+      val candHashes = reps.join(candDocs, Seq(idCol), "left_semi")
+        .select(col(idCol), graft.functions.ShingleHashes(
+          col(textCol), shingleLen, 7, dedup = true).as("__hs"))
+        .cache()
+      val pairs = cand
+        .join(candHashes.select(col(idCol).as("doc_a"), col("__hs").as("__ha")), "doc_a")
+        .join(candHashes.select(col(idCol).as("doc_b"), col("__hs").as("__hb")), "doc_b")
+        .withColumn("__ni", size(array_intersect(col("__ha"), col("__hb"))))
+        .select(col("doc_a"), col("doc_b"),
+          (col("__ni") / (size(col("__ha")) + size(col("__hb")) - col("__ni")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .cache()
+      (pairs, () => {
+        candHashes.unpersist(blocking = false)
+        cand.unpersist(blocking = false)
+        sig.unpersist(blocking = false)
+        reps.unpersist(blocking = false)
+      })
+    }
     // Materialize the verified pairs inside the AQE-off scope: the whole
     // heavy middle of the pipeline runs here, as one straight-line
-    // schedule; consumers read the (tiny) cached result.
-    repPairs.count()
-    // The verified pairs are materialized; the intermediate caches
-    // (candidate hash arrays, candidates, signatures, the scan-local
-    // regime's reps) have served every consumer — release them so
-    // repeated calls in a long-lived session don't accumulate
-    // corpus-sized executor storage. `tagged`/`cliques` stay: the
-    // expansion below still reads them lazily.
-    candHashes.unpersist(blocking = false)
-    cand.unpersist(blocking = false)
-    sig.unpersist(blocking = false)
-    if (!windowRegime) reps.unpersist(blocking = false)
+    // schedule; consumers read the (tiny) cached result. Then release
+    // the scale path's intermediate caches (candidate hash arrays,
+    // candidates, signatures, reps) — they have served every consumer;
+    // `tagged`/`cliques` stay: the expansion below still reads them.
+    val nPairs = repPairs.count()
+    releaseIntermediates()
 
     // Expansion: representative pairs fan out to all clique-member
     // pairs (same texts ⇒ same jaccard); identical-text pairs within a
@@ -358,14 +392,65 @@ object TextDedup {
     // (small) clique cache sizes that set; a clean corpus skips
     // expansion entirely, and a dup-heavy one falls back from broadcast
     // to shuffle joins.
-    val nDup = tagged match {
+    val idIsLong = repPairs.schema("doc_a").dataType ==
+      org.apache.spark.sql.types.LongType
+    // Dup-member probe, window regime: ONE limit-guarded collect from
+    // the cached tagged table replaces the separate nDup counting job —
+    // if the probe comes back complete (under the gate) it IS the
+    // member list the expansion needs; a truncated probe falls through
+    // to the counted, distributed path.
+    val memberProbe: Option[Array[org.apache.spark.sql.Row]] =
+      if (!windowRegime || !idIsLong) None
+      else {
+        val cap = math.min(broadcastLimit + 1, Int.MaxValue.toLong).toInt
+        val rows = tagged.get.filter(col("__csz") > 1)
+          .select(col("__rep"), col(idCol)).limit(cap).collect()
+        if (rows.length < cap && nPairs + rows.length <= broadcastLimit) Some(rows)
+        else None
+      }
+    lazy val nDup = tagged match {
       case Some(t) =>
         t.agg(count(when(col("__csz") > 1, lit(1)))).head().getLong(0)
       case None => cliques.get
         .agg(coalesce(sum(when(col("__csz") > 1, col("__csz"))), lit(0L)))
         .head().getLong(0)
     }
-    if (nDup == 0) repPairs
+    if (memberProbe.exists(_.isEmpty)) repPairs
+    else if (memberProbe.isDefined) {
+      // Driver expansion: both inputs are MEASURED tiny (the same bound
+      // that would have let them broadcast — and a broadcast ships them
+      // through the driver anyway, so this holds strictly less there).
+      // The clique fan-out runs as plain Scala and the result enters
+      // downstream plans as a LocalRelation — replacing four join
+      // stages and their broadcast builds with two cached-table
+      // collects and zero extra jobs. Same decision shape as
+      // dupClusters' union-find gate; the distributed joins below
+      // remain the over-limit / gates-closed / non-long-id path.
+      val members = memberProbe.get
+        .groupBy(_.getLong(0)).map { case (r, rows) =>
+          r -> rows.map(_.getLong(1)).toSeq }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      repPairs.collect().foreach { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        for (x <- members.getOrElse(a, Seq(a)); y <- members.getOrElse(b, Seq(b)))
+          out += ((math.min(x, y), math.max(x, y), j))
+      }
+      members.valuesIterator.foreach { ms =>
+        var i = 0
+        while (i < ms.size) {
+          var k = i + 1
+          while (k < ms.size) {
+            out += ((math.min(ms(i), ms(k)), math.max(ms(i), ms(k)), 1.0))
+            k += 1
+          }
+          i += 1
+        }
+      }
+      val sp = docs.sparkSession
+      import sp.implicits._
+      out.toSeq.toDF("doc_a", "doc_b", "jaccard")
+    }
+    else if (nDup == 0) repPairs
     else {
       def maybeB(df: DataFrame): DataFrame =
         if (nDup <= broadcastLimit) broadcast(df) else df

@@ -72,6 +72,10 @@ class TextDedupEdgeSpec extends SparkSpec {
     val shuffleRegime = run(0L)
     assert(broadcastRegime.nonEmpty)
     assert(shuffleRegime == broadcastRegime)
+    // gates open but measured-too-big for the driver-expansion probe
+    // (limit 1 truncates the member collect): the mid regime — fused
+    // verify, distributed expansion joins — must agree too
+    assert(run(1L) == broadcastRegime)
   }
 
   test("distributed label propagation clusters a 50k-node chain graph") {
