@@ -33,6 +33,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies arbitrary
+    // session confs so A/B runs need no recompile. Never set by the driver.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(';').map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      }
+    }
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
