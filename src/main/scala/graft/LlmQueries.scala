@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, ImageDedup, Multimodal, Similarity, TextDedup}
+import graft.operators.{AudioDedup, Bpe, ImageDedup, Multimodal, Similarity, TextDedup}
 
 /** Training-data-pipeline operator coverage over the `documents` and
   * `embeddings` tables: dedup (exact / MinHash-LSH / SimHash / n-gram
@@ -712,6 +712,63 @@ object LlmQueries {
         .select(col("doc_id"), mk(col("doc_id")).as("payload"))
       val hashes = ImageDedup.dHashes(imgs, "doc_id", "payload")
       ImageDedup.imageNearDuplicates(hashes, "doc_id", "dhash", maxHamming = 8)
+        .orderBy("doc_a", "doc_b")
+    }
+
+    // Perceptual audio near-dup: each doc < 400 carries a REAL 8-bit
+    // mono PCM WAV (260 samples derived from doc_id: a multiplicatively
+    // mixed per-group base signal plus a variant-selected +24
+    // perturbation on ~1/17 of samples); the engine decodes the actual
+    // bytes (RIFF chunk walk, PCM validation, sample centering),
+    // fingerprints the 65-frame energy envelope (bit i = energy rises
+    // frame i -> i+1), then byte-band hamming LSH + exact verify finds
+    // pairs. The oracle re-derives the samples arithmetically and
+    // replays energy -> bit -> band -> the SAME band-bucket candidate
+    // restriction -> hamming cut, so decode -> fingerprint -> LSH ->
+    // verify is value-checked end to end.
+    q("q_audio_near_dup",
+      """WITH d AS (SELECT doc_id, doc_id % 20 AS grp, doc_id // 20 AS var
+        |           FROM documents WHERE doc_id < 400),
+        |     idx AS (SELECT unnest(generate_series(0, 259)) AS i),
+        |smp AS (
+        |  SELECT doc_id, i,
+        |    ((((grp+7)*(i+13)*2654435761) % 4294967296) // 16777216
+        |      + CASE WHEN (i*7 + var*11) % 17 = 0 THEN 24 ELSE 0 END) % 256 - 128 AS c
+        |  FROM d, idx),
+        |e AS (SELECT doc_id, i // 4 AS f, sum(c*c) AS e FROM smp GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT a.doc_id, a.f // 8 AS band,
+        |         CAST(sum(CASE WHEN b.e > a.e THEN 1 << (a.f % 8) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64 GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.doc_a, c.doc_b,
+        |          CAST(sum(bit_count(xor(ba.sig, bb.sig))) AS INTEGER) AS hamming
+        |        FROM cand c
+        |        JOIN bands ba ON ba.doc_id = c.doc_a
+        |        JOIN bands bb ON bb.doc_id = c.doc_b AND bb.band = ba.band
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val mk = udf((docId: Long) => {
+        val grp = (docId % 20).toInt
+        val vr = (docId / 20).toInt
+        val data = new Array[Byte](260)
+        var i = 0
+        while (i < 260) {
+          val base = (((grp + 7).toLong * (i + 13) * 2654435761L) % 4294967296L) / 16777216L
+          val p = if ((i * 7 + vr * 11) % 17 == 0) 24 else 0
+          data(i) = ((base + p) % 256).toByte
+          i += 1
+        }
+        Multimodal.wavFixture(8000, 1, 8, 260) ++ data
+      })
+      val wavs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      val fps = AudioDedup.fingerprints(wavs, "doc_id", "payload")
+      AudioDedup.audioNearDuplicates(fps, "doc_id", "afp", maxHamming = 6)
         .orderBy("doc_a", "doc_b")
     }
 
