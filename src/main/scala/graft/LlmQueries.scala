@@ -479,16 +479,13 @@ object LlmQueries {
         .orderBy("doc_id")
     }
 
-    // REAL BPE token counting (operators.Bpe): merge rules learned
-    // deterministically from an embedded seed, encoder run as a
-    // partition-batched map. The oracle replays the full merge loop in
-    // SQL: each word's symbols ride a \x01-delimited string through a
-    // recursive CTE that applies the lowest-rank applicable rule per
-    // step (string replace = BPE's left-to-right non-overlapping
-    // merge-all), then per-doc counts are word-frequency-weighted sums.
-    q("q_token_count_bpe",
-      s"""WITH RECURSIVE
-         |merges(rank, a, b) AS (VALUES ${Bpe.mergesSqlValues()}),
+    // Shared oracle CTEs replaying the full BPE merge loop in SQL: each
+    // word's symbols ride a \x01-delimited string through a recursive
+    // CTE that applies the lowest-rank applicable rule per step (string
+    // replace = BPE's left-to-right non-overlapping merge-all), then
+    // per-doc counts are word-frequency-weighted sums.
+    val bpeCtes =
+      s"""merges(rank, a, b) AS (VALUES ${Bpe.mergesSqlValues()}),
          |words AS (
          |  SELECT doc_id, tok, count(*) AS cnt
          |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
@@ -511,11 +508,54 @@ object LlmQueries {
          |  FROM enc GROUP BY tok),
          |per_doc AS (
          |  SELECT w.doc_id, sum(w.cnt * f.ntok) AS n
-         |  FROM words w JOIN final f USING (tok) GROUP BY 1)
+         |  FROM words w JOIN final f USING (tok) GROUP BY 1)""".stripMargin
+
+    // REAL BPE token counting (operators.Bpe): merge rules learned
+    // deterministically from an embedded seed, encoder run as a
+    // partition-batched map.
+    q("q_token_count_bpe",
+      s"""WITH RECURSIVE
+         |$bpeCtes
          |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens_bpe
          |FROM documents d LEFT JOIN per_doc p USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Bpe.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+      Bpe.tokenCounts(Tables.documents(s, dir), "text")
+        .select("doc_id", "n_tokens_bpe").orderBy("doc_id")
+    }
+
+    // Token-budget mixing on REAL BPE counts: the q_token_budget_mix
+    // prefix-cut policy fed by the BPE encoder instead of the
+    // whitespace heuristic — the composition a real training-mixture
+    // build runs. Zero joins on the Spark side: tokenCounts appends the
+    // count to the document row, the budget window runs per source.
+    q("q_token_budget_bpe",
+      s"""WITH RECURSIVE
+         |$bpeCtes,
+         |t AS (SELECT d.doc_id, d.source,
+         |        CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens,
+         |        md5(CAST(d.doc_id AS VARCHAR)) AS pr
+         |      FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+         |c AS (SELECT source, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY pr, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN cum <= 1500 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+         |  CAST(sum(CASE WHEN cum <= 1500 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val t = Bpe.tokenCounts(
+          Tables.documents(s, dir).select("doc_id", "source", "text"), "text")
+        .select(col("source"), col("n_tokens_bpe").as("n_tokens"), col("doc_id"))
+      operators.TextQuality
+        .tokenBudgetMix(t, "source", "doc_id", "n_tokens", budget = 1500L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum(when(col("cum") <= 1500, 1).otherwise(0)).as("kept_docs"),
+          sum(when(col("cum") <= 1500, col("n_tokens")).otherwise(0)).as("kept_tokens"))
+        .orderBy("source")
     }
 
     // Document fingerprinting: 31-ary rolling hash (native codegen'd

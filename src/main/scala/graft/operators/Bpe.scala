@@ -167,22 +167,20 @@ object Bpe {
       .mkString(",")
   }
 
-  /** Per-document BPE token counts: (id, n_tokens_bpe). Pure
-    * partition-batched map — no shuffle; the memo and rank map are
-    * per-partition locals. */
-  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+  /** Per-document BPE token counts: every input column plus an appended
+    * `n_tokens_bpe` — downstream stages (budget mixing, packing) compose
+    * without a corpus-sized join back. Pure partition-batched map — no
+    * shuffle; the memo and rank map are per-partition locals. */
+  def tokenCounts(df: DataFrame, textCol: String,
       merges: Seq[(String, String)] = defaultMerges): DataFrame = {
-    val idIdx = df.schema.fieldIndex(idCol)
     val textIdx = df.schema.fieldIndex(textCol)
-    val out = StructType(Seq(
-      StructField(idCol, df.schema(idCol).dataType),
-      StructField("n_tokens_bpe", LongType)))
+    val out = StructType(df.schema.fields :+ StructField("n_tokens_bpe", LongType))
     implicit val enc = Encoders.row(out)
     val ranks = rankMap(merges)
     df.mapPartitions { it =>
       val memo = scala.collection.mutable.HashMap.empty[String, Int]
       it.map { r =>
-        Row(r.get(idIdx), tokenCount(r.getString(textIdx), ranks, memo))
+        Row.fromSeq(r.toSeq :+ tokenCount(r.getString(textIdx), ranks, memo))
       }
     }
   }

@@ -84,14 +84,17 @@ class BpeSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((1L, "the training corpus"), (2L, ""), (3L, "zq xv"))
       .toDF("doc_id", "text")
-    val out = Bpe.tokenCounts(df, "doc_id", "text").orderBy("doc_id").collect()
-    assert(out.map(_.getLong(1)).forall(_ >= 0))
-    assert(out(1).getLong(1) == 0L)
+    val out = Bpe.tokenCounts(df, "text")
+      .select("doc_id", "text", "n_tokens_bpe").orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).forall(_ >= 0))
+    assert(out(1).getLong(2) == 0L)
+    // the operator appends to the input row — originals pass through
+    assert(out(0).getString(1) === "the training corpus")
     // unknown letters stay single chars: "zq xv" = 4 symbols unless a
     // learned merge covers them
-    assert(out(2).getLong(1) >= 2L && out(2).getLong(1) <= 4L)
+    assert(out(2).getLong(2) >= 2L && out(2).getLong(2) <= 4L)
     // a real English sentence compresses below its character count
     val chars = "the training corpus".count(_ != ' ')
-    assert(out(0).getLong(1) < chars)
+    assert(out(0).getLong(2) < chars)
   }
 }
