@@ -394,19 +394,28 @@ object TextDedup {
     // to shuffle joins.
     val idIsLong = repPairs.schema("doc_a").dataType ==
       org.apache.spark.sql.types.LongType
-    // Dup-member probe, window regime: ONE limit-guarded collect from
-    // the cached tagged table replaces the separate nDup counting job —
-    // if the probe comes back complete (under the gate) it IS the
-    // member list the expansion needs; a truncated probe falls through
-    // to the counted, distributed path.
-    val memberProbe: Option[Array[org.apache.spark.sql.Row]] =
-      if (!windowRegime || !idIsLong) None
+    // Dup-member probe, window regime: ONE limit-guarded collect
+    // fetches the dup-clique member list AND the verified rep pairs in
+    // a single job — both sides are warm cache reads (the pairs count
+    // above materialized them) and each extra action costs a fixed
+    // scheduling quantum, which on the measured-small regime is a
+    // double-digit share of the operator's wall-clock. The probe side
+    // carries a marker column; a truncated probe (or nPairs over the
+    // gate) falls through to the counted, distributed path.
+    val memberProbe: Option[(Array[org.apache.spark.sql.Row],
+        Array[org.apache.spark.sql.Row])] =
+      if (!windowRegime || !idIsLong || nPairs > broadcastLimit) None
       else {
-        val cap = math.min(broadcastLimit + 1, Int.MaxValue.toLong).toInt
+        val cap = math.min(broadcastLimit + 1 - nPairs, Int.MaxValue.toLong).toInt
         val rows = tagged.get.filter(col("__csz") > 1)
-          .select(col("__rep"), col(idCol)).limit(cap).collect()
-        if (rows.length < cap && nPairs + rows.length <= broadcastLimit) Some(rows)
-        else None
+          .select(col("__rep").as("doc_a"), col(idCol).as("doc_b"),
+            lit(0.0).as("jaccard"), lit(1).as("__probe"))
+          .limit(cap)
+          .unionAll(repPairs.select(col("doc_a"), col("doc_b"),
+            col("jaccard"), lit(0).as("__probe")))
+          .collect()
+        val (probe, pairRows) = rows.partition(_.getInt(3) == 1)
+        if (probe.length < cap) Some((probe, pairRows)) else None
       }
     lazy val nDup = tagged match {
       case Some(t) =>
@@ -415,22 +424,22 @@ object TextDedup {
         .agg(coalesce(sum(when(col("__csz") > 1, col("__csz"))), lit(0L)))
         .head().getLong(0)
     }
-    if (memberProbe.exists(_.isEmpty)) repPairs
-    else if (memberProbe.isDefined) {
+    if (memberProbe.isDefined) {
       // Driver expansion: both inputs are MEASURED tiny (the same bound
       // that would have let them broadcast — and a broadcast ships them
       // through the driver anyway, so this holds strictly less there).
       // The clique fan-out runs as plain Scala and the result enters
       // downstream plans as a LocalRelation — replacing four join
-      // stages and their broadcast builds with two cached-table
-      // collects and zero extra jobs. Same decision shape as
-      // dupClusters' union-find gate; the distributed joins below
-      // remain the over-limit / gates-closed / non-long-id path.
-      val members = memberProbe.get
+      // stages and their broadcast builds with one cached-table collect
+      // and zero extra jobs. Same decision shape as dupClusters'
+      // union-find gate; the distributed joins below remain the
+      // over-limit / gates-closed / non-long-id path.
+      val (probeRows, pairRows) = memberProbe.get
+      val members = probeRows
         .groupBy(_.getLong(0)).map { case (r, rows) =>
           r -> rows.map(_.getLong(1)).toSeq }
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      repPairs.collect().foreach { r =>
+      pairRows.foreach { r =>
         val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
         for (x <- members.getOrElse(a, Seq(a)); y <- members.getOrElse(b, Seq(b)))
           out += ((math.min(x, y), math.max(x, y), j))
