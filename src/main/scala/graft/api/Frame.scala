@@ -565,6 +565,34 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.TextQuality.tokenBudgetMix(df, groupCol, idx,
       tokensCol, budget))
 
+  /** Append `n_tokens_bpe` — real BPE token counts over `textCol`
+    * (operators.Bpe — partition-batched map, no shuffle). */
+  def tokenCountBpe(textCol: String): Frame =
+    keep(graft.operators.Bpe.tokenCounts(df, textCol))
+
+  /** Scrub emails / IPv4 / phone numbers from `textCol` with per-row
+    * redaction counts (operators.TextQuality.redactPii — map-only). */
+  def redactPii(textCol: String): Frame =
+    Frame(graft.operators.TextQuality.redactPii(df, idx, textCol))
+
+  /** Perceptual near-duplicate image pairs over a binary image column:
+    * real BMP decode → 64-bit dHash → byte-band hamming LSH
+    * (operators.ImageDedup — bucketed candidates, never all-pairs). */
+  def imageNearDuplicates(payloadCol: String, maxHamming: Int = 8,
+      maxBucketSize: Option[Int] = None): Frame =
+    Frame(graft.operators.ImageDedup.imageNearDuplicates(
+      graft.operators.ImageDedup.dHashes(df, idx, payloadCol),
+      idx, "dhash", maxHamming, maxBucketSize))
+
+  /** Perceptual near-duplicate audio pairs over a binary WAV column:
+    * real PCM decode → 64-bit energy-envelope fingerprint → byte-band
+    * hamming LSH (operators.AudioDedup — same bucketed shape). */
+  def audioNearDuplicates(payloadCol: String, maxHamming: Int = 6,
+      maxBucketSize: Option[Int] = None): Frame =
+    Frame(graft.operators.AudioDedup.audioNearDuplicates(
+      graft.operators.AudioDedup.fingerprints(df, idx, payloadCol),
+      idx, "afp", maxHamming, maxBucketSize))
+
   /** Pairwise distinct-n-gram overlap between values of `groupCol`
     * (leakage analytics; operators.TextQuality.groupOverlap). */
   def groupOverlap(groupCol: String, textCol: String, n: Int = 8,

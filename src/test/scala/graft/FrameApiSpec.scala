@@ -679,4 +679,57 @@ class FrameApiSpec extends SparkSpec {
       li.medianApproximate("l_extendedprice", "nope")
     }
   }
+
+  test("q_token_count_bpe and q_pii_redact via facade") {
+    same("q_token_count_bpe", Frame(Tables.documents(spark, sfDir))
+      .tokenCountBpe("text")
+      .transform(_.select("doc_id", "n_tokens_bpe").orderBy("doc_id")))
+    // the registry's synthetic PII-bearing text, replayed
+    val synth = Tables.documents(spark, sfDir).select(col("doc_id"),
+      concat(lit("ping user"), col("doc_id").cast("string"),
+        lit("@mail-"), (col("doc_id") % 7).cast("string"),
+        lit(".com from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".3.4 tel +1 555-010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" "), substring(col("text"), 1, 40)).as("text"))
+    same("q_pii_redact", Frame(synth, Some("doc_id")).redactPii("text")
+      .transform(_.orderBy("doc_id")))
+  }
+
+  test("perceptual near-dup facades equal the operator pipelines") {
+    import spark.implicits._
+    import graft.operators.{AudioDedup, ImageDedup, Multimodal}
+    def collectPairs(df: DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // image: same fixture family as ImageDedupSpec
+    val imgs = (0 until 100).map { d =>
+      val grp = d % 10; val vr = d / 10
+      (d.toLong, ImageDedup.bmpFixture(9, 8, (x, y) => {
+        val p = if ((x * 3 + y * 5 + vr * 7) % 11 == 0) 128 else 0
+        ((grp * 73 + x * 29 + y * 19 + p) % 256,
+          (grp * 59 + x * 31 + y * 13 + p) % 256,
+          (grp * 41 + x * 23 + y * 17 + p) % 256)
+      }))
+    }.toDF("doc_id", "payload")
+    val wantI = collectPairs(ImageDedup.imageNearDuplicates(
+      ImageDedup.dHashes(imgs, "doc_id", "payload"), "doc_id", "dhash", 8))
+    assert(wantI.nonEmpty)
+    assert(collectPairs(Frame(imgs, Some("doc_id"))
+      .imageNearDuplicates("payload").toDF) === wantI)
+    // audio: same fixture family as AudioDedupSpec
+    val wavs = (0 until 100).map { d =>
+      val grp = d % 10; val vr = d / 10
+      val data = Array.tabulate(260) { i =>
+        val base = (((grp + 7).toLong * (i + 13) * 2654435761L) % 4294967296L) / 16777216L
+        val p = if ((i * 7 + vr * 11) % 17 == 0) 24 else 0
+        ((base + p) % 256).toByte
+      }
+      (d.toLong, Multimodal.wavFixture(8000, 1, 8, 260) ++ data)
+    }.toDF("doc_id", "payload")
+    val wantA = collectPairs(AudioDedup.audioNearDuplicates(
+      AudioDedup.fingerprints(wavs, "doc_id", "payload"), "doc_id", "afp", 6))
+    assert(wantA.nonEmpty)
+    assert(collectPairs(Frame(wavs, Some("doc_id"))
+      .audioNearDuplicates("payload").toDF) === wantA)
+  }
 }
