@@ -98,6 +98,34 @@ object StreamOps {
     // and consumers collapse it in their (bounded) sink.
   }
 
+  /** Streaming perceptual near-dup against a static fingerprint index:
+    * the online form of the ImageDedup/AudioDedup batch pipelines. The
+    * index is a precomputed (corpus_id, hash) table of 64-bit
+    * perceptual hashes (dHash / energy fingerprint); incoming items
+    * carry their own hash in `hashCol` (computed upstream by the
+    * stateless decode+hash mapPartitions — those run unchanged on a
+    * stream). Both sides band-explode into 8 one-byte buckets, the
+    * bucket join surfaces candidates, and the hamming verify is an
+    * inline projection (both hashes ride the joined row) — stateless,
+    * no watermark, any output mode. A matching pair surfaces once per
+    * shared band, same contract as [[streamingNearDupCandidates]].
+    */
+  def streamingHammingMatches(stream: DataFrame, index: DataFrame,
+      idCol: String, hashCol: String, maxHamming: Int): DataFrame = {
+    def bands(df: DataFrame, id: String, hashOut: String) =
+      df.filter(col(hashCol).isNotNull).select(col(id), col(hashCol).as(hashOut),
+        posexplode(array((0 until 8).map(b =>
+          shiftrightunsigned(col(hashCol), b * 8).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "sig")))
+    bands(stream, idCol, "__hs")
+      .join(bands(index.withColumnRenamed(idCol, "corpus_id"), "corpus_id", "__hc"),
+        Seq("band", "sig"))
+      .filter(col(idCol) =!= col("corpus_id"))
+      .withColumn("hamming", bit_count(col("__hs").bitwiseXOR(col("__hc"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(idCol), col("corpus_id"), col("band"), col("hamming"))
+  }
+
   /** Streaming benchmark-contamination check: each incoming document's
     * distinct n-gram hashes are intersected row-locally against the
     * benchmark gram set, carried as a plan literal (benchmark suites

@@ -184,6 +184,45 @@ class StreamingSpec extends SparkSpec {
     assert(proj == agg, s"projected ${proj.size} vs aggregated ${agg.size} rows")
   }
 
+  test("streaming perceptual matches fire against a static fingerprint index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.ImageDedup
+    def bmp(seed: Int, flip: Boolean) = ImageDedup.bmpFixture(9, 8, (x, y) => {
+      val p = if (flip && (x * 3 + y * 5) % 11 == 0) 24 else 0
+      ((seed * 73 + x * 29 + y * 19 + p) % 256,
+        (seed * 59 + x * 31 + y * 13 + p) % 256,
+        (seed * 41 + x * 23 + y * 17 + p) % 256)
+    })
+    val corpus = Seq((100L, bmp(3, flip = false)), (200L, bmp(8, flip = false)))
+      .toDF("doc_id", "payload")
+    val index = ImageDedup.dHashes(corpus, "doc_id", "payload")
+      .withColumnRenamed("dhash", "hash").cache()
+    val in = MemoryStream[(Long, Array[Byte])]
+    // the stateless decode+hash mapPartitions runs unchanged on the stream
+    val hashed = ImageDedup.dHashes(
+      in.toDF().toDF("doc_id", "payload"), "doc_id", "payload")
+      .withColumnRenamed("dhash", "hash")
+    val matches = StreamOps.streamingHammingMatches(
+      hashed, index, "doc_id", "hash", maxHamming = 8)
+    val q = matches.writeStream.format("memory").queryName("perc_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, bmp(3, flip = true)),                       // near-dup of corpus 100
+        (2L, bmp(77, flip = false)),                     // unrelated image
+        (3L, Array[Byte](1, 2, 3)))                      // undecodable
+      q.processAllAvailable()
+      val hits = spark.table("perc_stream")
+        .select("doc_id", "corpus_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((1L, 100L)), s"got $hits")
+      val hams = spark.table("perc_stream").select("hamming")
+        .collect().map(_.getInt(0))
+      assert(hams.forall(_ <= 8))
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates fire against a static corpus index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
