@@ -23,19 +23,26 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and convert to a microsecond
-    * TimestampType (floor division — all values are post-epoch). Oracle
-    * SQL must mirror this via `make_timestamp(epoch_ns(ts)//1000)`.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader rejects — read nanos as long, floor-divide
+    * to micros) and plain TIMESTAMP(MICROS) (read natively as NTZ).
+    * Either way the column is normalized to a session-tz TimestampType
+    * so every downstream operator sees one type. Oracle SQL mirrors both
+    * via `make_timestamp(epoch_ns(ts)//1000)`, an identity on micros.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    // `div` keeps the arithmetic in LongType: `/` would promote the
-    // int64 epoch-nanos (~8.6e17 > 2^53) to double and round by ~64 ns.
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val ts = raw.schema("ts").dataType match {
+      // `div` keeps the arithmetic in LongType: `/` would promote the
+      // int64 epoch-nanos (~8.6e17 > 2^53) to double and round by ~64 ns.
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      // NTZ → session-tz timestamp; value-preserving under the UTC session.
+      case _        => col("ts").cast(TimestampType)
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
