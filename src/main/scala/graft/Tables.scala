@@ -32,15 +32,21 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ → TimestampType branch below is only value-preserving under
+    // a UTC session; pin it here rather than relying on each entry point.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val ts = raw.schema("ts").dataType match {
       // `div` keeps the arithmetic in LongType: `/` would promote the
       // int64 epoch-nanos (~8.6e17 > 2^53) to double and round by ~64 ns.
-      case LongType => timestamp_micros(expr("ts div 1000"))
+      case LongType         => timestamp_micros(expr("ts div 1000"))
       // NTZ → session-tz timestamp; value-preserving under the UTC session.
-      case _        => col("ts").cast(TimestampType)
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts: expected INT64 nanos, TIMESTAMP_NTZ or TIMESTAMP, got $other")
     }
     raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
