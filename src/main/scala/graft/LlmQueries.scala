@@ -302,6 +302,41 @@ object LlmQueries {
         .orderBy("query_id", "vec_id")
     }
 
+    // Scalar-quantized (int8) asymmetric retrieval: corpus stored as
+    // 0..255 per-dim codes against corpus min/max (4x smaller than
+    // float32), queries full-precision, scores on the dequantized
+    // reconstruction. The oracle replays the identical quantize →
+    // dequantize → fold arithmetic, so values match bit-for-bit.
+    q("q_sq8_topk",
+      s"""WITH mm AS (SELECT pos, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+         |            FROM (SELECT unnest(embedding) AS x,
+         |                         unnest(generate_series(1, 64)) AS pos
+         |                  FROM embeddings)
+         |            GROUP BY pos),
+         |ml AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM mm),
+         |dq AS (SELECT vec_id,
+         |         list_transform(generate_series(1, 64), i ->
+         |           CASE WHEN mxs[i] > mns[i]
+         |                THEN mns[i] + round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0 / (mxs[i] - mns[i])) * (mxs[i] - mns[i]) / 255.0
+         |                ELSE mns[i] END) AS deq
+         |       FROM embeddings, ml),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+         |sc AS (SELECT query_id, vec_id,
+         |         ${dotSql("deq", "qv")} / sqrt(${dotSql("deq", "deq")}) / sqrt(${dotSql("qv", "qv")}) AS c
+         |       FROM dq, q WHERE vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, c,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+         |      FROM sc)
+         |SELECT query_id, vec_id, round(c, 9) AS cosine_sq8
+         |FROM r WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.sq8TopK(queries, e, dim = 64, k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("c"), 9).as("cosine_sq8"))
+        .orderBy("query_id", "vec_id")
+    }
+
     // ANN via 4 random-hyperplane LSH bits: queries score only their own
     // bucket (the scale path — bucket id is the shuffle key at 100 TB).
     {

@@ -589,14 +589,16 @@ object Queries {
     """SELECT o_orderpriority AS value, count(*) AS cnt,
       |  count(*) / (SELECT count(*) FROM orders) AS proportion
       |FROM orders GROUP BY 1 ORDER BY cnt DESC, value""".stripMargin) { (s, dir) =>
-    // normalize= stays in-plan: the grand total is a window sum over the
-    // (small) grouped result — no eager driver-side count() action.
-    import org.apache.spark.sql.expressions.Window
-    Tables.orders(s, dir)
+    // normalize= stays in-plan: the grand total is a broadcast one-row
+    // aggregate, not a global window (which would funnel every distinct
+    // value through a single partition at scale).
+    val orders = Tables.orders(s, dir)
+    orders
       .groupBy(col("o_orderpriority").as("value"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("proportion",
-        col("cnt") / sum("cnt").over(Window.partitionBy()).cast("double"))
+      .crossJoin(broadcast(orders.agg(count(lit(1)).cast("double").as("__tot"))))
+      .withColumn("proportion", col("cnt") / col("__tot"))
+      .drop("__tot")
       .orderBy(col("cnt").desc, col("value"))
   }
 

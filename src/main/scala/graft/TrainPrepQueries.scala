@@ -141,6 +141,31 @@ object TrainPrepQueries {
         .orderBy("doc_id")
     }
 
+    // C4-style boilerplate purge: every occurrence of a 10-word span
+    // seen >= 3 times corpus-wide is removed and documents are rebuilt
+    // from their surviving spans — the cleaned corpus itself, not just
+    // counts (the text_clean column is hash-checked end to end).
+    q("q_line_dedup",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (SELECT doc_id, i AS chunk_idx,
+        |         array_to_string(list_slice(w, 10*i + 1, 10*i + 10), ' ') AS span
+        |       FROM (SELECT doc_id, w,
+        |               unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS i
+        |             FROM ws)),
+        |freq AS (SELECT md5(span) AS h FROM sp GROUP BY 1 HAVING count(*) >= 3),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |          string_agg(span, ' ' ORDER BY chunk_idx) AS text_clean
+        |        FROM sp WHERE md5(span) NOT IN (SELECT h FROM freq)
+        |        GROUP BY doc_id)
+        |SELECT ws.doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_spans,
+        |  coalesce(n_kept, 0) AS n_kept, coalesce(text_clean, '') AS text_clean
+        |FROM ws LEFT JOIN reb ON ws.doc_id = reb.doc_id
+        |ORDER BY ws.doc_id""".stripMargin) { (s, dir) =>
+      TextDedup.purgeFrequentSpans(
+          Tables.documents(s, dir), "doc_id", "text", spanWords = 10, minFreq = 3)
+        .orderBy("doc_id")
+    }
+
     // Benchmark-contamination check: fraction of each training doc's
     // distinct 8-grams that appear in the (small) benchmark set — the
     // decontamination op every eval-aware pipeline runs. Grams travel as

@@ -467,8 +467,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     val counted = df.groupBy(col(column).as("value")).agg(F.count(lit(1)).as("cnt"))
     val out =
       if (!normalize) counted
-      else counted.withColumn("proportion",
-        col("cnt") / sum("cnt").over(Window.partitionBy()).cast("double"))
+      // Grand total as a broadcast one-row aggregate, not a global window:
+      // a window with no partition keys funnels every distinct value
+      // through one partition at scale.
+      else counted
+        .crossJoin(F.broadcast(df.agg(F.count(lit(1)).cast("double").as("__tot"))))
+        .withColumn("proportion", col("cnt") / col("__tot"))
+        .drop("__tot")
     keep(out.orderBy(col("cnt").desc, col("value")))
   }
   def nunique(cols: String*): DataFrame =
@@ -534,6 +539,16 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def dedupExact(textCol: String): Frame =
     keep(graft.operators.TextDedup.exactDedupKeepFirst(df, idx, textCol)
       .drop("h"))
+
+  /** C4-style boilerplate purge: drop every occurrence of a
+    * `spanWords`-word span seen at least `minFreq` times corpus-wide and
+    * rebuild each document from its surviving spans
+    * (operators.TextDedup.purgeFrequentSpans — one span-hash count plus
+    * one reassembly shuffle, never all-pairs). */
+  def purgeFrequentSpans(textCol: String, spanWords: Int = 10,
+      minFreq: Long = 3): Frame =
+    Frame(graft.operators.TextDedup.purgeFrequentSpans(df, idx, textCol,
+      spanWords, minFreq), index)
 
   /** Near-duplicate pairs by MinHash-LSH + exact-Jaccard verify
     * (see operators.TextDedup.nearDuplicates for the scale design). */

@@ -95,6 +95,64 @@ object Similarity {
       .select("vec_a", "vec_b", "cosine")
   }
 
+  /** Scalar-quantized (int8) asymmetric top-k: the corpus is quantized
+    * per-dimension to 0..255 codes against corpus min/max (the classic
+    * SQ8 storage layout — 4× smaller than float32, int-SIMD scannable),
+    * queries stay full-precision, and scoring runs on the dequantized
+    * reconstruction (asymmetric distance computation). The per-dimension
+    * bounds are a bounded O(dim) driver collect — independent of corpus
+    * size, the same literal-projection pattern as IVF centroids — so the
+    * quantize + dequantize is a map-only projection with no shuffle.
+    * Dequantized vectors and their norms are computed once per corpus
+    * row BEFORE the query join: each candidate pair costs one dot.
+    *
+    * Returns (query_id, vec_id, c) with c = cosine(dequantized corpus
+    * vector, full-precision query), top-k per query.
+    */
+  def sq8TopK(
+      queries: DataFrame,   // (query_id, qv)
+      corpus: DataFrame,    // (vec_id, embedding, ...)
+      dim: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Per-dimension corpus bounds: one tiny aggregation (dim groups).
+    val mmRows = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .collect()
+    val mn = new Array[Double](dim)
+    val mx = new Array[Double](dim)
+    mmRows.foreach { r => val p = r.getInt(0); mn(p) = r.getDouble(1); mx(p) = r.getDouble(2) }
+    val mnL = typedLit(mn.toSeq)
+    val mxL = typedLit(mx.toSeq)
+    // codes[i] = round((x - mn)*255/(mx - mn)); constant dims encode 0.
+    val idx = sequence(lit(0), lit(dim - 1))
+    val codes = transform(idx, i => {
+      val x = element_at(col("embedding"), i + 1).cast("double")
+      val m = element_at(mnL, i + 1)
+      val M = element_at(mxL, i + 1)
+      when(M > m, round((x - m) * lit(255.0) / (M - m), 0).cast("int")).otherwise(lit(0))
+    })
+    val deq = transform(idx, i => {
+      val c = element_at(col("codes"), i + 1).cast("double")
+      val m = element_at(mnL, i + 1)
+      val M = element_at(mxL, i + 1)
+      when(M > m, m + c * (M - m) / lit(255.0)).otherwise(m)
+    })
+    val quantized = corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("codes", codes)
+      .withColumn("deq", deq)
+      .withColumn("nrm", norm(col("deq")))
+    val scored = quantized.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("c", dot(col("deq"), col("qv")) / col("nrm") / norm(col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "c")
+  }
+
   /** ANN via hyperplane LSH: queries only score candidates in their own
     * bucket. Recall is tunable via numPlanes (fewer planes → bigger
     * buckets → higher recall, more work).

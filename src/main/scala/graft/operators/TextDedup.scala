@@ -45,6 +45,57 @@ object TextDedup {
       .drop("__rn")
   }
 
+  /** C4-style boilerplate purge (ref: C4/RefinedWeb line dedup; this
+    * corpus has no newlines, so a "line" is a fixed non-overlapping
+    * `spanWords`-word span). Every occurrence of a span whose corpus
+    * frequency reaches `minFreq` is removed, and each document's text is
+    * rebuilt from its surviving spans in order.
+    *
+    * Scale shape: one span explode (map-only), one span-hash count
+    * (shuffle keyed by hash — vocabulary-sized, never all-pairs), an
+    * anti-join of spans against the frequent set (AQE broadcasts it when
+    * small; at web scale it stays a shuffle join), and one groupBy
+    * doc_id to reassemble (bounded per-group state: a document's own
+    * spans). Returns every input doc — fully-boilerplate docs come back
+    * with empty text_clean, so the output is a drop-in corpus.
+    *
+    * Output: (doc_id, n_spans, n_kept, text_clean).
+    */
+  def purgeFrequentSpans(
+      docs: DataFrame,      // (doc_id, text, ...)
+      idCol: String,
+      textCol: String,
+      spanWords: Int,
+      minFreq: Long): DataFrame = {
+    val wsa = col("__ws")
+    val spans = docs
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(wsa) / lit(spanWords.toDouble)).cast("long") - 1),
+          i => concat_ws(" ", slice(wsa, i * spanWords + 1, lit(spanWords)))))
+          .as(Seq("chunk_idx", "span")))
+      .withColumn("__h", md5(col("span")))
+    val frequent = spans.groupBy("__h")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minFreq)
+      .select("__h")
+    val rebuilt = spans.join(frequent, Seq("__h"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("span")))),
+          s => s("span")), " ").as("text_clean"))
+    docs
+      .select(col(idCol),
+        ceil(size(split(col(textCol), " ")) / lit(spanWords.toDouble))
+          .cast("long").as("n_spans"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Word n-gram shingles: (id, sh); `distinct = false` keeps the raw
     * stream (no shuffle) for consumers where duplicates are harmless.
     * `spread = false` skips the small-source fan-out for inputs that are

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Similarity
+
+/** Scalar-quantized retrieval: agreement with the exact baseline on
+  * separated vectors, bounded quantization error, and degenerate-input
+  * edges (constant dimensions, which would otherwise divide by zero).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val dim = 8
+
+  private def corpusDf(rows: Seq[(Long, Seq[Float])]) = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v) }),
+      schema)
+  }
+
+  /** Deterministic pseudo-random unit-ish vectors. */
+  private def vec(seed: Int): Seq[Float] =
+    (0 until dim).map(d => (((seed * 31 + d) * 2654435761L % 1000) / 500.0f) - 1.0f)
+
+  test("sq8TopK matches exact cosineTopK ranking on separated vectors") {
+    val corpus = corpusDf((0L until 40L).map(i => (i, vec(i.toInt))))
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.cosineTopK(queries, corpus, k = 3)
+      .select("query_id", "vec_id", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sq8 = Similarity.sq8TopK(queries, corpus, dim, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical neighbor sets, and scores within the SQ8 error envelope:
+    // per-dim reconstruction error <= (mx-mn)/510, which for these
+    // vectors keeps cosine within ~1e-2 of exact
+    assert(sq8.keySet === exact.keySet)
+    sq8.foreach { case (k, c) => assert(math.abs(c - exact(k)) < 1e-2, s"$k: $c vs ${exact(k)}") }
+  }
+
+  test("sq8TopK survives constant dimensions without NaN") {
+    // dim 0 constant across the corpus: mx == mn there
+    val rows = (0L until 10L).map(i => (i, 1.0f +: vec(i.toInt).tail))
+    val corpus = corpusDf(rows)
+    val queries = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val out = Similarity.sq8TopK(queries, corpus, dim, k = 5).collect()
+    assert(out.length === 5)
+    assert(out.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+  }
+
+  test("sq8TopK scores are permutation-stable under corpus repartition") {
+    val corpus = corpusDf((0L until 30L).map(i => (i, vec(i.toInt))))
+    val queries = corpus.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val a = Similarity.sq8TopK(queries, corpus, dim, k = 4)
+      .orderBy("vec_id").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val b = Similarity.sq8TopK(queries, corpus.repartition(7), dim, k = 4)
+      .orderBy("vec_id").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(a === b)
+  }
+}

@@ -178,4 +178,54 @@ class TextDedupEdgeSpec extends SparkSpec {
         s"ANN crossed buckets: ${r.getLong(0)} vs ${r.getLong(1)}")
     }
   }
+
+  test("purgeFrequentSpans removes every occurrence of a frequent span, in order") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter"   // 4-word span, 3 occurrences
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, s"iota kappa lambda mu $boiler"),
+      (4L, "nu xi omicron pi")).toDF("doc_id", "text")
+    val out = TextDedup.purgeFrequentSpans(docs, "doc_id", "text",
+        spanWords = 4, minFreq = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    // span grid is positional: doc 1/3 carry the boilerplate as their
+    // second span, doc 2 as its first — all three removed
+    assert(out(0).getString(3) === "alpha beta gamma delta")
+    assert(out(1).getString(3) === "epsilon zeta eta theta")
+    assert(out(2).getString(3) === "iota kappa lambda mu")
+    assert(out(3).getString(3) === "nu xi omicron pi")
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 1L, 1L, 1L))  // n_kept
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 2L, 2L, 1L))  // n_spans
+  }
+
+  test("purgeFrequentSpans keeps fully-boilerplate docs with empty text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click here now"),
+      (2L, "click here now"),
+      (3L, "click here now"),
+      (4L, "real content words here")).toDF("doc_id", "text")
+    val out = TextDedup.purgeFrequentSpans(docs, "doc_id", "text",
+        spanWords = 10, minFreq = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length === 4)                       // no doc vanishes
+    assert(out.take(3).forall(r => r.getString(3) == "" && r.getLong(2) == 0L))
+    assert(out(3).getString(3) === "real content words here")
+  }
+
+  test("purgeFrequentSpans below threshold is an identity rebuild") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m"),
+      (2L, "n o p q r")).toDF("doc_id", "text")
+    val out = TextDedup.purgeFrequentSpans(docs, "doc_id", "text",
+        spanWords = 5, minFreq = 2)
+      .orderBy("doc_id").collect()
+    // nothing repeats: every doc reassembles to its original text
+    assert(out(0).getString(3) === "a b c d e f g h i j k l m")
+    assert(out(1).getString(3) === "n o p q r")
+  }
 }
