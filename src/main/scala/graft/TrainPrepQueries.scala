@@ -166,6 +166,32 @@ object TrainPrepQueries {
         .orderBy("doc_id")
     }
 
+    // Temperature-based source mixing (GPT-3/PaLM mixture rule):
+    // per-source quota floor(T * sqrt(cnt)/sum sqrt(cnt)) at T = 40% of
+    // the corpus, selection by content-hash rank within source. The
+    // oracle replays the identical sorted-order weight fold (sqrt is
+    // IEEE-correctly-rounded, so the doubles match bit-for-bit).
+    q("q_temperature_mix",
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |tot AS (SELECT floor(count(*) * 0.4) AS t FROM documents),
+        |s AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list(sqrt(CAST(cnt AS DOUBLE)) ORDER BY source)),
+        |        (a, x) -> a + x) AS sw FROM c),
+        |qta AS (SELECT source,
+        |          CAST(floor(t * sqrt(CAST(cnt AS DOUBLE)) / sw) AS BIGINT) AS q
+        |        FROM c, tot, s),
+        |rk AS (SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |       FROM documents)
+        |SELECT rk.doc_id, rk.source, rn <= q AS keep
+        |FROM rk JOIN qta ON rk.source = qta.source
+        |ORDER BY rk.doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextQuality.temperatureMix(
+          Tables.documents(s, dir), "source", "doc_id", "text",
+          alpha = 0.5, targetFrac = 0.4)
+        .orderBy("doc_id")
+    }
+
     // Benchmark-contamination check: fraction of each training doc's
     // distinct 8-grams that appear in the (small) benchmark set — the
     // decontamination op every eval-aware pipeline runs. Grams travel as

@@ -580,6 +580,14 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.TextQuality.tokenBudgetMix(df, groupCol, idx,
       tokensCol, budget))
 
+  /** Temperature-based source mixing: per-`groupCol` quotas from the
+    * cnt^alpha rule, deterministic content-hash selection
+    * (operators.TextQuality.temperatureMix). */
+  def temperatureMix(groupCol: String, textCol: String, alpha: Double = 0.5,
+      targetFrac: Double = 0.4): Frame =
+    Frame(graft.operators.TextQuality.temperatureMix(df, groupCol, idx,
+      textCol, alpha, targetFrac), index)
+
   /** Append `n_tokens_bpe` — real BPE token counts over `textCol`
     * (operators.Bpe — partition-batched map, no shuffle). */
   def tokenCountBpe(textCol: String): Frame =

@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   * The pixel decode is REAL: `decodeBmpGray` parses an uncompressed
   * 24-bit BMP (BITMAPFILEHEADER data offset, BITMAPINFOHEADER geometry,
   * bottom-up or top-down row order, 4-byte row padding, BGR channel
-  * order) into a top-based grayscale grid. Other containers would slot
-  * into the same decode dispatch; header-only metadata for them lives in
-  * [[Multimodal.decodeImageHeader]].
+  * order) and `decodePngGray` parses a non-interlaced 8-bit PNG (chunk
+  * walk → zlib inflate → None/Sub/Up/Average/Paeth defilter, color
+  * types 0/2/3/4/6), both into a top-based grayscale grid behind the
+  * `decodeGray` dispatch. Header-only metadata for other containers
+  * lives in [[Multimodal.decodeImageHeader]].
   *
   * dHash (public-knowledge perceptual hash): box-resample the grayscale
   * to a 9x8 grid, then one bit per horizontally adjacent pair —
@@ -79,6 +81,131 @@ object ImageDedup {
     Some(GrayImage(w, h, gray))
   }
 
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse a non-interlaced 8-bit-depth PNG (color types 0 gray, 2 RGB,
+    * 3 palette, 4 gray+alpha, 6 RGBA — the overwhelming majority of real
+    * files) into a top-based grayscale grid: chunk walk → zlib inflate of
+    * the concatenated IDAT stream (JDK Inflater) → per-row defilter
+    * (None/Sub/Up/Average/Paeth) → BT.601 integer luma, alpha ignored.
+    * Returns None for anything else (interlaced, 16-bit, sub-byte
+    * depths, corrupt or truncated data) — corrupt items are data, not
+    * errors. CRCs are not validated, like every fast decode path. */
+  def decodePngGray(b: Array[Byte]): Option[GrayImage] = {
+    if (b == null || b.length < 8 + 25 ||
+      !pngSig.indices.forall(i => b(i) == pngSig(i))) return None
+    var w = 0; var h = 0; var depth = 0; var color = -1; var interlace = 0
+    var sawIhdr = false; var sawIend = false
+    var palette: Array[Int] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    while (!sawIend && i + 8 <= b.length) {
+      val len = be32(b, i)
+      if (len < 0 || i.toLong + 12L + len > b.length) return None // truncated
+      val typ = new String(b, i + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(b, i + 8); h = be32(b, i + 12)
+          depth = u8(b, i + 16); color = u8(b, i + 17)
+          interlace = u8(b, i + 20)
+          sawIhdr = true
+        case "PLTE" =>
+          palette = new Array[Int](len / 3)
+          var p = 0
+          while (p < palette.length) {
+            val o = i + 8 + p * 3
+            palette(p) = (299 * u8(b, o) + 587 * u8(b, o + 1) + 114 * u8(b, o + 2)) / 1000
+            p += 1
+          }
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "IEND" => sawIend = true
+        case _      => // ancillary chunk: skip
+      }
+      i += 12 + len
+    }
+    if (!sawIhdr || w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    if (depth != 8 || interlace != 0) return None
+    val channels = color match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (color == 3 && palette == null) return None
+    val stride = w * channels
+    val expected = h.toLong * (stride + 1)
+    if (expected > Int.MaxValue) return None
+    // inflate the concatenated IDAT payload to exactly h*(stride+1) bytes
+    val raw = new Array[Byte](expected.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = try inf.inflate(raw, off, raw.length - off) catch {
+          case _: java.util.zip.DataFormatException => return None
+        }
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        off += n
+      }
+      if (off < raw.length) return None
+    } finally inf.end()
+    // defilter in place, row by row (bpp = channels at 8-bit depth)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val base = y * (stride + 1)
+      val ft = u8(raw, base)
+      if (ft > 4) return None
+      var k = 0
+      while (k < stride) {
+        val x = u8(raw, base + 1 + k)
+        val a = if (k >= channels) cur(k - channels) else 0
+        val up = if (y > 0) prev(k) else 0
+        val c = if (k >= channels && y > 0) prev(k - channels) else 0
+        cur(k) = ft match {
+          case 0 => x
+          case 1 => (x + a) & 0xff
+          case 2 => (x + up) & 0xff
+          case 3 => (x + (a + up) / 2) & 0xff
+          case 4 =>
+            // Paeth predictor (PNG spec 9.4)
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            (x + pred) & 0xff
+        }
+        k += 1
+      }
+      var px = 0
+      while (px < w) {
+        val o = px * channels
+        gray(y * w + px) = color match {
+          case 0 | 4 => cur(o)
+          case 2 | 6 => (299 * cur(o) + 587 * cur(o + 1) + 114 * cur(o + 2)) / 1000
+          case 3 =>
+            val idx = cur(o)
+            if (idx >= palette.length) return None
+            palette(idx)
+        }
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(GrayImage(w, h, gray))
+  }
+
+  /** Container dispatch: BMP or PNG → top-based grayscale grid. */
+  def decodeGray(b: Array[Byte]): Option[GrayImage] =
+    if (b != null && b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmpGray(b)
+    else decodePngGray(b)
+
   /** Integer box-mean resample of a grayscale grid to `ow`x`oh`: output
     * cell (cx, cy) averages the source block [cx*w/ow, (cx+1)*w/ow) x
     * [cy*h/oh, (cy+1)*h/oh) with integer division — deterministic,
@@ -142,7 +269,7 @@ object ImageDedup {
     df.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](payIdx)
-        val hash = try decodeBmpGray(bytes).map(dHash64) catch {
+        val hash = try decodeGray(bytes).map(dHash64) catch {
           case scala.util.control.NonFatal(_) => None
         }
         Row(r.getLong(idIdx), hash.orNull)

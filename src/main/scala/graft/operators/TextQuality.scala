@@ -126,6 +126,46 @@ object TextQuality {
       .withColumnRenamed("__pr", "pr").withColumnRenamed("__cum", "cum")
   }
 
+  /** Temperature-based source mixing (the GPT-3/PaLM data-mixing rule):
+    * source `i` gets quota `floor(T * cnt_i^alpha / sum_j cnt_j^alpha)`
+    * where `T = floor(total * targetFrac)` — `alpha < 1` up-weights
+    * small sources relative to proportional sampling. Within a source,
+    * docs are selected by content-hash rank (deterministic
+    * pseudo-random, reproducible anywhere). The per-source counts are a
+    * bounded O(#sources) driver collect; the weight fold runs in sorted
+    * source order so an external engine replaying the same fold gets the
+    * identical doubles. Selection itself is one window per source — a
+    * map-side projection plus one source-keyed exchange.
+    *
+    * Output: every input row as (idCol, groupCol, keep).
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, alpha: Double, targetFrac: Double): DataFrame = {
+    require(alpha > 0 && targetFrac > 0 && targetFrac <= 1,
+      s"need alpha > 0 and 0 < targetFrac <= 1: $alpha/$targetFrac")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val t = math.floor(total * targetFrac)
+    // alpha = 0.5 routes through sqrt: IEEE-754 requires sqrt correctly
+    // rounded but not pow, so sqrt is the only power an external engine
+    // is guaranteed to reproduce bit-for-bit
+    val powf: Double => Double =
+      if (alpha == 0.5) math.sqrt else x => math.pow(x, alpha)
+    var sumW = 0.0
+    counts.foreach { case (_, c) => sumW += powf(c.toDouble) }
+    val quotas = counts.map { case (src, c) =>
+      (src, math.floor(t * powf(c.toDouble) / sumW).toLong)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotaDf = broadcast(quotas.toSeq.toDF(groupCol, "__quota"))
+    val w = Window.partitionBy(groupCol).orderBy(md5(col(textCol)), col(idCol))
+    df.join(quotaDf, groupCol)
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col(groupCol), (col("__rn") <= col("__quota")).as("keep"))
+  }
+
   /** Sliding-window document chunking (the RAG/embedding-prep shape):
     * word windows of `size` tokens every `stride` tokens, so
     * consecutive chunks overlap by `size - stride`. Row-local explode —

@@ -43,6 +43,82 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("decodePngGray matches the JDK PNG encoder pixel for pixel (RGB + gray)") {
+    val rnd = new scala.util.Random(7)
+    for (typ <- Seq(java.awt.image.BufferedImage.TYPE_INT_RGB,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY,
+        java.awt.image.BufferedImage.TYPE_4BYTE_ABGR);
+        _ <- 0 until 3) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      val img = new java.awt.image.BufferedImage(w, h, typ)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, 0xff000000 |
+          (rnd.nextInt(256) << 16) | (rnd.nextInt(256) << 8) | rnd.nextInt(256))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out), "no png writer")
+      val decoded = ImageDedup.decodePngGray(out.toByteArray)
+      assert(decoded.isDefined, s"failed to decode ${w}x$h type-$typ JDK png")
+      val GrayImage(dw, dh, gray) = decoded.get
+      assert((dw, dh) === ((w, h)))
+      // expectation from the ENCODER's own readback: whatever channel
+      // transform ImageIO applied, our luma must match it exactly
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out.toByteArray))
+      val singleChannel = back.getColorModel.getColorSpace.getNumComponents == 1
+      for (y <- 0 until h; x <- 0 until w) {
+        // gray PNGs: the raw sample IS the gray value (getRGB would
+        // apply a linear→sRGB conversion our raw decode rightly skips)
+        val expected =
+          if (singleChannel) back.getRaster.getSample(x, y, 0)
+          else {
+            val rgb = back.getRGB(x, y)
+            val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            (299 * r + 587 * g + 114 * b) / 1000
+          }
+        assert(gray(y * w + x) === expected, s"pixel ($x,$y) of ${w}x$h type-$typ")
+      }
+    }
+  }
+
+  test("same pixels through BMP and PNG containers give the same dHash") {
+    val w = 33; val h = 21
+    val bmp = ImageDedup.bmpFixture(w, h, pix(3))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pix(3)(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val gBmp = ImageDedup.decodeGray(bmp).get
+    val gPng = ImageDedup.decodeGray(out.toByteArray).get
+    assert(gBmp.gray.toSeq === gPng.gray.toSeq)
+    assert(ImageDedup.dHash64(gBmp) === ImageDedup.dHash64(gPng))
+  }
+
+  test("every PNG truncation length decodes to None or a valid image — never throws") {
+    val img = new java.awt.image.BufferedImage(17, 11,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(11)
+    for (y <- 0 until 11; x <- 0 until 17) img.setRGB(x, y, rnd.nextInt() | 0xff000000)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val full = out.toByteArray
+    for (len <- 0 until full.length) {
+      val t = java.util.Arrays.copyOf(full, len)
+      ImageDedup.decodePngGray(t) // must not throw
+    }
+    // corrupted filter bytes / random flips must not throw either
+    for (trial <- 0 until 50) {
+      val mut = full.clone()
+      val i = 8 + rnd.nextInt(full.length - 8)
+      mut(i) = (mut(i) ^ (1 << rnd.nextInt(8))).toByte
+      ImageDedup.decodePngGray(mut)
+    }
+  }
+
   test("bmpFixture round-trips through the decoder (incl. row padding)") {
     for (w <- Seq(1, 2, 9, 10); h <- Seq(1, 8)) {
       val bytes = ImageDedup.bmpFixture(w, h, pix(7))

@@ -98,4 +98,34 @@ class TextQualityPropSpec extends SparkSpec {
       assert(logp < 0.0, s"doc $id logp=$logp")
     }
   }
+
+  test("temperatureMix: alpha<1 up-weights small sources; quotas honored exactly") {
+    import spark.implicits._
+    val rnd = new Random(5)
+    // big source 400 docs, small source 25 docs
+    val docs = ((0 until 400).map(i => (i.toLong, "big", s"doc big $i ${rnd.nextInt()}")) ++
+      (0 until 25).map(i => ((400 + i).toLong, "small", s"doc small $i ${rnd.nextInt()}")))
+      .toDF("doc_id", "source", "text")
+    val out = TextQuality.temperatureMix(docs, "source", "doc_id", "text",
+      alpha = 0.5, targetFrac = 0.5)
+    val kept = out.filter(col("keep")).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replay the quota rule exactly
+    val t = math.floor(425 * 0.5)
+    val sw = math.sqrt(400.0) + math.sqrt(25.0)
+    assert(kept("big") === math.floor(t * math.sqrt(400.0) / sw).toLong)
+    // a quota above the source size keeps the whole source (alpha<1
+    // can over-allocate small sources; selection is capped by reality)
+    assert(kept("small") === math.min(25L, math.floor(t * math.sqrt(25.0) / sw).toLong))
+    // alpha=0.5 keeps a larger FRACTION of the small source
+    assert(kept("small").toDouble / 25 > kept("big").toDouble / 400)
+    // every input row comes back exactly once
+    assert(out.count() === 425)
+    // deterministic under physical layout changes
+    val again = TextQuality.temperatureMix(docs.repartition(13), "source",
+      "doc_id", "text", alpha = 0.5, targetFrac = 0.5)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = out.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === first)
+  }
 }
