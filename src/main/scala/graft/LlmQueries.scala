@@ -93,6 +93,42 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }
 
+    // Incremental (cross-snapshot) dedup: new docs (doc_id % 5 != 0)
+    // checked against an existing index (doc_id % 5 == 0) through an
+    // asymmetric band join — never index×index or new×new. One best
+    // match per new doc (highest jaccard, smallest idx_id on ties).
+    q("q_incremental_dedup",
+      s"""WITH ${minhashCtes(n = 3, k = 16, r = 4)},
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+         |         FROM bands n JOIN bands i
+         |           ON n.band = i.band AND n.sig = i.sig
+         |         WHERE n.doc_id % 5 != 0 AND i.doc_id % 5 = 0),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+         |inter AS (SELECT new_id, idx_id, count(*) AS ni
+         |          FROM cand
+         |          JOIN shd sa ON sa.doc_id = new_id
+         |          JOIN shd sb ON sb.doc_id = idx_id AND sb.h0 = sa.h0
+         |          GROUP BY 1, 2),
+         |j AS (SELECT new_id, idx_id, ni / (za.nsh + zb.nsh - ni) AS jaccard
+         |      FROM inter
+         |      JOIN sizes za ON za.doc_id = new_id
+         |      JOIN sizes zb ON zb.doc_id = idx_id
+         |      WHERE ni / (za.nsh + zb.nsh - ni) >= 0.8),
+         |r AS (SELECT new_id, idx_id, jaccard,
+         |        row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, idx_id) AS rn
+         |      FROM j)
+         |SELECT new_id, idx_id, round(jaccard, 9) AS jaccard
+         |FROM r WHERE rn = 1 ORDER BY new_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextDedup.dedupAgainstIndex(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text",
+          shingleLen = 3, numHashes = 16, bandRows = 4, threshold = 0.8)
+        .select(col("new_id"), col("idx_id"), round(col("jaccard"), 9).as("jaccard"))
+        .orderBy("new_id")
+    }
+
     // Duplicate clusters: connected components over the verified
     // near-dup pairs, keep-one-per-cluster — the step that turns pair
     // detection into an actual dedup decision. Oracle: recursive-CTE

@@ -166,6 +166,35 @@ object TrainPrepQueries {
         .orderBy("doc_id")
     }
 
+    // Mojibake repair: every third doc is deterministically corrupted
+    // with the UTF-8-as-cp1252 artifacts of a reference phrase, then
+    // repaired through the canonical artifact table. The oracle nests
+    // the identical literal replaces in the identical order, so the
+    // repaired text hash-matches byte-for-byte.
+    {
+      import graft.operators.TextQuality
+      val phrase = "café résumé — naïve « test »… ‘single’ “double”"
+      val corruptLit = TextQuality.mojibakeOf(phrase)
+      def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+      val fixedSql = TextQuality.mojibakeTable.foldLeft("t") {
+        case (acc, (bad, good)) => s"replace($acc, ${sqlLit(bad)}, ${sqlLit(good)})"
+      }
+      q("q_fix_encoding",
+        s"""WITH c AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 3 = 0 THEN ${sqlLit(corruptLit)} || ' ' || text
+           |       ELSE text END AS t FROM documents)
+           |SELECT doc_id, $fixedSql AS text_fixed, $fixedSql != t AS was_mojibake
+           |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val corrupted = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(corruptLit), lit(" "), col("text")))
+              .otherwise(col("text")).as("t"))
+        TextQuality.fixMojibake(corrupted, "doc_id", "t")
+          .orderBy("doc_id")
+      }
+    }
+
     // Temperature-based source mixing (GPT-3/PaLM mixture rule):
     // per-source quota floor(T * sqrt(cnt)/sum sqrt(cnt)) at T = 40% of
     // the corpus, selection by content-hash rank within source. The

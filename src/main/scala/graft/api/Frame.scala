@@ -557,6 +557,14 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextDedup.nearDuplicates(df, idx, textCol,
       threshold = threshold, maxBucketSize = maxBucketSize))
 
+  /** Incremental dedup: best near-dup match in an existing `index`
+    * frame for each row here — asymmetric band join, never index×index
+    * or new×new (operators.TextDedup.dedupAgainstIndex). */
+  def dedupAgainstIndex(index: Frame, textCol: String,
+      threshold: Double = 0.8): Frame =
+    Frame(graft.operators.TextDedup.dedupAgainstIndex(df, index.df, idx,
+      textCol, threshold = threshold))
+
   /** Connected duplicate clusters over `nearDuplicates` output. */
   def dupClusters(textCol: String, threshold: Double = 0.8): Frame =
     Frame(graft.operators.TextDedup.dupClusters(
@@ -592,6 +600,12 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * (operators.Bpe — partition-batched map, no shuffle). */
   def tokenCountBpe(textCol: String): Frame =
     keep(graft.operators.Bpe.tokenCounts(df, textCol))
+
+  /** Repair UTF-8-as-cp1252 mojibake in `textCol` via the canonical
+    * artifact table (operators.TextQuality.fixMojibake — map-only
+    * codegen'd replace chain). */
+  def fixMojibake(textCol: String): Frame =
+    Frame(graft.operators.TextQuality.fixMojibake(df, idx, textCol))
 
   /** Scrub emails / IPv4 / phone numbers from `textCol` with per-row
     * redaction counts (operators.TextQuality.redactPii — map-only). */

@@ -109,13 +109,10 @@ object Similarity {
     * Returns (query_id, vec_id, c) with c = cosine(dequantized corpus
     * vector, full-precision query), top-k per query.
     */
-  def sq8TopK(
-      queries: DataFrame,   // (query_id, qv)
-      corpus: DataFrame,    // (vec_id, embedding, ...)
-      dim: Int,
-      k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Per-dimension corpus bounds: one tiny aggregation (dim groups).
+  /** Per-dimension corpus [min, max] — one tiny aggregation (dim
+    * groups) collected to the driver: bounded by dim, independent of
+    * corpus size. */
+  def sq8Bounds(corpus: DataFrame, dim: Int): (Array[Double], Array[Double]) = {
     val mmRows = corpus
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("pos")
@@ -124,25 +121,47 @@ object Similarity {
     val mn = new Array[Double](dim)
     val mx = new Array[Double](dim)
     mmRows.foreach { r => val p = r.getInt(0); mn(p) = r.getDouble(1); mx(p) = r.getDouble(2) }
+    (mn, mx)
+  }
+
+  /** The int8 storage column: codes[i] = round((x-mn)*255/(mx-mn)),
+    * constant dims encode 0. Materialize this (as TINYINT after a -128
+    * shift) for the 4×-smaller at-rest layout; [[sq8TopK]] scores
+    * without materializing codes. */
+  def sq8Codes(vec: Column, mn: Array[Double], mx: Array[Double], dim: Int): Column = {
     val mnL = typedLit(mn.toSeq)
     val mxL = typedLit(mx.toSeq)
-    // codes[i] = round((x - mn)*255/(mx - mn)); constant dims encode 0.
-    val idx = sequence(lit(0), lit(dim - 1))
-    val codes = transform(idx, i => {
-      val x = element_at(col("embedding"), i + 1).cast("double")
+    transform(sequence(lit(0), lit(dim - 1)), i => {
+      val x = element_at(vec, i + 1).cast("double")
       val m = element_at(mnL, i + 1)
       val M = element_at(mxL, i + 1)
       when(M > m, round((x - m) * lit(255.0) / (M - m), 0).cast("int")).otherwise(lit(0))
     })
-    val deq = transform(idx, i => {
-      val c = element_at(col("codes"), i + 1).cast("double")
+  }
+
+  def sq8TopK(
+      queries: DataFrame,   // (query_id, qv)
+      corpus: DataFrame,    // (vec_id, embedding, ...)
+      dim: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (mn, mx) = sq8Bounds(corpus, dim)
+    val mnL = typedLit(mn.toSeq)
+    val mxL = typedLit(mx.toSeq)
+    // quantize→dequantize FUSED into one O(dim) transform: routing the
+    // reconstruction through a codes attribute would inline the codes
+    // transform into every element_at and turn the projection O(dim²)
+    // interpreted per row (measured 5.8 s vs 0.4 s at sf0.1). The
+    // arithmetic is unchanged — round() yields the integral code value
+    // the int cast would.
+    val deq = transform(sequence(lit(0), lit(dim - 1)), i => {
+      val x = element_at(col("embedding"), i + 1).cast("double")
       val m = element_at(mnL, i + 1)
       val M = element_at(mxL, i + 1)
-      when(M > m, m + c * (M - m) / lit(255.0)).otherwise(m)
+      when(M > m, m + round((x - m) * lit(255.0) / (M - m), 0) * (M - m) / lit(255.0))
+        .otherwise(m)
     })
-    val quantized = corpus.select(col("vec_id"), col("embedding"))
-      .withColumn("codes", codes)
-      .withColumn("deq", deq)
+    val quantized = corpus.select(col("vec_id"), deq.as("deq"))
       .withColumn("nrm", norm(col("deq")))
     val scored = quantized.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))

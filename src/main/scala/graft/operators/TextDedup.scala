@@ -247,6 +247,57 @@ object TextDedup {
       .distinct()
   }
 
+  /** Incremental (cross-snapshot) near-dup: flag NEW docs that
+    * near-duplicate any doc already in the INDEX — the daily-crawl
+    * shape, where the index is yesterday's corpus and only the new
+    * batch should pay signature work against it. Both sides project
+    * band signatures map-only (no shingle explode); candidates come
+    * from an asymmetric band-bucket join — never index×index or
+    * new×new pairs — and only candidate docs pay the on-demand hash
+    * pass for the exact-Jaccard verify. At 100 TB the index signatures
+    * are a stable precomputed table (see [[bandSignaturesProjected]]);
+    * the per-batch cost is proportional to the batch, not the corpus.
+    *
+    * Returns one row per matched new doc: (new_id, idx_id, jaccard) for
+    * its best index match (highest jaccard, smallest idx_id on ties).
+    */
+  def dedupAgainstIndex(
+      newDocs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // bandSignaturesProjected already filters docs shorter than the
+    // shingle width (they have no signature)
+    def sigs(df: DataFrame, as: String) =
+      bandSignaturesProjected(df, idCol, textCol, shingleLen, numHashes, bandRows)
+        .withColumnRenamed(idCol, as)
+    val cand = sigs(newDocs, "new_id")
+      .join(sigs(index, "idx_id"), Seq("band", "sig"))
+      .select("new_id", "idx_id").distinct().cache()
+    def hashes(df: DataFrame, as: String) =
+      df.withColumnRenamed(idCol, as)
+        .join(cand.select(as), Seq(as), "left_semi")
+        .select(col(as), graft.functions.ShingleHashes(
+          col(textCol), shingleLen, 7, dedup = true).as(s"__h_$as"))
+    val verified = cand
+      .join(hashes(newDocs, "new_id"), "new_id")
+      .join(hashes(index, "idx_id"), "idx_id")
+      .withColumn("__ni", size(array_intersect(col("__h_new_id"), col("__h_idx_id"))))
+      .select(col("new_id"), col("idx_id"),
+        (col("__ni") / (size(col("__h_new_id")) + size(col("__h_idx_id")) - col("__ni")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy("new_id").orderBy(col("jaccard").desc, col("idx_id"))
+    verified.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("new_id", "idx_id", "jaccard")
+  }
+
   /** Oversized-bucket count for a signature table — the observability
     * companion to `candidatePairs(maxBucketSize=...)`: callers log this
     * next to the capped run so silently dropped buckets stay visible. */

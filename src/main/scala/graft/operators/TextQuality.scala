@@ -126,6 +126,42 @@ object TextQuality {
       .withColumnRenamed("__pr", "pr").withColumnRenamed("__cum", "cum")
   }
 
+  /** Characters whose UTF-8 byte sequences, misdecoded as
+    * windows-1252 (the single most common real-world encoding bug),
+    * produce the classic mojibake artifacts this repair reverses. */
+  val mojibakeTargets: Seq[String] = Seq(
+    "é", "è", "ê", "á", "à", "â", "ä",
+    "ã", "í", "î", "ï", "ó", "ô", "ö",
+    "õ", "ú", "û", "ü", "ñ", "ç", "ß",
+    "É", "Ö", "Ü", "’", "‘", "“", "”",
+    "–", "—", "…", "«", "»", "°")
+
+  /** The mojibake artifact for `s`: its UTF-8 bytes re-decoded as
+    * windows-1252 (Java's cp1252 maps all 256 bytes, so this is total
+    * and deterministic). */
+  def mojibakeOf(s: String): String =
+    new String(s.getBytes("UTF-8"), "windows-1252")
+
+  /** (artifact → repaired) pairs, longest artifact first so 3-char
+    * punctuation artifacts repair before 2-char accent artifacts.
+    * Replacements apply in this exact order; an external engine nesting
+    * the same replaces in the same order reproduces the output
+    * byte-for-byte. */
+  val mojibakeTable: Seq[(String, String)] =
+    mojibakeTargets.map(t => mojibakeOf(t) -> t).sortBy(-_._1.length)
+
+  /** Repair double-encoded (UTF-8-as-cp1252) text via the canonical
+    * artifact table — a codegen'd chain of literal replaces, map-only,
+    * no UDF. Output: (idCol, text_fixed, was_mojibake).
+    */
+  def fixMojibake(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fixed = mojibakeTable.foldLeft(col(textCol)) {
+      case (c, (bad, good)) => replace(c, lit(bad), lit(good))
+    }
+    df.select(col(idCol), fixed.as("text_fixed"),
+      (fixed =!= col(textCol)).as("was_mojibake"))
+  }
+
   /** Temperature-based source mixing (the GPT-3/PaLM data-mixing rule):
     * source `i` gets quota `floor(T * cnt_i^alpha / sum_j cnt_j^alpha)`
     * where `T = floor(total * targetFrac)` — `alpha < 1` up-weights

@@ -145,11 +145,46 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("value_counts normalizes in-plan, not via a pre-computed scalar") {
-    val analyzed = SparkEntry.queries("q_value_counts")(spark, sfDir)
+  test("value_counts normalizes in-plan via a broadcast total, no global window") {
+    val qe = SparkEntry.queries("q_value_counts")(spark, sfDir).queryExecution
+    // the grand total must NOT ride an unpartitioned window (single
+    // partition at scale) nor an eager driver-side count
+    assert(!qe.analyzed.toString.contains("windowspecdefinition"),
+      "proportion rides a global window again")
+    assert(qe.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "total is not joined as a broadcast one-row aggregate")
+  }
+
+  test("sq8 retrieval runs the native array_dot and broadcasts the query set") {
+    val qe = SparkEntry.queries("q_sq8_topk")(spark, sfDir).queryExecution
+    assert(qe.analyzed.toString.contains("array_dot"))
+    assert(qe.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "query side is not broadcast")
+  }
+
+  test("frequent-span purge and line rebuild carry no unpartitioned window") {
+    val analyzed = SparkEntry.queries("q_line_dedup")(spark, sfDir)
       .queryExecution.analyzed.toString
-    assert(analyzed.contains("windowspecdefinition"),
-      "proportion is not a window sum — was the total collected eagerly?")
+    assert(!analyzed.contains("windowspecdefinition"),
+      "span purge funnels through a global window")
+  }
+
+  test("incremental dedup signatures come from the projected minhash kernel") {
+    val analyzed = SparkEntry.queries("q_incremental_dedup")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("shingle_min_hashes"))
+    assert(analyzed.contains("shingle_hashes"))
+  }
+
+  test("temperature mix broadcasts its quota table") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"quota join is not broadcast:\n$p")
+  }
+
+  test("mojibake repair is map-only up to its output sort") {
+    val exchanges = "Exchange".r.findAllIn(plan("q_fix_encoding")).length
+    assert(exchanges <= 1, s"q_fix_encoding plans $exchanges exchanges")
   }
 
   test("text hot paths run on native kernels, not interpreted lambdas") {

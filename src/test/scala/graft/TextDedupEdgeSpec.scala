@@ -179,6 +179,37 @@ class TextDedupEdgeSpec extends SparkSpec {
     }
   }
 
+  test("dedupAgainstIndex matches new docs to the index, never new-to-new") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val index = Seq(
+      (1L, base),
+      (2L, "completely different content about spark shuffles and partitions")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, base + " ok"),      // near-dup of index doc 1
+      (11L, base + " ok"),      // identical to 10 — a new-to-new pair that must NOT surface
+      (12L, "unrelated text mentioning neither foxes nor shuffles at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupAgainstIndex(newDocs, index, "doc_id", "text",
+      threshold = 0.5).collect()
+    val byNew = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byNew.keySet === Set(10L, 11L))        // 12 has no index match
+    assert(byNew.values.toSet === Set(1L))        // both match index doc 1, not each other
+    out.foreach(r => assert(r.getDouble(2) >= 0.5))
+  }
+
+  test("dedupAgainstIndex returns one best match per new doc") {
+    import spark.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val index = Seq((1L, t), (2L, t)).toDF("doc_id", "text")  // two identical index docs
+    val newDocs = Seq((10L, t + " nu")).toDF("doc_id", "text")
+    val out = TextDedup.dedupAgainstIndex(newDocs, index, "doc_id", "text",
+      threshold = 0.5).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 1L)  // smallest idx_id on the jaccard tie
+  }
+
   test("purgeFrequentSpans removes every occurrence of a frequent span, in order") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter"   // 4-word span, 3 occurrences

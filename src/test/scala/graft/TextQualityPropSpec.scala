@@ -99,6 +99,40 @@ class TextQualityPropSpec extends SparkSpec {
     }
   }
 
+  test("fixMojibake round-trips corrupted text back to the original") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val targets = TextQuality.mojibakeTargets
+    // clean originals: ASCII words sprinkled with real accented chars
+    val docs = (0L until 30L).map { i =>
+      val words = (0 until 20).map { _ =>
+        if (rnd.nextInt(3) == 0) "caf" + targets(rnd.nextInt(targets.length))
+        else "word" + rnd.nextInt(100)
+      }
+      (i, words.mkString(" "))
+    }
+    val corrupted = docs.map { case (id, t) => (id, TextQuality.mojibakeOf(t), t) }
+      .toDF("doc_id", "text", "orig")
+    val out = TextQuality.fixMojibake(corrupted, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    val origs = docs.toMap
+    docs.foreach { case (id, orig) =>
+      val (fixed, flagged) = out(id)
+      assert(fixed === orig, s"doc $id")
+      assert(flagged === (TextQuality.mojibakeOf(orig) != orig))
+    }
+    assert(origs.nonEmpty)
+  }
+
+  test("fixMojibake leaves clean ASCII untouched and unflagged") {
+    import spark.implicits._
+    val docs = Seq((1L, "plain ascii text with no artifacts at all"))
+      .toDF("doc_id", "text")
+    val out = TextQuality.fixMojibake(docs, "doc_id", "text").head()
+    assert(out.getString(1) === "plain ascii text with no artifacts at all")
+    assert(!out.getBoolean(2))
+  }
+
   test("temperatureMix: alpha<1 up-weights small sources; quotas honored exactly") {
     import spark.implicits._
     val rnd = new Random(5)
