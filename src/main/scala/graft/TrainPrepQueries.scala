@@ -166,6 +166,52 @@ object TrainPrepQueries {
         .orderBy("doc_id")
     }
 
+    // Per-source corpus diagnostics: vocabulary size, hapax fraction,
+    // top-word share — the dashboard a mixing/cleaning run reads before
+    // choosing thresholds. One word explode + word-keyed counts
+    // (vocabulary-sized shuffle), then per-source rollups.
+    q("q_corpus_stats",
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |top AS (SELECT source, w AS top_word, c AS top_c FROM (
+        |          SELECT source, w, c,
+        |            row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rn
+        |          FROM wc) WHERE rn = 1),
+        |per AS (SELECT source, count(*) AS vocab, sum(c) AS n_tokens,
+        |          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax
+        |        FROM wc GROUP BY 1),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT per.source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, vocab,
+        |  round(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 9) AS hapax_frac,
+        |  top_word,
+        |  round(CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS top_word_frac
+        |FROM per JOIN top ON per.source = top.source
+        |JOIN nd ON per.source = nd.source
+        |ORDER BY per.source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val wc = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val win = Window.partitionBy("source").orderBy(col("c").desc, col("w"))
+      val top = wc.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("w").as("top_word"), col("c").as("top_c"))
+      val per = wc.groupBy("source").agg(
+        count(lit(1)).as("vocab"),
+        sum("c").as("n_tokens"),
+        sum(when(col("c") === 1, 1).otherwise(0)).as("hapax"))
+      val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      per.join(top, "source").join(nd, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+          round(col("hapax").cast("double") / col("vocab").cast("double"), 9)
+            .as("hapax_frac"),
+          col("top_word"),
+          round(col("top_c").cast("double") / col("n_tokens").cast("double"), 9)
+            .as("top_word_frac"))
+        .orderBy("source")
+    }
+
     // Mojibake repair: every third doc is deterministically corrupted
     // with the UTF-8-as-cp1252 artifacts of a reference phrase, then
     // repaired through the canonical artifact table. The oracle nests
