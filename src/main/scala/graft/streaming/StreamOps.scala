@@ -98,6 +98,54 @@ object StreamOps {
     // and consumers collapse it in their (bounded) sink.
   }
 
+  /** Precompute the static side of [[streamingNearDupVerified]]: band
+    * signatures AND the per-doc 28-bit shingle hash set for an index
+    * corpus. Refresh out of band; at scale store bucketed on
+    * (band, sig) so each micro-batch join is a bounded probe. */
+  def nearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 16, bandRows: Int = 4): DataFrame =
+    graft.operators.TextDedup.bandSignaturesProjected(
+        docs, idCol, textCol, shingleLen, numHashes, bandRows)
+      .withColumnRenamed(idCol, "corpus_id")
+      .join(docs.select(col(idCol).as("corpus_id"),
+        graft.functions.ShingleHashes(col(textCol), shingleLen, 7, dedup = true)
+          .as("corpus_hs")), "corpus_id")
+
+  /** Streaming near-dup with the exact-Jaccard verify inline: each
+    * incoming doc pays ONE kernel digest (ShingleMinHashSet emits the
+    * minhash signature and the 28-bit hash set together — a stateless
+    * row-local projection, no self-join of the stream), candidates come
+    * from the stream-static bucket join against [[nearDupIndex]], and
+    * the verify is a pure projection over the joined hash arrays — no
+    * aggregation state, no watermark, no second join. Emits
+    * (idCol, corpus_id, jaccard ≥ threshold) once per shared band;
+    * consumers collapse repeats in their bounded sink (cross-batch
+    * distinct would need unbounded state, same policy as the
+    * candidates-only form). */
+  def streamingNearDupVerified(stream: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      shingleLen: Int = 3, numHashes: Int = 16, bandRows: Int = 4): DataFrame = {
+    val bandStructs = (0 until numHashes / bandRows).map(bi =>
+      struct(lit(bi).as("band"),
+        concat_ws(",", (bi * bandRows until (bi + 1) * bandRows)
+          .map(i => element_at(col("__p.mins"), i + 1).cast("string")): _*).as("sig")))
+    val sigs = stream
+      .filter(size(split(col(textCol), " ")) >= shingleLen)
+      .select(col(idCol),
+        graft.functions.ShingleMinHashSet(col(textCol), shingleLen, numHashes).as("__p"))
+      .select(col(idCol), col("__p.hs").as("__hs"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("__hs"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    sigs.join(index, Seq("band", "sig"))
+      .filter(col(idCol) =!= col("corpus_id"))
+      .withColumn("__ni", size(array_intersect(col("__hs"), col("corpus_hs"))))
+      .withColumn("jaccard",
+        col("__ni") / (size(col("__hs")) + size(col("corpus_hs")) - col("__ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), col("corpus_id"), col("jaccard"))
+  }
+
   /** Streaming perceptual near-dup against a static fingerprint index:
     * the online form of the ImageDedup/AudioDedup batch pipelines. The
     * index is a precomputed (corpus_id, hash) table of 64-bit

@@ -85,6 +85,39 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketed near-dup index joins a fresh batch without reshuffling itself") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // yesterday's corpus → signature+hash index, bucketed on the LSH
+      // bucket key (band, sig): the daily incremental-dedup join then
+      // shuffles ONLY the new batch; the index never re-exchanges.
+      val corpus = (0L until 200L)
+        .map(i => (i, s"doc $i body ${"w" + i % 7} ${"x" + i % 11} tail common words here"))
+        .toDF("doc_id", "text")
+      val index = graft.streaming.StreamOps.nearDupIndex(corpus, "doc_id", "text")
+      Layout.writeBucketed(index, "near_dup_idx_lb", 4, "band", "sig")
+      val batch = Seq((1000L, "doc 3 body w3 x3 tail common words here"))
+        .toDF("doc_id", "text")
+      val batchSigs = graft.operators.TextDedup.bandSignaturesProjected(
+        batch, "doc_id", "text", 3, 16, 4)
+      val joined = batchSigs
+        .join(spark.table("near_dup_idx_lb"), Seq("band", "sig"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the index side reads straight from its buckets: every Exchange
+      // in the plan belongs to the (tiny) batch side
+      val idxSub = plan.split("Scan parquet").find(_.contains("near_dup_idx_lb"))
+      assert("Exchange".r.findAllIn(plan).length <= 1,
+        s"more than the batch-side exchange:\n$plan")
+      assert(joined.count() > 0)
+      assert(idxSub.isDefined)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS near_dup_idx_lb")
+    }
+  }
+
   test("zValue interleaves bucket bits reversibly") {
     import spark.implicits._
     val df = (0 until 256).map(i => (i.toLong, (255 - i).toLong)).toDF("a", "b")

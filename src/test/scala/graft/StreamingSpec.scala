@@ -250,6 +250,43 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("streaming verified near-dup agrees with the batch incremental dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextDedup
+    val corpus = Seq(
+      (100L, "a b c d e f g h i j k l"),
+      (200L, "p q r s t u v w x y z aa")).toDF("doc_id", "text")
+    val index = StreamOps.nearDupIndex(corpus, "doc_id", "text").cache()
+    val newDocs = Seq(
+      (1L, "a b c d e f g h i j k l"),             // exact dup of 100
+      (2L, "a b c d e f g h i j k m"),             // near-dup of 100
+      (3L, "entirely novel words only here today ok")) // no match
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF.toDF("doc_id", "text")
+    val verified = StreamOps.streamingNearDupVerified(
+      stream, index, "doc_id", "text", threshold = 0.5)
+    val q = verified.writeStream.format("memory").queryName("near_dup_verified")
+      .outputMode("append").start()
+    try {
+      in.addData(newDocs: _*)
+      q.processAllAvailable()
+      val got = spark.table("near_dup_verified")
+        .select("doc_id", "corpus_id", "jaccard").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the batch incremental op on the same split is the reference
+      val batch = TextDedup.dedupAgainstIndex(
+          newDocs.toDF("doc_id", "text"), corpus, "doc_id", "text",
+          threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch keeps only the best match per doc; with one index match
+      // apiece the sets must agree exactly
+      assert(got === batch, s"stream $got vs batch $batch")
+      assert(got.map(_._1) === Set(1L, 2L))
+      assert(got.find(_._1 == 1L).get._3 === 1.0)  // exact dup verifies at 1.0
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("windowed distinct counts approximate per-window cardinality") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
