@@ -588,6 +588,26 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.TextQuality.tokenBudgetMix(df, groupCol, idx,
       tokensCol, budget))
 
+  /** Per-group corpus diagnostics: docs, tokens, vocabulary, hapax
+    * fraction, top-word share — one word explode + word-keyed counts. */
+  def corpusStats(groupCol: String, textCol: String): Frame = {
+    val wc = df.select(col(groupCol), F.explode(split(col(textCol), " ")).as("__w"))
+      .groupBy(groupCol, "__w").agg(F.count(lit(1)).as("__c"))
+    val win = Window.partitionBy(groupCol).orderBy(col("__c").desc, col("__w"))
+    val top = wc.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col("__w").as("top_word"), col("__c").as("__topc"))
+    val per = wc.groupBy(groupCol).agg(
+      F.count(lit(1)).as("vocab"), sum("__c").as("n_tokens"),
+      sum(when(col("__c") === 1, 1).otherwise(0)).as("__hapax"))
+    val nd = df.groupBy(groupCol).agg(F.count(lit(1)).as("n_docs"))
+    Frame(per.join(top, groupCol).join(nd, groupCol)
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("vocab"),
+        (col("__hapax").cast("double") / col("vocab").cast("double")).as("hapax_frac"),
+        col("top_word"),
+        (col("__topc").cast("double") / col("n_tokens").cast("double")).as("top_word_frac")))
+  }
+
   /** Temperature-based source mixing: per-`groupCol` quotas from the
     * cnt^alpha rule, deterministic content-hash selection
     * (operators.TextQuality.temperatureMix). */

@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   * The pixel decode is REAL: `decodeBmpGray` parses an uncompressed
   * 24-bit BMP (BITMAPFILEHEADER data offset, BITMAPINFOHEADER geometry,
   * bottom-up or top-down row order, 4-byte row padding, BGR channel
-  * order) and `decodePngGray` parses a non-interlaced 8-bit PNG (chunk
+  * order), `decodePngGray` parses a non-interlaced 8-bit PNG (chunk
   * walk → zlib inflate → None/Sub/Up/Average/Paeth defilter, color
-  * types 0/2/3/4/6), both into a top-based grayscale grid behind the
+  * types 0/2/3/4/6), and `decodeGifGray` parses the first frame of a
+  * GIF87a/89a (color tables, extension skip, variable-width LZW,
+  * interlace reorder) — all into a top-based grayscale grid behind the
   * `decodeGray` dispatch. Header-only metadata for other containers
   * lives in [[Multimodal.decodeImageHeader]].
   *
@@ -201,9 +203,185 @@ object ImageDedup {
     Some(GrayImage(w, h, gray))
   }
 
-  /** Container dispatch: BMP or PNG → top-based grayscale grid. */
+  /** Parse the FIRST frame of a GIF87a/GIF89a into a top-based
+    * grayscale grid: logical-screen + color tables, extension-block
+    * skip, LZW decompress of the image data sub-blocks, optional
+    * interlace reorder, palette → BT.601 luma. Returns None for corrupt
+    * or truncated payloads — corrupt items are data, not errors. */
+  def decodeGifGray(b: Array[Byte]): Option[GrayImage] = {
+    if (b == null || b.length < 13) return None
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return None
+    val packed = u8(b, 10)
+    var i = 13
+    var globalPal: Array[Int] = null // luma per palette index
+    def readPalette(from: Int, size: Int): Option[Array[Int]] = {
+      if (from + size * 3 > b.length) return None
+      Some(Array.tabulate(size) { p =>
+        val o = from + p * 3
+        (299 * u8(b, o) + 587 * u8(b, o + 1) + 114 * u8(b, o + 2)) / 1000
+      })
+    }
+    if ((packed & 0x80) != 0) {
+      val size = 2 << (packed & 7)
+      globalPal = readPalette(i, size).getOrElse(return None)
+      i += size * 3
+    }
+    // walk blocks to the first image descriptor
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x21 => // extension: label + length-prefixed sub-blocks
+          i += 2
+          while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+          i += 1 // block terminator
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val w = le16(b, i + 5); val h = le16(b, i + 7)
+          val ip = u8(b, i + 9)
+          if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+          val interlaced = (ip & 0x40) != 0
+          i += 10
+          val pal =
+            if ((ip & 0x80) != 0) {
+              val size = 2 << (ip & 7)
+              val p = readPalette(i, size).getOrElse(return None)
+              i += size * 3
+              p
+            } else globalPal
+          if (pal == null) return None
+          if (i >= b.length) return None
+          val minCode = u8(b, i); i += 1
+          if (minCode < 2 || minCode > 11) return None
+          // concatenate the length-prefixed data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var ok = true
+          while (ok && i < b.length && u8(b, i) != 0) {
+            val len = u8(b, i)
+            if (i + 1 + len > b.length) ok = false
+            else { data.write(b, i + 1, len); i += 1 + len }
+          }
+          if (!ok) return None
+          val indices = lzwDecode(data.toByteArray, minCode, w * h)
+            .getOrElse(return None)
+          val gray = new Array[Int](w * h)
+          // interlace passes: rows 0,8,16.. then 4,12.. then 2,6.. then odd
+          val rowOrder: Seq[Int] =
+            if (!interlaced) 0 until h
+            else (0 until h by 8) ++ (4 until h by 8) ++
+              (2 until h by 4) ++ (1 until h by 2)
+          var src = 0
+          rowOrder.foreach { y =>
+            var x = 0
+            while (x < w) {
+              val idx = indices(src); src += 1
+              if (idx >= pal.length) return None
+              gray(y * w + x) = pal(idx)
+              x += 1
+            }
+          }
+          return Some(GrayImage(w, h, gray))
+        case 0x3b => return None // trailer before any image
+        case _    => return None // desynced
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW decode of `data` to exactly `expected` pixel
+    * indices. Variable code width from `minCode`+1 up to 12 bits, clear
+    * and end-of-information codes per spec; returns None on any corrupt
+    * stream (bad first code, premature end, code beyond table). */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+      expected: Int): Option[Array[Int]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    // dictionary as (prefix pointer, appended index) pairs
+    val maxEntries = 4096
+    val prefix = new Array[Int](maxEntries)
+    val append = new Array[Int](maxEntries)
+    var next = eoi + 1
+    var width = minCode + 1
+    val out = new Array[Int](expected)
+    var outN = 0
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def read(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0; var k = 0
+      while (k < width) {
+        val bp = bitPos + k
+        if ((data(bp >> 3) >> (bp & 7) & 1) != 0) v |= 1 << k
+        k += 1
+      }
+      bitPos += width
+      v
+    }
+    def emit(code: Int): Boolean = {
+      // walk the chain into a small stack, then unwind
+      var stack = List.empty[Int]
+      var c = code
+      var guard = 0
+      while (c >= clear) { // dictionary entry
+        if (guard > maxEntries) return false
+        stack = append(c) :: stack
+        c = prefix(c)
+        guard += 1
+      }
+      stack = c :: stack
+      stack.foreach { v =>
+        if (outN < expected) { out(outN) = v; outN += 1 }
+      }
+      true
+    }
+    def firstOf(code: Int): Int = {
+      var c = code
+      var guard = 0
+      while (c >= clear) {
+        if (guard > maxEntries) return -1
+        c = prefix(c); guard += 1
+      }
+      c
+    }
+    var prev = -1
+    var done = false
+    while (!done && outN < expected) {
+      val code = read()
+      if (code < 0) return None // truncated stream
+      if (code == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        if (code > next || (code == next && next >= maxEntries)) return None
+        val cur = if (code == next) {
+          // KwKwK case: new entry = prev + first(prev)
+          val f = firstOf(prev); if (f < 0) return None
+          if (next < maxEntries) { prefix(next) = prev; append(next) = f; next += 1 }
+          code
+        } else {
+          if (next < maxEntries) {
+            val f = firstOf(code); if (f < 0) return None
+            prefix(next) = prev; append(next) = f; next += 1
+          }
+          code
+        }
+        if (!emit(cur)) return None
+        if (next == (1 << width) && width < 12) width += 1
+        prev = cur
+      }
+    }
+    if (outN < expected) None else Some(out)
+  }
+
+  /** Container dispatch: BMP, PNG or GIF → top-based grayscale grid. */
   def decodeGray(b: Array[Byte]): Option[GrayImage] =
-    if (b != null && b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmpGray(b)
+    if (b == null || b.length < 2) None
+    else if (b(0) == 'B' && b(1) == 'M') decodeBmpGray(b)
+    else if (b(0) == 'G' && b(1) == 'I') decodeGifGray(b)
     else decodePngGray(b)
 
   /** Integer box-mean resample of a grayscale grid to `ow`x`oh`: output

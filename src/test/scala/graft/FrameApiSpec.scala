@@ -732,4 +732,17 @@ class FrameApiSpec extends SparkSpec {
     assert(collectPairs(Frame(wavs, Some("doc_id"))
       .audioNearDuplicates("payload").toDF) === wantA)
   }
+
+  test("corpusStats facade matches the registered query") {
+    val want = SparkEntry.queries("q_corpus_stats")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val got = Frame(Tables.documents(spark, sfDir))
+      .corpusStats("source", "text").toDF
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+        round(col("hapax_frac"), 9).as("hapax_frac"),
+        col("top_word"), round(col("top_word_frac"), 9).as("top_word_frac"))
+      .orderBy("source")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
 }

@@ -81,6 +81,58 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("decodeGifGray matches the JDK GIF encoder pixel for pixel") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 4) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(30)
+      // few distinct colors: the JDK GIF writer's palette then encodes
+      // them losslessly, so the ORIGINAL image is the reference. (Not
+      // the writer's own readback: GIFImageReader misreads interlaced
+      // images of height < 3 — its pass-progression replays rows into
+      // the wrong slots — while this decoder reproduces the original
+      // exactly; verified against the raw LZW stream.)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val colors = Array.fill(8)((rnd.nextInt(256) << 16) | (rnd.nextInt(256) << 8) | rnd.nextInt(256))
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, colors(rnd.nextInt(colors.length)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "gif", out), "no gif writer")
+      val decoded = ImageDedup.decodeGifGray(out.toByteArray)
+      assert(decoded.isDefined, s"failed to decode ${w}x$h JDK gif (trial $trial)")
+      val GrayImage(dw, dh, gray) = decoded.get
+      assert((dw, dh) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        assert(gray(y * w + x) === (299 * r + 587 * g + 114 * b) / 1000,
+          s"pixel ($x,$y) of ${w}x$h gif")
+      }
+    }
+  }
+
+  test("every GIF truncation length decodes to None or a valid image — never throws") {
+    val img = new java.awt.image.BufferedImage(19, 13,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(29)
+    for (y <- 0 until 13; x <- 0 until 19)
+      img.setRGB(x, y, if (rnd.nextBoolean()) 0xffffff else 0x336699)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    val full = out.toByteArray
+    for (len <- 0 until full.length) {
+      val t = java.util.Arrays.copyOf(full, len)
+      ImageDedup.decodeGifGray(t) // must not throw
+    }
+    for (trial <- 0 until 80) {
+      val mut = full.clone()
+      val i = 6 + rnd.nextInt(full.length - 6)
+      mut(i) = (mut(i) ^ (1 << rnd.nextInt(8))).toByte
+      ImageDedup.decodeGifGray(mut)
+    }
+  }
+
   test("same pixels through BMP and PNG containers give the same dHash") {
     val w = 33; val h = 21
     val bmp = ImageDedup.bmpFixture(w, h, pix(3))
