@@ -53,6 +53,13 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
   }
 
+  test("sq8TopK on an empty corpus returns no rows") {
+    val corpus = corpusDf(Seq.empty)
+    val queries = corpusDf(Seq((0L, vec(0)))).select(
+      col("vec_id").as("query_id"), col("embedding").as("qv"))
+    assert(Similarity.sq8TopK(queries, corpus, dim, k = 3).count() === 0)
+  }
+
   test("sq8TopK scores are permutation-stable under corpus repartition") {
     val corpus = corpusDf((0L until 30L).map(i => (i, vec(i.toInt))))
     val queries = corpus.filter(col("vec_id") === 3)

@@ -247,6 +247,17 @@ class TextDedupEdgeSpec extends SparkSpec {
     assert(out(3).getString(3) === "real content words here")
   }
 
+  test("purgeFrequentSpans and dedupAgainstIndex handle empty inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "some words here now")).toDF("doc_id", "text")
+    assert(TextDedup.purgeFrequentSpans(empty, "doc_id", "text", 10, 3).count() === 0)
+    // empty index: nothing can match, but the op must not fail
+    assert(TextDedup.dedupAgainstIndex(docs, empty, "doc_id", "text").count() === 0)
+    // empty batch against a real index
+    assert(TextDedup.dedupAgainstIndex(empty, docs, "doc_id", "text").count() === 0)
+  }
+
   test("purgeFrequentSpans below threshold is an identity rebuild") {
     import spark.implicits._
     val docs = Seq(

@@ -99,6 +99,23 @@ class TextQualityPropSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMix: single source and alpha=1 degenerate to plain sampling") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, "only", s"text $i")).toDF("doc_id", "source", "text")
+    // one source: quota = floor(T * w / w) = T regardless of alpha
+    val out = TextQuality.temperatureMix(docs, "source", "doc_id", "text",
+      alpha = 0.5, targetFrac = 0.3)
+    assert(out.filter(col("keep")).count() === 15)
+    // alpha = 1 (the pow path): quotas proportional to counts
+    val two = ((0L until 40L).map(i => (i, "a", s"t $i")) ++
+      (40L until 60L).map(i => (i, "b", s"t $i"))).toDF("doc_id", "source", "text")
+    val kept = TextQuality.temperatureMix(two, "source", "doc_id", "text",
+        alpha = 1.0, targetFrac = 0.5)
+      .filter(col("keep")).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") === 20L && kept("b") === 10L)
+  }
+
   test("fixMojibake round-trips corrupted text back to the original") {
     import spark.implicits._
     val rnd = new Random(17)
