@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   * bottom-up or top-down row order, 4-byte row padding, BGR channel
   * order), `decodePngGray` parses a non-interlaced 8-bit PNG (chunk
   * walk → zlib inflate → None/Sub/Up/Average/Paeth defilter, color
-  * types 0/2/3/4/6), and `decodeGifGray` parses the first frame of a
+  * types 0/2/3/4/6), `decodeGifGray` parses the first frame of a
   * GIF87a/89a (color tables, extension skip, variable-width LZW,
-  * interlace reorder) — all into a top-based grayscale grid behind the
-  * `decodeGray` dispatch. Header-only metadata for other containers
-  * lives in [[Multimodal.decodeImageHeader]].
+  * interlace reorder), and [[JpegDecode]] handles baseline JPEG
+  * (Huffman entropy decode, dequant, IDCT, luma plane) — all into a
+  * top-based grayscale grid behind the `decodeGray` dispatch.
+  * Header-only metadata for other containers lives in
+  * [[Multimodal.decodeImageHeader]].
   *
   * dHash (public-knowledge perceptual hash): box-resample the grayscale
   * to a 9x8 grid, then one bit per horizontally adjacent pair —
@@ -377,11 +379,13 @@ object ImageDedup {
     if (outN < expected) None else Some(out)
   }
 
-  /** Container dispatch: BMP, PNG or GIF → top-based grayscale grid. */
+  /** Container dispatch: BMP, PNG, GIF or baseline JPEG → top-based
+    * grayscale grid. */
   def decodeGray(b: Array[Byte]): Option[GrayImage] =
     if (b == null || b.length < 2) None
     else if (b(0) == 'B' && b(1) == 'M') decodeBmpGray(b)
     else if (b(0) == 'G' && b(1) == 'I') decodeGifGray(b)
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) JpegDecode.decodeGray(b)
     else decodePngGray(b)
 
   /** Integer box-mean resample of a grayscale grid to `ow`x`oh`: output

@@ -133,6 +133,88 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("JPEG decode tracks the JDK decoder within the spec's IDCT tolerance") {
+    // JPEG is lossy and T.81 bounds IDCT accuracy rather than requiring
+    // bit-exactness, so the gate is tolerance + perceptual agreement,
+    // not equality: mean |Δ| ≤ 1.5 gray levels, dHash within hamming 6.
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val w = 24 + rnd.nextInt(40)
+      val h = 24 + rnd.nextInt(40)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // smooth gradient + structure: JPEG-friendly content
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (x * 255 / w); val g = (y * 255 / h)
+        val b = ((x + y) % 2) * 40 + 100
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out), "no jpeg writer")
+      val bytes = out.toByteArray
+      val decoded = graft.operators.JpegDecode.decodeGray(bytes)
+      assert(decoded.isDefined, s"failed to decode ${w}x$h JDK jpeg (trial $trial)")
+      val GrayImage(dw, dh, gray) = decoded.get
+      assert((dw, dh) === ((w, h)))
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var sumAbs = 0L
+      val refGray = new Array[Int](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = back.getRGB(x, y)
+        val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        refGray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        sumAbs += math.abs(gray(y * w + x) - refGray(y * w + x))
+      }
+      val meanAbs = sumAbs.toDouble / (w * h)
+      // our luma is the Y plane; the JDK's is BT.601 of its RGB
+      // round-trip — small systematic differences are expected
+      assert(meanAbs <= 3.0, s"mean abs diff $meanAbs on ${w}x$h (trial $trial)")
+      val dMine = ImageDedup.dHash64(decoded.get)
+      val dRef = ImageDedup.dHash64(GrayImage(w, h, refGray))
+      assert(java.lang.Long.bitCount(dMine ^ dRef) <= 6,
+        s"dHash drifted: ${java.lang.Long.bitCount(dMine ^ dRef)} bits (trial $trial)")
+    }
+  }
+
+  test("grayscale JPEG (single component) decodes and matches the JDK raster") {
+    val img = new java.awt.image.BufferedImage(33, 21,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(37)
+    for (y <- 0 until 21; x <- 0 until 33)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 5 + rnd.nextInt(8)) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val bytes = out.toByteArray
+    val decoded = graft.operators.JpegDecode.decodeGray(bytes)
+    assert(decoded.isDefined)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sumAbs = 0L
+    for (y <- 0 until 21; x <- 0 until 33)
+      sumAbs += math.abs(decoded.get.gray(y * 33 + x) - back.getRaster.getSample(x, y, 0))
+    assert(sumAbs.toDouble / (33 * 21) <= 1.5,
+      s"mean abs diff ${sumAbs.toDouble / (33 * 21)}")
+  }
+
+  test("every JPEG truncation length decodes to None or a valid image — never throws") {
+    val img = new java.awt.image.BufferedImage(17, 14,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(41)
+    for (y <- 0 until 14; x <- 0 until 17) img.setRGB(x, y, rnd.nextInt() | 0xff000000)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val full = out.toByteArray
+    for (len <- 0 until full.length) {
+      val t = java.util.Arrays.copyOf(full, len)
+      graft.operators.JpegDecode.decodeGray(t) // must not throw
+    }
+    for (trial <- 0 until 60) {
+      val mut = full.clone()
+      val i = 2 + rnd.nextInt(full.length - 2)
+      mut(i) = (mut(i) ^ (1 << rnd.nextInt(8))).toByte
+      graft.operators.JpegDecode.decodeGray(mut)
+    }
+  }
+
   test("same pixels through BMP and PNG containers give the same dHash") {
     val w = 33; val h = 21
     val bmp = ImageDedup.bmpFixture(w, h, pix(3))
