@@ -141,4 +141,88 @@ object Quantiles {
   /** Convenience: exact median. */
   def exactMedian(df: DataFrame, valueCol: String): Double =
     exactQuantiles(df, valueCol, Seq(0.5)).head
+
+  /** Exact PER-GROUP quantiles with the same bounded-memory offset
+    * machinery, tag = group value: range-partition on (group, value) so
+    * each group's rows are contiguous in value order, count per
+    * (partition, group), locate each group's order statistics, probe
+    * with a partition-local window, interpolate on the driver.
+    *
+    * Regime note (the honest trade): driver traffic is
+    * O(partitions × groups + groups × fractions), so this is the
+    * at-scale EXACT path when groups are FEW and huge — the case where
+    * Spark's `percentile`/`median` counts-map buffer (memory ∝ distinct
+    * values in the largest group) dies. For MANY small groups the
+    * buffered aggregate is the right plan (each buffer is bounded by
+    * its group), and for many LARGE groups the mergeable t-digest
+    * (q_tdigest_quantile) is the approximate answer. Same
+    * interpolation formula as `percentile`/DuckDB `quantile_cont` —
+    * results are bit-identical.
+    *
+    * Returns (groupCol, q_<frac>... ) one row per group, group order
+    * unspecified.
+    */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      fractions: Seq[Double]): DataFrame = Tuning.forSize(df) {
+    require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1]: $fractions")
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val tagged = df
+      .select(col(groupCol).cast("string").as("__t"), col(valueCol).cast("double").as("__v"))
+      .na.drop("any", Seq("__t", "__v"))
+      .repartitionByRange(parts, col("__t"), col("__v"))
+      .localCheckpoint(false)
+    try {
+      val counts = tagged
+        .groupBy(spark_partition_id().as("__pid"), col("__t"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getString(1), r.getInt(0), r.getLong(2)))
+      val byTag = counts.groupBy(_._1)
+      case class Probe(tag: String, g: Long, pid: Int, rank: Long)
+      val targetsByTag = byTag.toSeq.map { case (tag, tagCounts0) =>
+        val tagCounts = tagCounts0.map(c => c._2 -> c._3).sortBy(_._1)
+        val n = tagCounts.map(_._2).sum
+        val spans = tagCounts.scanLeft((0, 0L, 0L)) { case ((_, off, c), (pid, cnt)) =>
+          (pid, off + c, cnt)
+        }.drop(1)
+        val targets = fractions.map { p =>
+          val pos = p * (n - 1)
+          (p, math.floor(pos).toLong, math.ceil(pos).toLong, pos - math.floor(pos))
+        }
+        val probes = targets.flatMap(t => Seq(t._2, t._3)).distinct.map { g =>
+          val (pid, off, _) = spans.find { case (_, off, c) => off <= g && g < off + c }.get
+          Probe(tag, g, pid, g - off + 1)
+        }
+        (tag, targets, probes)
+      }
+      val located = targetsByTag.flatMap(_._3)
+      val neededPids = located.map(_.pid).distinct
+      val lookupDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          located.map(p => Row(p.tag, p.g, p.pid, p.rank)), 1),
+        StructType(Seq(StructField("__t", org.apache.spark.sql.types.StringType),
+          StructField("__g", LongType),
+          StructField("__pid", IntegerType), StructField("__rank", LongType))))
+      val w = Window.partitionBy("__pid", "__t").orderBy("__v")
+      val picked = tagged.withColumn("__pid", spark_partition_id())
+        .filter(col("__pid").isin(neededPids: _*))
+        .withColumn("__rank", row_number().over(w).cast("long"))
+        .join(broadcast(lookupDf), Seq("__t", "__pid", "__rank"))
+        .select("__t", "__g", "__v")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val out = targetsByTag.map { case (tag, targets, _) =>
+        Row.fromSeq(tag +: targets.map { case (_, lo, hi, wgt) =>
+          val a = picked((tag, lo)); val b = picked((tag, hi))
+          if (lo == hi) a else a + (b - a) * wgt
+        })
+      }
+      val schema = StructType(
+        StructField(groupCol, org.apache.spark.sql.types.StringType) +:
+          fractions.map(f => StructField(
+            s"q_${f.toString.replace('.', '_')}",
+            org.apache.spark.sql.types.DoubleType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+    } finally tagged.unpersist(blocking = false)
+  }
 }

@@ -82,6 +82,34 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("groupedExactQuantiles matches the built-in grouped percentile bit for bit") {
+    import spark.implicits._
+    val ords = Tables.orders(spark, sfDir)
+    val got = Quantiles.groupedExactQuantiles(
+        ords, "o_orderstatus", "o_totalprice", Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val want = ords.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.25)").as("a"),
+        expr("percentile(o_totalprice, 0.5)").as("b"),
+        expr("percentile(o_totalprice, 0.9)").as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    got.keySet.foreach { k =>
+      val (g1, g2, g3) = got(k); val (w1, w2, w3) = want(k)
+      assert(math.abs(g1 - w1) <= math.ulp(w1) * 4, s"$k p25")
+      assert(math.abs(g2 - w2) <= math.ulp(w2) * 4, s"$k p50")
+      assert(math.abs(g3 - w3) <= math.ulp(w3) * 4, s"$k p90")
+    }
+    // single giant group degenerates to the global op
+    val one = Quantiles.groupedExactQuantiles(
+      ords.withColumn("g", lit("all")), "g", "o_totalprice", Seq(0.5))
+    assert(one.count() === 1)
+    assert(math.abs(one.head().getDouble(1) -
+      Quantiles.exactMedian(ords, "o_totalprice")) < 1e-9)
+  }
+
   test("quantile plans contain no unbounded percentile aggregate") {
     // The four rewired queries must never plan Spark's exact
     // percentile/median over a whole column (a TypedImperativeAggregate
