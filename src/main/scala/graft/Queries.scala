@@ -1401,4 +1401,5 @@ object Queries {
   IoQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
   UdxQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
   ExtraQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
+  SelectQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
 }

@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dsir, Packing, QualityModel, Retrieval, Similarity}
+
+/** Data-selection and retrieval coverage: BM25 lexical retrieval,
+  * DSIR importance resampling, a trained hashed-feature quality
+  * classifier, product-quantized ANN, and training-shard manifests.
+  *
+  * All engine extensions beyond the reference's operator list (public
+  * methods: Okapi BM25; Xie et al. 2023 DSIR; Brown et al. 2020 §A.2
+  * quality classifier; Jégou et al. 2011 product quantization). Every
+  * query has a DuckDB oracle replaying the identical md5-derived
+  * hashing and double arithmetic.
+  */
+object SelectQueries {
+
+  def registerAll(reg: (String, Option[String], (SparkSession, String) => DataFrame) => Unit): Unit = {
+
+    def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Unit =
+      reg(name, Some(oracle), fn)
+
+    // ---- BM25 lexical retrieval ---------------------------------------
+
+    // Queries = the distinct first-6-word terms of docs 0..3; Okapi BM25
+    // (k1=1.2, b=0.75), top-5 per query. Inverted-index shape: the token
+    // stream is semi-joined against the broadcast query-term set before
+    // any shuffle.
+    q("q_bm25_topk",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (SELECT DISTINCT doc_id AS query_id, unnest(ws[1:6]) AS term
+        |      FROM d WHERE doc_id < 4),
+        |toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM d),
+        |matched AS (SELECT * FROM toks
+        |            WHERE term IN (SELECT DISTINCT term FROM q)),
+        |tf AS (SELECT doc_id, CAST(dl AS DOUBLE) AS dl, term, count(*) AS tf
+        |       FROM matched GROUP BY 1, 2, 3),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |            avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM d),
+        |contrib AS (SELECT query_id, doc_id,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        |  FROM tf JOIN dfx USING (term) JOIN q USING (term), stats),
+        |sc AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY score DESC, doc_id) AS rn
+        |      FROM sc)
+        |SELECT query_id, doc_id, round(score, 6) AS score FROM r WHERE rn <= 5
+        |ORDER BY query_id, score DESC, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(col("doc_id") < 4)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(split(col("text"), " "), 1, 6)).as("term"))
+      Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 5)
+        .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+    }
+
+    // ---- DSIR importance resampling -----------------------------------
+
+    // Target distribution = English docs; raw pool = the rest. Hashed
+    // unigram+bigram buckets (B=4096), add-1-smoothed log ratio, Gumbel
+    // top-20 with md5-derived noise — deterministic end to end.
+    q("q_dsir_select",
+      """WITH base AS (SELECT doc_id, lang = 'en' AS is_t,
+        |                string_split(text, ' ') AS ws FROM documents),
+        |feats AS (SELECT doc_id, is_t, unnest(list_concat(ws,
+        |            list_transform(generate_series(1, len(ws) - 1),
+        |                           i -> ws[i] || ' ' || ws[i+1]))) AS f
+        |          FROM base),
+        |per_doc AS (SELECT doc_id, is_t,
+        |              CAST('0x' || substr(md5(f), 1, 7) AS BIGINT) % 4096 AS b,
+        |              count(*) AS n
+        |            FROM feats GROUP BY 1, 2, 3),
+        |bt AS (SELECT b, sum(CASE WHEN is_t THEN n ELSE 0 END) AS ct,
+        |         sum(CASE WHEN is_t THEN 0 ELSE n END) AS cr
+        |       FROM per_doc GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bt),
+        |lam AS (SELECT b, ln(ct + 1.0) - ln(nt + 4096.0)
+        |               - ln(cr + 1.0) + ln(nr + 4096.0) AS lam FROM bt, tot),
+        |w AS (SELECT doc_id, sum(n * lam) AS weight FROM per_doc JOIN lam USING (b)
+        |      WHERE NOT is_t GROUP BY 1),
+        |keyed AS (SELECT doc_id, weight, weight - ln(-ln(
+        |            (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+        |             + 0.5) / 268435456.0)) AS sel_key
+        |          FROM w),
+        |-- select on the RAW key (as the engine does), round for output only
+        |top AS (SELECT * FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 20)
+        |SELECT doc_id, round(weight, 6) AS weight, round(sel_key, 6) AS sel_key
+        |FROM top ORDER BY sel_key DESC, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val w = Dsir.importanceWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 4096)
+      Dsir.gumbelTopK(w, "doc_id", "weight", k = 20)
+        .select(col("doc_id"), round(col("weight"), 6).as("weight"),
+          round(col("sel_key"), 6).as("sel_key"))
+        .orderBy(col("sel_key").desc, col("doc_id"))
+    }
+
+    // ---- trained quality classifier -----------------------------------
+
+    // Logistic regression over hashed bag-of-words (B=512), 2 full-batch
+    // GD iterations (lr=1) + final scoring, label = English. The oracle
+    // replays the training loop unrolled: w0=0 makes iteration 1's
+    // sigmoid exactly 0.5; scores and weights are quantized to 9
+    // decimals each iteration on both sides so float noise cannot
+    // compound.
+    q("q_quality_classifier",
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM d),
+        |feats AS (SELECT doc_id,
+        |            CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 512 AS b,
+        |            count(*) / CAST(min(dl) AS DOUBLE) AS x
+        |          FROM toks GROUP BY doc_id, b),
+        |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM d),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        |-- iteration 1: sigma(0) = 0.5 exactly
+        |w1 AS (SELECT b, round(-sum((0.5 - y) * x) / n, 9) AS w
+        |       FROM feats JOIN lab USING (doc_id), n GROUP BY b, n),
+        |b1 AS (SELECT round(-sum(0.5 - y) / n, 9) AS bias FROM lab, n GROUP BY n),
+        |-- iteration 2
+        |s2 AS (SELECT doc_id, round(sum(x * w) + any_value(bias), 9) AS s
+        |       FROM feats JOIN w1 USING (b), b1 GROUP BY doc_id),
+        |d2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-s)) - y AS dd
+        |       FROM s2 JOIN lab USING (doc_id)),
+        |w2 AS (SELECT b, round(any_value(w) - sum(x * dd) / any_value(n), 9) AS w
+        |       FROM feats JOIN d2 USING (doc_id) JOIN w1 USING (b), n GROUP BY b),
+        |b2 AS (SELECT round(any_value(bias) - sum(dd) / any_value(n), 9) AS bias
+        |       FROM d2, b1, n),
+        |-- iteration 3
+        |s3 AS (SELECT doc_id, round(sum(x * w) + any_value(bias), 9) AS s
+        |       FROM feats JOIN w2 USING (b), b2 GROUP BY doc_id),
+        |p AS (SELECT doc_id, 1.0 / (1.0 + exp(-s)) AS p FROM s3)
+        |SELECT doc_id, round(p, 6) AS quality,
+        |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val feats = QualityModel.hashedFeatures(docs, "doc_id", "text", buckets = 512)
+      val labels = docs.select(col("doc_id"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      val model = QualityModel.trainLogReg(s, feats, labels,
+        buckets = 512, iters = 2, lr = 1.0)
+      QualityModel.classify(s, feats, model)
+        .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+          when(col("quality") >= 0.5, lit(1)).otherwise(lit(0)).as("pred"))
+        .orderBy("doc_id")
+    }
+
+    // ---- product-quantized retrieval ----------------------------------
+
+    // PQ with m=4 subspaces × 16 dims, ks=8 sampled codewords; queries
+    // = vec_id < 3, top-5 by asymmetric (reconstruction) cosine.
+    q("q_pq_topk",
+      """WITH samp AS (SELECT embedding,
+        |    row_number() OVER (ORDER BY
+        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT),
+        |      vec_id) AS rk
+        |  FROM embeddings),
+        |cb AS (SELECT list(embedding ORDER BY rk) AS cbs FROM samp WHERE rk <= 8),
+        |recon AS (SELECT vec_id, flatten(list_transform(generate_series(0, 3), j ->
+        |    cbs[list_position(
+        |      list_transform(cbs, cw -> list_reduce(
+        |        list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(generate_series(1, 16), i ->
+        |            (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE))
+        |            * (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE)))),
+        |        (acc, v) -> acc + v)),
+        |      list_min(list_transform(cbs, cw -> list_reduce(
+        |        list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(generate_series(1, 16), i ->
+        |            (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE))
+        |            * (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE)))),
+        |        (acc, v) -> acc + v))))
+        |    ][j*16+1 : j*16+16])) AS rv
+        |  FROM embeddings, cb),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |sc AS (SELECT query_id, vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i ->
+        |        rv[i] * CAST(qv[i] AS DOUBLE))), (acc, v) -> acc + v)
+        |    / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, 64), i -> rv[i] * rv[i])),
+        |        (acc, v) -> acc + v))
+        |    / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, 64), i ->
+        |          CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+        |        (acc, v) -> acc + v)) AS c
+        |  FROM recon, q WHERE vec_id != query_id),
+        |r AS (SELECT query_id, vec_id, c,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+        |      FROM sc)
+        |SELECT query_id, vec_id, round(c, 6) AS cosine_pq FROM r WHERE rn <= 5
+        |ORDER BY query_id, cosine_pq DESC, vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.pqTopK(queries, emb, dim = 64, m = 4, ks = 8, k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("c"), 6).as("cosine_pq"))
+        .orderBy(col("query_id"), col("cosine_pq").desc, col("vec_id"))
+    }
+
+    // ---- training-shard manifest --------------------------------------
+
+    // Whitespace token counts, 8192-token shards, offset-cut assignment.
+    // The oracle's global window cumsum is the semantics; the engine
+    // computes the same offsets with the two-pass partition-offset
+    // machinery (no single-partition window).
+    q("q_shard_manifest",
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM t)
+        |SELECT CAST(off // 8192 AS BIGINT) AS shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc
+        |FROM o GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      Packing.shardManifest(docs, "doc_id", "n_tokens", shardTokens = 8192L)
+        .orderBy("shard_id")
+    }
+  }
+}

@@ -60,4 +60,27 @@ object Packing {
       .withColumn("bin", floor(col("tok_offset") / capacity))
       .select(col(idCol), col("__tok").as("n_tokens"), col("tok_offset"), col("bin"))
   }
+
+  /** Training-shard manifest: documents in id order are cut into
+    * fixed-token-budget shards (a doc belongs to the shard its first
+    * token lands in — the same offset-cut policy as [[packSequences]],
+    * so shard assignment is reproducible under any partitioning), and
+    * the manifest row per shard records what a dataloader needs to
+    * address it: document count, token count, and the id range.
+    *
+    * Scale shape: one packSequences pass (two-pass offsets, no global
+    * window) + one shard-keyed aggregate over (shards) groups — output
+    * is O(total_tokens / shardTokens) rows. Pair it with a
+    * `partitionBy("shard_id")` parquet write for the physical layout.
+    */
+  def shardManifest(df: DataFrame, idCol: String, tokensCol: String,
+      shardTokens: Long): DataFrame = {
+    require(shardTokens > 0, s"shardTokens must be positive: $shardTokens")
+    packSequences(df, idCol, tokensCol, shardTokens)
+      .groupBy(col("bin").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        min(idCol).as("first_doc"),
+        max(idCol).as("last_doc"))
+  }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering: a logistic-regression classifier over
+  * hashed bag-of-words features, trained inside the engine by
+  * full-batch gradient descent and applied as a map-only scorer.
+  *
+  * This is the public GPT-3/fastText-shaped quality classifier (a
+  * linear model over hashed n-gram features; Brown et al. 2020 §A.2
+  * describe filtering CommonCrawl with exactly such a classifier) —
+  * an engine extension beyond the reference's operator list.
+  *
+  * Scale shape:
+  *  - the hashed feature matrix (doc, bucket, x = n_b/|d|) is built in
+  *    ONE corpus pass and pinned with a lazy localCheckpoint so the
+  *    per-iteration passes reuse the materialized columnar form (at a
+  *    real 100 TB run you would persist it to storage once — the
+  *    training loop's per-iteration cost is then two bounded shuffles);
+  *  - model state is O(B) (B = hash buckets, a constant like 512): the
+  *    weight vector lives on the driver and is BROADCAST-joined back
+  *    each iteration — the classic "parameters small, data huge"
+  *    distributed-GD layout; per iteration one doc-keyed aggregate
+  *    (scores) and one bucket-keyed aggregate (gradient, B rows out);
+  *  - inference is feature-build + one broadcast join + one doc-keyed
+  *    sum: no corpus-sized state anywhere.
+  *
+  * Determinism firewall: per-doc scores and updated weights are rounded
+  * to 9 decimals EVERY iteration, so an external engine replaying the
+  * same arithmetic (DuckDB in the oracle) cannot drift — float
+  * association noise (~1e-13) is quantized away before it can compound
+  * across iterations.
+  */
+object QualityModel {
+
+  private def fold(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Hashed normalized bag-of-words: (doc_id, b, x) with
+    * x = count(tokens in bucket b) / |d|. One corpus scan. */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).cast("double").as("__dl"),
+        explode(col("__ws")).as("__t"))
+      .select(col("doc_id"), col("__dl"), (fold(col("__t")) % buckets).as("b"))
+      .groupBy("doc_id", "__dl", "b")
+      .agg(count(lit(1)).as("__n"))
+      .select(col("doc_id"), col("b"), (col("__n") / col("__dl")).as("x"))
+
+  /** Trained model: sparse weights over hash buckets + bias. */
+  final case class Model(weights: Map[Long, Double], bias: Double, buckets: Int)
+
+  /** Full-batch gradient descent for logistic regression:
+    * w ← round(w − lr·∇, 9) per iteration, ∇_b = Σ_d (σ(s_d) − y_d)·x_db / N.
+    * `labels` is (doc_id, y ∈ {0,1}). Weights start at zero (so the
+    * first iteration's σ(0) = 0.5 exactly, replayable anywhere). */
+  def trainLogReg(spark: SparkSession, feats: DataFrame, labels: DataFrame,
+      buckets: Int, iters: Int = 3, lr: Double = 1.0): Model = {
+    val pinned = feats.localCheckpoint(false)
+    val lab = labels.select(col("doc_id"), col("y").cast("double").as("y"))
+      .localCheckpoint(false)
+    val n = lab.count().toDouble
+    var w = Map.empty[Long, Double]
+    var bias = 0.0
+    for (_ <- 0 until iters) {
+      // delta_d = sigma(score_d) - y_d; zero-weight first pass keeps the
+      // join shape identical (scores are all-bias).
+      val wDf =
+        if (w.isEmpty) spark.createDataFrame(Seq((0L, 0.0))).toDF("b", "w").limit(0)
+        else spark.createDataFrame(w.toSeq).toDF("b", "w")
+      val scores = pinned.join(broadcast(wDf), Seq("b"), "left")
+        .groupBy("doc_id")
+        .agg(round(sum(col("x") * coalesce(col("w"), lit(0.0))) + lit(bias), 9)
+          .as("s"))
+      val delta = scores.join(lab, Seq("doc_id"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("d"))
+      val grads = pinned.join(delta, Seq("doc_id"))
+        .groupBy("b").agg(sum(col("x") * col("d")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      val biasGrad = delta.agg(sum("d")).collect()(0).getDouble(0)
+      w = grads.map { case (b, g) =>
+        b -> BigDecimal(w.getOrElse(b, 0.0) - lr * g / n)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      bias = BigDecimal(bias - lr * biasGrad / n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Model(w, bias, buckets)
+  }
+
+  /** Map-only scoring: (doc_id, quality = sigma(w·x + bias)). */
+  def classify(spark: SparkSession, feats: DataFrame, model: Model): DataFrame = {
+    val wDf = spark.createDataFrame(model.weights.toSeq).toDF("b", "w")
+    feats.join(broadcast(wDf), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(round(sum(col("x") * coalesce(col("w"), lit(0.0))) + lit(model.bias), 9)
+        .as("s"))
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-col("s")))).as("quality"))
+  }
+}

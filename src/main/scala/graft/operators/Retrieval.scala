@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the document corpus: Okapi BM25 top-k.
+  *
+  * Engine extension beyond the reference's operator list (dask-expr has
+  * no retrieval surface); the ranking function is the public Okapi BM25
+  * formulation (Robertson & Spärck Jones; the `k1`/`b` parameterization
+  * used by Lucene/Elasticsearch):
+  *
+  *   score(q, d) = Σ_{t ∈ q} idf(t) · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·|d|/avgdl))
+  *   idf(t)      = ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+  *
+  * Scale shape (the inverted-index join, not a corpus×queries product):
+  *
+  *  1. the token stream is SEMI-JOINED against the broadcast set of
+  *     query terms before any aggregation, so every downstream shuffle
+  *     is proportional to the postings of the query terms, not the
+  *     corpus token stream;
+  *  2. document length is computed in the same projection as the token
+  *     explode and carried through the tf groupBy (functionally
+  *     dependent on the doc id — no second corpus-sized join);
+  *  3. per-term document frequency aggregates over the matched postings
+  *     only (every posting of a matched term survives the semi-join, so
+  *     the count is exact) and is broadcast back;
+  *  4. the final (query, doc) score aggregation shuffles on the pair
+  *     key; top-k per query is a rank window partitioned by query —
+  *     bounded groups, no single-partition funnel.
+  *
+  * Corpus statistics N and avgdl come from one-row aggregates joined by
+  * broadcast (never a driver collect of corpus data).
+  */
+object Retrieval {
+
+  /** BM25 top-k: returns (query_id, doc_id, score) with `score` the
+    * Okapi BM25 value, top `k` docs per query (ties broken by doc id).
+    *
+    * `queries` must be (query_id, term) — duplicate terms are ignored
+    * (standard BM25 drops query-side term frequency). A query doc with
+    * the same id as a corpus doc is not excluded here; filter upstream
+    * if self-matches are unwanted.
+    */
+  def bm25TopK(
+      docs: DataFrame,      // (id, text, ...)
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,   // (query_id, term)
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qTerms = queries.select(col("query_id"), col("term")).distinct()
+    val qTermSet = qTerms.select("term").distinct()
+
+    // Token stream with doc length carried from the same projection.
+    val toks = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).cast("double").as("dl"),
+        explode(col("__ws")).as("term"))
+
+    // Cut to the query-term postings before any shuffle.
+    val matched = toks.join(broadcast(qTermSet), Seq("term"))
+
+    // dl is functionally dependent on doc_id; grouping by it keeps the
+    // aggregate deterministic (no first()) at zero extra shuffle width.
+    val tf = matched.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = matched.groupBy("term")
+      .agg(count_distinct(col("doc_id")).as("df"))
+
+    // One-row corpus stats (N over ALL docs, avgdl over ALL docs).
+    val stats = docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("double").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("__dl").as("avgdl"))
+
+    val contrib = tf
+      .join(broadcast(df), Seq("term"))
+      .join(broadcast(qTerms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("__c"))
+
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum("__c").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "doc_id", "score")
+  }
+}

@@ -192,4 +192,103 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
+
+  // ---- product quantization (PQ) --------------------------------------
+
+  /** Deterministic PQ codebook: the `ks` corpus vectors with the
+    * smallest (md5-fold(vec_id), vec_id) rank, in rank order — a
+    * content-hash sample, so any engine reproduces the identical
+    * codebook (the k-means-trained variant plugs [[Clustering.kmeans]]
+    * per subspace; sampled codewords keep the oracle bit-replayable).
+    * One bounded TakeOrdered collect: O(ks·dim) driver bytes. */
+  def pqCodebook(corpus: DataFrame, ks: Int): Array[Seq[Double]] =
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        conv(substring(md5(col("vec_id").cast("string")), 1, 7), 16, 10)
+          .cast("long").as("__r"))
+      .orderBy(col("__r"), col("vec_id"))
+      .limit(ks)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble))
+
+  /** Squared L2 between `vec`'s subspace `j` and codeword `c` of the
+    * codebook literal: ordered fold over the `subDim` components, double
+    * arithmetic — replayable. */
+  private def subDist(vec: Column, cbL: Column, j: Int, c: Column,
+      subDim: Int): Column =
+    aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, i) => {
+      val d = element_at(vec, lit(j * subDim) + i).cast("double") -
+        element_at(element_at(cbL, c), lit(j * subDim) + i)
+      acc + d * d
+    })
+
+  /** PQ storage codes: codes[j] = 0-based index of the nearest codeword
+    * in subspace j (first-min tie-break) — the m-byte compressed form
+    * (dim·4 bytes → m bytes per vector). */
+  def pqCodes(vec: Column, codebook: Array[Seq[Double]], m: Int,
+      subDim: Int): Column = {
+    val cbL = typedLit(codebook.toSeq)
+    val ks = codebook.length
+    transform(sequence(lit(0), lit(m - 1)), j0 => {
+      // j is a column; build per-j dists by folding over codewords with
+      // a strict-< argmin (computes each distance once).
+      val dists = transform(sequence(lit(1), lit(ks)), c =>
+        aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, i) => {
+          val idx = j0 * subDim + i
+          val d = element_at(vec, idx).cast("double") -
+            element_at(element_at(cbL, c), idx)
+          acc + d * d
+        }))
+      array_position(dists, array_min(dists)).cast("int") - 1
+    })
+  }
+
+  /** Asymmetric PQ top-k: corpus vectors are replaced by their nearest-
+    * codeword reconstruction (per subspace), queries stay exact, cosine
+    * on the reconstruction — the PQ-ADC scoring rule on a sampled
+    * codebook.
+    *
+    * Scale shape (mirrors [[sq8TopK]]): codebook = one bounded collect;
+    * per-corpus-row encode+reconstruct is a single fused projection
+    * (routing codes through an attribute would inline the argmin into
+    * every element_at — the measured O(dim²) trap from SQ8); recon and
+    * its norm materialize ONCE per corpus row behind a projection
+    * boundary before the broadcast query join; top-k is a bounded
+    * rank window per query.
+    */
+  def pqTopK(
+      queries: DataFrame,   // (query_id, qv)
+      corpus: DataFrame,    // (vec_id, embedding, ...)
+      dim: Int,
+      m: Int,
+      ks: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val codebook = pqCodebook(corpus, ks)
+    val cbL = typedLit(codebook.toSeq)
+    // Fused encode+reconstruct: per subspace, argmin over codewords then
+    // slice that codeword — no intermediate codes attribute.
+    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), j0 => {
+      val dists = transform(sequence(lit(1), lit(ks)), c =>
+        aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, i) => {
+          val idx = j0 * subDim + i
+          val d = element_at(col("embedding"), idx).cast("double") -
+            element_at(element_at(cbL, c), idx)
+          acc + d * d
+        }))
+      val best = array_position(dists, array_min(dists)).cast("int")
+      slice(element_at(cbL, best), j0 * subDim + 1, lit(subDim))
+    }))
+    val encoded = corpus.select(col("vec_id"), recon.as("recon"))
+      .withColumn("nrm", norm(col("recon")))
+    val scored = encoded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("c", dot(col("recon"), col("qv")) / col("nrm") / norm(col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "c")
+  }
 }

@@ -245,4 +245,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(byStage.getOrElse("s4_budgeted", 0L) ==
       funnel("s3_decontaminated") - funnel("s4_budgeted"))
   }
+
+  test("BM25 cuts the token stream with a broadcast term join before any shuffle") {
+    val p = plan("q_bm25_topk")
+    // the query-term semi cut, the df table, and the query fan-out all
+    // ride broadcast hash joins — the only shuffles are the tf and
+    // (query, doc) aggregations
+    assert(p.contains("BroadcastHashJoin"), "query-term join is not broadcast")
+    // corpus stats (one row) join by broadcast, not a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "corpus stats are not a broadcast one-row join")
+  }
+
+  test("DSIR joins its bucket tables by broadcast") {
+    val p = plan("q_dsir_select")
+    // the lambda (log-ratio) table is B-sized and must broadcast back to
+    // the per-doc counts; totals are a broadcast one-row aggregate
+    assert(p.contains("BroadcastHashJoin"), "lambda table join is not broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "bucket totals are not a broadcast one-row join")
+    // selection is a bounded top-k, not a global sort materialization
+    assert(p.contains("TakeOrderedAndProject"),
+      "Gumbel top-k does not compile to TakeOrdered")
+  }
+
+  test("PQ retrieval reconstructs in one projection and broadcasts queries") {
+    val qe = SparkEntry.queries("q_pq_topk")(spark, sfDir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side is not broadcast")
+    // scoring runs the native array_dot on the reconstruction
+    assert(qe.analyzed.toString.contains("array_dot"))
+    // the fused encode+reconstruct must appear ONCE in the plan — codes
+    // routed through an attribute would inline the argmin per element
+    // (the measured O(dim^2) SQ8 trap)
+    val argminCount = "array_position".r.findAllIn(p).length
+    assert(argminCount <= 1, s"PQ argmin inlined $argminCount times")
+  }
+
+  test("shard manifest carries no unpartitioned window") {
+    val analyzed = SparkEntry.queries("q_shard_manifest")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    // global offsets come from the two-pass partition-offset machinery:
+    // every window in the plan is partitioned by the range-partition id
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(analyzed).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, "expected the partition-local running-sum window")
+    assert(specs.forall(_.contains("__pid")),
+      s"shard offsets ride an unpartitioned window: $specs")
+  }
+
+  test("quality classifier scoring joins weights by broadcast") {
+    val p = plan("q_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), "weight table join is not broadcast")
+  }
 }

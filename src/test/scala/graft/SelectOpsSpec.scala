@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Dsir, Packing, QualityModel, Retrieval, Similarity}
+
+/** Data-selection / retrieval operators: BM25 vs a local reference
+  * implementation, DSIR weight ordering, LR training differential vs a
+  * driver-side replay, PQ reconstruction identities, and shard-manifest
+  * invariants.
+  */
+class SelectOpsSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+
+  // ---- BM25 -----------------------------------------------------------
+
+  test("bm25TopK matches a local reference implementation") {
+    val corpus = Seq(
+      0L -> "apple banana cherry apple",
+      1L -> "banana banana date",
+      2L -> "cherry date elderberry fig grape",
+      3L -> "apple apple apple banana",
+      4L -> "fig grape")
+    val queries = Seq((10L, "apple"), (10L, "banana"), (11L, "fig"))
+    val out = Retrieval.bm25TopK(docsDf(corpus), "doc_id", "text",
+        spark.createDataFrame(queries).toDF("query_id", "term"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // local Okapi BM25 with the same k1/b
+    val (k1, b) = (1.2, 0.75)
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    def score(qts: Seq[String], d: Long): Double = qts.map { t =>
+      val tf = toks(d).count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else {
+        val df = toks.values.count(_.contains(t)).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * toks(d).size / avgdl))
+      }
+    }.sum
+    val expected = for {
+      (qid, qts) <- Seq(10L -> Seq("apple", "banana"), 11L -> Seq("fig"))
+      d <- corpus.map(_._1) if score(qts, d) > 0
+    } yield (qid, d) -> score(qts, d)
+    val expTop: Map[(Long, Long), Double] =
+      expected.groupBy(_._1._1).toSeq.flatMap { case (_, xs) =>
+        xs.sortBy { case ((_, d), s) => (-s, d) }.take(3)
+      }.toMap
+    assert(out.keySet === expTop.keySet)
+    expTop.foreach { case (k, s) => assert(math.abs(out(k) - s) < 1e-12, s"$k") }
+  }
+
+  test("bm25TopK with no matching terms returns no rows") {
+    val corpus = docsDf(Seq(0L -> "alpha beta", 1L -> "gamma"))
+    val queries = spark.createDataFrame(Seq((9L, "zzz"))).toDF("query_id", "term")
+    assert(Retrieval.bm25TopK(corpus, "doc_id", "text", queries, k = 5).count() === 0)
+  }
+
+  // ---- DSIR -----------------------------------------------------------
+
+  test("DSIR weights rank target-like raw docs above off-target docs") {
+    // target speaks {red green blue}; raw pool has one doc in the target
+    // vocabulary and one in a disjoint vocabulary
+    val docs = docsDf(Seq(
+      0L -> "red green blue red green",
+      1L -> "green blue red blue",
+      2L -> "red blue green red",
+      10L -> "red green blue green red",       // target-like raw doc
+      11L -> "xylophone quartz vortex jumble")) // off-target raw doc
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+        col("doc_id") < 10, buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet === Set(10L, 11L))
+    assert(w(10L) > w(11L), s"expected target-like > off-target: $w")
+  }
+
+  test("gumbelTopK is deterministic and returns k rows") {
+    val docs = docsDf((0L until 30L).map(i => i -> s"tok$i common word"))
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+      col("doc_id") < 5, buckets = 128)
+    val a = Dsir.gumbelTopK(w, "doc_id", "weight", 7).collect().map(_.getLong(0)).toSeq
+    val b = Dsir.gumbelTopK(w, "doc_id", "weight", 7).collect().map(_.getLong(0)).toSeq
+    assert(a.size === 7)
+    assert(a === b)
+  }
+
+  test("DSIR single-word docs produce no bigrams and still score") {
+    val docs = docsDf(Seq(0L -> "hello", 1L -> "hello", 2L -> "world"))
+    val w = Dsir.importanceWeights(docs, "doc_id", "text",
+      col("doc_id") === 0, buckets = 64)
+    assert(w.count() === 2)
+  }
+
+  // ---- quality classifier --------------------------------------------
+
+  test("trainLogReg matches a driver-side replay of the same arithmetic") {
+    val docs = docsDf(Seq(
+      0L -> "good fine great good",
+      1L -> "great good nice",
+      2L -> "bad awful bad poor",
+      3L -> "poor bad dismal",
+      4L -> "good bad fine poor"))
+    val feats = QualityModel.hashedFeatures(docs, "doc_id", "text", buckets = 64)
+    val labels = spark.createDataFrame(Seq(
+      (0L, 1.0), (1L, 1.0), (2L, 0.0), (3L, 0.0), (4L, 1.0))).toDF("doc_id", "y")
+    val model = QualityModel.trainLogReg(spark, feats, labels, buckets = 64,
+      iters = 2, lr = 1.0)
+
+    // replay on the driver from the collected feature matrix
+    val f = feats.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val y = Map(0L -> 1.0, 1L -> 1.0, 2L -> 0.0, 3L -> 0.0, 4L -> 1.0)
+    val n = y.size.toDouble
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Map.empty[Long, Double]; var bias = 0.0
+    for (_ <- 0 until 2) {
+      val s = f.groupBy(_._1).map { case (d, xs) =>
+        d -> r9(xs.map { case (_, b, x) => x * w.getOrElse(b, 0.0) }.sum + bias)
+      }
+      val delta = y.keys.map(d => d -> (1.0 / (1.0 + math.exp(-s(d))) - y(d))).toMap
+      val grad = f.groupBy(_._2).map { case (b, xs) =>
+        b -> xs.map { case (d, _, x) => x * delta(d) }.sum
+      }
+      w = grad.map { case (b, g) => b -> r9(w.getOrElse(b, 0.0) - g / n) }
+      bias = r9(bias - delta.values.sum / n)
+    }
+    assert(model.bias === bias)
+    assert(model.weights.keySet === w.keySet)
+    w.foreach { case (b, v) =>
+      assert(math.abs(model.weights(b) - v) < 1e-12, s"bucket $b") }
+  }
+
+  test("trained classifier separates linearly separable classes") {
+    val good = (0L until 10L).map(i => i -> "excellent wonderful clear precise prose")
+    val bad = (10L until 20L).map(i => i -> "spam garbage click buy now cheap")
+    val docs = docsDf(good ++ bad)
+    val feats = QualityModel.hashedFeatures(docs, "doc_id", "text", 128)
+    val labels = docs.select(col("doc_id"),
+      when(col("doc_id") < 10, lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val model = QualityModel.trainLogReg(spark, feats, labels, 128, iters = 5, lr = 2.0)
+    val scores = QualityModel.classify(spark, feats, model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val worstGood = (0L until 10L).map(scores).min
+    val bestBad = (10L until 20L).map(scores).max
+    assert(worstGood > bestBad,
+      s"classes not separated: min(good)=$worstGood max(bad)=$bestBad")
+  }
+
+  // ---- product quantization ------------------------------------------
+
+  private def embDf(rows: Seq[(Long, Seq[Float])]) = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v) }),
+      schema)
+  }
+
+  private def vec(seed: Int, dim: Int): Seq[Float] =
+    (0 until dim).map(d => (((seed * 31 + d) * 2654435761L % 1000) / 500.0f) - 1.0f)
+
+  test("pqCodes emits m codes in [0, ks)") {
+    val corpus = embDf((0L until 12L).map(i => i -> vec(i.toInt, 8)))
+    val cb = Similarity.pqCodebook(corpus, ks = 4)
+    val codes = corpus.select(
+        Similarity.pqCodes(col("embedding"), cb, m = 2, subDim = 4).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 4)))
+  }
+
+  test("pqTopK equals exact cosine when the corpus is its own codebook") {
+    // ks >= corpus size: every vector reconstructs to itself exactly
+    val corpus = embDf((0L until 6L).map(i => i -> vec(i.toInt, 8)))
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.cosineTopK(queries, corpus, k = 3)
+      .select("query_id", "vec_id", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.pqTopK(queries, corpus, dim = 8, m = 2, ks = 6, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pq.keySet === exact.keySet)
+    pq.foreach { case (k, c) => assert(math.abs(c - exact(k)) < 1e-12, s"$k") }
+  }
+
+  test("pqTopK finds cluster mates on well-separated clusters") {
+    // two tight clusters around orthogonal prototypes
+    val a = Seq.fill(8)(1.0f) ++ Seq.fill(8)(0.0f)
+    val b = Seq.fill(8)(0.0f) ++ Seq.fill(8)(1.0f)
+    def jitter(base: Seq[Float], seed: Int): Seq[Float] =
+      base.zipWithIndex.map { case (v, i) => v + ((seed * 7 + i) % 5) * 0.01f }
+    val rows = (0L until 10L).map(i => i -> jitter(if (i < 5) a else b, i.toInt))
+    val corpus = embDf(rows)
+    val queries = corpus.filter(col("vec_id") === 0 || col("vec_id") === 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val top = Similarity.pqTopK(queries, corpus, dim = 16, m = 4, ks = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mates0 = top.filter(_._1 == 0L).map(_._2).toSet
+    val mates5 = top.filter(_._1 == 5L).map(_._2).toSet
+    assert(mates0.forall(_ < 5), s"query 0 leaked across clusters: $mates0")
+    assert(mates5.forall(_ >= 5), s"query 5 leaked across clusters: $mates5")
+  }
+
+  test("pqTopK rejects dim not divisible by m") {
+    val corpus = embDf(Seq(0L -> vec(0, 9)))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(corpus.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), corpus, dim = 9, m = 2, ks = 1, k = 1)
+    }
+  }
+
+  // ---- shard manifest -------------------------------------------------
+
+  test("shardManifest partitions ids contiguously and conserves totals") {
+    val rows = (0L until 100L).map(i => (i, 10L + (i % 7) * 3L))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "n_tokens")
+    val m = Packing.shardManifest(df, "doc_id", "n_tokens", shardTokens = 100L)
+      .orderBy("shard_id").collect()
+    assert(m.map(_.getLong(1)).sum === 100L)
+    assert(m.map(_.getLong(2)).sum === rows.map(_._2).sum)
+    // contiguous, ordered id ranges
+    m.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x.getLong(4) + 1 === y.getLong(3),
+          s"gap between shards ${x.getLong(0)} and ${y.getLong(0)}")
+      case _ =>
+    }
+    // offset-cut: each doc's first token lands inside its shard
+    val packed = Packing.packSequences(df, "doc_id", "n_tokens", 100L).collect()
+    packed.foreach { r =>
+      assert(r.getLong(2) / 100L === r.getLong(3)) // tok_offset / B == bin
+    }
+  }
+}
