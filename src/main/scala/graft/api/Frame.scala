@@ -695,6 +695,45 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       .drop("__qlo", "__qhi"))
   }
 
+  /** Okapi BM25 top-k over `textCol` for a (query_id, term) query
+    * frame (operators.Retrieval.bm25TopK — broadcast term semi-cut,
+    * postings-proportional shuffles). */
+  def bm25Search(textCol: String, queries: Frame, k: Int = 10): Frame =
+    Frame(graft.operators.Retrieval.bm25TopK(df, idx, textCol, queries.df, k))
+
+  /** DSIR selection: importance-weight rows whose `isTarget` is false
+    * against the target rows' hashed n-gram profile and keep the
+    * Gumbel-top-k (operators.Dsir; Xie et al. 2023). */
+  def dsirSelect(textCol: String, isTarget: Column, k: Int,
+      buckets: Int = 4096): Frame =
+    Frame(graft.operators.Dsir.gumbelTopK(
+      graft.operators.Dsir.importanceWeights(df, idx, textCol, isTarget,
+        buckets), "doc_id", "weight", k))
+
+  /** Train a hashed bag-of-words logistic-regression quality model on
+    * `labelCol` (0/1) — distributed full-batch GD, O(buckets) driver
+    * state (operators.QualityModel). */
+  def trainQualityModel(textCol: String, labelCol: String,
+      buckets: Int = 512, iters: Int = 3,
+      lr: Double = 1.0): graft.operators.QualityModel.Model =
+    graft.operators.QualityModel.trainLogReg(df.sparkSession,
+      graft.operators.QualityModel.hashedFeatures(df, idx, textCol, buckets),
+      df.select(col(idx).as("doc_id"), col(labelCol).as("y")), buckets, iters, lr)
+
+  /** Score rows with a trained quality model (map-only + broadcast
+    * weights); returns (doc_id, quality). */
+  def scoreQuality(textCol: String,
+      model: graft.operators.QualityModel.Model): Frame =
+    Frame(graft.operators.QualityModel.classify(df.sparkSession,
+      graft.operators.QualityModel.hashedFeatures(df, idx, textCol,
+        model.buckets), model))
+
+  /** Fixed-token-budget training-shard manifest in index order
+    * (operators.Packing.shardManifest — two-pass offsets). */
+  def shardManifest(tokensCol: String, shardTokens: Long): Frame =
+    Frame(graft.operators.Packing.shardManifest(df, idx, tokensCol,
+      shardTokens))
+
   // ---- write-side layout (sources.Layout — scan pruning at scale) ----
 
   def writePartitioned(path: String, cols: String*): Unit =

@@ -745,4 +745,39 @@ class FrameApiSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(got === want)
   }
+
+  test("selection/retrieval facades match the registry queries") {
+    val docs = Frame(Tables.documents(spark, sfDir), Some("doc_id"))
+
+    val queries = Frame(Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 6)).as("term")))
+    same("q_bm25_topk", Frame(docs.bm25Search("text", queries, k = 5).toDF
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))))
+
+    same("q_dsir_select", Frame(docs.dsirSelect("text", col("lang") === "en",
+        k = 20).toDF
+      .select(col("doc_id"), round(col("weight"), 6).as("weight"),
+        round(col("sel_key"), 6).as("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id"))))
+
+    // lang is a string label — build the 0/1 label the registry uses,
+    // then check the facade train + score path end to end
+    val model2 = Frame(Tables.documents(spark, sfDir)
+        .withColumn("y01", when(col("lang") === "en", 1.0).otherwise(0.0)),
+        Some("doc_id"))
+      .trainQualityModel("text", "y01", buckets = 512, iters = 2, lr = 1.0)
+    same("q_quality_classifier", Frame(docs.scoreQuality("text", model2).toDF
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+        when(col("quality") >= 0.5, lit(1)).otherwise(lit(0)).as("pred"))
+      .orderBy("doc_id")))
+
+    val withTok = Frame(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")),
+      Some("doc_id"))
+    same("q_shard_manifest",
+      Frame(withTok.shardManifest("n_tokens", 8192L).toDF.orderBy("shard_id")))
+  }
 }
