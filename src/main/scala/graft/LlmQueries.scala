@@ -32,7 +32,7 @@ object LlmQueries {
     * one md5 per shingle folded to 28 bits, then k affine mixes mod P
     * (all arithmetic < 2^59 so DuckDB's checked BIGINT math never
     * overflows). */
-  private def minhashCtes(n: Int, k: Int, r: Int): String = {
+  private[graft] def minhashCtes(n: Int, k: Int, r: Int): String = {
     val seedRows = TextDedup.mixConsts(k).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -202,6 +202,155 @@ object SelectQueries {
         .orderBy(col("query_id"), col("cosine_pq").desc, col("vec_id"))
     }
 
+    // ---- CCNet perplexity bucketing -----------------------------------
+
+    // Per-language head/middle/tail tertiles of the corpus bigram-LM
+    // score (CCNet's filtering signal). Thresholds ride the
+    // bounded-memory exact grouped-quantile operator — bit-identical to
+    // percentile/quantile_cont, so the whole bucketing replays.
+    q("q_perplexity_buckets",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i FROM ws)),
+        |bgc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM bg GROUP BY doc_id, w1, w2),
+        |c2 AS (SELECT w1, w2, sum(cnt) AS c2 FROM bgc GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT w1 AS w FROM c2 UNION ALL SELECT w2 FROM c2)),
+        |p AS (SELECT c2.w1, c2.w2, ln((c2.c2 + 1) / (c1.c1 + v.v)) AS logp
+        |      FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN v),
+        |sc AS (SELECT bgc.doc_id, round(sum(cnt * logp) / sum(cnt), 9) AS score
+        |       FROM bgc JOIN p ON bgc.w1 = p.w1 AND bgc.w2 = p.w2
+        |       GROUP BY bgc.doc_id),
+        |g AS (SELECT doc_id, lang, score FROM sc JOIN documents USING (doc_id)),
+        |th AS (SELECT lang, quantile_cont(score, 1.0/3) AS t33,
+        |         quantile_cont(score, 2.0/3) AS t66 FROM g GROUP BY lang)
+        |SELECT doc_id, lang, score,
+        |  CASE WHEN score >= t66 THEN 'head'
+        |       WHEN score >= t33 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM g JOIN th USING (lang) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextQuality
+        .perplexityBuckets(Tables.documents(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }
+
+    // ---- leakage-safe split -------------------------------------------
+
+    // Near-dup clusters are the split unit: a doc and its near-copies
+    // always land on the same side. Oracle replays the LSH pipeline +
+    // recursive-CTE closure + the md5 cluster hash.
+    q("q_leakage_safe_split",
+      s"""WITH RECURSIVE ${LlmQueries.minhashCtes(n = 3, k = 16, r = 4)},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS ni
+         |          FROM cand
+         |          JOIN shd sa ON sa.doc_id = doc_a
+         |          JOIN shd sb ON sb.doc_id = doc_b AND sb.h0 = sa.h0
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sizes za ON za.doc_id = doc_a
+         |          JOIN sizes zb ON zb.doc_id = doc_b
+         |          WHERE ni / (za.nsh + zb.nsh - ni) >= 0.8),
+         |edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (SELECT n, m FROM edges
+         |                UNION
+         |                SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n),
+         |cl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+         |       FROM reach GROUP BY n),
+         |alldocs AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |            FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 7) AS BIGINT)
+         |         / 268435456.0 < 0.8 THEN 'train' ELSE 'valid' END AS split
+         |FROM alldocs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextDedup
+        .leakageSafeSplit(Tables.documents(s, dir), "doc_id", "text",
+          trainFrac = 0.8, threshold = 0.8)
+        .orderBy("doc_id")
+    }
+
+    // ---- stupid-backoff trigram LM ------------------------------------
+
+    // Brants et al. 2007 distributed LM: counts from the 80% training
+    // split (doc_id % 5 != 0), scores over the held-out 20% where
+    // backoff genuinely fires. All model state is count tables.
+    q("q_stupid_backoff",
+      """WITH ws AS (SELECT doc_id, doc_id % 5 = 0 AS h, string_split(text, ' ') AS w
+        |            FROM documents),
+        |toks AS (SELECT unnest(w) AS t FROM ws WHERE NOT h),
+        |f1 AS (SELECT t, count(*) AS c1 FROM toks GROUP BY t),
+        |st AS (SELECT sum(c1) AS n_toks, count(*) AS v FROM f1),
+        |bg AS (SELECT w[i] AS a, w[i+1] AS b
+        |       FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+        |             FROM ws WHERE NOT h)),
+        |f2 AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |tg AS (SELECT w[i] AS a, w[i+1] AS b, w[i+2] AS c
+        |       FROM (SELECT w, unnest(generate_series(1, len(w)-2)) AS i
+        |             FROM ws WHERE NOT h)),
+        |f3 AS (SELECT a, b, c, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+        |tri AS (SELECT doc_id, w[i] AS a, w[i+1] AS b, w[i+2] AS c
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+        |              FROM ws WHERE h)),
+        |sc AS (SELECT doc_id,
+        |    CASE WHEN f3.c3 IS NOT NULL THEN ln(f3.c3 / f2x.c2)
+        |         WHEN f2b.c2 IS NOT NULL THEN ln(0.4 * f2b.c2 / f1b.c1)
+        |         ELSE ln(0.4 * 0.4 * (coalesce(f1c.c1, 0) + 1) / (n_toks + v))
+        |    END AS lp
+        |  FROM tri
+        |  LEFT JOIN f3 USING (a, b, c)
+        |  LEFT JOIN f2 f2x ON f2x.a = tri.a AND f2x.b = tri.b
+        |  LEFT JOIN f2 f2b ON f2b.a = tri.b AND f2b.b = tri.c
+        |  LEFT JOIN f1 f1b ON f1b.t = tri.b
+        |  LEFT JOIN f1 f1c ON f1c.t = tri.c, st)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  round(sum(lp) / count(*), 9) AS sb_score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextQuality
+        .stupidBackoffScore(Tables.documents(s, dir), "doc_id", "text",
+          holdout = col("doc_id") % 5 === 0)
+        .orderBy("doc_id")
+    }
+
+    // ---- count-min sketch ---------------------------------------------
+
+    // 4×512 count-min over the token stream; probes = the 20 most
+    // frequent words. n_est >= n_exact always (CMS over-estimates).
+    q("q_count_min", {
+      val seedRows = graft.operators.TextDedup.mixConsts(4).zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+         |seeds(j, a, b) AS (VALUES $seedRows),
+         |cms AS (SELECT j,
+         |          ((CAST('0x' || substr(md5(w), 1, 7) AS BIGINT) * a + b)
+         |            % ${graft.operators.TextDedup.P}) % 512 AS bkt,
+         |          sum(c) AS s
+         |        FROM wc, seeds GROUP BY 1, 2),
+         |probes AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 20),
+         |est AS (SELECT p.w, p.c, min(s) AS est
+         |        FROM probes p JOIN seeds ON true
+         |        JOIN cms ON cms.j = seeds.j AND cms.bkt =
+         |          ((CAST('0x' || substr(md5(p.w), 1, 7) AS BIGINT) * a + b)
+         |            % ${graft.operators.TextDedup.P}) % 512
+         |        GROUP BY 1, 2)
+         |SELECT w AS word, CAST(c AS BIGINT) AS n_exact, CAST(est AS BIGINT) AS n_est
+         |FROM est ORDER BY n_exact DESC, word""".stripMargin
+    }) { (s, dir) =>
+      import graft.operators.Sketches
+      val docs = Tables.documents(s, dir)
+      val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val sketch = Sketches.countMinBuild(wc, depth = 4, width = 512)
+      val probes = wc.orderBy(col("c").desc, col("w")).limit(20)
+      Sketches.countMinQuery(sketch, probes.select("w"), depth = 4, width = 512)
+        .join(probes, Seq("w"))
+        .select(col("w").as("word"), col("c").as("n_exact"), col("n_est"))
+        .orderBy(col("n_exact").desc, col("word"))
+    }
+
     // ---- training-shard manifest --------------------------------------
 
     // Whitespace token counts, 8192-token shards, offset-cut assignment.

@@ -728,6 +728,25 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       graft.operators.QualityModel.hashedFeatures(df, idx, textCol,
         model.buckets), model))
 
+  /** CCNet-style per-`groupCol` head/middle/tail perplexity tertiles of
+    * the corpus bigram-LM score (operators.TextQuality
+    * .perplexityBuckets — exact grouped quantiles, bounded memory). */
+  def perplexityBuckets(textCol: String, groupCol: String): Frame =
+    Frame(graft.operators.TextQuality.perplexityBuckets(df, idx, textCol,
+      groupCol))
+
+  /** Leakage-safe train/valid split: near-dup clusters are the split
+    * unit (operators.TextDedup.leakageSafeSplit). */
+  def leakageSafeSplit(textCol: String, trainFrac: Double = 0.8,
+      threshold: Double = 0.8): Frame =
+    Frame(graft.operators.TextDedup.leakageSafeSplit(df, idx, textCol,
+      trainFrac, threshold))
+
+  /** Learn BPE merge rules from this frame's `textCol` (operators.Bpe
+    * .learnDistributed — one corpus pass, then vocab-sized iterations). */
+  def learnBpe(textCol: String, numMerges: Int): Seq[(String, String)] =
+    graft.operators.Bpe.learnDistributed(df, textCol, numMerges)
+
   /** Fixed-token-budget training-shard manifest in index order
     * (operators.Packing.shardManifest — two-pass offsets). */
   def shardManifest(tokensCol: String, shardTokens: Long): Frame =

@@ -167,6 +167,64 @@ object Bpe {
       .mkString(",")
   }
 
+  /** Distributed BPE merge learning: train the tokenizer ON the corpus
+    * instead of the embedded seed. Same algorithm and tie-break as
+    * [[learn]] (count best adjacent pair over the word-frequency map,
+    * ties lexicographic), so `learnDistributed(docs) ==
+    * learn(all docs' text concatenated)` exactly — the differential
+    * BpeSpec asserts it.
+    *
+    * Scale shape: ONE corpus pass builds the (word, count) table
+    * (Zipf: vocab-sized, orders of magnitude smaller than the corpus),
+    * pinned with a localCheckpoint; every iteration then runs over the
+    * VOCAB only — one flatMap to adjacent pairs, one pair-keyed
+    * aggregate, one TakeOrdered(1) for the argmax (driver receives a
+    * single row), one typed map to apply the merge, re-pinned to keep
+    * the lineage flat. numMerges bounded vocab-sized jobs; the corpus
+    * is never touched again.
+    */
+  def learnDistributed(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit(PreTokenPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+    var vocab = words.map { case (w, f) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toSeq, f)
+    }.localCheckpoint(false)
+    val merges = Vector.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val best = vocab.flatMap { case (syms, f) =>
+        if (syms.length < 2) Iterator.empty
+        else syms.iterator.zip(syms.iterator.drop(1)).map { case (a, b) => (a, b, f) }
+      }.toDF("a", "b", "f")
+        .groupBy("a", "b").agg(sum("f").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = (best(0).getString(0), best(0).getString(1))
+        merges += pair
+        val prev = vocab
+        // eager: the new checkpoint must own its data BEFORE the old
+        // blocks are dropped (a lazy checkpoint would try to recompute
+        // through prev's truncated lineage)
+        vocab = vocab.map { case (syms, f) =>
+          (mergeAll(syms.toArray, pair).toSeq, f)
+        }.localCheckpoint(true)
+        prev.unpersist(blocking = false)
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Per-document BPE token counts: every input column plus an appended
     * `n_tokens_bpe` — downstream stages (budget mixing, packing) compose
     * without a corpus-sized join back. Pure partition-batched map — no

@@ -102,4 +102,23 @@ object QualityModel {
       .select(col("doc_id"),
         (lit(1.0) / (lit(1.0) + exp(-col("s")))).as("quality"))
   }
+
+  /** Map-only scoring COLUMN: the weight vector rides along as a map
+    * literal (O(B), plan-time) and the score is one fold over the
+    * token array — no explode, no shuffle, no state. This is the
+    * streaming-safe form (stateless per-row projection) and the
+    * cheapest batch form; it equals [[classify]] up to float
+    * association order (Σ_t w[b(t)]/|d| vs Σ_b n_b·w_b/|d|), which the
+    * same 9-decimal quantization absorbs. */
+  def scoreInline(textCol: Column, model: Model): Column = {
+    val wLit = typedLit(model.weights)
+    val ws = split(textCol, " ")
+    val dl = size(ws).cast("double")
+    val s = round(
+      aggregate(ws, lit(0.0), (acc, t) =>
+        acc + coalesce(element_at(wLit,
+          conv(substring(md5(t), 1, 7), 16, 10).cast("long") % model.buckets),
+          lit(0.0)) / dl) + lit(model.bias), 9)
+    lit(1.0) / (lit(1.0) + exp(-s))
+  }
 }

@@ -707,4 +707,42 @@ object TextDedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
     docs.select(col(idCol),
       graft.functions.SimHash(col(textCol), bits).as("simhash"))
+
+  /** Leakage-safe train/validation split: near-duplicate CLUSTERS are
+    * the split unit, so two near-identical documents can never land on
+    * opposite sides (the benchmark-contamination failure mode of naive
+    * per-row splits). Every doc is assigned its duplicate-cluster id
+    * (its own id when it has no near-dup), and the whole cluster goes
+    * to `train` when md5-fold(cluster_id) / 2^28 < trainFrac, else to
+    * `valid` — the same content-hash split policy as splitByContent,
+    * applied at cluster granularity.
+    *
+    * Scale shape: [[nearDuplicates]] (bucketed LSH, never all-pairs) →
+    * [[dupClusters]] (regime-switched union-find / label propagation)
+    * produce a table proportional to the DUPLICATED docs only; the
+    * corpus joins against it once (AQE broadcasts it when small) and
+    * the split itself is a map-only projection.
+    *
+    * Output: (doc_id, cluster_id, split).
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      trainFrac: Double = 0.8,
+      threshold: Double = 0.8,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 4): DataFrame = {
+    val pairs = nearDuplicates(docs, idCol, textCol, shingleLen, numHashes,
+      bandRows, threshold).select("doc_a", "doc_b")
+    val clusters = dupClusters(pairs).select(
+      col("doc_id").as("__cid_doc"), col("cluster_id").as("__cl"))
+    val u = conv(substring(md5(col("cluster_id").cast("string")), 1, 7), 16, 10)
+      .cast("long") / lit(268435456.0)
+    docs.select(col(idCol).as("doc_id"))
+      .join(clusters, col("doc_id") === col("__cid_doc"), "left")
+      .select(col("doc_id"), coalesce(col("__cl"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", when(u < trainFrac, lit("train")).otherwise(lit("valid")))
+  }
 }

@@ -279,4 +279,102 @@ object TextQuality {
       .select(col("src_a"), col("src_b"), col("inter"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 9).as("jaccard"))
   }
+
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007 — the
+    * scheme DESIGNED for distributed LMs: no normalized discounting,
+    * just raw count ratios with a fixed backoff factor, so every model
+    * "parameter" is a count a groupBy produces and the score needs no
+    * iterative estimation):
+    *
+    *   S(w3|w1 w2) = f3/f2(w1,w2)                  if f3 > 0
+    *               = α · f2(w2,w3)/f1(w2)          else if f2(w2,w3) > 0
+    *               = α² · (f1(w3)+1)/(N+V)         otherwise
+    *
+    * (α = 0.4; the unigram floor is add-1 smoothed so unseen words
+    * score finitely). Counts come from the NON-holdout rows; scored
+    * docs are the `holdout` rows — on the training split itself every
+    * trigram is seen and backoff would never fire.
+    *
+    * Scale shape: count tables are n-gram-vocabulary-sized groupBys of
+    * one token/bigram/trigram stream; the held-out trigram stream joins
+    * them keyed by gram (bounded, never corpus×corpus); N/V are a
+    * broadcast one-row aggregate; per-doc aggregation is one doc-keyed
+    * shuffle. Output: (doc_id, n_trigrams, sb_score = mean ln S,
+    * 9-rounded).
+    */
+  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+      holdout: org.apache.spark.sql.Column, alpha: Double = 0.4): DataFrame = {
+    val ws = docs.select(col(idCol).as("doc_id"), holdout.as("__h"),
+      split(col(textCol), " ").as("w"))
+    val train = ws.filter(!col("__h"))
+    val toks = train.select(explode(col("w")).as("t"))
+    val f1 = toks.groupBy("t").agg(count(lit(1)).as("c1"))
+    val stats = f1.agg(sum("c1").as("n_toks"),
+      count(lit(1)).cast("long").as("v"))
+    def grams(src: DataFrame, n: Int, names: Seq[String]) = src
+      .select(when(size(col("w")) >= n,
+        transform(sequence(lit(1), size(col("w")) - (n - 1)), i =>
+          struct((0 until n).map(j =>
+            element_at(col("w"), i + j).as(names(j))): _*)))
+        .otherwise(array().cast(s"array<struct<${names.map(_ + ":string").mkString(",")}>>"))
+        .as("__g"), col("*"))
+      .select(col("doc_id"), explode(col("__g")).as("g"))
+      .select(col("doc_id") +: names.map(c => col(s"g.$c")): _*)
+    val f2 = grams(train, 2, Seq("a", "b")).groupBy("a", "b")
+      .agg(count(lit(1)).as("c2"))
+    val f3 = grams(train, 3, Seq("a", "b", "c")).groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("c3"))
+    val tri = grams(ws.filter(col("__h")), 3, Seq("a", "b", "c"))
+    val scored = tri
+      .join(f3, Seq("a", "b", "c"), "left")
+      .join(f2.select(col("a"), col("b"), col("c2").as("c2ctx")), Seq("a", "b"), "left")
+      .join(f2.select(col("a").as("b"), col("b").as("c"), col("c2").as("c2bo")),
+        Seq("b", "c"), "left")
+      .join(f1.select(col("t").as("b"), col("c1").as("c1b")), Seq("b"), "left")
+      .join(f1.select(col("t").as("c"), col("c1").as("c1c")), Seq("c"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull, log(col("c3") / col("c2ctx")))
+          .when(col("c2bo").isNotNull,
+            log(lit(alpha) * col("c2bo") / col("c1b")))
+          .otherwise(log(lit(alpha) * lit(alpha) *
+            (coalesce(col("c1c"), lit(0L)) + lit(1L)) / (col("n_toks") + col("v"))))
+          .as("__lp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum("__lp") / count(lit(1)), 9).as("sb_score"))
+  }
+
+  /** CCNet-style perplexity bucketing: per `groupCol` (CCNet: per
+    * language), split documents into head/middle/tail tertiles of the
+    * corpus-trained bigram LM score ([[bigramLmScore]]; higher score =
+    * lower perplexity = head). The filtering policy from CCNet
+    * (Wenzek et al. 2020) — keep head/middle, drop tail — becomes a
+    * plain filter on the output.
+    *
+    * Tertile thresholds come from [[Quantiles.groupedExactQuantiles]] —
+    * the bounded-memory exact path whose few-huge-groups regime is
+    * precisely the per-language shape (a buffered `percentile` holds a
+    * whole language's scores in one task at 100 TB; the offset
+    * machinery never does), and whose results are bit-identical to
+    * `percentile`, keeping the oracle replayable. Docs with fewer than
+    * two words carry no bigram and are excluded (as in q_bigram_lm).
+    *
+    * Output: (idCol, groupCol, score, ppl_bucket).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val scored = bigramLmScore(docs, idCol, textCol)
+      .select(col(idCol), col("avg_logp").as("score"))
+    val grouped = docs.select(col(idCol), col(groupCol)).join(scored, Seq(idCol))
+    val th = Quantiles.groupedExactQuantiles(grouped, groupCol, "score",
+      Seq(1.0 / 3, 2.0 / 3))
+    val thr = th.select(col(groupCol), col(th.columns(1)).as("__t33"),
+      col(th.columns(2)).as("__t66"))
+    grouped.join(broadcast(thr), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("score"),
+        when(col("score") >= col("__t66"), lit("head"))
+          .when(col("score") >= col("__t33"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
 }

@@ -193,6 +193,21 @@ object StreamOps {
       .withColumn("contaminated", col("n_hit") > 0)
   }
 
+  /** Streaming quality gate: score each arriving document with a
+    * batch-trained hashed-LR model ([[graft.operators.QualityModel]])
+    * and flag whether it clears `threshold`. The weight vector rides as
+    * an O(B) map literal inside a stateless per-row projection
+    * ([[graft.operators.QualityModel.scoreInline]]) — no shuffle, no
+    * state, no watermark: the train-offline / filter-online split a
+    * production ingest pipeline uses.
+    */
+  def streamingQualityGate(stream: DataFrame, idCol: String, textCol: String,
+      model: graft.operators.QualityModel.Model,
+      threshold: Double = 0.5): DataFrame =
+    stream.select(col(idCol),
+      graft.operators.QualityModel.scoreInline(col(textCol), model).as("quality"))
+      .withColumn("keep", col("quality") >= threshold)
+
   /** Windowed approximate distinct counts: tumbling event-time windows
     * with `approx_count_distinct` (HLL++) — the streaming form of the
     * batch HLL sketches (q_hll_sketch). Sketch-sized state per window,

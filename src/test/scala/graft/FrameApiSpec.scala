@@ -779,5 +779,10 @@ class FrameApiSpec extends SparkSpec {
       Some("doc_id"))
     same("q_shard_manifest",
       Frame(withTok.shardManifest("n_tokens", 8192L).toDF.orderBy("shard_id")))
+
+    same("q_perplexity_buckets",
+      Frame(docs.perplexityBuckets("text", "lang").toDF.orderBy("doc_id")))
+    same("q_leakage_safe_split",
+      Frame(docs.leakageSafeSplit("text").toDF.orderBy("doc_id")))
   }
 }

@@ -213,6 +213,149 @@ class SelectOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- inline scoring -------------------------------------------------
+
+  test("scoreInline agrees with classify within float association noise") {
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    val feats = QualityModel.hashedFeatures(docs, "doc_id", "text", 256)
+    val labels = docs.select(col("doc_id"),
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val model = QualityModel.trainLogReg(spark, feats, labels, 256, iters = 2)
+    val byAgg = QualityModel.classify(spark, feats, model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byFold = docs.select(col("doc_id"),
+        QualityModel.scoreInline(col("text"), model).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byAgg.keySet === byFold.keySet)
+    byAgg.foreach { case (d, v) =>
+      assert(math.abs(v - byFold(d)) < 1e-9, s"doc $d: $v vs ${byFold(d)}") }
+  }
+
+  // ---- perplexity buckets --------------------------------------------
+
+  test("perplexityBuckets assigns per-group tertiles consistently") {
+    import graft.operators.TextQuality
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextQuality.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(out.nonEmpty)
+    // per group: every head score >= every middle score >= every tail
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val byB = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      for (h <- byB.get("head"); m <- byB.get("middle"))
+        assert(h.min >= m.max, s"$lang head/middle overlap")
+      for (m <- byB.get("middle"); t <- byB.get("tail"))
+        assert(m.min >= t.max, s"$lang middle/tail overlap")
+      // tertiles: no bucket exceeds ~1/3 + interpolation slack
+      val n = rows.size
+      byB.values.foreach(b =>
+        assert(b.size <= n / 3 + 2, s"$lang bucket sizes ${byB.view.mapValues(_.size).toMap}"))
+    }
+  }
+
+  // ---- leakage-safe split --------------------------------------------
+
+  test("leakageSafeSplit never puts near-duplicates on opposite sides") {
+    import graft.operators.TextDedup
+    val docs = Tables.documents(spark, sfDir)
+    val split = TextDedup.leakageSafeSplit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size === docs.count())
+    val pairs = TextDedup.nearDuplicates(docs, "doc_id", "text",
+      shingleLen = 3, numHashes = 16, bandRows = 4, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture corpus lost its near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 === split(b)._2, s"near-dups $a/$b straddle the split")
+      assert(split(a)._1 === split(b)._1, s"near-dups $a/$b in different clusters")
+    }
+    // both sides populated at the default 80/20
+    val sides = split.values.map(_._2).toSet
+    assert(sides === Set("train", "valid"))
+  }
+
+  // ---- stupid-backoff trigram LM -------------------------------------
+
+  test("stupidBackoffScore matches a driver reference across all backoff levels") {
+    import graft.operators.TextQuality
+    // training docs (ids 1,2) and one held-out doc (id 0) constructed so
+    // its trigrams hit: seen-trigram, bigram-backoff, and unigram-floor
+    val docs = docsDf(Seq(
+      1L -> "a b c d a b c",
+      2L -> "x y z a b",
+      0L -> "a b c q x y zz"))
+    val out = TextQuality.stupidBackoffScore(docs, "doc_id", "text",
+        holdout = col("doc_id") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 1)
+    val (id, nTri, score) = out(0)
+    assert(id === 0L && nTri === 5L)
+    // driver replay
+    val trainToks = Seq("a b c d a b c", "x y z a b").flatMap(_.split(" "))
+    val f1 = trainToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = trainToks.size.toDouble
+    val v = f1.size.toDouble
+    def pairs(s: Seq[String]) = s.sliding(2).filter(_.size == 2).map(x => (x(0), x(1))).toSeq
+    def tris(s: Seq[String]) = s.sliding(3).filter(_.size == 3).map(x => (x(0), x(1), x(2))).toSeq
+    val trainSeqs = Seq("a b c d a b c", "x y z a b").map(_.split(" ").toSeq)
+    val f2 = trainSeqs.flatMap(pairs).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val f3 = trainSeqs.flatMap(tris).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val lps = tris("a b c q x y zz".split(" ").toSeq).map { case (a, b, c) =>
+      if (f3.contains((a, b, c))) math.log(f3((a, b, c)).toDouble / f2((a, b)))
+      else if (f2.contains((b, c))) math.log(0.4 * f2((b, c)) / f1(b))
+      else math.log(0.4 * 0.4 * (f1.getOrElse(c, 0L) + 1) / (n + v))
+    }
+    val want = BigDecimal(lps.sum / lps.size)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(score - want) < 1e-9, s"$score vs $want")
+    // sanity: the corpus exercises every branch
+    val byBranch = tris("a b c q x y zz".split(" ").toSeq).map { case (a, b, c) =>
+      if (f3.contains((a, b, c))) 0 else if (f2.contains((b, c))) 1 else 2 }
+    assert(byBranch.toSet === Set(0, 1, 2), s"branches hit: $byBranch")
+  }
+
+  // ---- count-min sketch ----------------------------------------------
+
+  test("count-min estimates dominate exact counts and merge by summation") {
+    import graft.operators.Sketches
+    val docs = Tables.documents(spark, sfDir).limit(80)
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val sketch = Sketches.countMinBuild(wc, depth = 4, width = 256)
+    // every cell bounded, sketch size bounded
+    assert(sketch.count() <= 4L * 256)
+    // CMS invariant: estimate >= exact for EVERY word
+    val est = Sketches.countMinQuery(sketch, wc.select("w"), 4, 256)
+      .join(wc, Seq("w")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (w, e, c) => assert(e >= c, s"$w: est $e < exact $c") }
+    // mergeability: sketch(A) + sketch(B) == sketch(A ∪ B), cell-wise
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    def cells(df: org.apache.spark.sql.DataFrame) = {
+      val c = df.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      Sketches.countMinBuild(c, 4, 256).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged === cells(docs))
+  }
+
+  // ---- distributed BPE learning --------------------------------------
+
+  test("learnDistributed equals the driver learner on the same corpus") {
+    import graft.operators.Bpe
+    val docs = Tables.documents(spark, sfDir).limit(40)
+    val dist = Bpe.learnDistributed(docs, "text", numMerges = 24)
+    val seed = docs.select("text").collect().map(_.getString(0)).mkString(" ")
+    val local = Bpe.learn(seed, 24)
+    assert(dist === local)
+    assert(dist.size === 24)
+  }
+
   // ---- shard manifest -------------------------------------------------
 
   test("shardManifest partitions ids contiguously and conserves totals") {

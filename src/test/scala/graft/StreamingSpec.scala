@@ -407,6 +407,40 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("streaming quality gate scores and filters with a batch-trained model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.QualityModel
+    // train offline on a separable batch corpus
+    val batch = spark.createDataFrame(Seq(
+      (0L, "excellent clear prose", 1.0), (1L, "wonderful precise text", 1.0),
+      (2L, "spam click buy now", 0.0), (3L, "cheap garbage spam", 0.0)))
+      .toDF("doc_id", "text", "y")
+    val model = QualityModel.trainLogReg(spark,
+      QualityModel.hashedFeatures(batch, "doc_id", "text", 128),
+      batch.select(col("doc_id"), col("y")), 128, iters = 5, lr = 2.0)
+    // gate a stream with it — stateless projection, no watermark
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val gated = StreamOps.streamingQualityGate(stream, "doc_id", "text", model)
+    val q = gated.writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, "excellent precise prose"), (11L, "spam buy cheap now"))
+      q.processAllAvailable()
+      val rows = spark.table("qgate").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+      assert(rows(10L)._2 && !rows(11L)._2,
+        s"gate did not separate the stream: $rows")
+      assert(rows(10L)._1 > rows(11L)._1)
+      // the streaming score equals the batch inline score exactly
+      val batchScore = spark.createDataFrame(Seq((10L, "excellent precise prose")))
+        .toDF("doc_id", "text")
+        .select(QualityModel.scoreInline(col("text"), model)).head().getDouble(0)
+      assert(rows(10L)._1 === batchScore)
+    } finally q.stop()
+  }
+
   test("streaming contamination flags docs sharing benchmark n-grams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
