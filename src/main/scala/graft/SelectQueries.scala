@@ -272,6 +272,37 @@ object SelectQueries {
         .orderBy("doc_id")
     }
 
+    // ---- binary-code Hamming retrieval --------------------------------
+
+    // Sign-bit binary codes: 64 float dims pack into ONE BIGINT (32x
+    // smaller), distance = xor + popcount — the extreme-compression
+    // first-pass retrieval before exact re-ranking. Bit 63's literal is
+    // negative two's-complement; ascending-order summation keeps every
+    // partial sum in BIGINT range under ANSI overflow checks.
+    q("q_binary_hamming", {
+      val bits = (0 until 64).map { i =>
+        val b = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+        s"CASE WHEN CAST(embedding[${i + 1}] AS DOUBLE) > 0.0 THEN $b ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH enc AS (SELECT vec_id, $bits AS code FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, code AS qcode FROM enc WHERE vec_id < 3),
+         |sc AS (SELECT query_id, vec_id,
+         |         CAST(bit_count(xor(code, qcode)) AS INTEGER) AS hamming
+         |       FROM enc, q WHERE vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, hamming,
+         |        row_number() OVER (PARTITION BY query_id
+         |                           ORDER BY hamming, vec_id) AS rn
+         |      FROM sc)
+         |SELECT query_id, vec_id, hamming FROM r WHERE rn <= 5
+         |ORDER BY query_id, hamming, vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.hammingTopK(queries, emb, dim = 64, k = 5)
+        .orderBy(col("query_id"), col("hamming"), col("vec_id"))
+    }
+
     // ---- stupid-backoff trigram LM ------------------------------------
 
     // Brants et al. 2007 distributed LM: counts from the 80% training

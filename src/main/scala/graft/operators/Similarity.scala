@@ -193,6 +193,49 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  // ---- binary (sign) codes --------------------------------------------
+
+  /** 1-bit-per-dimension binary code: bit i set iff embedding[i] > 0,
+    * packed into a single BIGINT for dim ≤ 64 — the 32×-smaller
+    * storage column of binary hashing (sign random projections are
+    * [[lshBucket]]; identity signs are the standard "binarize the
+    * embedding" baseline).
+    *
+    * The fold is UNROLLED at plan time (dim is a constant) into a sum
+    * of per-bit literals, ascending bit order: partial sums peak at
+    * 2^63−1 before the (negative, two's-complement) bit-63 literal is
+    * added last, so every intermediate stays in BIGINT range under
+    * ANSI overflow checking — in Spark and in a replaying engine alike. */
+  def signCode(vec: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, s"signCode packs into one BIGINT: dim $dim")
+    (0 until dim).map(i =>
+      when(element_at(vec, i + 1).cast("double") > 0.0, lit(1L << i))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Hamming top-k over binary sign codes: corpus and queries collapse
+    * to one long each; distance is xor + popcount — the cheapest
+    * possible per-pair scoring (one ALU op vs dim multiplies), the
+    * standard first-pass filter before exact re-ranking at 100 TB.
+    * Ties: smaller distance, then smaller vec_id. */
+  def hammingTopK(
+      queries: DataFrame,   // (query_id, qv)
+      corpus: DataFrame,    // (vec_id, embedding, ...)
+      dim: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = corpus.select(col("vec_id"), signCode(col("embedding"), dim).as("code"))
+    val qenc = queries.select(col("query_id"), signCode(col("qv"), dim).as("qcode"))
+    val scored = enc.crossJoin(broadcast(qenc))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", bit_count(col("code").bitwiseXOR(col("qcode"))))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "hamming")
+  }
+
   // ---- product quantization (PQ) --------------------------------------
 
   /** Deterministic PQ codebook: the `ks` corpus vectors with the

@@ -205,6 +205,36 @@ class SelectOpsSpec extends SparkSpec {
     assert(mates5.forall(_ >= 5), s"query 5 leaked across clusters: $mates5")
   }
 
+  test("signCode packs sign bits exactly, including the two's-complement bit 63") {
+    // dims 0,63 positive, rest negative → bits 0 and 63 set
+    val v: Seq[Float] = 1.0f +: Seq.fill(62)(-1.0f) :+ 1.0f
+    val corpus = embDf(Seq(42L -> v))
+    val code = corpus.select(
+      Similarity.signCode(col("embedding"), 64).as("c")).head().getLong(0)
+    assert(code === (1L | Long.MinValue), f"code $code%x")
+    // all-positive → all 64 bits set (-1)
+    val allPos = embDf(Seq(1L -> Seq.fill[Float](64)(0.5f)))
+    assert(allPos.select(Similarity.signCode(col("embedding"), 64))
+      .head().getLong(0) === -1L)
+  }
+
+  test("hammingTopK ranks sign-identical vectors first") {
+    // cluster A: positive first half; cluster B: positive second half
+    val a: Seq[Float] = Seq.fill(32)(1.0f) ++ Seq.fill(32)(-1.0f)
+    val b: Seq[Float] = Seq.fill(32)(-1.0f) ++ Seq.fill(32)(1.0f)
+    def jit(base: Seq[Float], s: Int): Seq[Float] =
+      base.zipWithIndex.map { case (x, i) => x * (1.0f + ((s + i) % 3) * 0.1f) }
+    val corpus = embDf((0L until 8L).map(i =>
+      i -> jit(if (i < 4) a else b, i.toInt)))
+    val queries = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val top = Similarity.hammingTopK(queries, corpus, dim = 64, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    // jitter preserves signs: all of cluster A at distance 0
+    assert(top.map(_._1).toSet === Set(1L, 2L, 3L), s"got ${top.toSeq}")
+    assert(top.forall(_._2 === 0), s"distances ${top.toSeq}")
+  }
+
   test("pqTopK rejects dim not divisible by m") {
     val corpus = embDf(Seq(0L -> vec(0, 9)))
     intercept[IllegalArgumentException] {
