@@ -312,30 +312,38 @@ object SelectQueries {
       """WITH ws AS (SELECT doc_id, doc_id % 5 = 0 AS h, string_split(text, ' ') AS w
         |            FROM documents),
         |toks AS (SELECT unnest(w) AS t FROM ws WHERE NOT h),
-        |f1 AS (SELECT t, count(*) AS c1 FROM toks GROUP BY t),
+        |f1 AS (SELECT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h1,
+        |         count(*) AS c1 FROM toks GROUP BY 1),
         |st AS (SELECT sum(c1) AS n_toks, count(*) AS v FROM f1),
-        |bg AS (SELECT w[i] AS a, w[i+1] AS b
+        |bg AS (SELECT w[i] || ' ' || w[i+1] AS g
         |       FROM (SELECT w, unnest(generate_series(1, len(w)-1)) AS i
         |             FROM ws WHERE NOT h)),
-        |f2 AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY 1, 2),
-        |tg AS (SELECT w[i] AS a, w[i+1] AS b, w[i+2] AS c
+        |f2 AS (SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h2,
+        |         count(*) AS c2 FROM bg GROUP BY 1),
+        |tg AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
         |       FROM (SELECT w, unnest(generate_series(1, len(w)-2)) AS i
         |             FROM ws WHERE NOT h)),
-        |f3 AS (SELECT a, b, c, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
-        |tri AS (SELECT doc_id, w[i] AS a, w[i+1] AS b, w[i+2] AS c
-        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
-        |              FROM ws WHERE h)),
+        |f3 AS (SELECT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h3,
+        |         count(*) AS c3 FROM tg GROUP BY 1),
+        |tri AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS h3,
+        |    CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS hctx,
+        |    CAST('0x' || substr(md5(w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS hbo,
+        |    CAST('0x' || substr(md5(w[i+1]), 1, 15) AS BIGINT) AS hb,
+        |    CAST('0x' || substr(md5(w[i+2]), 1, 15) AS BIGINT) AS hc
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+        |        FROM ws WHERE h)),
         |sc AS (SELECT doc_id,
         |    CASE WHEN f3.c3 IS NOT NULL THEN ln(f3.c3 / f2x.c2)
         |         WHEN f2b.c2 IS NOT NULL THEN ln(0.4 * f2b.c2 / f1b.c1)
         |         ELSE ln(0.4 * 0.4 * (coalesce(f1c.c1, 0) + 1) / (n_toks + v))
         |    END AS lp
         |  FROM tri
-        |  LEFT JOIN f3 USING (a, b, c)
-        |  LEFT JOIN f2 f2x ON f2x.a = tri.a AND f2x.b = tri.b
-        |  LEFT JOIN f2 f2b ON f2b.a = tri.b AND f2b.b = tri.c
-        |  LEFT JOIN f1 f1b ON f1b.t = tri.b
-        |  LEFT JOIN f1 f1c ON f1c.t = tri.c, st)
+        |  LEFT JOIN f3 USING (h3)
+        |  LEFT JOIN f2 f2x ON f2x.h2 = tri.hctx
+        |  LEFT JOIN f2 f2b ON f2b.h2 = tri.hbo
+        |  LEFT JOIN f1 f1b ON f1b.h1 = tri.hb
+        |  LEFT JOIN f1 f1c ON f1c.h1 = tri.hc, st)
         |SELECT doc_id, count(*) AS n_trigrams,
         |  round(sum(lp) / count(*), 9) AS sb_score
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>

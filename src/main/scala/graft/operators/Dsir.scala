@@ -39,24 +39,22 @@ object Dsir {
     conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
   /** Hashed unigram+bigram feature stream: (doc_id, is_target, bucket,
-    * n). One corpus scan. */
+    * n). One corpus scan; the md5 folds come from the native
+    * [[graft.functions.ShingleHashes]] kernel (one codegen'd call per
+    * doc per order instead of an interpreted concat+md5 per feature) —
+    * same values as `conv(substring(md5(f),1,7),16,10)`. */
   def featureCounts(docs: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, buckets: Int): DataFrame = {
-    val ws = col("__ws")
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
+      isTarget: Column, buckets: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), isTarget.as("is_target"),
-        split(col(textCol), " ").as("__ws"))
+        explode(concat(
+          graft.functions.ShingleHashes(col(textCol), 1, 7, dedup = false),
+          graft.functions.ShingleHashes(col(textCol), 2, 7, dedup = false)))
+          .as("__f"))
       .select(col("doc_id"), col("is_target"),
-        explode(concat(ws, bigrams)).as("__f"))
-      .select(col("doc_id"), col("is_target"),
-        (fold(col("__f")) % buckets).as("bucket"))
+        (col("__f") % buckets).as("bucket"))
       .groupBy("doc_id", "is_target", "bucket")
       .agg(count(lit(1)).as("n"))
-  }
 
   /** Per-raw-doc importance weight log p_target(d) − log q_raw(d).
     * Returns (doc_id, weight) for docs where `isTarget` is false. */

