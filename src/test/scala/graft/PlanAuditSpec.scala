@@ -298,4 +298,23 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_quality_classifier")
     assert(p.contains("BroadcastHashJoin"), "weight table join is not broadcast")
   }
+
+  test("stupid-backoff model joins are long-keyed kernel hashes") {
+    val qe = SparkEntry.queries("q_stupid_backoff")(spark, sfDir).queryExecution
+    // n-grams ride the native kernel fold — no interpreted md5/concat
+    // per gram, no multi-string join keys
+    assert(qe.analyzed.toString.contains("shingle_hashes"),
+      "n-gram hashing does not use the native kernel")
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("binary hamming retrieval broadcasts the query codes") {
+    val p = plan("q_binary_hamming")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side is not broadcast")
+  }
+
+  test("count-min probes join the sketch by broadcast") {
+    val p = plan("q_count_min")
+    assert(p.contains("BroadcastHashJoin"), "sketch join is not broadcast")
+  }
 }
