@@ -272,6 +272,80 @@ object SelectQueries {
         .orderBy("doc_id")
     }
 
+    // ---- JL random-projection retrieval -------------------------------
+
+    // 64 -> 16 dims through the deterministic md5-derived plane matrix
+    // (plan-time literal), exact cosine in the reduced space — the
+    // cheap first-pass ranking before exact re-rank.
+    q("q_rp_topk", {
+      val planes = (0 until 16).map(p =>
+        (0 until 64).map(d => Similarity.planeComponent(p, d).toString)
+          .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""WITH pl AS (SELECT $planes AS m),
+         |proj AS (SELECT vec_id,
+         |    list_transform(generate_series(1, 16), p ->
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, 64), i ->
+         |          CAST(embedding[i] AS DOUBLE) * m[p][i])),
+         |        (acc, x) -> acc + x) * 0.25) AS y
+         |  FROM embeddings, pl),
+         |q AS (SELECT vec_id AS query_id, y AS qy FROM proj WHERE vec_id < 3),
+         |sc AS (SELECT query_id, vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, 16), i -> y[i] * qy[i])),
+         |      (acc, x) -> acc + x)
+         |    / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, 16), i -> y[i] * y[i])),
+         |        (acc, x) -> acc + x))
+         |    / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(generate_series(1, 16), i -> qy[i] * qy[i])),
+         |        (acc, x) -> acc + x)) AS c
+         |  FROM proj, q WHERE vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, c,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+         |      FROM sc)
+         |SELECT query_id, vec_id, round(c, 9) AS cosine_rp FROM r WHERE rn <= 5
+         |ORDER BY query_id, cosine_rp DESC, vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.rpTopK(queries, emb, dim = 64, outDim = 16, k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("c"), 9).as("cosine_rp"))
+        .orderBy(col("query_id"), col("cosine_rp").desc, col("vec_id"))
+    }
+
+    // ---- vocabulary drift ---------------------------------------------
+
+    // KL(p_base || q_new) over hashed unigram buckets between the
+    // src0-9 slice (baseline) and src10-19 (new snapshot): top-15
+    // drifting buckets + the total.
+    q("q_vocab_drift",
+      """WITH toks AS (SELECT substr(source, 4) IN ('10','11','12','13','14','15','16','17','18','19') AS isnew,
+        |         CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 4096 AS bucket
+        |       FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |counts AS (SELECT bucket,
+        |    sum(CASE WHEN isnew THEN 0 ELSE 1 END) AS c_base,
+        |    sum(CASE WHEN isnew THEN 1 ELSE 0 END) AS c_new
+        |  FROM toks GROUP BY bucket),
+        |tot AS (SELECT sum(c_base) AS nb, sum(c_new) AS nn FROM counts),
+        |contrib AS (SELECT bucket, c_base, c_new,
+        |    ((c_base + 1.0) / (nb + 4096.0)) *
+        |      ln(((c_base + 1.0) / (nb + 4096.0)) / ((c_new + 1.0) / (nn + 4096.0)))
+        |      AS contrib
+        |  FROM counts, tot),
+        |kl AS (SELECT sum(contrib) AS kl_total FROM contrib),
+        |top AS (SELECT * FROM contrib, kl ORDER BY contrib DESC, bucket LIMIT 15)
+        |SELECT bucket, CAST(c_base AS BIGINT) AS c_base, CAST(c_new AS BIGINT) AS c_new,
+        |  round(contrib, 9) AS contrib, round(kl_total, 9) AS kl_total
+        |FROM top ORDER BY contrib DESC, bucket""".stripMargin) { (s, dir) =>
+      graft.operators.TextQuality.vocabDrift(Tables.documents(s, dir),
+        "doc_id", "text",
+        isNew = expr("substr(source, 4)")
+          .isin((10 to 19).map(_.toString): _*))
+        .orderBy(col("contrib").desc, col("bucket"))
+    }
+
     // ---- binary-code Hamming retrieval --------------------------------
 
     // Sign-bit binary codes: 64 float dims pack into ONE BIGINT (32x

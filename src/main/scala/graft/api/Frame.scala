@@ -747,6 +747,14 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def learnBpe(textCol: String, numMerges: Int): Seq[(String, String)] =
     graft.operators.Bpe.learnDistributed(df, textCol, numMerges)
 
+  /** KL vocabulary drift between the rows where `isNew` is false
+    * (baseline) and true (new slice); top drifting hash buckets + total
+    * (operators.TextQuality.vocabDrift). */
+  def vocabDrift(textCol: String, isNew: Column, buckets: Int = 4096,
+      k: Int = 15): Frame =
+    Frame(graft.operators.TextQuality.vocabDrift(df, idx, textCol, isNew,
+      buckets, k))
+
   /** Fixed-token-budget training-shard manifest in index order
     * (operators.Packing.shardManifest — two-pass offsets). */
   def shardManifest(tokensCol: String, shardTokens: Long): Frame =

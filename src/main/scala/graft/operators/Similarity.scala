@@ -193,6 +193,49 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  // ---- random projection (Johnson-Lindenstrauss) ----------------------
+
+  /** JL random projection to `outDim` dims: y_p = (Σ_d x_d·R_pd)/√outDim
+    * with R the deterministic md5-derived plane matrix
+    * ([[planeComponent]] — the same family as the LSH hyperplanes, so
+    * the matrix is plan-time literal and any engine replays it).
+    * Distance-preserving up to the JL bound; one fused projection,
+    * O(dim·outDim) per row. */
+  def rpProject(vec: Column, dim: Int, outDim: Int): Column = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val planes = typedLit(
+      (0 until outDim).map(p => (0 until dim).map(d => planeComponent(p, d))))
+    transform(sequence(lit(0), lit(outDim - 1)), p =>
+      aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) =>
+        acc + element_at(vec, i).cast("double") *
+          element_at(element_at(planes, p + 1), i)) * lit(scale))
+  }
+
+  /** Top-k cosine in the JL-reduced space: the corpus is projected ONCE
+    * (4× smaller vectors at 64→16), queries broadcast — the cheap
+    * first-pass ranking whose candidates an exact pass re-ranks at
+    * scale. Same plan shape as [[sq8TopK]]. */
+  def rpTopK(
+      queries: DataFrame,   // (query_id, qv)
+      corpus: DataFrame,    // (vec_id, embedding, ...)
+      dim: Int,
+      outDim: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val proj = corpus.select(col("vec_id"),
+        rpProject(col("embedding"), dim, outDim).as("y"))
+      .withColumn("nrm", norm(col("y")))
+    val qproj = queries.select(col("query_id"),
+      rpProject(col("qv"), dim, outDim).as("qy"))
+    val scored = proj.crossJoin(broadcast(qproj))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("c", dot(col("y"), col("qy")) / col("nrm") / norm(col("qy")))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "c")
+  }
+
   // ---- binary (sign) codes --------------------------------------------
 
   /** 1-bit-per-dimension binary code: bit i set iff embedding[i] > 0,

@@ -357,6 +357,48 @@ object TextQuality {
         round(sum("__lp") / count(lit(1)), 9).as("sb_score"))
   }
 
+  /** Vocabulary drift between two corpus slices (crawl snapshots,
+    * source versions): add-1-smoothed hashed-unigram distributions p
+    * (baseline, `isNew` false) and q (new slice), per-bucket KL
+    * contribution p·ln(p/q), plus the total KL(p‖q) — the
+    * dataset-versioning check that catches a crawl whose token
+    * distribution shifted before it trains a model.
+    *
+    * Scale shape: one kernel-hashed bucket count (token stream shuffled
+    * once, bucket table B-sized), totals as a broadcast one-row
+    * aggregate, top-`k` drifting buckets via TakeOrdered. The total
+    * sums OCCUPIED buckets (both-empty buckets would each add the same
+    * smoothing-floor term; with real corpora nearly every bucket is
+    * occupied). Output: (bucket, c_base, c_new, contrib, kl_total) —
+    * kl_total repeated per row so the result is self-contained.
+    */
+  def vocabDrift(docs: DataFrame, idCol: String, textCol: String,
+      isNew: org.apache.spark.sql.Column, buckets: Int = 4096,
+      k: Int = 15): DataFrame = {
+    val counts = docs
+      .select(isNew.as("__new"),
+        explode(graft.functions.ShingleHashes(col(textCol), 1, 7, dedup = false))
+          .as("__t"))
+      .select(col("__new"), (col("__t") % buckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__new"), lit(0L)).otherwise(lit(1L))).as("c_base"),
+        sum(when(col("__new"), lit(1L)).otherwise(lit(0L))).as("c_new"))
+    val totals = counts.agg(sum("c_base").as("nb"), sum("c_new").as("nn"))
+    val contrib = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("c_base"), col("c_new"),
+        (((col("c_base") + lit(1.0)) / (col("nb") + lit(buckets.toDouble))) *
+          log(((col("c_base") + lit(1.0)) / (col("nb") + lit(buckets.toDouble))) /
+            ((col("c_new") + lit(1.0)) / (col("nn") + lit(buckets.toDouble)))))
+          .as("contrib"))
+    val kl = contrib.agg(sum("contrib").as("kl_total"))
+    contrib.crossJoin(broadcast(kl))
+      .orderBy(col("contrib").desc, col("bucket"))
+      .limit(k)
+      .select(col("bucket"), col("c_base"), col("c_new"),
+        round(col("contrib"), 9).as("contrib"),
+        round(col("kl_total"), 9).as("kl_total"))
+  }
+
   /** CCNet-style perplexity bucketing: per `groupCol` (CCNet: per
     * language), split documents into head/middle/tail tertiles of the
     * corpus-trained bigram LM score ([[bigramLmScore]]; higher score =

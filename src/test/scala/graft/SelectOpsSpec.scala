@@ -205,6 +205,50 @@ class SelectOpsSpec extends SparkSpec {
     assert(mates5.forall(_ >= 5), s"query 5 leaked across clusters: $mates5")
   }
 
+  test("rpProject is linear and rpTopK preserves well-separated clusters") {
+    val a: Seq[Float] = Seq.fill(32)(1.0f) ++ Seq.fill(32)(0.0f)
+    val b: Seq[Float] = Seq.fill(32)(0.0f) ++ Seq.fill(32)(1.0f)
+    def jit(base: Seq[Float], s: Int): Seq[Float] =
+      base.zipWithIndex.map { case (x, i) => x + ((s * 13 + i) % 7) * 0.01f }
+    val corpus = embDf((0L until 10L).map(i => i -> jit(if (i < 5) a else b, i.toInt)))
+    // linearity: rp(2x) == 2*rp(x) (exact: scalar pulls through the fold)
+    val one = embDf(Seq(0L -> a))
+    val twice = embDf(Seq(0L -> a.map(_ * 2.0f)))
+    val p1 = one.select(Similarity.rpProject(col("embedding"), 64, 16))
+      .head().getSeq[Double](0)
+    val p2 = twice.select(Similarity.rpProject(col("embedding"), 64, 16))
+      .head().getSeq[Double](0)
+    p1.zip(p2).foreach { case (x, y) => assert(math.abs(y - 2 * x) < 1e-9) }
+    // cluster preservation in the reduced space
+    val queries = corpus.filter(col("vec_id") === 0 || col("vec_id") === 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val top = Similarity.rpTopK(queries, corpus, dim = 64, outDim = 16, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.filter(_._1 == 0L).forall(_._2 < 5), s"${top.toSeq}")
+    assert(top.filter(_._1 == 5L).forall(_._2 >= 5), s"${top.toSeq}")
+  }
+
+  test("vocabDrift: identical slices give zero KL, disjoint vocab a large one") {
+    import graft.operators.TextQuality
+    // identical text on both sides: p == q bucket-for-bucket → KL == 0
+    val same = docsDf((0L until 20L).map(i => i -> "alpha beta gamma delta"))
+    val z = TextQuality.vocabDrift(same, "doc_id", "text",
+      isNew = col("doc_id") >= 10, buckets = 256).collect()
+    assert(z.forall(_.getDouble(4) === 0.0), s"KL != 0 on identical slices")
+    assert(z.forall(_.getDouble(3) === 0.0))
+    // disjoint vocabularies drift hard
+    val drift = docsDf(
+      (0L until 10L).map(i => i -> "alpha beta gamma delta") ++
+        (10L until 20L).map(i => i -> "omega psi chi phi"))
+    val d = TextQuality.vocabDrift(drift, "doc_id", "text",
+      isNew = col("doc_id") >= 10, buckets = 256).collect()
+    // add-1 smoothing over 256 buckets damps 4-word vocabularies; the
+    // observed value is ~0.32 — assert it clearly dominates the 0 case
+    assert(d.head.getDouble(4) > 0.2, s"KL ${d.head.getDouble(4)} too small")
+    // top rows are the baseline-only buckets (c_new = 0)
+    assert(d.take(4).forall(r => r.getLong(2) === 0L))
+  }
+
   test("signCode packs sign bits exactly, including the two's-complement bit 63") {
     // dims 0,63 positive, rest negative → bits 0 and 63 set
     val v: Seq[Float] = 1.0f +: Seq.fill(62)(-1.0f) :+ 1.0f
