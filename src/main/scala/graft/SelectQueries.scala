@@ -272,6 +272,82 @@ object SelectQueries {
         .orderBy("doc_id")
     }
 
+    // ---- IVF-PQ retrieval ---------------------------------------------
+
+    // The FAISS IVFPQ layout: coarse inverted file (nlist=8, nprobe=2,
+    // same cells as q_ivf_topk) x PQ-compressed scoring (m=4, ks=8,
+    // same codebook as q_pq_topk). A query touches nprobe/nlist of the
+    // corpus and scores m-byte codes.
+    q("q_ivf_pq_topk",
+      """WITH c AS (SELECT vec_id AS cell, embedding AS cv,
+        |        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(generate_series(1, len(embedding)), i ->
+        |            CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |          (acc, x) -> acc + x)) AS cn
+        |      FROM embeddings WHERE vec_id < 8),
+        |a AS (SELECT e.vec_id, e.embedding, c.cell,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |              list_transform(generate_series(1, len(cv)), i ->
+        |                CAST(cv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |              (acc, x) -> acc + x)
+        |            / (cn * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |              list_transform(generate_series(1, len(e.embedding)), i ->
+        |                CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+        |              (acc, x) -> acc + x))) DESC, c.cell) AS crn
+        |      FROM embeddings e, c),
+        |asn AS (SELECT vec_id, embedding, cell FROM a WHERE crn = 1),
+        |probes AS (SELECT vec_id AS query_id, embedding AS qv, cell
+        |           FROM a WHERE vec_id < 3 AND crn <= 2),
+        |samp AS (SELECT embedding,
+        |    row_number() OVER (ORDER BY
+        |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT),
+        |      vec_id) AS rk
+        |  FROM embeddings),
+        |cb AS (SELECT list(embedding ORDER BY rk) AS cbs FROM samp WHERE rk <= 8),
+        |recon AS (SELECT vec_id, cell, flatten(list_transform(generate_series(0, 3), j ->
+        |    cbs[list_position(
+        |      list_transform(cbs, cw -> list_reduce(
+        |        list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(generate_series(1, 16), i ->
+        |            (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE))
+        |            * (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE)))),
+        |        (acc, v) -> acc + v)),
+        |      list_min(list_transform(cbs, cw -> list_reduce(
+        |        list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(generate_series(1, 16), i ->
+        |            (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE))
+        |            * (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE)))),
+        |        (acc, v) -> acc + v))))
+        |    ][j*16+1 : j*16+16])) AS rv
+        |  FROM asn, cb),
+        |sc AS (SELECT query_id, r.vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 64), i ->
+        |        rv[i] * CAST(qv[i] AS DOUBLE))), (acc, v) -> acc + v)
+        |    / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, 64), i -> rv[i] * rv[i])),
+        |        (acc, v) -> acc + v))
+        |    / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(generate_series(1, 64), i ->
+        |          CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+        |        (acc, v) -> acc + v)) AS c
+        |  FROM recon r JOIN probes USING (cell) WHERE r.vec_id != query_id),
+        |rk AS (SELECT query_id, vec_id, c,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+        |      FROM sc)
+        |SELECT query_id, vec_id, round(c, 6) AS cosine_ivfpq FROM rk WHERE rn <= 3
+        |ORDER BY query_id, cosine_ivfpq DESC, vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.operators.Clustering.ivfPqTopK(queries, emb, "vec_id", "embedding",
+          nlist = 8, nprobe = 2, dim = 64, m = 4, ks = 8, k = 3)
+        .select(col("query_id"), col("vec_id"),
+          round(col("c"), 6).as("cosine_ivfpq"))
+        .orderBy(col("query_id"), col("cosine_ivfpq").desc, col("vec_id"))
+    }
+
     // ---- JL random-projection retrieval -------------------------------
 
     // 64 -> 16 dims through the deterministic md5-derived plane matrix

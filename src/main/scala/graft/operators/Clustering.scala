@@ -117,6 +117,54 @@ object Clustering {
       .filter(col("rn") <= k)
   }
 
+  /** IVF-PQ approximate top-k — the standard large-scale ANN layout
+    * (coarse inverted file × product-quantized residual scoring, the
+    * FAISS IVFPQ architecture from Jégou et al. 2011): corpus vectors
+    * live in their nearest-centroid cell AND are stored PQ-compressed;
+    * a query probes only its `nprobe` cells and scores the compressed
+    * reconstruction. At 100 TB this is the shape that works: the probe
+    * join touches nprobe/nlist of the corpus, each candidate costs an
+    * O(dim) fold over the m-byte code's reconstruction, and both the
+    * centroid table and codebook are bounded plan-time literals.
+    *
+    * Cell assignment and reconstruction run in ONE projection per
+    * corpus row (no shuffle until the probe equi-join on `cell`).
+    */
+  def ivfPqTopK(
+      queries: DataFrame,   // (query_id, qv)
+      corpus: DataFrame,    // (vec_id, embedding, ...)
+      idCol: String, vecCol: String,
+      nlist: Int, nprobe: Int,
+      dim: Int, m: Int, ks: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val cents = seedCentroids(corpus, idCol, vecCol, nlist)
+    val codebook = Similarity.pqCodebook(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")), ks)
+    val encoded = assignCells(corpus, idCol, vecCol, cents)
+      .select(col(idCol), col("cell"),
+        Similarity.pqRecon(col(vecCol), codebook, m, dim / m).as("recon"))
+      .withColumn("nrm", Similarity.norm(col("recon")))
+    val probes = queries
+      .withColumn("__cos", array(cents.map { case (_, cv, nrm) =>
+        Similarity.dot(typedLit(cv), col("qv")) /
+          (lit(nrm) * Similarity.norm(col("qv")))
+      }: _*))
+      .withColumn("__probe", explode(slice(array_sort(
+        zip_with(col("__cos"), typedLit(cents.map(_._1)),
+          (c, id) => struct((-c).as("negc"), id.as("cell")))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("__probe.cell").as("cell"))
+    val scored = encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("c",
+        Similarity.dot(col("recon"), col("qv")) / col("nrm") /
+          Similarity.norm(col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol), col("c"))
+  }
+
   /** Semantic dedup: one representative per IVF cell — the vector most
     * central to its cell (max cosine to the centroid, ties → lowest id).
     * The coarse counterpart to MinHash near-dup: collapses *semantically*

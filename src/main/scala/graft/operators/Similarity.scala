@@ -308,6 +308,28 @@ object Similarity {
       acc + d * d
     })
 
+  /** Fused PQ encode+reconstruct: per subspace, argmin over the literal
+    * codewords then slice that codeword — ONE expression, no
+    * intermediate codes attribute (routing codes through an attribute
+    * inlines the argmin into every element_at: the measured O(dim²)
+    * SQ8 trap). */
+  def pqRecon(vec: Column, codebook: Array[Seq[Double]], m: Int,
+      subDim: Int): Column = {
+    val cbL = typedLit(codebook.toSeq)
+    val ks = codebook.length
+    flatten(transform(sequence(lit(0), lit(m - 1)), j0 => {
+      val dists = transform(sequence(lit(1), lit(ks)), c =>
+        aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, i) => {
+          val idx = j0 * subDim + i
+          val d = element_at(vec, idx).cast("double") -
+            element_at(element_at(cbL, c), idx)
+          acc + d * d
+        }))
+      val best = array_position(dists, array_min(dists)).cast("int")
+      slice(element_at(cbL, best), j0 * subDim + 1, lit(subDim))
+    }))
+  }
+
   /** PQ storage codes: codes[j] = 0-based index of the nearest codeword
     * in subspace j (first-min tie-break) — the m-byte compressed form
     * (dim·4 bytes → m bytes per vector). */
@@ -351,23 +373,9 @@ object Similarity {
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(dim % m == 0, s"dim $dim not divisible by m $m")
-    val subDim = dim / m
     val codebook = pqCodebook(corpus, ks)
-    val cbL = typedLit(codebook.toSeq)
-    // Fused encode+reconstruct: per subspace, argmin over codewords then
-    // slice that codeword — no intermediate codes attribute.
-    val recon = flatten(transform(sequence(lit(0), lit(m - 1)), j0 => {
-      val dists = transform(sequence(lit(1), lit(ks)), c =>
-        aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, i) => {
-          val idx = j0 * subDim + i
-          val d = element_at(col("embedding"), idx).cast("double") -
-            element_at(element_at(cbL, c), idx)
-          acc + d * d
-        }))
-      val best = array_position(dists, array_min(dists)).cast("int")
-      slice(element_at(cbL, best), j0 * subDim + 1, lit(subDim))
-    }))
-    val encoded = corpus.select(col("vec_id"), recon.as("recon"))
+    val encoded = corpus.select(col("vec_id"),
+      pqRecon(col("embedding"), codebook, m, dim / m).as("recon"))
       .withColumn("nrm", norm(col("recon")))
     val scored = encoded.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))

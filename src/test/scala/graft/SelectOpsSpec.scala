@@ -279,6 +279,39 @@ class SelectOpsSpec extends SparkSpec {
     assert(top.forall(_._2 === 0), s"distances ${top.toSeq}")
   }
 
+  test("ivfPqTopK with nprobe = nlist equals plain pqTopK") {
+    import graft.operators.Clustering
+    val corpus = embDf((0L until 20L).map(i => i -> vec(i.toInt, 8)))
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val pq = Similarity.pqTopK(queries, corpus, dim = 8, m = 2, ks = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpq = Clustering.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+        nlist = 4, nprobe = 4, dim = 8, m = 2, ks = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivfpq.keySet === pq.keySet)
+    ivfpq.foreach { case (k, c) => assert(math.abs(c - pq(k)) < 1e-12, s"$k") }
+  }
+
+  test("ivfPqTopK probes restrict candidates to nprobe cells") {
+    import graft.operators.Clustering
+    // alternate cluster membership by id parity so the two seed cells
+    // (ids 0 and 1) land in different clusters
+    val a = Seq.fill(8)(1.0f) ++ Seq.fill(8)(0.0f)
+    val b = Seq.fill(8)(0.0f) ++ Seq.fill(8)(1.0f)
+    def jit(base: Seq[Float], s: Int): Seq[Float] =
+      base.zipWithIndex.map { case (x, i) => x + ((s * 5 + i) % 4) * 0.01f }
+    val corpus = embDf((0L until 12L).map(i =>
+      i -> jit(if (i % 2 == 0) a else b, i.toInt)))
+    val queries = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val top = Clustering.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+        nlist = 2, nprobe = 1, dim = 16, m = 4, ks = 6, k = 3)
+      .collect().map(_.getLong(1))
+    assert(top.nonEmpty && top.forall(_ % 2 == 0),
+      s"probe leaked across cells: ${top.toSeq}")
+  }
+
   test("pqTopK rejects dim not divisible by m") {
     val corpus = embDf(Seq(0L -> vec(0, 9)))
     intercept[IllegalArgumentException] {
