@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Sketches, TextDedup, TextQuality}
+
+/** Corpus-hygiene coverage: exact duplicated-substring purge (Lee et
+  * al. 2021 ExactSubstr), Bloom-filter cross-snapshot dedup (Bloom
+  * 1970), per-document cross-corpus duplication scoring, PMI
+  * collocation mining (Church & Hanks 1990), quality-aware near-dup
+  * cluster collapse, and a Zipf-slope corpus diagnostic.
+  *
+  * All engine extensions beyond the reference's operator list. Every
+  * oracle replays the identical md5-derived hashing and double
+  * arithmetic in DuckDB.
+  */
+object CorpusQueries {
+
+  def registerAll(reg: (String, Option[String], (SparkSession, String) => DataFrame) => Unit): Unit = {
+
+    def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Unit =
+      reg(name, Some(oracle), fn)
+
+    // ---- exact duplicated-substring purge -----------------------------
+
+    // Stride-1 4-word windows; any window content occurring twice in
+    // the corpus marks all but its first occurrence's positions for
+    // removal, and documents are rebuilt from the surviving words.
+    q("q_substring_dedup",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wins AS (SELECT doc_id, i - 1 AS start,
+        |           md5(array_to_string(ws[i:i+3], ' ')) AS h
+        |         FROM (SELECT doc_id, ws,
+        |                 unnest(generate_series(1, len(ws) - 3)) AS i FROM d)),
+        |rk AS (SELECT doc_id, start,
+        |         count(*) OVER (PARTITION BY h) AS c,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+        |       FROM wins),
+        |cov AS (SELECT DISTINCT doc_id, start + j AS pos
+        |        FROM (SELECT doc_id, start, unnest(generate_series(0, 3)) AS j
+        |              FROM rk WHERE c >= 2 AND rn > 1)),
+        |wrd AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+        |        FROM (SELECT doc_id, ws,
+        |                unnest(generate_series(1, len(ws))) AS i FROM d)),
+        |kept AS (SELECT w.doc_id, count(*) AS n_kept,
+        |           string_agg(word, ' ' ORDER BY w.pos) AS text_clean
+        |         FROM wrd w LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.pos = w.pos
+        |         WHERE cov.doc_id IS NULL GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(ws) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(text_clean, '') AS text_clean
+        |FROM d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextDedup.purgeDuplicateSubstrings(Tables.documents(s, dir),
+          "doc_id", "text", windowWords = 4, keepFirst = true)
+        .orderBy("doc_id")
+    }
+
+    // ---- Bloom-filter cross-snapshot dedup ----------------------------
+
+    // Index snapshot = docs with doc_id % 3 < 2; probe batch = odd
+    // docs, so 2/3 of probes are guaranteed members (no false
+    // negatives) and the rest exercise the false-positive path.
+    q("q_bloom_dedup", {
+      val seedRows = TextDedup.mixConsts(4).zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      s"""WITH seeds(j, a, b) AS (VALUES $seedRows),
+         |ik AS (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 < 2),
+         |bits AS (SELECT DISTINCT
+         |    ((CAST('0x' || substr(md5(k), 1, 7) AS BIGINT) * a + b)
+         |      % ${TextDedup.P}) % 32768 AS bit
+         |  FROM ik, seeds),
+         |pk AS (SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 2 = 1),
+         |pos AS (SELECT k,
+         |    ((CAST('0x' || substr(md5(k), 1, 7) AS BIGINT) * a + b)
+         |      % ${TextDedup.P}) % 32768 AS p
+         |  FROM (SELECT DISTINCT k FROM pk), seeds),
+         |hits AS (SELECT k, count(b.bit) AS nh
+         |         FROM pos LEFT JOIN bits b ON b.bit = pos.p GROUP BY k)
+         |SELECT doc_id, nh = 4 AS might_dup
+         |FROM pk JOIN hits USING (k) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val idx = docs.filter(col("doc_id") % 3 < 2).select(md5(col("text")).as("k"))
+      val bloom = Sketches.bloomBuild(idx, "k", bits = 32768, hashes = 4)
+      val probes = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), md5(col("text")).as("k"))
+      probes
+        .join(Sketches.bloomMightContain(bloom, probes.select("k"), "k",
+          bits = 32768, hashes = 4), Seq("k"))
+        .select(col("doc_id"), col("might_contain").as("might_dup"))
+        .orderBy("doc_id")
+    }
+
+    // ---- cross-document duplicated n-gram fraction --------------------
+
+    // Per-doc share of trigram instances whose content also occurs in
+    // another document — the cheap scoring stage where
+    // purgeDuplicateSubstrings is the rewrite stage.
+    q("q_dup_gram_fraction",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(generate_series(1, len(ws) - 2)) AS i FROM d)),
+        |pd AS (SELECT doc_id, h, count(*) AS cd FROM g GROUP BY 1, 2),
+        |wt AS (SELECT doc_id, cd, sum(cd) OVER (PARTITION BY h) AS ct FROM pd),
+        |f AS (SELECT doc_id, sum(cd) AS n_grams,
+        |        round(sum(CASE WHEN ct > cd THEN cd ELSE 0 END)
+        |          / CAST(sum(cd) AS DOUBLE), 9) AS dup_frac
+        |      FROM wt GROUP BY 1)
+        |SELECT doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |  coalesce(dup_frac, 0.0) AS dup_frac
+        |FROM documents LEFT JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextDedup.dupGramFraction(Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }
+
+    // ---- PMI collocations ---------------------------------------------
+
+    q("q_pmi_collocations",
+      """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS cnt
+        |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d)
+        |       GROUP BY 1, 2),
+        |m AS (SELECT w1, w2, cnt,
+        |        sum(cnt) OVER (PARTITION BY w1) AS l,
+        |        sum(cnt) OVER (PARTITION BY w2) AS r
+        |      FROM bg),
+        |t AS (SELECT sum(cnt) AS n FROM bg)
+        |SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+        |  round(ln(cnt * n / CAST(l * r AS DOUBLE)), 9) AS pmi
+        |FROM m, t WHERE cnt >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin) { (s, dir) =>
+      TextQuality.pmiCollocations(Tables.documents(s, dir), "text",
+        minCount = 5, topK = 50)
+    }
+
+    // ---- quality-aware near-dup cluster collapse ----------------------
+
+    // Same LSH pipeline + recursive-CTE closure as q_leakage_safe_split;
+    // the kept doc of each cluster is the longest (n_chars), ties to
+    // the smallest doc_id.
+    q("q_cluster_keep_best",
+      s"""WITH RECURSIVE ${LlmQueries.minhashCtes(n = 3, k = 16, r = 4)},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS ni
+         |          FROM cand
+         |          JOIN shd sa ON sa.doc_id = doc_a
+         |          JOIN shd sb ON sb.doc_id = doc_b AND sb.h0 = sa.h0
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sizes za ON za.doc_id = doc_a
+         |          JOIN sizes zb ON zb.doc_id = doc_b
+         |          WHERE ni / (za.nsh + zb.nsh - ni) >= 0.8),
+         |edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (SELECT n, m FROM edges
+         |                UNION
+         |                SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n),
+         |cl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+         |       FROM reach GROUP BY n),
+         |alldocs AS (SELECT d.doc_id, d.n_chars,
+         |              coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |            FROM documents d LEFT JOIN cl USING (doc_id)),
+         |rk AS (SELECT doc_id, cluster_id,
+         |         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY n_chars DESC, doc_id) AS rn
+         |       FROM alldocs)
+         |SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |  rn = 1 AS kept
+         |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextDedup.collapseKeepBest(Tables.documents(s, dir), "doc_id", "text",
+          scoreCol = "n_chars", threshold = 0.8)
+        .orderBy("doc_id")
+    }
+
+    // ---- Zipf-slope corpus diagnostic ---------------------------------
+
+    q("q_zipf_slope",
+      """WITH wc AS (SELECT w, count(*) AS c
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |            GROUP BY 1),
+        |top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 100),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+        |        ln(CAST(c AS DOUBLE)) AS y FROM top),
+        |a AS (SELECT count(*) AS n_top, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM r)
+        |SELECT CAST(n_top AS BIGINT) AS n_top,
+        |  round((n_top * sxy - sx * sy) / (n_top * sxx - sx * sx), 9) AS slope,
+        |  round((sy - ((n_top * sxy - sx * sy) / (n_top * sxx - sx * sx)) * sx)
+        |    / n_top, 9) AS intercept
+        |FROM a""".stripMargin) { (s, dir) =>
+      TextQuality.zipfSlope(Tables.documents(s, dir), "text", topN = 100)
+    }
+  }
+}

@@ -1402,4 +1402,5 @@ object Queries {
   UdxQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
   ExtraQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
   SelectQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
+  CorpusQueries.registerAll((name, oracle, fn) => register(name, oracle)(fn))
 }

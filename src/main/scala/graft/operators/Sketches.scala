@@ -60,4 +60,44 @@ object Sketches {
         col("cell.j") === col("j") && col("cell.bkt") === col("bkt"))
       .groupBy("w").agg(min("s").as("n_est"))
   }
+
+  /** Bloom filter (Bloom 1970) over a key column, as a table of SET BIT
+    * positions rather than an opaque bitmap: `hashes` md5+affine
+    * positions per key, distinct-ed to ≤ `bits` rows. Like the
+    * count-min sketch this representation is the mergeable, replayable
+    * form — filters over different corpus snapshots union by plain
+    * `UNION` (set bits are monotone), persist as parquet, and every
+    * bit is reproducible by any engine with md5 (Spark's native
+    * `bloom_filter_agg` is the opaque-buffer alternative; this table
+    * form trades a constant factor of space for auditability).
+    *
+    * Scale shape: one distinct over ≤ hashes·|keys| small rows, capped
+    * at `bits` output rows regardless of corpus size. */
+  def bloomBuild(keys: DataFrame, keyCol: String, bits: Int,
+      hashes: Int): DataFrame = {
+    val mixes = TextDedup.mixConsts(hashes)
+    val pos = mixes.map { case (a, b) => bucket(col(keyCol), a, b, bits) }
+    keys.select(explode(array(pos: _*)).as("bit")).distinct()
+  }
+
+  /** Probe keys against a built filter: (key, might_contain) — true iff
+    * ALL `hashes` positions are set. No false negatives; false-positive
+    * rate ≈ (1 − e^(−hashes·n/bits))^hashes. The filter is broadcast
+    * (≤ `bits` rows); each probe costs `hashes` tiny join lookups —
+    * the O(1)-space membership gate for cross-snapshot dedup, vs the
+    * signature-index join of [[TextDedup.dedupAgainstIndex]] which
+    * finds NEAR duplicates but carries per-doc state. */
+  def bloomMightContain(bloom: DataFrame, probes: DataFrame, keyCol: String,
+      bits: Int, hashes: Int): DataFrame = {
+    val mixes = TextDedup.mixConsts(hashes)
+    val pos = mixes.map { case (a, b) => bucket(col(keyCol), a, b, bits) }
+    // distinct first: a duplicated probe key would double its position
+    // rows and break the count-of-hits == hashes test
+    probes.select(col(keyCol)).distinct()
+      .select(col(keyCol), explode(array(pos: _*)).as("__p"))
+      .join(broadcast(bloom.select(col("bit").as("__p"),
+        lit(true).as("__hit"))), Seq("__p"), "left")
+      .groupBy(keyCol)
+      .agg((count(when(col("__hit"), lit(1))) === hashes).as("might_contain"))
+  }
 }

@@ -745,4 +745,150 @@ object TextDedup {
       .select(col("doc_id"), coalesce(col("__cl"), col("doc_id")).as("cluster_id"))
       .withColumn("split", when(u < trainFrac, lit("train")).otherwise(lit("valid")))
   }
+
+  /** Exact duplicated-substring purge (the ExactSubstr regime of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better"): every word position covered by a `windowWords`-word
+    * window whose content occurs MORE THAN ONCE in the corpus is
+    * removed, and documents are rebuilt from the surviving words. With
+    * `keepFirst` the globally first occurrence of each duplicated
+    * window (min (doc_id, start)) is spared, so exactly one copy of
+    * each duplicated run survives — Lee et al.'s policy; with
+    * `keepFirst = false` every copy goes (the boilerplate-scrub
+    * policy).
+    *
+    * Stride-1 windows (unlike [[purgeFrequentSpans]]'s disjoint spans)
+    * make the match EXACT: any duplicated run ≥ `windowWords` words is
+    * found at every alignment, so maximal duplicated regions are
+    * covered end-to-end without a suffix array. The price is a
+    * windows-per-word stream; the window STRING is dropped in the same
+    * projection that hashes it, so only (id, start, 32-hex md5) rows
+    * ever shuffle. A 100 TB run pays one window-hash count shuffle
+    * (key space = distinct windows), one join back, and one doc-keyed
+    * rebuild — the same shape DuckDB replays in the oracle.
+    *
+    * Output: (doc_id, n_words, n_removed, text_clean), one row per
+    * input document (documents shorter than the window pass through
+    * untouched; fully-duplicated documents return empty text).
+    */
+  def purgeDuplicateSubstrings(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowWords: Int = 8,
+      keepFirst: Boolean = true): DataFrame = {
+    val w = windowWords
+    val wsa = col("__ws")
+    val words = docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
+    // (id, start, h): md5 of each stride-1 w-word window; the window
+    // text itself never leaves the projection.
+    val wins = words
+      .select(col(idCol),
+        posexplode(when(size(wsa) >= w,
+          transform(sequence(lit(0), size(wsa) - w),
+            i => md5(concat_ws(" ",
+              (0 until w).map(j => element_at(wsa, i + j + 1)): _*))))
+          .otherwise(array())).as(Seq("start", "__h")))
+    // Per-window-content occurrence stats: total count + the spared
+    // first occurrence. One vocabulary-of-windows-keyed shuffle; an
+    // aggregate+join instead of a row_number window so the hot stream
+    // is never sorted.
+    val occ = wins.groupBy("__h")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("d"), col("start").as("p"))).as("__first"))
+      .filter(col("__c") >= 2)
+    val removed = wins.join(occ, Seq("__h"))
+      .filter(if (keepFirst)
+        !(col(idCol) === col("__first.d") && col("start") === col("__first.p"))
+      else lit(true))
+    // Word positions covered by any removed window; duplicates collapse
+    // before the rebuild join so the fan-out is bounded by doc length.
+    val covered = removed
+      .select(col(idCol), explode(sequence(col("start"), col("start") + w - 1)).as("pos"))
+      .distinct()
+    val rebuilt = words
+      .select(col(idCol), posexplode(wsa).as(Seq("pos", "__word")))
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__word")))),
+          s => s("__word")), " ").as("text_clean"))
+    docs.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_words"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Cross-document duplicated n-gram fraction per document: the share
+    * of a document's n-gram INSTANCES whose content also occurs in
+    * some other document (corpus count exceeds the document's own
+    * count). The RefinedWeb-style per-document duplication signal — a
+    * cheap SCORING stage (filter on the fraction) where
+    * [[purgeDuplicateSubstrings]] is the rewrite stage.
+    *
+    * One gram-hash shuffle to (doc, h) counts, then a corpus total per
+    * h as a PARTITIONED window sum over that (already vocabulary-sized)
+    * aggregate — no second pass over the raw gram stream, no
+    * unpartitioned window. Output: (doc_id, n_grams, dup_frac), one
+    * row per document; documents shorter than n words report 0 grams.
+    */
+  def dupGramFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = shingles(docs, idCol, textCol, n, distinct = false)
+      .select(col(idCol), md5(col("sh")).as("__h"))
+    val perDoc = grams.groupBy(idCol, "__h").agg(count(lit(1)).as("__cd"))
+    val withTotal = perDoc.withColumn("__ct",
+      sum("__cd").over(Window.partitionBy("__h")))
+    val frac = withTotal.groupBy(idCol)
+      .agg(sum("__cd").as("n_grams"),
+        round(sum(when(col("__ct") > col("__cd"), col("__cd")).otherwise(lit(0L)))
+          / sum("__cd"), 9).as("dup_frac"))
+    docs.select(col(idCol))
+      .join(frac, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"))
+  }
+
+  /** Near-duplicate cluster collapse keeping the BEST document of each
+    * cluster (max `scoreCol`, ties to the smallest id) instead of
+    * [[exactDedupKeepFirst]]'s arbitrary-first policy — the form a
+    * quality-aware pipeline wants: near-copies differ (boilerplate,
+    * truncation, OCR noise) and the kept copy should be the best one.
+    *
+    * [[nearDuplicates]] (bucketed LSH, never all-pairs) →
+    * [[dupClusters]] (regime-switched) → one corpus join (AQE
+    * broadcasts the cluster table when small) → a per-cluster
+    * row_number window (partitioned by cluster — bounded by the
+    * largest clique, never corpus-wide). Output: (doc_id, cluster_id,
+    * n_members, kept) for every input document.
+    */
+  def collapseKeepBest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      threshold: Double = 0.8,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nearDuplicates(docs, idCol, textCol, shingleLen, numHashes,
+      bandRows, threshold).select("doc_a", "doc_b")
+    val clusters = dupClusters(pairs).select(
+      col("doc_id").as("__cid_doc"), col("cluster_id").as("__cl"))
+    val withCl = docs.select(col(idCol), col(scoreCol))
+      .join(clusters, col(idCol) === col("__cid_doc"), "left")
+      .select(col(idCol), col(scoreCol),
+        coalesce(col("__cl"), col(idCol)).as("cluster_id"))
+    withCl
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col(scoreCol).desc, col(idCol))))
+      .withColumn("__nm", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .select(col(idCol), col("cluster_id"), col("__nm").as("n_members"),
+        (col("__rn") === 1).as("kept"))
+  }
 }

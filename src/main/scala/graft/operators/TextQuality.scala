@@ -435,4 +435,77 @@ object TextQuality {
           .when(col("score") >= col("__t33"), lit("middle"))
           .otherwise(lit("tail")).as("ppl_bucket"))
   }
+
+  /** Top-k bigram collocations by pointwise mutual information:
+    * PMI(w1,w2) = ln(B(w1,w2)·N / (L(w1)·R(w2))) over the corpus bigram
+    * stream, where L/R are the stream's left/right marginals and N its
+    * total — the standard corpus-linguistics collocation extractor
+    * (Church & Hanks 1990), useful for spotting templated/boilerplate
+    * word pairs that n-gram counts alone rank by raw frequency.
+    *
+    * One native-kernel corpus pass to (w1, w2, cnt) (the
+    * [[graft.functions.BigramPairCounts]] stream summed across docs —
+    * vocabulary²-bounded, Zipf-small in practice), marginals as
+    * PARTITIONED window sums over that aggregate (no second corpus
+    * pass, no unpartitioned window), the grand total as a broadcast
+    * one-row aggregate (the value_counts pattern), and the final top-k
+    * compiles to TakeOrdered. `minCount` floors the noise: PMI of
+    * hapax pairs is maximal by construction, so collocation mining
+    * always thresholds count first.
+    *
+    * Output: (w1, w2, cnt, pmi), the k highest-PMI pairs. */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val bg = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(graft.functions.BigramPairCounts(col(textCol))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(sum("b.cnt").as("cnt"))
+    val withMarg = bg
+      .withColumn("__l", sum("cnt").over(Window.partitionBy("w1")))
+      .withColumn("__r", sum("cnt").over(Window.partitionBy("w2")))
+    val total = bg.agg(sum("cnt").as("__n"))
+    withMarg.crossJoin(broadcast(total))
+      .filter(col("cnt") >= minCount)
+      .select(col("w1"), col("w2"), col("cnt"),
+        round(log(col("cnt") * col("__n") / (col("__l") * col("__r"))), 9)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Zipf-law diagnostic: least-squares slope of ln(freq) on ln(rank)
+    * over the corpus' `topN` most frequent words (ties ranked
+    * alphabetically). Natural text sits near slope −1 (Zipf 1949);
+    * a corpus whose slope drifts far from the reference snapshot's is
+    * the cheap first alarm for template/spam floods or broken
+    * extraction — the scalar companion to [[vocabDrift]]'s per-bucket
+    * KL view.
+    *
+    * One word-count shuffle, then TakeOrdered for the top-N (no
+    * vocabulary-wide window); ranking happens on the N-row result
+    * (bounded by the constant `topN`) and the fit is a closed-form
+    * aggregate. Output: one row (n_top, slope, intercept). */
+  def zipfSlope(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val top = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(topN)
+    val ranked = top
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))))
+      .select(log(col("__rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("n_top"),
+      sum("x").as("__sx"), sum("y").as("__sy"),
+      sum(col("x") * col("y")).as("__sxy"), sum(col("x") * col("x")).as("__sxx"))
+      .select(col("n_top"),
+        round((col("n_top") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_top") * col("__sxx") - col("__sx") * col("__sx")), 9)
+          .as("slope"),
+        round((col("__sy") - ((col("n_top") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_top") * col("__sxx") - col("__sx") * col("__sx"))) * col("__sx")) /
+          col("n_top"), 9).as("intercept"))
+  }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sketches, TextDedup, TextQuality}
+
+/** Unit coverage for the corpus-hygiene operators: exact
+  * duplicated-substring purge, Bloom-filter membership, duplicated
+  * n-gram fraction, PMI collocations, Zipf slope, and quality-aware
+  * cluster collapse. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def purge(rows: Seq[(Long, String)], w: Int, keepFirst: Boolean) = {
+    import spark.implicits._
+    TextDedup.purgeDuplicateSubstrings(rows.toDF("doc_id", "text"),
+        "doc_id", "text", windowWords = w, keepFirst = keepFirst)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+  }
+
+  test("substring purge spares the first occurrence and strips the rest") {
+    val got = purge(Seq(
+      (1L, "shared run of words here plus unique tail one"),
+      (2L, "other head then shared run of words here end")), w = 4, keepFirst = true)
+    // doc 1 holds the first occurrence of every duplicated window → untouched
+    assert(got(1L) == ((9L, 0L, "shared run of words here plus unique tail one")))
+    // doc 2 loses the maximal duplicated span "shared run of words here"
+    // (two overlapping 4-windows union to 5 positions)
+    assert(got(2L) == ((9L, 5L, "other head then end")))
+  }
+
+  test("substring purge keepFirst=false strips every occurrence") {
+    val got = purge(Seq(
+      (1L, "shared run of words plus unique tail"),
+      (2L, "other head then shared run of words end")), w = 4, keepFirst = false)
+    assert(got(1L)._2 == 4L && got(1L)._3 == "plus unique tail")
+    assert(got(2L)._2 == 4L && got(2L)._3 == "other head then end")
+  }
+
+  test("substring purge removes within-document repeats too") {
+    val got = purge(Seq(
+      (1L, "one two three four filler one two three four")), w = 4, keepFirst = true)
+    // second occurrence of the run goes; first stays
+    assert(got(1L) == ((9L, 4L, "one two three four filler")))
+  }
+
+  test("substring purge passes docs shorter than the window through") {
+    val got = purge(Seq((1L, "tiny doc"), (2L, "tiny doc")), w = 4, keepFirst = true)
+    assert(got(1L) == ((2L, 0L, "tiny doc")))
+    assert(got(2L) == ((2L, 0L, "tiny doc")))
+  }
+
+  test("substring purge empties a fully-duplicated document") {
+    val got = purge(Seq(
+      (1L, "a b c d"), (2L, "a b c d")), w = 4, keepFirst = true)
+    assert(got(1L) == ((4L, 0L, "a b c d")))
+    assert(got(2L) == ((4L, 4L, "")))
+  }
+
+  test("bloom filter has no false negatives and unions by plain UNION") {
+    import spark.implicits._
+    val a = Seq("k1", "k2", "k3").toDF("k")
+    val b = Seq("k4", "k5").toDF("k")
+    val bits = 1 << 20
+    val ba = Sketches.bloomBuild(a, "k", bits, 4)
+    val bb = Sketches.bloomBuild(b, "k", bits, 4)
+    val merged = ba.union(bb).distinct()
+    val probes = Seq("k1", "k2", "k3", "k4", "k5", "absent-key").toDF("k")
+    val got = Sketches.bloomMightContain(merged, probes, "k", bits, 4)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // every indexed key must hit (no false negatives)
+    (1 to 5).foreach(i => assert(got(s"k$i"), s"k$i missing"))
+    // 5 keys in 2^20 bits: this particular probe provably misses
+    assert(!got("absent-key"))
+    // merged filter == filter built over the union of the key sets
+    val direct = Sketches.bloomBuild(a.union(b), "k", bits, 4)
+    assert(merged.except(direct).count() == 0 && direct.except(merged).count() == 0)
+  }
+
+  test("bloom probe tolerates duplicate probe keys") {
+    import spark.implicits._
+    val bl = Sketches.bloomBuild(Seq("x").toDF("k"), "k", 1 << 16, 4)
+    val got = Sketches.bloomMightContain(bl,
+        Seq("x", "x", "y", "y").toDF("k"), "k", 1 << 16, 4)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("x") && !got("y"))
+  }
+
+  test("dup gram fraction: unique, identical, and short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),     // 2 trigrams, both shared with doc 2
+      (2L, "alpha beta gamma delta"),
+      (3L, "unique words only here now"), // 3 trigrams, none shared
+      (4L, "so")).toDF("doc_id", "text")  // < 3 words
+    val got = TextDedup.dupGramFraction(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((2L, 1.0)) && got(2L) == ((2L, 1.0)))
+    assert(got(3L) == ((3L, 0.0)))
+    assert(got(4L) == ((0L, 0.0)))
+  }
+
+  test("PMI ranks an exclusive pair above a promiscuous one") {
+    import spark.implicits._
+    // "left right": both sides exclusive. "the target": same count but
+    // "the" also precedes w$i, so L(the) doubles and the PMI drops.
+    // Hapax pairs (the, w$i) fall to minCount.
+    val docs = Seq.tabulate(6)(i =>
+      (i.toLong, s"left right the target the w$i"))
+      .toDF("doc_id", "text")
+    val got = TextQuality.pmiCollocations(docs, "text", minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got.size == 4) // hapax (the, w_i) dropped
+    assert(got(("left", "right")) > got(("the", "target")))
+    // closed form: N=30; pmi(left,right)=ln(6*30/36), pmi(the,target)=ln(6*30/72)
+    assert(math.abs(got(("left", "right")) - math.log(30.0 / 6)) < 1e-8)
+    assert(math.abs(got(("the", "target")) - math.log(30.0 / 12)) < 1e-8)
+  }
+
+  test("PMI matches the closed form on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a b a b a b")).toDF("doc_id", "text")
+    // bigram stream: (a,b)x5, (b,a)x4 → N=9; L(a)=R(b)=5, L(b)=R(a)=4
+    val got = TextQuality.pmiCollocations(docs, "text", minCount = 1, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(got(("a", "b")) - math.log(5.0 * 9 / 25)) < 1e-8)
+    assert(math.abs(got(("b", "a")) - math.log(4.0 * 9 / 16)) < 1e-8)
+  }
+
+  test("zipf slope recovers an exact power law") {
+    import spark.implicits._
+    // counts 8,4,2,1 over ranks 1..4 → ln y = ln 8 − (ln 2 / ln ?) … the
+    // four (ln rank, ln count) points are NOT collinear; instead verify
+    // against the closed-form least squares computed here.
+    val words = Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++ Seq.fill(2)("w3") ++ Seq("w4")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val pts = Seq(8, 4, 2, 1).zipWithIndex.map { case (c, i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = pts.size
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r = TextQuality.zipfSlope(docs, "text", topN = 10).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-8)
+  }
+
+  test("cluster collapse keeps the highest-scoring member") {
+    import spark.implicits._
+    val base = "q w e r t y u i o p a s d f g h j k l z"
+    val docs = Seq(
+      (1L, base, 10L),                 // near-identical trio
+      (2L, base + " x", 99L),          // best score → kept
+      (3L, base, 10L),
+      (9L, "totally different words here for a singleton doc", 5L))
+      .toDF("doc_id", "text", "score")
+    val got = TextDedup.collapseKeepBest(docs, "doc_id", "text", "score",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) == ((1L, 3L, false)))
+    assert(got(2L) == ((1L, 3L, true)))
+    assert(got(3L) == ((1L, 3L, false)))
+    assert(got(9L) == ((9L, 1L, true)))
+  }
+}
