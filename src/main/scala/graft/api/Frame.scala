@@ -578,6 +578,54 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       graft.operators.TextDedup.nearDuplicates(df, idx, textCol,
         threshold = threshold).select("doc_a", "doc_b")))
 
+  /** Exact duplicated-substring purge: remove every word position
+    * covered by a `windowWords`-word window whose content repeats in
+    * the corpus, sparing the first occurrence when `keepFirst`
+    * (operators.TextDedup.purgeDuplicateSubstrings — Lee et al. 2021
+    * ExactSubstr shape, one window-hash shuffle). */
+  def purgeDuplicateSubstrings(textCol: String, windowWords: Int = 8,
+      keepFirst: Boolean = true): Frame =
+    Frame(graft.operators.TextDedup.purgeDuplicateSubstrings(df, idx, textCol,
+      windowWords, keepFirst), index)
+
+  /** Per-row share of n-gram instances whose content also occurs in
+    * another row — the cheap cross-corpus duplication score
+    * (operators.TextDedup.dupGramFraction). */
+  def dupGramFraction(textCol: String, n: Int = 3): Frame =
+    Frame(graft.operators.TextDedup.dupGramFraction(df, idx, textCol, n), index)
+
+  /** Near-dup cluster collapse keeping each cluster's highest-`scoreCol`
+    * member (operators.TextDedup.collapseKeepBest). */
+  def collapseKeepBest(textCol: String, scoreCol: String,
+      threshold: Double = 0.8): Frame =
+    Frame(graft.operators.TextDedup.collapseKeepBest(df, idx, textCol,
+      scoreCol, threshold), index)
+
+  /** Bloom filter over `keyCol` as a mergeable set-bit table
+    * (operators.Sketches.bloomBuild); union filters with `concat`. */
+  def bloomIndex(keyCol: String, bits: Int = 1 << 22, hashes: Int = 4): Frame =
+    Frame(graft.operators.Sketches.bloomBuild(df, keyCol, bits, hashes))
+
+  /** Probe this frame's `keyCol` against a built Bloom filter:
+    * (key, might_contain) — the O(1)-space cross-snapshot dedup gate
+    * (operators.Sketches.bloomMightContain). */
+  def bloomProbe(bloom: Frame, keyCol: String, bits: Int = 1 << 22,
+      hashes: Int = 4): Frame =
+    Frame(graft.operators.Sketches.bloomMightContain(bloom.df, df, keyCol,
+      bits, hashes))
+
+  /** Top-k bigram collocations by pointwise mutual information
+    * (operators.TextQuality.pmiCollocations). */
+  def pmiCollocations(textCol: String, minCount: Long = 5,
+      topK: Int = 100): Frame =
+    Frame(graft.operators.TextQuality.pmiCollocations(df, textCol, minCount,
+      topK))
+
+  /** Zipf-law least-squares slope over the corpus' top-N words
+    * (operators.TextQuality.zipfSlope). */
+  def zipfSlope(textCol: String, topN: Int = 1000): Frame =
+    Frame(graft.operators.TextQuality.zipfSlope(df, textCol, topN))
+
   /** Pack rows into fixed-capacity token windows in index order
     * (see operators.Packing — two-pass offsets, no global window). */
   def packSequences(tokensCol: String, capacity: Long): Frame =

@@ -100,4 +100,34 @@ object Sketches {
       .groupBy(keyCol)
       .agg((count(when(col("__hit"), lit(1))) === hashes).as("might_contain"))
   }
+
+  /** Pack a built filter's bit rows into a dense word array for the
+    * inline/streaming form. One bounded collect of ≤ `bits` rows
+    * (bits/8 bytes of driver state — a 2^22-bit filter is 512 KiB),
+    * the same O(sketch) driver traffic every sketch consumer pays. */
+  def packBits(bloom: DataFrame, bits: Int): Array[Long] = {
+    val words = new Array[Long]((bits + 63) / 64)
+    bloom.select(col("bit")).collect().foreach { r =>
+      val b = r.getLong(0)
+      words((b / 64).toInt) |= 1L << (b % 64).toInt
+    }
+    words
+  }
+
+  /** Membership test COLUMN: the packed filter rides along as a
+    * plan-time array literal and each of the `hashes` probes is one
+    * element_at + mask — no explode, no join, no state. This is the
+    * streaming-safe form (stateless per-row projection) and equals
+    * [[bloomMightContain]] bit-for-bit. */
+  def mightContainInline(key: Column, packed: Array[Long], bits: Int,
+      hashes: Int): Column = {
+    val w = typedLit(packed.toSeq)
+    TextDedup.mixConsts(hashes)
+      .map { case (a, b) =>
+        val p = bucket(key, a, b, bits)
+        element_at(w, (p / 64).cast("int") + 1)
+          .bitwiseAND(call_function("shiftleft", lit(1L), (p % 64).cast("int"))) =!= 0L
+      }
+      .reduce(_ && _)
+  }
 }

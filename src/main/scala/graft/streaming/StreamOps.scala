@@ -208,6 +208,23 @@ object StreamOps {
       graft.operators.QualityModel.scoreInline(col(textCol), model).as("quality"))
       .withColumn("keep", col("quality") >= threshold)
 
+  /** Cross-snapshot dedup at ingest: probe each arriving document's
+    * content hash against a Bloom filter built offline over the
+    * existing corpus ([[graft.operators.Sketches.bloomBuild]] →
+    * `packBits`), applied as a STATELESS projection — the filter rides
+    * along as a plan-time word-array literal
+    * ([[graft.operators.Sketches.mightContainInline]]), so there is no
+    * stream-static join, no shuffle, no state store. No false
+    * negatives: a `keep = false` row is guaranteed-new; duplicates
+    * slip through only at the filter's false-positive rate, the
+    * standard ingest-gate trade. */
+  def streamingBloomDedup(stream: DataFrame, idCol: String, keyCol: String,
+      packed: Array[Long], bits: Int, hashes: Int): DataFrame =
+    stream.select(col(idCol),
+      graft.operators.Sketches.mightContainInline(col(keyCol), packed, bits,
+        hashes).as("might_dup"))
+      .withColumn("keep", !col("might_dup"))
+
   /** Windowed approximate distinct counts: tumbling event-time windows
     * with `approx_count_distinct` (HLL++) — the streaming form of the
     * batch HLL sketches (q_hll_sketch). Sketch-sized state per window,

@@ -85,6 +85,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("x") && !got("y"))
   }
 
+  test("inline bloom membership equals the join form bit-for-bit") {
+    import spark.implicits._
+    val bits = 1 << 16
+    val keys = (0 until 200).map(i => s"key-$i").toDF("k")
+    val bl = Sketches.bloomBuild(keys, "k", bits, 4)
+    val packed = Sketches.packBits(bl, bits)
+    val probes = ((0 until 200 by 3).map(i => s"key-$i") ++
+      (0 until 50).map(i => s"other-$i")).toDF("k")
+    val joinForm = Sketches.bloomMightContain(bl, probes, "k", bits, 4)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val inlineForm = probes
+      .select(col("k"), Sketches.mightContainInline(col("k"), packed, bits, 4)
+        .as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(inlineForm == joinForm)
+    // and every indexed probe is present in both
+    (0 until 200 by 3).foreach(i => assert(inlineForm(s"key-$i")))
+  }
+
   test("dup gram fraction: unique, identical, and short docs") {
     import spark.implicits._
     val docs = Seq(

@@ -441,6 +441,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom dedup gates arrivals against an offline filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val bits = 1 << 16
+    val existing = Seq("doc-a", "doc-b", "doc-c").toDF("k")
+    val packed = Sketches.packBits(Sketches.bloomBuild(existing, "k", bits, 4), bits)
+    val in = MemoryStream[(Long, String)]
+    val gated = StreamOps.streamingBloomDedup(in.toDF().toDF("doc_id", "k"),
+      "doc_id", "k", packed, bits, 4)
+    val q = gated.writeStream.format("memory").queryName("bloomgate")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "doc-a"), (2L, "fresh-doc"), (3L, "doc-c"))
+      q.processAllAvailable()
+      val rows = spark.table("bloomgate").collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+      // indexed keys flagged (no false negatives), fresh key kept
+      assert(rows(1L) == ((true, false)) && rows(3L) == ((true, false)))
+      assert(rows(2L) == ((false, true)))
+      // streaming verdicts equal the batch join form exactly
+      val batch = Sketches.bloomMightContain(
+        Sketches.bloomBuild(existing, "k", bits, 4),
+        Seq("doc-a", "fresh-doc", "doc-c").toDF("k"), "k", bits, 4)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(batch("doc-a") && !batch("fresh-doc") && batch("doc-c"))
+    } finally q.stop()
+  }
+
   test("streaming contamination flags docs sharing benchmark n-grams") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
