@@ -178,6 +178,55 @@ object CorpusQueries {
         .orderBy("doc_id")
     }
 
+    // ---- rendezvous shard assignment ----------------------------------
+
+    // Highest-random-weight hashing: doc -> argmax_j md5(id ":" j),
+    // ties to the smallest shard.
+    q("q_rendezvous_shards",
+      """WITH c AS (SELECT doc_id, j,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(j AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM documents, (SELECT unnest(generate_series(0, 7)) AS j)),
+        |r AS (SELECT doc_id, j,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, j) AS rn
+        |      FROM c)
+        |SELECT doc_id, CAST(j AS INT) AS shard FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Packing.rendezvousShard(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", numShards = 8)
+        .orderBy("doc_id")
+    }
+
+    // Consistent-hashing stability: growing 8 -> 9 shards, the movement
+    // matrix has mass only on the diagonal and in the shard_new = 8
+    // column — no row ever relocates between existing shards.
+    q("q_rendezvous_stability",
+      """WITH c AS (SELECT doc_id, n, j,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(j AS VARCHAR)), 1, 7) AS BIGINT) AS h
+        |  FROM documents,
+        |       (SELECT 8 AS n, unnest(generate_series(0, 7)) AS j
+        |        UNION ALL
+        |        SELECT 9 AS n, unnest(generate_series(0, 8)) AS j)),
+        |r AS (SELECT doc_id, n, j,
+        |        row_number() OVER (PARTITION BY doc_id, n ORDER BY h DESC, j) AS rn
+        |      FROM c),
+        |a AS (SELECT doc_id,
+        |        max(CASE WHEN n = 8 THEN j END) AS shard_old,
+        |        max(CASE WHEN n = 9 THEN j END) AS shard_new
+        |      FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT CAST(shard_old AS INT) AS shard_old,
+        |  CAST(shard_new AS INT) AS shard_new, count(*) AS n_docs
+        |FROM a GROUP BY 1, 2 ORDER BY shard_old, shard_new""".stripMargin) { (s, dir) =>
+      import graft.operators.Packing
+      val ids = Tables.documents(s, dir).select("doc_id")
+      Packing.rendezvousShard(
+          Packing.rendezvousShard(ids, "doc_id", 8, "shard_old"),
+          "doc_id", 9, "shard_new")
+        .groupBy("shard_old", "shard_new").agg(count(lit(1)).as("n_docs"))
+        .orderBy("shard_old", "shard_new")
+    }
+
     // ---- Zipf-slope corpus diagnostic ---------------------------------
 
     q("q_zipf_slope",

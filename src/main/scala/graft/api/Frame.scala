@@ -626,6 +626,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def zipfSlope(textCol: String, topN: Int = 1000): Frame =
     Frame(graft.operators.TextQuality.zipfSlope(df, textCol, topN))
 
+  /** Rendezvous (consistent-hash) shard assignment: growing the shard
+    * count moves only rows onto the new shard
+    * (operators.Packing.rendezvousShard). */
+  def rendezvousShard(numShards: Int, outCol: String = "shard"): Frame =
+    Frame(graft.operators.Packing.rendezvousShard(df, idx, numShards, outCol),
+      index)
+
   /** Pack rows into fixed-capacity token windows in index order
     * (see operators.Packing — two-pass offsets, no global window). */
   def packSequences(tokensCol: String, capacity: Long): Frame =

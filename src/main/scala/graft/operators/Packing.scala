@@ -83,4 +83,32 @@ object Packing {
         min(idCol).as("first_doc"),
         max(idCol).as("last_doc"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998): row → argmax over shards j of
+    * md5(id ":" j), ties to the SMALLEST j. The consistent-hashing
+    * property a snapshot-refreshed corpus wants from its physical
+    * layout: growing `numShards` to n+1 moves only the rows whose new
+    * argmax IS the new shard (≈ 1/(n+1) of them) and never relocates a
+    * row between existing shards — unlike `id % n`, where almost every
+    * row moves.
+    *
+    * Map-only: the candidate (hash, shard) array is built per row and
+    * reduced with `array_max` (struct ordering; the shard component is
+    * stored complemented so hash ties resolve to the smallest shard,
+    * matching the SQL `ORDER BY h DESC, j` replay). O(numShards) md5s
+    * per row — rendezvous hashing's price; fine for the physical-shard
+    * counts (≤ thousands) it is meant for. */
+  def rendezvousShard(df: DataFrame, idCol: String, numShards: Int,
+      outCol: String = "shard"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val cand = (0 until numShards).map { j =>
+      struct(
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(s":$j"))), 1, 7),
+          16, 10).cast("long").as("h"),
+        lit(numShards - 1 - j).as("cj"))
+    }
+    df.withColumn(outCol,
+      (lit(numShards - 1) - array_max(array(cand: _*)).getField("cj")))
+  }
 }

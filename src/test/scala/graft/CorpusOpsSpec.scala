@@ -164,6 +164,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - slope) < 1e-8)
   }
 
+  test("rendezvous sharding is stable under shard growth") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val ids = (0L until 2000L).toDF("doc_id")
+    val both = Packing.rendezvousShard(
+        Packing.rendezvousShard(ids, "doc_id", 8, "s8"), "doc_id", 9, "s9")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // no row relocates between existing shards: a changed assignment
+    // always lands on the NEW shard
+    both.foreach { case (id, s8, s9) =>
+      assert(s8 == s9 || s9 == 8, s"doc $id moved $s8 -> $s9 (not the new shard)")
+    }
+    // roughly 1/9 of rows move (binomial: generous 3x bounds)
+    val moved = both.count { case (_, s8, s9) => s8 != s9 }
+    assert(moved > 2000 / 27 && moved < 2000 / 3, s"moved=$moved")
+    // every shard is populated
+    assert(both.map(_._2).distinct.sorted.toSeq == (0 until 8))
+  }
+
   test("cluster collapse keeps the highest-scoring member") {
     import spark.implicits._
     val base = "q w e r t y u i o p a s d f g h j k l z"
