@@ -238,6 +238,50 @@ object StreamOps {
       .agg(approx_count_distinct(keyCol).as("n_distinct"))
       .select(col("window.start").as("window_start"), col("n_distinct"))
 
+  /** Per-window vocabulary drift against an offline baseline: the
+    * streaming form of `TextQuality.vocabDrift`, emitting
+    * KL(p_base ‖ q_window) per event-time window — the live alarm for
+    * a crawl feed whose token distribution shifts mid-ingest.
+    *
+    * The baseline rides along as an O(B) probability MAP LITERAL
+    * (add-1-smoothed hashed-unigram buckets), and the KL decomposes so
+    * two CHAINED windowed aggregations (Spark's multi-stateful-operator
+    * support) compute it exactly:
+    * KL = Σ p ln p − Σ p ln q = C_ref − Σ_{observed} p_b·ln(c_b+1)
+    *      + ln(n_w + B),
+    * with C_ref a plan-time constant — first aggregate (window, bucket)
+    * counts, then one per-window sum. State per window is B bucket
+    * counters, dropped at the watermark.
+    *
+    * Output: (window_start, n_tokens, kl). */
+  def streamingVocabDrift(stream: DataFrame, tsCol: String, textCol: String,
+      baseCounts: Map[Long, Long], buckets: Int, window: String,
+      watermark: String): DataFrame = {
+    val nb = baseCounts.values.sum.toDouble
+    def p(c: Long): Double = (c + 1.0) / (nb + buckets)
+    val cRef = (0L until buckets.toLong)
+      .map { b => val pb = p(baseCounts.getOrElse(b, 0L)); pb * math.log(pb) }
+      .sum
+    val pLit = typedLit((0L until buckets.toLong)
+      .map(b => b -> p(baseCounts.getOrElse(b, 0L))).toMap)
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.functions.ShingleHashes(col(textCol), 1, 7, dedup = false))
+          .as("__t"))
+      .select(col(tsCol), (col("__t") % buckets).as("bucket"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("window"))
+      .agg(sum("__c").as("n_tokens"),
+        sum(element_at(pLit, col("bucket")) * log(col("__c") + lit(1.0)))
+          .as("__s"))
+      .select(col("window.start").as("window_start"), col("n_tokens"),
+        round(lit(cRef) - col("__s") +
+          log(col("n_tokens") + lit(buckets.toDouble)), 9).as("kl"))
+  }
+
   /** Online mixture construction: the streaming counterpart of
     * `TextQuality.tokenBudgetMix`. Per-source cumulative token counts
     * live in flatMapGroupsWithState; each arriving (source, id, tokens)

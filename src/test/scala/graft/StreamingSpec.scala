@@ -305,6 +305,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming vocab drift flags a shifted window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val buckets = 64
+    val baseText = "alpha beta gamma delta epsilon zeta alpha beta gamma delta"
+    // baseline bucket counts via the same kernel hashing as the stream
+    val baseCounts = Seq((1L, baseText)).toDF("doc_id", "text")
+      .select(explode(graft.functions.ShingleHashes(col("text"), 1, 7,
+        dedup = false)).as("t"))
+      .select((col("t") % buckets).as("b")).groupBy("b").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("sec", "text")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val drift = StreamOps.streamingVocabDrift(df, "ts", "text", baseCounts,
+      buckets, "10 seconds", "5 seconds")
+    val q = drift.writeStream.format("memory").queryName("vdrift")
+      .outputMode("append").start()
+    try {
+      // window [0,10): baseline-shaped; window [10,20): disjoint vocab
+      in.addData((1L, baseText), (2L, baseText),
+        (11L, "zzz yyy xxx www vvv uuu"), (12L, "qqq rrr sss ttt"))
+      q.processAllAvailable()
+      in.addData((100L, "tick")) // advance the watermark past both windows
+      q.processAllAvailable()
+      val rows = spark.table("vdrift").orderBy("window_start")
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      assert(rows.length == 2, s"got ${rows.toSeq}")
+      val Array((n0, kl0), (n1, kl1)) = rows
+      assert(n0 == 20L && n1 == 10L)
+      assert(kl1 > kl0, s"shifted window not flagged: kl0=$kl0 kl1=$kl1")
+      // the emitted KL equals the closed-form replay of the decomposition
+      val nb = baseCounts.values.sum.toDouble
+      def p(c: Long) = (c + 1.0) / (nb + buckets)
+      val cRef = (0L until buckets.toLong)
+        .map { b => val pb = p(baseCounts.getOrElse(b, 0L)); pb * math.log(pb) }.sum
+      val w0 = Seq((1L, baseText), (2L, baseText)).toDF("sec", "text")
+        .select(explode(graft.functions.ShingleHashes(col("text"), 1, 7,
+          dedup = false)).as("t"))
+        .select((col("t") % buckets).as("b")).groupBy("b").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect0 = BigDecimal(cRef -
+        w0.map { case (b, c) => p(baseCounts.getOrElse(b, 0L)) * math.log(c + 1.0) }.sum +
+        math.log(w0.values.sum + buckets.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(kl0 - expect0) < 1e-8, s"kl0=$kl0 expect=$expect0")
+    } finally q.stop()
+  }
+
   test("streaming token budget admits per-source until exhausted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
