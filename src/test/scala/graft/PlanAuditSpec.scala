@@ -317,4 +317,41 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_count_min")
     assert(p.contains("BroadcastHashJoin"), "sketch join is not broadcast")
   }
+
+  test("substring purge runs windowless: occurrence stats are aggregate+join") {
+    // The spared-first-occurrence logic must be min(struct)+join, never a
+    // row_number over the stride-1 window stream (a sort of the hottest
+    // stream in the operator).
+    val analyzed = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("windowspecdefinition"),
+      "substring purge sorts its window stream through a window function")
+  }
+
+  test("bloom probe joins the filter by broadcast") {
+    val p = plan("q_bloom_dedup")
+    assert(p.contains("BroadcastHashJoin"), "bit-table join is not broadcast")
+  }
+
+  test("PMI rides the native bigram kernel, broadcast total, and top-k") {
+    val qe = SparkEntry.queries("q_pmi_collocations")(spark, sfDir).queryExecution
+    assert(qe.analyzed.toString.contains("bigram_pair_counts"),
+      "PMI re-splits text instead of using the kernel")
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "grand total is not a broadcast one-row aggregate")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k PMI pairs sort the whole pair table")
+  }
+
+  test("rendezvous sharding is map-only up to its output sort") {
+    val exchanges = "Exchange".r.findAllIn(plan("q_rendezvous_shards")).length
+    assert(exchanges <= 1, s"q_rendezvous_shards plans $exchanges exchanges")
+  }
+
+  test("zipf top-N is a distributed top-k, not a vocabulary-wide sort") {
+    val p = plan("q_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-N words ride a full sort instead of TakeOrdered")
+  }
 }
