@@ -148,6 +148,19 @@ object GraftFunctions {
             lit(args(3), "dedup").toString.toBoolean)
         }),
       (
+        FunctionIdentifier("shingle_md5s"),
+        new ExpressionInfo(classOf[ShingleMd5s].getName, "shingle_md5s"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "shingle_md5s(text, n)")
+          val n = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"shingle_md5s n must be an int literal, got $other")
+          }
+          ShingleMd5s(args.head, n)
+        }),
+      (
         FunctionIdentifier("shingle_minhash_set"),
         new ExpressionInfo(classOf[ShingleMinHashSet].getName, "shingle_minhash_set"),
         (args: Seq[Expression]) => {

@@ -125,6 +125,49 @@ object TextKernels {
     new GenericArrayData(if (p == m) out else java.util.Arrays.copyOf(out, p))
   }
 
+  private val HexChars = "0123456789abcdef".getBytes(StandardCharsets.US_ASCII)
+
+  /** Full 32-hex md5 of every stride-1 word n-gram window of `text`, in
+    * window order — the collision-free window fingerprint the exact
+    * substring purge keys on (a folded hash would occasionally delete
+    * NON-duplicated text at corpus scale). Equals
+    * `md5(concat_ws(' ', w_i..w_{i+n-1}))` byte-for-byte, so external
+    * engines replay it. Texts with fewer than n words return an empty
+    * array. */
+  def shingleMd5s(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val wordBytes = new Array[Array[Byte]](words.length)
+    var w = 0
+    while (w < words.length) {
+      wordBytes(w) = words(w).getBytes(StandardCharsets.UTF_8); w += 1
+    }
+    val md = digests.get()
+    val m = words.length - n + 1
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(wordBytes(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexChars((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HexChars(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One pass, BOTH dedup outputs: the k minhash values AND the deduped
     * 28-bit shingle-hash set of `text`'s word n-gram shingles, as a
     * (mins, hs) struct. Each shingle's md5 is computed exactly once and
@@ -318,6 +361,41 @@ object ShingleHashes {
       text, org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(hexLen),
       org.apache.spark.sql.functions.lit(dedup))
+  }
+}
+
+/** `shingle_md5s(text, n)`: full 32-hex md5 of every stride-1 word
+  * n-gram window, in order (see [[TextKernels.shingleMd5s]]). */
+case class ShingleMd5s(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle_md5s: n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_md5s requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_md5s"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleMd5s(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingleMd5s($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5s =
+    copy(child = newChild)
+}
+
+object ShingleMd5s {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column, n: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("shingle_md5s",
+      text, org.apache.spark.sql.functions.lit(n))
   }
 }
 

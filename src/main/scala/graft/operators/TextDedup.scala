@@ -779,25 +779,37 @@ object TextDedup {
       keepFirst: Boolean = true): DataFrame = {
     val w = windowWords
     val wsa = col("__ws")
-    val words = docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
-    // (id, start, h): md5 of each stride-1 w-word window; the window
-    // text itself never leaves the projection.
-    val wins = words
+    // Small-source spread, same rationale as [[shingles]]: a one-file
+    // corpus would run the kernel near-serially.
+    val spark = docs.sparkSession
+    val nFiles = docs.inputFiles.length
+    val src =
+      if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
+        docs.repartition(spark.sparkContext.defaultParallelism)
+      else docs
+    val words = src.select(col(idCol), split(col(textCol), " ").as("__ws"))
+    // (id, start, h): full md5 of each stride-1 w-word window from ONE
+    // native kernel call per document (graft.functions.ShingleMd5s —
+    // an interpreted transform() lambda re-concatenates and re-hashes
+    // per element at ~2× the cost, and the stream is consumed twice);
+    // the window text itself never leaves the kernel.
+    val wins = src
       .select(col(idCol),
-        posexplode(when(size(wsa) >= w,
-          transform(sequence(lit(0), size(wsa) - w),
-            i => md5(concat_ws(" ",
-              (0 until w).map(j => element_at(wsa, i + j + 1)): _*))))
-          .otherwise(array())).as(Seq("start", "__h")))
-    // Per-window-content occurrence stats: total count + the spared
-    // first occurrence. One vocabulary-of-windows-keyed shuffle; an
-    // aggregate+join instead of a row_number window so the hot stream
-    // is never sorted.
-    val occ = wins.groupBy("__h")
-      .agg(count(lit(1)).as("__c"),
-        min(struct(col(idCol).as("d"), col("start").as("p"))).as("__first"))
+        posexplode(graft.functions.ShingleMd5s(col(textCol), w))
+          .as(Seq("start", "__h")))
+    // Per-window-content occurrence stats riding ONE pass over the
+    // window stream: count + spared-first-occurrence as unordered
+    // full-frame aggregates over a window PARTITIONED BY the hash —
+    // one exchange and a partition-local sort, where an aggregate+join
+    // formulation exchanges (and kernel-recomputes) the hot stream
+    // twice (measured slower at sf0.1). Partitioning is by the window
+    // hash — groups are occurrence counts (tiny), never corpus-wide.
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val removed = wins
+      .withColumn("__c", count(lit(1)).over(byHash))
+      .withColumn("__first",
+        min(struct(col(idCol).as("d"), col("start").as("p"))).over(byHash))
       .filter(col("__c") >= 2)
-    val removed = wins.join(occ, Seq("__h"))
       .filter(if (keepFirst)
         !(col(idCol) === col("__first.d") && col("start") === col("__first.p"))
       else lit(true))
@@ -837,8 +849,14 @@ object TextDedup {
   def dupGramFraction(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = shingles(docs, idCol, textCol, n, distinct = false)
-      .select(col(idCol), md5(col("sh")).as("__h"))
+    val spark = docs.sparkSession
+    val nFiles = docs.inputFiles.length
+    val src =
+      if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
+        docs.repartition(spark.sparkContext.defaultParallelism)
+      else docs
+    val grams = src.select(col(idCol),
+      explode(graft.functions.ShingleMd5s(col(textCol), n)).as("__h"))
     val perDoc = grams.groupBy(idCol, "__h").agg(count(lit(1)).as("__cd"))
     val withTotal = perDoc.withColumn("__ct",
       sum("__cd").over(Window.partitionBy("__h")))

@@ -85,6 +85,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("x") && !got("y"))
   }
 
+  test("shingle_md5s kernel equals the SQL md5(concat_ws) fold") {
+    import spark.implicits._
+    val docs = Seq(
+      "one two three four five six",
+      "a b",                // shorter than the window
+      "",                   // empty text
+      "x y z x y z x y z",  // repeats
+      "unicode ünïcödé mixé tokens here").toDF("text")
+    val wsa = col("__ws")
+    val viaSql = docs.select(col("text"), split(col("text"), " ").as("__ws"))
+      .select(col("text"),
+        when(size(wsa) >= 4,
+          transform(sequence(lit(0), size(wsa) - 4),
+            i => md5(concat_ws(" ",
+              (0 until 4).map(j => element_at(wsa, i + j + 1)): _*))))
+          .otherwise(array()).as("h"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val viaKernel = docs
+      .select(col("text"), graft.functions.ShingleMd5s(col("text"), 4).as("h"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaKernel == viaSql)
+  }
+
   test("inline bloom membership equals the join form bit-for-bit") {
     import spark.implicits._
     val bits = 1 << 16

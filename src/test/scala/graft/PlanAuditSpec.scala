@@ -318,14 +318,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "sketch join is not broadcast")
   }
 
-  test("substring purge runs windowless: occurrence stats are aggregate+join") {
-    // The spared-first-occurrence logic must be min(struct)+join, never a
-    // row_number over the stride-1 window stream (a sort of the hottest
-    // stream in the operator).
+  test("substring purge stats ride ONE hash-partitioned window pass") {
+    // Occurrence count + spared-first-occurrence come from full-frame
+    // aggregates over a window partitioned by the window HASH (one
+    // exchange of the hot stream; an aggregate+join would exchange and
+    // kernel-recompute it twice) — never an unpartitioned window.
     val analyzed = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
       .queryExecution.analyzed.toString
-    assert(!analyzed.contains("windowspecdefinition"),
-      "substring purge sorts its window stream through a window function")
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(analyzed).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, "expected the hash-partitioned stats window")
+    assert(specs.forall(_.contains("__h")),
+      s"substring purge rides an unpartitioned window: $specs")
+    // and the window-hash kernel feeds it (no interpreted re-hash)
+    assert(analyzed.contains("shingle_md5s"),
+      "window hashing does not use the native kernel")
   }
 
   test("bloom probe joins the filter by broadcast") {
