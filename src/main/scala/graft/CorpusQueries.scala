@@ -99,7 +99,8 @@ object CorpusQueries {
     q("q_dup_gram_fraction",
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id,
-        |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+        |        CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+        |          1, 15) AS BIGINT) AS h
         |      FROM (SELECT doc_id, ws,
         |              unnest(generate_series(1, len(ws) - 2)) AS i FROM d)),
         |pd AS (SELECT doc_id, h, count(*) AS cd FROM g GROUP BY 1, 2),

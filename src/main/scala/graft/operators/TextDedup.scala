@@ -855,15 +855,24 @@ object TextDedup {
       if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
         docs.repartition(spark.sparkContext.defaultParallelism)
       else docs
+    // 60-bit md5-prefix fold (ShingleHashes hexLen=15), not the 32-hex
+    // string: 8-byte shuffle keys; an external replay computes the same
+    // fold, so the (vanishingly rare) collisions agree on both sides.
     val grams = src.select(col(idCol),
-      explode(graft.functions.ShingleMd5s(col(textCol), n)).as("__h"))
-    val perDoc = grams.groupBy(idCol, "__h").agg(count(lit(1)).as("__cd"))
-    val withTotal = perDoc.withColumn("__ct",
-      sum("__cd").over(Window.partitionBy("__h")))
-    val frac = withTotal.groupBy(idCol)
-      .agg(sum("__cd").as("n_grams"),
-        round(sum(when(col("__ct") > col("__cd"), col("__cd")).otherwise(lit(0L)))
-          / sum("__cd"), 9).as("dup_frac"))
+      explode(graft.functions.ShingleHashes(col(textCol), n, 15, dedup = false))
+        .as("__h"))
+    // Both counts ride ONE exchange of the gram stream: the corpus
+    // total partitions by __h, and the per-doc count's (__h, doc)
+    // clustering is already satisfied by that partitioning (only a
+    // local sort is added) — a groupBy(doc, h) pre-aggregate would be
+    // a third full exchange (measured slower at sf0.1).
+    val flagged = grams
+      .withColumn("__ct", count(lit(1)).over(Window.partitionBy("__h")))
+      .withColumn("__cd", count(lit(1)).over(Window.partitionBy("__h", idCol)))
+    val frac = flagged.groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(when(col("__ct") > col("__cd"), lit(1L)).otherwise(lit(0L)))
+          / count(lit(1)), 9).as("dup_frac"))
     docs.select(col(idCol))
       .join(frac, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_grams"), lit(0L)).as("n_grams"),

@@ -335,6 +335,16 @@ class PlanAuditSpec extends SparkSpec {
       "window hashing does not use the native kernel")
   }
 
+  test("dup-gram counts share one hash-partitioned exchange") {
+    // corpus total (partition by h) and per-doc count (partition by
+    // h, doc) must ride the SAME exchange — the second window adds only
+    // a local sort. A (doc,h) pre-aggregate or reversed window order
+    // would exchange the gram stream twice.
+    val p = plan("q_dup_gram_fraction")
+    val hashEx = "Exchange hashpartitioning\\(__h".r.findAllIn(p).length
+    assert(hashEx == 1, s"gram stream exchanged $hashEx times by hash:\n$p")
+  }
+
   test("bloom probe joins the filter by broadcast") {
     val p = plan("q_bloom_dedup")
     assert(p.contains("BroadcastHashJoin"), "bit-table join is not broadcast")
