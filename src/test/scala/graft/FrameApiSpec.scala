@@ -785,4 +785,28 @@ class FrameApiSpec extends SparkSpec {
     same("q_leakage_safe_split",
       Frame(docs.leakageSafeSplit("text").toDF.orderBy("doc_id")))
   }
+
+  test("corpus-hygiene facades match the registry queries") {
+    val docs = Frame(Tables.documents(spark, sfDir), Some("doc_id"))
+
+    same("q_substring_dedup", Frame(docs
+      .purgeDuplicateSubstrings("text", windowWords = 4).toDF.orderBy("doc_id")))
+    same("q_dup_gram_fraction", Frame(docs
+      .dupGramFraction("text", n = 3).toDF.orderBy("doc_id")))
+    same("q_cluster_keep_best", Frame(docs
+      .collapseKeepBest("text", "n_chars").toDF.orderBy("doc_id")))
+    same("q_pmi_collocations", docs.pmiCollocations("text", minCount = 5, topK = 50))
+    same("q_zipf_slope", docs.zipfSlope("text", topN = 100))
+    same("q_rendezvous_shards", Frame(Frame(
+        Tables.documents(spark, sfDir).select("doc_id"), Some("doc_id"))
+      .rendezvousShard(8).toDF.orderBy("doc_id")))
+
+    // bloom facade: index even docs' hashes, probe odds — keys found
+    val keyed = Frame(Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0).select(md5(col("text")).as("k")))
+    val bloom = keyed.bloomIndex("k", bits = 1 << 15)
+    val verdicts = keyed.bloomProbe(bloom, "k", bits = 1 << 15).toDF
+      .collect().map(_.getBoolean(1))
+    assert(verdicts.nonEmpty && verdicts.forall(identity))
+  }
 }
