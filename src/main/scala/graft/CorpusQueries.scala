@@ -179,6 +179,29 @@ object CorpusQueries {
         .orderBy("doc_id")
     }
 
+    // ---- epoch-based mixture replication ------------------------------
+
+    // The LLaMA-style data recipe: src0 2.5 epochs (two copies + a
+    // deterministic content-hash half getting a third), src1 0.4
+    // (down-sampled), everything else 1.0.
+    q("q_epoch_mixture",
+      """WITH e(source, ep) AS (VALUES ('src0', 2.5), ('src1', 0.4)),
+        |d AS (SELECT doc_id, dd.source, coalesce(ep, 1.0) AS ep,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+        |          / 268435456.0 AS u
+        |      FROM documents dd LEFT JOIN e USING (source)),
+        |c AS (SELECT doc_id, source,
+        |        CAST(floor(ep) + CASE WHEN u < ep - floor(ep) THEN 1 ELSE 0 END
+        |          AS INT) AS n
+        |      FROM d)
+        |SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+        |FROM (SELECT doc_id, source, unnest(generate_series(1, n)) AS epoch FROM c)
+        |ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      TextQuality.epochMixture(Tables.documents(s, dir), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.4))
+        .orderBy("doc_id", "epoch")
+    }
+
     // ---- rendezvous shard assignment ----------------------------------
 
     // Highest-random-weight hashing: doc -> argmax_j md5(id ":" j),

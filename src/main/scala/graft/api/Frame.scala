@@ -633,6 +633,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.Packing.rendezvousShard(df, idx, numShards, outCol),
       index)
 
+  /** Epoch-based mixture replication: repeat each `groupCol` group's
+    * rows per its epoch factor, fractional parts as a deterministic
+    * content-hash subset (operators.TextQuality.epochMixture). */
+  def epochMixture(groupCol: String, epochs: Map[String, Double]): Frame =
+    Frame(graft.operators.TextQuality.epochMixture(df, idx, groupCol, epochs),
+      index)
+
   /** Pack rows into fixed-capacity token windows in index order
     * (see operators.Packing — two-pass offsets, no global window). */
   def packSequences(tokensCol: String, capacity: Long): Frame =

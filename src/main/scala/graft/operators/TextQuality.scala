@@ -202,6 +202,36 @@ object TextQuality {
       .select(col(idCol), col(groupCol), (col("__rn") <= col("__quota")).as("keep"))
   }
 
+  /** Epoch-based mixture replication — the published "data recipe"
+    * form (LLaMA's table of per-source epochs; DoReMi's domain
+    * weights): each group's documents are repeated `epochs(group)`
+    * times in the training stream, with the FRACTIONAL part realized
+    * as a deterministic content-hash subset (md5(id)/2^28 < frac, the
+    * repo's standard split rule) rather than sampling — so 2.5 epochs
+    * means two full copies plus a stable half of the documents getting
+    * a third, reproducible under any partitioning.
+    *
+    * Map-only: the epoch table rides as a plan-time map literal and
+    * each row explodes into its copy count (`sequence` guarded for the
+    * zero-copy case — epochs < 1 are plain down-sampling). Output: one
+    * row per (document, epoch) with the epoch index, ready to union
+    * into a shuffled training order or feed [[graft.operators.Packing]].
+    */
+  def epochMixture(df: DataFrame, idCol: String, groupCol: String,
+      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.values.forall(_ >= 0), s"epochs must be >= 0: $epochs")
+    val eLit = typedLit(epochs)
+    val e = coalesce(element_at(eLit, col(groupCol)), lit(1.0))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 7), 16, 10)
+      .cast("long") / lit(268435456.0)
+    val copies = (floor(e) +
+      when(u < e - floor(e), lit(1.0)).otherwise(lit(0.0))).cast("int")
+    df.select(col(idCol), col(groupCol), copies.as("__n"))
+      .select(col(idCol), col(groupCol),
+        explode(when(col("__n") >= 1, sequence(lit(1), col("__n")))
+          .otherwise(array())).as("epoch"))
+  }
+
   /** Sliding-window document chunking (the RAG/embedding-prep shape):
     * word windows of `size` tokens every `stride` tokens, so
     * consecutive chunks overlap by `size - stride`. Row-local explode —

@@ -187,6 +187,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - slope) < 1e-8)
   }
 
+  test("epoch mixture replicates per the recipe, deterministically") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "g")
+    val out = TextQuality.epochMixture(docs, "doc_id", "g",
+        Map("g0" -> 2.0, "g1" -> 2.5, "g2" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // g0: exactly 2 copies each; g2: dropped entirely
+    (0L until 300L by 3).foreach(i => assert(byDoc(i) == 2, s"doc $i"))
+    (2L until 300L by 3).foreach(i => assert(!byDoc.contains(i), s"doc $i"))
+    // g1: 2 or 3 copies, roughly half each (loose binomial bounds on 100)
+    val g1 = (1L until 300L by 3).map(i => byDoc(i))
+    assert(g1.forall(n => n == 2 || n == 3))
+    val thirds = g1.count(_ == 3)
+    assert(thirds > 20 && thirds < 80, s"fractional epoch picked $thirds/100")
+    // epoch indices are 1..n per doc
+    assert(out.filter(_._1 == 0L).map(_._3).sorted.toSeq == Seq(1, 2))
+    // deterministic: a second evaluation is identical
+    val again = TextQuality.epochMixture(docs, "doc_id", "g",
+        Map("g0" -> 2.0, "g1" -> 2.5, "g2" -> 0.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("rendezvous sharding is stable under shard growth") {
     import spark.implicits._
     import graft.operators.Packing
