@@ -148,6 +148,28 @@ object GraftFunctions {
             lit(args(3), "dedup").toString.toBoolean)
         }),
       (
+        FunctionIdentifier("pq_reconstruct"),
+        new ExpressionInfo(classOf[PqReconstruct].getName, "pq_reconstruct"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "pq_reconstruct(vec, codebook, m)")
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          import org.apache.spark.sql.catalyst.util.ArrayData
+          import org.apache.spark.sql.types.{ArrayType, DoubleType}
+          val cb = args(1) match {
+            case Literal(ad: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
+              (0 until ad.numElements())
+                .map(i => ad.getArray(i).toDoubleArray()).toArray
+            case other => throw new IllegalArgumentException(
+              s"pq_reconstruct codebook must be an array<array<double>> literal, got $other")
+          }
+          val m = args(2) match {
+            case Literal(v, _) if v != null => v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"pq_reconstruct m must be an int literal, got $other")
+          }
+          PqReconstruct(args.head, cb, m)
+        }),
+      (
         FunctionIdentifier("shingle_md5s"),
         new ExpressionInfo(classOf[ShingleMd5s].getName, "shingle_md5s"),
         (args: Seq[Expression]) => {

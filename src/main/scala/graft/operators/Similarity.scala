@@ -308,12 +308,20 @@ object Similarity {
       acc + d * d
     })
 
-  /** Fused PQ encode+reconstruct: per subspace, argmin over the literal
-    * codewords then slice that codeword — ONE expression, no
-    * intermediate codes attribute (routing codes through an attribute
-    * inlines the argmin into every element_at: the measured O(dim²)
-    * SQ8 trap). */
+  /** Fused PQ encode+reconstruct on the NATIVE kernel
+    * ([[graft.functions.PqReconstruct]] — a codegen'd triple loop; the
+    * interpreted HOF form below ran m·ks·subDim boxed lambda steps per
+    * row and dominated both PQ queries). Bit-identical to
+    * [[pqReconHof]] and the SQL replay. */
   def pqRecon(vec: Column, codebook: Array[Seq[Double]], m: Int,
+      subDim: Int): Column =
+    graft.functions.PqReconstruct(vec, codebook, m)
+
+  /** The interpreted higher-order-function formulation — kept as the
+    * differential reference for the kernel (one expression, no codes
+    * attribute: routing codes through an attribute inlines the argmin
+    * into every element_at, the measured O(dim²) SQ8 trap). */
+  private[graft] def pqReconHof(vec: Column, codebook: Array[Seq[Double]], m: Int,
       subDim: Int): Column = {
     val cbL = typedLit(codebook.toSeq)
     val ks = codebook.length

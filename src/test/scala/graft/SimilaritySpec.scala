@@ -70,4 +70,20 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("vec_id").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(a === b)
   }
+
+  test("native pq_reconstruct equals the interpreted HOF form bit-for-bit") {
+    val corpus = Tables.embeddings(spark, sfDir)
+    val codebook = Similarity.pqCodebook(corpus, ks = 8)
+    val m = 4
+    val subDim = codebook(0).length / m
+    val native = corpus.select(col("vec_id"),
+        Similarity.pqRecon(col("embedding"), codebook, m, subDim).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val hof = corpus.select(col("vec_id"),
+        Similarity.pqReconHof(col("embedding"), codebook, m, subDim).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(native.keySet == hof.keySet)
+    // exact double equality — same fold order, same argmin tie rule
+    native.foreach { case (id, v) => assert(v == hof(id), s"vec $id differs") }
+  }
 }
