@@ -66,6 +66,14 @@ object QualityModel {
     val lab = labels.select(col("doc_id"), col("y").cast("double").as("y"))
       .localCheckpoint(false)
     val n = lab.count().toDouble
+    // Virtual bias bucket −1 with x = 1 for every labeled doc: its
+    // gradient Σ_d 1·δ_d IS the bias gradient, so weights and bias come
+    // back in ONE (B+1)-row collect per iteration — no separate bias
+    // aggregation and, with delta consumed exactly once, no per-
+    // iteration checkpoint (scores flow straight through the gradient
+    // join). Same arithmetic, one Spark job per GD step.
+    val pinnedAug = pinned.unionByName(
+      lab.select(col("doc_id"), lit(-1L).as("b"), lit(1.0).as("x")))
     var w = Map.empty[Long, Double]
     var bias = 0.0
     for (_ <- 0 until iters) {
@@ -78,21 +86,17 @@ object QualityModel {
         .groupBy("doc_id")
         .agg(round(sum(col("x") * coalesce(col("w"), lit(0.0))) + lit(bias), 9)
           .as("s"))
-      // pinned: both gradient aggregations below read delta — without
-      // the checkpoint the score aggregation would run twice/iteration
       val delta = scores.join(lab, Seq("doc_id"))
         .select(col("doc_id"),
           (lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("d"))
-        .localCheckpoint(false)
-      val grads = pinned.join(delta, Seq("doc_id"))
+      val grads = pinnedAug.join(delta, Seq("doc_id"))
         .groupBy("b").agg(sum(col("x") * col("d")).as("g"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1))
-      val biasGrad = delta.agg(sum("d")).collect()(0).getDouble(0)
-      w = grads.map { case (b, g) =>
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      w = (grads - (-1L)).map { case (b, g) =>
         b -> BigDecimal(w.getOrElse(b, 0.0) - lr * g / n)
           .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      }.toMap
-      bias = BigDecimal(bias - lr * biasGrad / n)
+      }
+      bias = BigDecimal(bias - lr * grads(-1L) / n)
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     Model(w, bias, buckets)
