@@ -58,6 +58,44 @@ object PqKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** out[p] = (Σ_i vec[i]·mat[p][i]) · scale, ascending fold. */
+  def matVecFold(vec: ArrayData, mat: Array[Array[Double]],
+      scale: Double): ArrayData = {
+    val out = new Array[Double](mat.length)
+    var p = 0
+    while (p < mat.length) {
+      val row = mat(p)
+      var acc = 0.0
+      var i = 0
+      while (i < row.length) {
+        acc += vec.getFloat(i).toDouble * row(i)
+        i += 1
+      }
+      out(p) = acc * scale
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-dim int8 quantize→dequantize with Spark's HALF_UP decimal
+    * round (BigDecimal — bit-identical to `round(x, 0)` in SQL). */
+  def sq8Recon(vec: ArrayData, mn: Array[Double], mx: Array[Double]): ArrayData = {
+    val out = new Array[Double](mn.length)
+    var i = 0
+    while (i < mn.length) {
+      val m = mn(i)
+      val M = mx(i)
+      out(i) = if (M > m) {
+        val code = java.math.BigDecimal
+          .valueOf((vec.getFloat(i).toDouble - m) * 255.0 / (M - m))
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        m + code * (M - m) / 255.0
+      } else m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `pq_reconstruct(vec)` against a construction-time codebook — the
@@ -103,5 +141,86 @@ object PqReconstruct {
     org.apache.spark.sql.functions.call_function("pq_reconstruct",
       vec, org.apache.spark.sql.functions.typedLit(codebook.toSeq),
       org.apache.spark.sql.functions.lit(m))
+  }
+}
+
+/** `mat_vec_fold(vec, matrix, scale)`: out[p] = (Σ_i vec[i]·m[p][i])·scale,
+  * ascending-index fold — the native form of the JL random-projection
+  * HOF (outDim·dim boxed lambda steps per row interpreted). */
+case class MatVecFold(child: Expression, mat: Array[Array[Double]],
+    scale: Double) extends UnaryExpression {
+
+  require(mat.nonEmpty && mat.forall(_.length == mat(0).length),
+    "mat_vec_fold: empty or ragged matrix")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mat_vec_fold requires an array<float> argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec_fold"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernels.matVecFold(input.asInstanceOf[ArrayData], mat, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("mvfMat", mat, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqKernels.matVecFold($c, $mRef, $scale);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecFold =
+    copy(child = newChild)
+}
+
+object MatVecFold {
+  def apply(vec: Column, mat: Seq[Seq[Double]], scale: Double): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("mat_vec_fold",
+      vec, org.apache.spark.sql.functions.typedLit(mat),
+      org.apache.spark.sql.functions.lit(scale))
+  }
+}
+
+/** `sq8_recon(vec, mn, mx)`: per-dimension int8 quantize→dequantize,
+  * m + round((x−m)·255/(M−m))·(M−m)/255 (M>m; else m), where round is
+  * Spark's HALF_UP decimal rounding — replicated via BigDecimal so the
+  * kernel is bit-identical to the `round(...)` SQL the oracle replays. */
+case class Sq8Recon(child: Expression, mn: Array[Double], mx: Array[Double])
+  extends UnaryExpression {
+
+  require(mn.length == mx.length && mn.nonEmpty, "sq8_recon: bad bounds")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sq8_recon requires an array<float> argument, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_recon"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernels.sq8Recon(input.asInstanceOf[ArrayData], mn, mx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("sq8Mn", mn, "double[]")
+    val mxRef = ctx.addReferenceObj("sq8Mx", mx, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqKernels.sq8Recon($c, $mnRef, $mxRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Recon =
+    copy(child = newChild)
+}
+
+object Sq8Recon {
+  def apply(vec: Column, mn: Seq[Double], mx: Seq[Double]): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("sq8_recon",
+      vec, org.apache.spark.sql.functions.typedLit(mn),
+      org.apache.spark.sql.functions.typedLit(mx))
   }
 }

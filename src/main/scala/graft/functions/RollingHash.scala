@@ -170,6 +170,44 @@ object GraftFunctions {
           PqReconstruct(args.head, cb, m)
         }),
       (
+        FunctionIdentifier("mat_vec_fold"),
+        new ExpressionInfo(classOf[MatVecFold].getName, "mat_vec_fold"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "mat_vec_fold(vec, matrix, scale)")
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          import org.apache.spark.sql.catalyst.util.ArrayData
+          import org.apache.spark.sql.types.{ArrayType, DoubleType}
+          val mat = args(1) match {
+            case Literal(ad: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
+              (0 until ad.numElements())
+                .map(i => ad.getArray(i).toDoubleArray()).toArray
+            case other => throw new IllegalArgumentException(
+              s"mat_vec_fold matrix must be an array<array<double>> literal, got $other")
+          }
+          val scale = args(2) match {
+            case Literal(v, _) if v != null => v.toString.toDouble
+            case other => throw new IllegalArgumentException(
+              s"mat_vec_fold scale must be a double literal, got $other")
+          }
+          MatVecFold(args.head, mat, scale)
+        }),
+      (
+        FunctionIdentifier("sq8_recon"),
+        new ExpressionInfo(classOf[Sq8Recon].getName, "sq8_recon"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "sq8_recon(vec, mn, mx)")
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          import org.apache.spark.sql.catalyst.util.ArrayData
+          import org.apache.spark.sql.types.{ArrayType, DoubleType}
+          def arr(e: Expression, name: String): Array[Double] = e match {
+            case Literal(ad: ArrayData, ArrayType(DoubleType, _)) =>
+              ad.toDoubleArray()
+            case other => throw new IllegalArgumentException(
+              s"sq8_recon $name must be an array<double> literal, got $other")
+          }
+          Sq8Recon(args.head, arr(args(1), "mn"), arr(args(2), "mx"))
+        }),
+      (
         FunctionIdentifier("shingle_md5s"),
         new ExpressionInfo(classOf[ShingleMd5s].getName, "shingle_md5s"),
         (args: Seq[Expression]) => {

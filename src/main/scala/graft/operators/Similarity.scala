@@ -148,19 +148,13 @@ object Similarity {
     val (mn, mx) = sq8Bounds(corpus, dim)
     val mnL = typedLit(mn.toSeq)
     val mxL = typedLit(mx.toSeq)
-    // quantize→dequantize FUSED into one O(dim) transform: routing the
-    // reconstruction through a codes attribute would inline the codes
-    // transform into every element_at and turn the projection O(dim²)
-    // interpreted per row (measured 5.8 s vs 0.4 s at sf0.1). The
-    // arithmetic is unchanged — round() yields the integral code value
-    // the int cast would.
-    val deq = transform(sequence(lit(0), lit(dim - 1)), i => {
-      val x = element_at(col("embedding"), i + 1).cast("double")
-      val m = element_at(mnL, i + 1)
-      val M = element_at(mxL, i + 1)
-      when(M > m, m + round((x - m) * lit(255.0) / (M - m), 0) * (M - m) / lit(255.0))
-        .otherwise(m)
-    })
+    // quantize→dequantize FUSED on the native kernel
+    // (graft.functions.Sq8Recon — BigDecimal HALF_UP, bit-identical to
+    // the round() SQL form; the historical lesson stands: routing the
+    // reconstruction through a codes attribute inlined the codes
+    // transform into every element_at and went O(dim²) interpreted,
+    // measured 5.8 s vs 0.4 s at sf0.1).
+    val deq = graft.functions.Sq8Recon(col("embedding"), mn.toSeq, mx.toSeq)
     val quantized = corpus.select(col("vec_id"), deq.as("deq"))
       .withColumn("nrm", norm(col("deq")))
     val scored = quantized.crossJoin(broadcast(queries))
@@ -203,12 +197,11 @@ object Similarity {
     * O(dim·outDim) per row. */
   def rpProject(vec: Column, dim: Int, outDim: Int): Column = {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    val planes = typedLit(
-      (0 until outDim).map(p => (0 until dim).map(d => planeComponent(p, d))))
-    transform(sequence(lit(0), lit(outDim - 1)), p =>
-      aggregate(sequence(lit(1), lit(dim)), lit(0.0), (acc, i) =>
-        acc + element_at(vec, i).cast("double") *
-          element_at(element_at(planes, p + 1), i)) * lit(scale))
+    val planes = (0 until outDim).map(p => (0 until dim).map(d =>
+      planeComponent(p, d)))
+    // native matrix-vector kernel (graft.functions.MatVecFold) — same
+    // ascending fold × post-scale as the interpreted HOF it replaces
+    graft.functions.MatVecFold(vec, planes, scale)
   }
 
   /** Top-k cosine in the JL-reduced space: the corpus is projected ONCE
