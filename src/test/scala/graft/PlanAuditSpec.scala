@@ -158,8 +158,18 @@ class PlanAuditSpec extends SparkSpec {
   test("sq8 retrieval runs the native array_dot and broadcasts the query set") {
     val qe = SparkEntry.queries("q_sq8_topk")(spark, sfDir).queryExecution
     assert(qe.analyzed.toString.contains("array_dot"))
+    assert(qe.analyzed.toString.contains("sq8_recon"),
+      "dequantize fell back to the interpreted transform")
     assert(qe.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
       "query side is not broadcast")
+  }
+
+  test("compressed-retrieval reconstructions run on native kernels") {
+    def analyzed(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.toString
+    assert(analyzed("q_pq_topk").contains("pq_reconstruct"))
+    assert(analyzed("q_ivf_pq_topk").contains("pq_reconstruct"))
+    assert(analyzed("q_rp_topk").contains("mat_vec_fold"))
   }
 
   test("frequent-span purge and line rebuild carry no unpartitioned window") {
