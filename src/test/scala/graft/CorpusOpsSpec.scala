@@ -230,6 +230,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(both.map(_._2).distinct.sorted.toSeq == (0 until 8))
   }
 
+  test("new operators survive an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextDedup.purgeDuplicateSubstrings(empty, "doc_id", "text", 4).count() == 0)
+    assert(TextDedup.dupGramFraction(empty, "doc_id", "text", 3).count() == 0)
+    assert(TextQuality.pmiCollocations(empty, "text", 1, 10).count() == 0)
+    assert(TextQuality.epochMixture(empty, "doc_id", "text",
+      Map("x" -> 2.0)).count() == 0)
+    // zipf on an empty corpus: one row, no words considered, null fit
+    val z = TextQuality.zipfSlope(empty, "text", 10).collect()
+    assert(z.length == 1 && z(0).getLong(0) == 0L && z(0).isNullAt(1))
+    // bloom built over nothing rejects everything
+    val bl = graft.operators.Sketches.bloomBuild(empty.select(col("text").as("k")),
+      "k", 1 << 10, 4)
+    val got = graft.operators.Sketches.bloomMightContain(bl,
+        Seq("x").toDF("k"), "k", 1 << 10, 4)
+      .collect().map(r => r.getBoolean(1))
+    assert(got.toSeq == Seq(false))
+  }
+
   test("cluster collapse keeps the highest-scoring member") {
     import spark.implicits._
     val base = "q w e r t y u i o p a s d f g h j k l z"
