@@ -179,6 +179,35 @@ object CorpusQueries {
         .orderBy("doc_id")
     }
 
+    // ---- snapshot content diff ----------------------------------------
+
+    // Two simulated snapshots of one corpus: old = doc_id % 7 != 0
+    // (those docs get "removed"), new = doc_id % 5 != 0 ("added" docs
+    // are the % 7 hits that survive % 5), and every doc_id % 3 == 0 in
+    // the new snapshot is re-extracted with a trailing token
+    // ("changed"). Per-doc status + the aggregate gate counts.
+    q("q_snapshot_diff",
+      """WITH old AS (SELECT doc_id, md5(text) AS ho FROM documents WHERE doc_id % 7 != 0),
+        |new AS (SELECT doc_id,
+        |          md5(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2' ELSE text END) AS hn
+        |        FROM documents WHERE doc_id % 5 != 0),
+        |d AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+        |        CASE WHEN ho IS NULL THEN 'added'
+        |             WHEN hn IS NULL THEN 'removed'
+        |             WHEN ho = hn THEN 'unchanged' ELSE 'changed' END AS status
+        |      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+        |SELECT status, count(*) AS n_docs FROM d GROUP BY status
+        |ORDER BY status""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      TextQuality.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("status")
+    }
+
     // ---- epoch-based mixture replication ------------------------------
 
     // The LLaMA-style data recipe: src0 2.5 epochs (two copies + a

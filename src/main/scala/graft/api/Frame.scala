@@ -640,6 +640,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextQuality.epochMixture(df, idx, groupCol, epochs),
       index)
 
+  /** Per-document content diff against another snapshot of this corpus:
+    * added/removed/changed/unchanged by content hash
+    * (operators.TextQuality.snapshotDiff; `this` is the old snapshot). */
+  def snapshotDiff(newSnapshot: Frame, textCol: String): Frame =
+    Frame(graft.operators.TextQuality.snapshotDiff(df, newSnapshot.df, idx,
+      textCol), index)
+
   /** Pack rows into fixed-capacity token windows in index order
     * (see operators.Packing — two-pass offsets, no global window). */
   def packSequences(tokensCol: String, capacity: Long): Frame =

@@ -202,6 +202,28 @@ object TextQuality {
       .select(col(idCol), col(groupCol), (col("__rn") <= col("__quota")).as("keep"))
   }
 
+  /** Content diff between two corpus snapshots (crawl refreshes,
+    * source re-extractions): per-document status by content hash —
+    * `added` (only in new), `removed` (only in old), `changed` (both,
+    * different text), `unchanged`. The companion to [[vocabDrift]]'s
+    * distributional view: this one says WHICH documents moved, and its
+    * counts are the first sanity gate before re-running a prep
+    * pipeline on a refreshed snapshot.
+    *
+    * One id-keyed full outer join of two hash projections — no text
+    * ever shuffles, only 32-hex digests. Output: (idCol, status). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol), md5(col(textCol)).as("__ho"))
+    val n = newDocs.select(col(idCol), md5(col(textCol)).as("__hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") === col("__hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Epoch-based mixture replication — the published "data recipe"
     * form (LLaMA's table of per-source epochs; DoReMi's domain
     * weights): each group's documents are repeated `epochs(group)`

@@ -230,6 +230,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(both.map(_._2).distinct.sorted.toSeq == (0 until 8))
   }
 
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newS = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = TextQuality.snapshotDiff(oldS, newS, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("new operators survive an empty corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

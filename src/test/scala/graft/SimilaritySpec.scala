@@ -86,4 +86,30 @@ class SimilaritySpec extends SparkSpec {
     // exact double equality — same fold order, same argmin tie rule
     native.foreach { case (id, v) => assert(v == hof(id), s"vec $id differs") }
   }
+
+  test("pq kernel matches the HOF form on adversarial NaN/Inf vectors") {
+    import spark.implicits._
+    // NaN distances: the HOF's array_min treats NaN as largest (skipped
+    // unless ALL are NaN, when NaN==NaN ordering picks codeword 1); the
+    // kernel's strict-< scan must coincide on every case.
+    val weird = Seq(
+      (1L, Array.fill(8)(Float.NaN)),
+      (2L, Array(Float.NaN, 1f, 2f, 3f, Float.NaN, 1f, 2f, 3f)),
+      (3L, Array(Float.PositiveInfinity, 1f, 2f, 3f, 4f, 5f, 6f, 7f)),
+      (4L, Array(Float.NegativeInfinity, 0f, 0f, 0f, 1f, 1f, 1f, 1f)),
+      (5L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cb: Array[Seq[Double]] = Array(
+      Seq(0.0, 1, 2, 3, 4, 5, 6, 7), Seq(7.0, 6, 5, 4, 3, 2, 1, 0))
+    val m = 2
+    val native = weird.select(col("vec_id"),
+        Similarity.pqRecon(col("embedding"), cb, m, 4).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val hof = weird.select(col("vec_id"),
+        Similarity.pqReconHof(col("embedding"), cb, m, 4).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    (1L to 5L).foreach { id =>
+      assert(native(id) == hof(id), s"vec $id: ${native(id)} vs ${hof(id)}")
+    }
+  }
 }
