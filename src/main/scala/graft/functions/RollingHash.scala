@@ -208,6 +208,14 @@ object GraftFunctions {
           Sq8Recon(args.head, arr(args(1), "mn"), arr(args(2), "mx"))
         }),
       (
+        FunctionIdentifier("remove_word_positions"),
+        new ExpressionInfo(classOf[RemoveWordPositions].getName,
+          "remove_word_positions"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "remove_word_positions(text, positions)")
+          RemoveWordPositions(args.head, args(1))
+        }),
+      (
         FunctionIdentifier("shingle_md5s"),
         new ExpressionInfo(classOf[ShingleMd5s].getName, "shingle_md5s"),
         (args: Seq[Expression]) => {

@@ -6,7 +6,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -166,6 +166,32 @@ object TextKernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Rebuild a document with the words at the given 0-based positions
+    * removed (single-space re-join — the same split/join convention as
+    * every shingle consumer). Equals the SQL posexplode → anti-join →
+    * ordered string_agg replay byte-for-byte, without exploding the
+    * corpus word stream. Out-of-range positions are ignored. */
+  def removeWordPositions(text: UTF8String, positions: ArrayData): UTF8String = {
+    val words = text.toString.split(" ", -1)
+    val drop = new java.util.HashSet[Integer](positions.numElements() * 2)
+    var i = 0
+    while (i < positions.numElements()) {
+      drop.add(positions.getInt(i)); i += 1
+    }
+    val sb = new java.lang.StringBuilder(text.numBytes())
+    var w = 0
+    var first = true
+    while (w < words.length) {
+      if (!drop.contains(w)) {
+        if (!first) sb.append(' ')
+        sb.append(words(w))
+        first = false
+      }
+      w += 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 
   /** One pass, BOTH dedup outputs: the k minhash values AND the deduped
@@ -361,6 +387,44 @@ object ShingleHashes {
       text, org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(hexLen),
       org.apache.spark.sql.functions.lit(dedup))
+  }
+}
+
+/** `remove_word_positions(text, positions)`: document rebuilt with the
+  * 0-based word positions removed (see
+  * [[TextKernels.removeWordPositions]]). */
+case class RemoveWordPositions(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"remove_word_positions requires (string, array<int>), got ($l, $r)")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "remove_word_positions"
+
+  override protected def nullSafeEval(text: Any, pos: Any): Any =
+    TextKernels.removeWordPositions(text.asInstanceOf[UTF8String],
+      pos.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"${ev.value} = graft.functions.TextKernels.removeWordPositions($t, $p);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RemoveWordPositions =
+    copy(left = newLeft, right = newRight)
+}
+
+object RemoveWordPositions {
+  def apply(text: Column, positions: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("remove_word_positions",
+      text, positions)
   }
 }
 

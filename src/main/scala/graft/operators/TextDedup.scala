@@ -778,7 +778,6 @@ object TextDedup {
       windowWords: Int = 8,
       keepFirst: Boolean = true): DataFrame = {
     val w = windowWords
-    val wsa = col("__ws")
     // Small-source spread, same rationale as [[shingles]]: a one-file
     // corpus would run the kernel near-serially.
     val spark = docs.sparkSession
@@ -787,7 +786,6 @@ object TextDedup {
       if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
         docs.repartition(spark.sparkContext.defaultParallelism)
       else docs
-    val words = src.select(col(idCol), split(col(textCol), " ").as("__ws"))
     // (id, start, h): full md5 of each stride-1 w-word window from ONE
     // native kernel call per document (graft.functions.ShingleMd5s —
     // an interpreted transform() lambda re-concatenates and re-hashes
@@ -814,23 +812,22 @@ object TextDedup {
         !(col(idCol) === col("__first.d") && col("start") === col("__first.p"))
       else lit(true))
     // Word positions covered by any removed window; duplicates collapse
-    // before the rebuild join so the fan-out is bounded by doc length.
+    // into a per-doc position ARRAY (bounded by doc length), and the
+    // rebuild is one native kernel call per document
+    // (graft.functions.RemoveWordPositions) — the corpus word stream is
+    // never exploded. Only docs that lose something join back.
     val covered = removed
       .select(col(idCol), explode(sequence(col("start"), col("start") + w - 1)).as("pos"))
-      .distinct()
-    val rebuilt = words
-      .select(col(idCol), posexplode(wsa).as(Seq("pos", "__word")))
-      .join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("__kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("__word")))),
-          s => s("__word")), " ").as("text_clean"))
-    docs.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_words"))
-      .join(rebuilt, Seq(idCol), "left")
+      .agg(array_distinct(collect_list(col("pos"))).as("__rmv"))
+    docs.select(col(idCol), col(textCol),
+        size(split(col(textCol), " ")).cast("long").as("n_words"))
+      .join(covered, Seq(idCol), "left")
       .select(col(idCol), col("n_words"),
-        (col("n_words") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+        coalesce(size(col("__rmv")), lit(0)).cast("long").as("n_removed"),
+        when(col("__rmv").isNull, col(textCol))
+          .otherwise(graft.functions.RemoveWordPositions(col(textCol), col("__rmv")))
+          .as("text_clean"))
   }
 
   /** Cross-document duplicated n-gram fraction per document: the share
