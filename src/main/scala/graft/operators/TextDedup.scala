@@ -67,33 +67,40 @@ object TextDedup {
       textCol: String,
       spanWords: Int,
       minFreq: Long): DataFrame = {
+    val w = spanWords
     val wsa = col("__ws")
+    // (id, chunk_idx, h): the span STRING is hashed and dropped inside
+    // the projection — only digests shuffle.
     val spans = docs
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
         posexplode(transform(
-          sequence(lit(0), ceil(size(wsa) / lit(spanWords.toDouble)).cast("long") - 1),
-          i => concat_ws(" ", slice(wsa, i * spanWords + 1, lit(spanWords)))))
-          .as(Seq("chunk_idx", "span")))
-      .withColumn("__h", md5(col("span")))
+          sequence(lit(0), ceil(size(wsa) / lit(w.toDouble)).cast("long") - 1),
+          i => md5(concat_ws(" ", slice(wsa, i * w + 1, lit(w))))))
+          .as(Seq("chunk_idx", "__h")))
     val frequent = spans.groupBy("__h")
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minFreq)
       .select("__h")
-    val rebuilt = spans.join(frequent, Seq("__h"), "left_anti")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("chunk_idx"), col("span")))),
-          s => s("span")), " ").as("text_clean"))
+    // Removed chunk indices per doc (bounded by doc length), rebuild as
+    // ONE native kernel call per affected row — the span text never
+    // re-aggregates ([[graft.functions.RemoveWordPositions]]; positions
+    // past the partial last chunk are ignored by the kernel).
+    val removedByDoc = spans.join(frequent, Seq("__h"), "left_semi")
+      .groupBy(idCol).agg(collect_list(col("chunk_idx")).as("__rc"))
     docs
-      .select(col(idCol),
-        ceil(size(split(col(textCol), " ")) / lit(spanWords.toDouble))
+      .select(col(idCol), col(textCol),
+        ceil(size(split(col(textCol), " ")) / lit(w.toDouble))
           .cast("long").as("n_spans"))
-      .join(rebuilt, Seq(idCol), "left")
+      .join(removedByDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_spans"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+        (col("n_spans") - coalesce(size(col("__rc")), lit(0)).cast("long"))
+          .as("n_kept"),
+        when(col("__rc").isNull, col(textCol))
+          .otherwise(graft.functions.RemoveWordPositions(col(textCol),
+            flatten(transform(col("__rc"),
+              c => sequence(c * w, c * w + w - 1)))))
+          .as("text_clean"))
   }
 
   /** Word n-gram shingles: (id, sh); `distinct = false` keeps the raw
