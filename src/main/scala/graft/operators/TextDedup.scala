@@ -740,17 +740,44 @@ object TextDedup {
       threshold: Double = 0.8,
       shingleLen: Int = 3,
       numHashes: Int = 16,
+      bandRows: Int = 4): DataFrame =
+    leakageSafeSplitN(docs, idCol, textCol,
+      Seq("train" -> trainFrac, "valid" -> (1.0 - trainFrac)), threshold,
+      shingleLen, numHashes, bandRows)
+
+  /** N-way cluster-safe split (train/valid/test/...): `splits` are
+    * (label, fraction) in order, fractions summing to 1; a cluster
+    * lands in the bucket whose cumulative-fraction interval contains
+    * its content-hash draw, so near-copies never straddle ANY pair of
+    * buckets. The binary [[leakageSafeSplit]] is the 2-entry case
+    * (same hash, same thresholds — outputs are backward-identical). */
+  def leakageSafeSplitN(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      splits: Seq[(String, Double)],
+      threshold: Double = 0.8,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
       bandRows: Int = 4): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must be non-negative and sum to 1: $splits")
     val pairs = nearDuplicates(docs, idCol, textCol, shingleLen, numHashes,
       bandRows, threshold).select("doc_a", "doc_b")
     val clusters = dupClusters(pairs).select(
       col("doc_id").as("__cid_doc"), col("cluster_id").as("__cl"))
     val u = conv(substring(md5(col("cluster_id").cast("string")), 1, 7), 16, 10)
       .cast("long") / lit(268435456.0)
+    val cums = splits.scanLeft(0.0)(_ + _._2).tail
+    val label = splits.init.zip(cums.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), cum), rest) =>
+        when(u < cum, lit(name)).otherwise(rest)
+      }
     docs.select(col(idCol).as("doc_id"))
       .join(clusters, col("doc_id") === col("__cid_doc"), "left")
       .select(col("doc_id"), coalesce(col("__cl"), col("doc_id")).as("cluster_id"))
-      .withColumn("split", when(u < trainFrac, lit("train")).otherwise(lit("valid")))
+      .withColumn("split", label)
   }
 
   /** Exact duplicated-substring purge (the ExactSubstr regime of Lee et

@@ -230,6 +230,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(both.map(_._2).distinct.sorted.toSeq == (0 until 8))
   }
 
+  test("N-way leakage-safe split keeps clusters whole and nests with binary") {
+    val docs = Tables.documents(spark, sfDir)
+    val three = TextDedup.leakageSafeSplitN(docs, "doc_id", "text",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every cluster maps to exactly one split label
+    three.groupBy(_._2).foreach { case (cl, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $cl straddles")
+    }
+    assert(three.map(_._3).distinct.toSet.subsetOf(Set("train", "valid", "test")))
+    // the binary split is the 2-entry case: identical train membership
+    // (same hash, same 0.8 threshold)
+    val two = TextDedup.leakageSafeSplit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    three.foreach { case (id, _, s) =>
+      assert((s == "train") == (two(id) == "train"), s"doc $id diverges")
+    }
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged") {
     import spark.implicits._
     val oldS = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
