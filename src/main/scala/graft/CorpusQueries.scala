@@ -55,6 +55,36 @@ object CorpusQueries {
         .orderBy("doc_id")
     }
 
+    // Scrub-all policy (keepFirst = false): EVERY occurrence of a
+    // duplicated window goes — the boilerplate-destruction variant.
+    q("q_substring_scrub",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wins AS (SELECT doc_id, i - 1 AS start,
+        |           md5(array_to_string(ws[i:i+3], ' ')) AS h
+        |         FROM (SELECT doc_id, ws,
+        |                 unnest(generate_series(1, len(ws) - 3)) AS i FROM d)),
+        |rk AS (SELECT doc_id, start,
+        |         count(*) OVER (PARTITION BY h) AS c
+        |       FROM wins),
+        |cov AS (SELECT DISTINCT doc_id, start + j AS pos
+        |        FROM (SELECT doc_id, start, unnest(generate_series(0, 3)) AS j
+        |              FROM rk WHERE c >= 2)),
+        |wrd AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+        |        FROM (SELECT doc_id, ws,
+        |                unnest(generate_series(1, len(ws))) AS i FROM d)),
+        |kept AS (SELECT w.doc_id, count(*) AS n_kept,
+        |           string_agg(word, ' ' ORDER BY w.pos) AS text_clean
+        |         FROM wrd w LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.pos = w.pos
+        |         WHERE cov.doc_id IS NULL GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(ws) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(text_clean, '') AS text_clean
+        |FROM d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextDedup.purgeDuplicateSubstrings(Tables.documents(s, dir),
+          "doc_id", "text", windowWords = 4, keepFirst = false)
+        .orderBy("doc_id")
+    }
+
     // ---- Bloom-filter cross-snapshot dedup ----------------------------
 
     // Index snapshot = docs with doc_id % 3 < 2; probe batch = odd

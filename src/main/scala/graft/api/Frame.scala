@@ -811,6 +811,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextDedup.leakageSafeSplit(df, idx, textCol,
       trainFrac, threshold))
 
+  /** N-way cluster-safe split — (label, fraction) buckets, near-copies
+    * never straddle (operators.TextDedup.leakageSafeSplitN). */
+  def leakageSafeSplitN(textCol: String, splits: Seq[(String, Double)],
+      threshold: Double = 0.8): Frame =
+    Frame(graft.operators.TextDedup.leakageSafeSplitN(df, idx, textCol,
+      splits, threshold))
+
   /** Learn BPE merge rules from this frame's `textCol` (operators.Bpe
     * .learnDistributed — one corpus pass, then vocab-sized iterations). */
   def learnBpe(textCol: String, numMerges: Int): Seq[(String, String)] =
