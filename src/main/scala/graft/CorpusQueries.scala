@@ -328,5 +328,107 @@ object CorpusQueries {
         |FROM a""".stripMargin) { (s, dir) =>
       TextQuality.zipfSlope(Tables.documents(s, dir), "text", topN = 100)
     }
+
+    // ---- exact heavy hitters (two-pass Misra-Gries) -------------------
+
+    // phi = 2/1000 of the corpus token stream; MG(512) per-partition
+    // candidate pruning, then an exact recount of candidates only. The
+    // result is EXACT (the sketch is a superset pruner), so the oracle
+    // is the plain SQL frequent-items query.
+    q("q_frequent_items",
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |t AS (SELECT token FROM toks WHERE token <> ''),
+        |tot AS (SELECT count(*) AS n FROM t)
+        |SELECT token, count(*) AS cnt
+        |FROM t, tot GROUP BY token, n
+        |HAVING count(*) * 1000 >= n * 2
+        |ORDER BY cnt DESC, token""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      Sketches.frequentTokens(toks, "token", num = 2, denom = 1000, k = 512)
+        .orderBy(col("cnt").desc, col("token"))
+    }
+
+    // ---- HTML text extraction / boilerplate scoring -------------------
+
+    // Pages are synthesized deterministically from the documents table
+    // (entity-encoded body, nav links replicated doc_id%4+1 times, a
+    // script whose body contains a decoy </p>); both engines build the
+    // identical page string, then the oracle replays the extraction
+    // regex-for-regex. Exercises: script/style/comment stripping before
+    // tag parsing, block-tag newline structure, entity decode order
+    // (&amp; last), anchor-text link density.
+    q("q_html_extract",
+      """WITH page AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || ' &amp; ' || source ||
+        |    '</title><style>p{margin:0}</style></head><body><h1>Doc ' || doc_id ||
+        |    '</h1><!-- generated --><p>' ||
+        |    replace(replace(replace(replace(text,
+        |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') ||
+        |    '</p>' ||
+        |    repeat('<a href="/nav">site &amp; nav</a>', CAST(doc_id % 4 + 1 AS INT)) ||
+        |    '<script type="text/javascript">if (1 < 2) { x = "</p>"; }</script>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |s AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g') AS nh, html FROM page),
+        |v AS (SELECT doc_id, html, nh,
+        |    trim(regexp_replace(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(nh,
+        |          '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)[^>]*>',
+        |          chr(10), 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |      '[ \t]+', ' ', 'g'), ' ?\n[ \n]*', chr(10), 'g'),
+        |      ' ' || chr(10)) AS text_clean
+        |  FROM s),
+        |o AS (SELECT doc_id,
+        |    trim(replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&')) AS title,
+        |    text_clean,
+        |    CAST(length(text_clean) AS BIGINT) AS n_chars,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      regexp_extract_all(nh, '(?is)<a[^>]*>(.*?)</a>', 1),
+        |      a -> length(trim(regexp_replace(
+        |        replace(replace(replace(replace(replace(replace(
+        |          regexp_replace(a, '<[^>]*>', ' ', 'g'),
+        |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |          '&nbsp;', ' '), '&amp;', '&'),
+        |        '\s+', ' ', 'g'))))), 0) AS BIGINT) AS link_chars
+        |  FROM v)
+        |SELECT doc_id, title, text_clean, n_chars, link_chars,
+        |  CAST(link_chars AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)
+        |    AS link_density,
+        |  CAST(link_chars AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) > 0.05
+        |    AS is_boilerplate
+        |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.TextExtract
+      val d = Tables.documents(s, dir)
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; "), col("source"),
+        lit("</title><style>p{margin:0}</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><!-- generated --><p>"),
+        TextExtract.encodeEntities(col("text")),
+        lit("</p>"),
+        call_function("repeat", lit("<a href=\"/nav\">site &amp; nav</a>"),
+          (col("doc_id") % 4 + 1).cast("int")),
+        lit("<script type=\"text/javascript\">if (1 < 2) { x = \"</p>\"; }</script>"),
+        lit("</body></html>"))
+      TextExtract.extractHtml(
+          d.select(col("doc_id"), page.as("html")), "doc_id", "html",
+          linkDensityMax = 0.05)
+        .orderBy("doc_id")
+    }
   }
 }

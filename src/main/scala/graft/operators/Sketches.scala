@@ -130,4 +130,59 @@ object Sketches {
       }
       .reduce(_ && _)
   }
+
+  /** EXACT frequent items (support ≥ ⌈φ·N⌉) via the two-pass
+    * Misra-Gries scheme (Misra & Gries 1982): pass 1 runs an
+    * independent MG(k) summary inside each partition — an item absent
+    * from partition p's summary has local count < n_p/(k+1), so with
+    * k+1 ≥ 1/φ an item absent from EVERY summary has total count
+    * < N/(k+1) ≤ φN and cannot be frequent; the union of per-partition
+    * survivors is therefore a guaranteed candidate superset of at most
+    * partitions·k items. Pass 2 recounts ONLY the candidates exactly
+    * (broadcast semi-join, tiny shuffle) and applies the threshold —
+    * the output is exact, the sketch only prunes.
+    *
+    * Scale: this is THE heavy-hitters plan at 100 TB — a full
+    * vocabulary groupBy shuffles every distinct token (billions);
+    * here the shuffle carries ≤ partitions·k candidate rows and one
+    * count per candidate. Driver never sees raw tokens.
+    *
+    * `tokens` is a single-string-column DataFrame (already exploded);
+    * empty tokens are the caller's concern. Returns (token, cnt) for
+    * every token with cnt·denom ≥ N·num (integer threshold φ=num/denom
+    * — exact arithmetic, no float cutoff).
+    */
+  def frequentTokens(tokens: DataFrame, tokenCol: String,
+      num: Long, denom: Long, k: Int): DataFrame = {
+    require(num > 0 && denom > 0 && (k.toLong + 1) * num >= denom,
+      s"MG needs k+1 >= 1/phi: k=$k, phi=$num/$denom")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val candidates = tokens.select(col(tokenCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          counters.get(t) match {
+            case Some(c) => counters.update(t, c + 1)
+            case None if counters.size < k => counters.update(t, 1L)
+            case None => // decrement-all step; zeros fall out
+              counters.mapValuesInPlace((_, v) => v - 1)
+              counters.filterInPlace((_, v) => v > 0)
+          }
+        }
+        counters.keysIterator
+      }
+      .toDF(tokenCol)
+      .distinct()
+    // N rides in as a broadcast one-row aggregate, not a driver action —
+    // the whole operator stays one lazy plan (no collect anywhere).
+    val total = tokens.agg(count(lit(1)).as("__n"))
+    tokens
+      .join(broadcast(candidates), Seq(tokenCol), "left_semi")
+      .groupBy(tokenCol)
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * denom >= col("__n") * num)
+      .drop("__n")
+  }
 }

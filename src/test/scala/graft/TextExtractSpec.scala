@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sketches, TextExtract}
+
+/** HTML extraction + exact frequent items (two-pass Misra-Gries). */
+class TextExtractSpec extends SparkSpec {
+
+  test("extractHtml strips script/style/comments and decodes entities in order") {
+    import spark.implicits._
+    val html =
+      """<html><head><title>T &amp;amp; U</title><style>p{}</style></head>
+        |<body><h1>Head</h1><!-- hidden --><p>a &lt;b&gt; &amp; c</p>
+        |<script>if (1 < 2) { document.write("</p>ignored"); }</script>
+        |<a href="/x">go <b>now</b></a></body></html>""".stripMargin.replace("\n", "")
+    val out = TextExtract.extractHtml(
+      Seq((1L, html)).toDF("id", "html"), "id", "html").collect().head
+    // &amp;amp; decodes to the literal "&amp;" (amp decoded LAST, once)
+    assert(out.getAs[String]("title") == "T &amp; U")
+    val text = out.getAs[String]("text_clean")
+    assert(text.contains("a <b> & c"))
+    assert(!text.contains("ignored"), "script body must not leak")
+    assert(!text.contains("hidden"), "comment body must not leak")
+    assert(text.contains("Head"))
+    assert(out.getAs[Long]("link_chars") == "go now".length.toLong)
+  }
+
+  test("extractHtml flags link-dominated pages as boilerplate") {
+    import spark.implicits._
+    val nav = (1 to 20).map(i => s"""<a href="/$i">section number $i</a>""").mkString
+    val df = Seq(
+      (1L, s"<html><body><p>real article body with plenty of words here</p></body></html>"),
+      (2L, s"<html><body>$nav</body></html>")).toDF("id", "html")
+    val out = TextExtract.extractHtml(df, "id", "html", linkDensityMax = 0.5)
+      .orderBy("id").collect()
+    assert(!out(0).getAs[Boolean]("is_boilerplate"))
+    assert(out(1).getAs[Boolean]("is_boilerplate"))
+    assert(out(1).getAs[Double]("link_density") >= 0.9)
+  }
+
+  test("extractHtml survives empty and tag-free inputs") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "no tags at all"), (3L, "<p></p>"))
+      .toDF("id", "html")
+    val out = TextExtract.extractHtml(df, "id", "html").orderBy("id").collect()
+    assert(out(0).getAs[String]("text_clean") == "")
+    assert(out(0).getAs[Long]("link_chars") == 0L)
+    assert(out(1).getAs[String]("text_clean") == "no tags at all")
+    assert(out(2).getAs[String]("text_clean") == "")
+  }
+
+  test("encode/decode entities round-trip") {
+    import spark.implicits._
+    val s0 = """x < y & y > "z" — plain"""
+    val got = Seq(s0).toDF("t")
+      .select(TextExtract.decodeEntities(TextExtract.encodeEntities(col("t"))).as("r"))
+      .as[String].collect().head
+    assert(got == s0)
+  }
+
+  test("frequentTokens is exact: differential vs full groupBy on skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Zipf-ish: token i drawn with weight ~ 1/i over 200 tokens, 20k draws
+    val weights = (1 to 200).map(i => 1.0 / i)
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val totalW = cum.last
+    val draws = Seq.fill(20000) {
+      val u = rnd.nextDouble() * totalW
+      s"tok${cum.indexWhere(_ >= u) + 1}"
+    }
+    val toks = draws.toDF("token").repartition(13)
+    val phiNum = 1L; val phiDenom = 100L // support >= 1% of 20k = 200
+    val got = Sketches.frequentTokens(toks, "token", phiNum, phiDenom, k = 128)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = draws.size
+    val expect = draws.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * phiDenom >= n * phiNum }.toMap
+    assert(got == expect)
+  }
+
+  test("frequentTokens rejects an undersized sketch and handles empty input") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Sketches.frequentTokens(Seq("a").toDF("token"), "token", 1, 100, k = 50)
+    }
+    val empty = Seq.empty[String].toDF("token")
+    assert(Sketches.frequentTokens(empty, "token", 1, 100, k = 128).count() == 0L)
+  }
+}
