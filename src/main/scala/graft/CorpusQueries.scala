@@ -396,14 +396,23 @@ object CorpusQueries {
         |      '&nbsp;', ' '), '&amp;', '&')) AS title,
         |    text_clean,
         |    CAST(length(text_clean) AS BIGINT) AS n_chars,
-        |    CAST(coalesce(list_sum(list_transform(
-        |      regexp_extract_all(nh, '(?is)<a[^>]*>(.*?)</a>', 1),
-        |      a -> length(trim(regexp_replace(
+        |    CAST(length(replace(
+        |      trim(regexp_replace(regexp_replace(
         |        replace(replace(replace(replace(replace(replace(
-        |          regexp_replace(a, '<[^>]*>', ' ', 'g'),
-        |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-        |          '&nbsp;', ' '), '&amp;', '&'),
-        |        '\s+', ' ', 'g'))))), 0) AS BIGINT) AS link_chars
+        |          regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |            array_to_string(
+        |              regexp_extract_all(nh, '(?is)<a[^>]*>(.*?)</a>', 1), chr(10)),
+        |            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |            '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)[^>]*>',
+        |            chr(10), 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |        '[ \t]+', ' ', 'g'), ' ?\n[ \n]*', chr(10), 'g'),
+        |        ' ' || chr(10)),
+        |      chr(10), '')) AS BIGINT) AS link_chars
         |  FROM v)
         |SELECT doc_id, title, text_clean, n_chars, link_chars,
         |  CAST(link_chars AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)

@@ -684,6 +684,22 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
         (col("__topc").cast("double") / col("n_tokens").cast("double")).as("top_word_frac")))
   }
 
+  /** HTML → text extraction with boilerplate link-density scoring
+    * (operators.TextExtract.extractHtml; map-only regexp pipeline). */
+  def extractHtml(htmlCol: String, linkDensityMax: Double = 0.35): Frame =
+    Frame(graft.operators.TextExtract.extractHtml(df, idx, htmlCol,
+      linkDensityMax), index)
+
+  /** EXACT frequent tokens at support ≥ num/denom of the token stream,
+    * via two-pass Misra-Gries candidate pruning — no full-vocabulary
+    * shuffle (operators.Sketches.frequentTokens). */
+  def frequentTokens(textCol: String, num: Long, denom: Long,
+      k: Int = 4096): Frame = {
+    val toks = df.select(F.explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    Frame(graft.operators.Sketches.frequentTokens(toks, "token", num, denom, k))
+  }
+
   /** Temperature-based source mixing: per-`groupCol` quotas from the
     * cnt^alpha rule, deterministic content-hash selection
     * (operators.TextQuality.temperatureMix). */

@@ -27,12 +27,16 @@ import org.apache.spark.sql.functions._
 object TextExtract {
 
   /** Decode the entity set emitted by standard HTML encoders. &amp;
-    * decodes LAST so "&amp;lt;" round-trips to the literal "&lt;". */
+    * decodes LAST so "&amp;lt;" round-trips to the literal "&lt;".
+    * Literal StringReplace, not regexp — same result (no metachars in
+    * any pattern), no regex engine on the hot path. */
   def decodeEntities(c: Column): Column = {
     val steps: Seq[(String, String)] = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-    steps.foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      call_function("replace", acc, lit(from), lit(to))
+    }
   }
 
   private def stripBlocks(html: Column): Column = {
@@ -64,14 +68,19 @@ object TextExtract {
     val titleRaw = regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
     val title = trim(decodeEntities(regexp_replace(titleRaw, "<[^>]*>", " ")))
     // Anchor inner text: extract every <a ...>...</a> body from the
-    // script-free stream, strip nested inline tags, decode, measure.
+    // script-free stream, join on \n and run ONE visibleText pass over
+    // the joined string — the \n-collapse rule trims and collapses each
+    // anchor independently (empty anchors vanish with their separator),
+    // so length-after-deleting-\n equals the sum of per-anchor cleaned
+    // lengths. A per-element lambda here would run the regex engine
+    // INTERPRETED per anchor (higher-order functions don't codegen) —
+    // measured 2× slower on this operator.
     val anchors = regexp_extract_all(stripBlocks(html),
       lit("(?is)<a[^>]*>(.*?)</a>"), lit(1))
-    val linkChars = aggregate(
-      transform(anchors, a => length(trim(regexp_replace(
-        decodeEntities(regexp_replace(a, "<[^>]*>", " ")), "\\s+", " ")))),
-      lit(0L), (acc, x) => acc + x)
-    val text = visibleText(stripBlocks(html))
+    val linkChars =
+      length(translate(visibleText(concat_ws("\n", anchors)), "\n", ""))
+        .cast("long")
+    val text = visibleText(html)
     pages.select(
       col(idCol),
       title.as("title"),
@@ -89,6 +98,8 @@ object TextExtract {
   def encodeEntities(c: Column): Column = {
     val steps: Seq[(String, String)] = Seq(
       "&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;", "\"" -> "&quot;")
-    steps.foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      call_function("replace", acc, lit(from), lit(to))
+    }
   }
 }

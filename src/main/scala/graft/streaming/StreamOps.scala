@@ -314,6 +314,44 @@ object StreamOps {
       }
   }
 
+  /** Streaming heavy hitters: hash-sharded Misra-Gries state — the
+    * online form of [[graft.operators.Sketches.frequentTokens]]. A
+    * token always routes to the same shard (groupByKey on a hash), so
+    * each shard's MG(k) summary covers a DISJOINT sub-stream exactly:
+    * a surviving token's estimate undercounts its true stream count by
+    * at most that shard's decrement total, which rides along in the
+    * output as `max_undercount` (true count ∈ [est, est+max_undercount]).
+    * State is ≤ k counters + one long per shard — bounded forever, no
+    * watermark; every micro-batch re-emits each shard's current
+    * survivors (Update mode). Scale: shards spread the vocabulary over
+    * executors; k·shards total counters replaces an unbounded
+    * streaming groupBy count.
+    */
+  def streamingHeavyHitters(tokens: Dataset[String], k: Int,
+      shards: Int = 8): Dataset[(String, Long, Long)] = {
+    import tokens.sparkSession.implicits._
+    tokens.groupByKey(t => math.floorMod(t.hashCode, shards))
+      .flatMapGroupsWithState[(Map[String, Long], Long), (String, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[(Map[String, Long], Long)]) =>
+          val (m0, dec0) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          val cnt = scala.collection.mutable.HashMap.empty[String, Long] ++= m0
+          var dec = dec0
+          it.foreach { t =>
+            cnt.get(t) match {
+              case Some(c) => cnt.update(t, c + 1)
+              case None if cnt.size < k => cnt.update(t, 1L)
+              case None => // decrement-all; zeros fall out
+                dec += 1
+                cnt.mapValuesInPlace((_, v) => v - 1)
+                cnt.filterInPlace((_, v) => v > 0)
+            }
+          }
+          state.update((cnt.toMap, dec))
+          cnt.toVector.map { case (t, c) => (t, c, dec) }.iterator
+      }
+  }
+
   /** Arbitrary stateful processing via mapGroupsWithState: a per-key
     * running (count, sum) that emits the updated aggregate on every
     * micro-batch — the custom-state escape hatch (§2.11 analogue for

@@ -549,4 +549,34 @@ class StreamingSpec extends SparkSpec {
       assert(got(12L) == (0, 0, false), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: sharded MG state stays bounded with a sound count bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = StreamOps.streamingHeavyHitters(in.toDS(), k = 4, shards = 1)
+    val q = out.toDF().toDF("token", "est", "max_undercount")
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    try {
+      in.addData(Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("hh_stream").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // ≤ k distinct tokens so MG is exact: verbatim counts, no decrements
+      assert(b1 == Map("a" -> ((5L, 0L)), "b" -> ((3L, 0L)), "c" -> ((1L, 0L))),
+        s"got $b1")
+      val n1 = spark.table("hh_stream").count().toInt
+      // eviction pressure: 6 fresh singletons + 4 more of the heavy token
+      in.addData(Seq.fill(4)("a") ++ Seq("d", "e", "f", "g", "h", "i"): _*)
+      q.processAllAvailable()
+      val b2 = spark.table("hh_stream").collect().drop(n1)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(b2.length <= 4, s"state leaked past k: $b2") // ≤ k survivors
+      // the heavy token (true count 9) survives with a sound bracket:
+      // est ≤ true ≤ est + max_undercount
+      val a = b2.find(_._1 == "a").getOrElse(fail(s"heavy token evicted: $b2"))
+      assert(a._2 <= 9L && a._2 + a._3 >= 9L, s"bound violated: $a")
+    } finally q.stop()
+  }
 }
