@@ -629,6 +629,42 @@ object LlmQueries {
         .orderBy("source")
     }
 
+    // REAL BPE tokenization (operators.Bpe.tokenPieces): the document's
+    // full subword piece sequence in reading order — what a dataloader
+    // consumes after a piece->id dictionary join. The oracle replays the
+    // merge loop per distinct word (terminal state = arg_min by length:
+    // every merge shortens the delimited symbol string), then flattens
+    // per-word pieces back into document order. Pieces are emitted as a
+    // '|'-joined string: scalar columns keep the driver's hash compare
+    // on proven ground.
+    q("q_bpe_tokenize",
+      s"""WITH RECURSIVE
+         |$bpeCtes,
+         |pieces AS (
+         |  SELECT tok, substr(s2, 2, length(s2) - 2) AS ps
+         |  FROM (SELECT tok, arg_min(s, length(s)) AS s2 FROM enc GROUP BY tok)),
+         |stream AS (
+         |  SELECT doc_id, i, toks[i] AS tok
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+         |        FROM (SELECT doc_id, regexp_extract_all(lower(text),
+         |                '${Bpe.PreTokenPattern}') AS toks FROM documents))),
+         |doc_pieces AS (
+         |  SELECT st.doc_id,
+         |    replace(string_agg(p.ps, chr(1) ORDER BY st.i), chr(1), '|') AS pieces_str,
+         |    CAST(sum(length(p.ps) - length(replace(p.ps, chr(1), '')) + 1) AS BIGINT)
+         |      AS n_pieces
+         |  FROM stream st JOIN pieces p USING (tok) GROUP BY st.doc_id)
+         |SELECT d.doc_id, coalesce(p.pieces_str, '') AS pieces_str,
+         |  coalesce(p.n_pieces, 0) AS n_pieces
+         |FROM documents d LEFT JOIN doc_pieces p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Bpe.tokenPieces(Tables.documents(s, dir), "text")
+        .select(col("doc_id"),
+          array_join(col("bpe_pieces"), "|").as("pieces_str"),
+          size(col("bpe_pieces")).cast("long").as("n_pieces"))
+        .orderBy("doc_id")
+    }
+
     // Document fingerprinting: 31-ary rolling hash (native codegen'd
     // Catalyst expression — see functions.RollingHash) plus the md5
     // digest; the incremental-dedup key pair.

@@ -713,6 +713,11 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def tokenCountBpe(textCol: String): Frame =
     keep(graft.operators.Bpe.tokenCounts(df, textCol))
 
+  /** Append `bpe_pieces` — the document's full BPE subword sequence in
+    * reading order (operators.Bpe.tokenPieces; same shuffle-free map). */
+  def tokenizeBpe(textCol: String): Frame =
+    keep(graft.operators.Bpe.tokenPieces(df, textCol))
+
   /** Repair UTF-8-as-cp1252 mojibake in `textCol` via the canonical
     * artifact table (operators.TextQuality.fixMojibake — map-only
     * codegen'd replace chain). */

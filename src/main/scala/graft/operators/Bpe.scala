@@ -118,7 +118,12 @@ object Bpe {
     merges.zipWithIndex.toMap
 
   /** Encode one pre-token and return its token (symbol) count. */
-  def encodeCount(word: String, ranks: Map[(String, String), Int]): Int = {
+  def encodeCount(word: String, ranks: Map[(String, String), Int]): Int =
+    encodePieces(word, ranks).length
+
+  /** The word's BPE symbol sequence after all applicable merges — the
+    * actual subword pieces, in order. */
+  def encodePieces(word: String, ranks: Map[(String, String), Int]): Array[String] = {
     var syms = word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     var done = syms.length <= 1
     while (!done) {
@@ -136,7 +141,7 @@ object Bpe {
         if (syms.length <= 1) done = true
       }
     }
-    syms.length
+    syms
   }
 
   /** BPE token count of a whole text: pre-tokenize, sum per-word symbol
@@ -239,6 +244,36 @@ object Bpe {
       val memo = scala.collection.mutable.HashMap.empty[String, Int]
       it.map { r =>
         Row.fromSeq(r.toSeq :+ tokenCount(r.getString(textIdx), ranks, memo))
+      }
+    }
+  }
+
+  /** Per-document subword TOKENIZATION: every input column plus an
+    * appended `bpe_pieces` array<string> — the document's full BPE
+    * piece sequence in reading order (what a dataloader consumes after
+    * a piece→id dictionary join; counts alone can't feed training).
+    * Same pure partition-batched map shape as [[tokenCounts]], with the
+    * memo holding piece ARRAYS per distinct word (Zipf-bounded). */
+  def tokenPieces(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)] = defaultMerges): DataFrame = {
+    val textIdx = df.schema.fieldIndex(textCol)
+    val out = StructType(df.schema.fields :+
+      StructField("bpe_pieces", ArrayType(StringType, containsNull = false)))
+    implicit val enc = Encoders.row(out)
+    val ranks = rankMap(merges)
+    df.mapPartitions { it =>
+      val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+      it.map { r =>
+        val text = r.getString(textIdx)
+        val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (text != null) {
+          val m = preTok.matcher(text.toLowerCase(java.util.Locale.ROOT))
+          while (m.find()) {
+            val w = m.group()
+            pieces ++= memo.getOrElseUpdate(w, encodePieces(w, ranks))
+          }
+        }
+        Row.fromSeq(r.toSeq :+ pieces.toSeq)
       }
     }
   }

@@ -97,4 +97,26 @@ class BpeSpec extends SparkSpec {
     val chars = "the training corpus".count(_ != ' ')
     assert(out(0).getLong(2) < chars)
   }
+
+  test("tokenPieces: piece sequence reconciles with counts and the reference encoder") {
+    import spark.implicits._
+    val merges = Bpe.defaultMerges
+    val ranks = merges.zipWithIndex.toMap
+    val df = Seq((1L, "The training corpus, reads."), (2L, ""), (3L, "aaa bbb"))
+      .toDF("doc_id", "text")
+    val out = Bpe.tokenPieces(df, "text")
+      .select("doc_id", "bpe_pieces").orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // pieces concatenate back to the pre-token stream (lossless modulo case/space)
+    assert(out(1L).mkString == "thetrainingcorpus,reads.")
+    assert(out(2L).isEmpty)
+    // piece count == tokenCount for every doc
+    val memo = scala.collection.mutable.HashMap.empty[String, Int]
+    assert(out(1L).size.toLong ==
+      Bpe.tokenCount("The training corpus, reads.", ranks, memo))
+    // word-level pieces match the independent reference encoder, in order
+    val expect = Seq("the", "training", "corpus", ",", "reads", ".")
+      .flatMap(w => refEncode(w, merges))
+    assert(out(1L) == expect)
+  }
 }
