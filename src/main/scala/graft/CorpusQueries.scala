@@ -351,6 +351,113 @@ object CorpusQueries {
         .orderBy(col("cnt").desc, col("token"))
     }
 
+    // ---- URL canonicalization + per-domain crawl stats ----------------
+
+    // URLs synthesized deterministically per doc (mixed-case scheme and
+    // host, optional www., rotating TLD, optional trailing slash,
+    // tracking params, optional fragment) — both engines build the same
+    // string, the oracle replays the parse regex-for-regex.
+    val urlSynthSql =
+      """'HTTPS://' ||
+        |      CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        |      'Site' || (doc_id % 50) || '.' ||
+        |      (['com', 'org', 'net'])[CAST(doc_id % 3 AS INT) + 1] ||
+        |      '/docs/' || doc_id ||
+        |      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |      '?id=' || doc_id || '&utm_source=feed' ||
+        |      CASE WHEN doc_id % 2 = 0 THEN '&ref=abc' ELSE '' END ||
+        |      CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END""".stripMargin
+    val urlParseSql =
+      s"""u AS (SELECT doc_id, $urlSynthSql AS url FROM documents),
+         |p AS (SELECT doc_id, url,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(url,
+         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS host,
+         |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS query_string
+         |  FROM u),
+         |q AS (SELECT doc_id, url, scheme, host,
+         |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+         |    regexp_extract(host, '\\.([^.]+)$$', 1) AS tld,
+         |    path, query_string,
+         |    array_to_string(list_filter(string_split(query_string, '&'),
+         |      x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=')
+         |        OR starts_with(x, 'gclid=') OR starts_with(x, 'ref=')
+         |        OR x = '')), '&') AS cq,
+         |    regexp_replace(path, '/$$', '') AS cp
+         |  FROM p),
+         |parsed AS (SELECT doc_id, scheme, host, domain, tld, path, query_string,
+         |    scheme || '://' || host || cp ||
+         |      CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS url_canonical
+         |  FROM q)""".stripMargin
+
+    def synthUrl = concat(
+      lit("HTTPS://"),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      lit("Site"), (col("doc_id") % 50).cast("string"), lit("."),
+      element_at(typedLit(Seq("com", "org", "net")),
+        (col("doc_id") % 3 + 1).cast("int")),
+      lit("/docs/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      lit("?id="), col("doc_id").cast("string"), lit("&utm_source=feed"),
+      when(col("doc_id") % 2 === 0, lit("&ref=abc")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+
+    q("q_url_parse",
+      s"""WITH $urlParseSql
+         |SELECT * FROM parsed ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.TextExtract
+      TextExtract.parseUrls(
+          Tables.documents(s, dir).select(col("doc_id"), synthUrl.as("url")),
+          "url")
+        .drop("url")
+        .orderBy("doc_id")
+    }
+
+    q("q_domain_stats",
+      s"""WITH $urlParseSql
+         |SELECT domain,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  CAST(count(DISTINCT tld) AS BIGINT) AS n_tlds
+         |FROM parsed GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+      import graft.operators.TextExtract
+      TextExtract.parseUrls(
+          Tables.documents(s, dir).select(col("doc_id"), synthUrl.as("url")),
+          "url")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("host").as("n_hosts"),
+          countDistinct("tld").as("n_tlds"))
+        .orderBy("domain")
+    }
+
+    // ---- within-doc consecutive-duplicate-line removal (C4 rule) ------
+
+    // Input synthesized by doubling every sentence: [s1,s1,s2,s2,...];
+    // the operator keeps line i iff it differs from line i-1, so the
+    // output restores the original sentence stream (modulo originally-
+    // adjacent identical sentences, which both engines collapse alike).
+    q("q_line_dedup_consecutive",
+      """WITH raw AS (SELECT doc_id,
+        |    flatten(list_transform(string_split(text, '. '), x -> [x, x])) AS ls
+        |  FROM documents),
+        |d AS (SELECT doc_id, ls,
+        |    list_filter(ls, (x, i) -> i = 1 OR x <> ls[i - 1]) AS kept
+        |  FROM raw)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS text_clean
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.TextExtract
+      val doubled = Tables.documents(s, dir).select(col("doc_id"),
+        array_join(
+          flatten(transform(split(col("text"), "\\. "), x => array(x, x))),
+          "\n").as("text"))
+      TextExtract.dedupConsecutiveLines(doubled, "doc_id", "text")
+        .orderBy("doc_id")
+    }
+
     // ---- HTML text extraction / boilerplate scoring -------------------
 
     // Pages are synthesized deterministically from the documents table

@@ -690,6 +690,17 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextExtract.extractHtml(df, idx, htmlCol,
       linkDensityMax), index)
 
+  /** URL parse + canonicalization: appends scheme/host/domain/tld/path/
+    * query_string/url_canonical (operators.TextExtract.parseUrls). */
+  def parseUrls(urlCol: String): Frame =
+    keep(graft.operators.TextExtract.parseUrls(df, urlCol))
+
+  /** C4-rule consecutive-duplicate-line removal within each document
+    * (operators.TextExtract.dedupConsecutiveLines; map-only). */
+  def dedupConsecutiveLines(textCol: String, sep: String = "\n"): Frame =
+    Frame(graft.operators.TextExtract.dedupConsecutiveLines(df, idx, textCol,
+      sep), index)
+
   /** EXACT frequent tokens at support ≥ num/denom of the token stream,
     * via two-pass Misra-Gries candidate pruning — no full-vocabulary
     * shuffle (operators.Sketches.frequentTokens). */

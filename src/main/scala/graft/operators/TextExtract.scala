@@ -92,6 +92,66 @@ object TextExtract {
       .withColumn("is_boilerplate", col("link_density") > lit(linkDensityMax))
   }
 
+  /** URL parsing + canonicalization: the crawl-metadata stage. Splits a
+    * URL column into (scheme, host, domain, tld, path, query_string)
+    * and produces `url_canonical` — scheme+host lower-cased, `www.`
+    * prefix dropped, tracking parameters removed (utm_*, fbclid,
+    * gclid, ref), fragment dropped, trailing slash stripped — the key
+    * a crawl dedups and groups on (page content is fetched many times
+    * under trivially-different URLs). Domain = last two host labels,
+    * the per-site aggregation level for crawl stats and blocklists.
+    *
+    * All built-in regexp/string expressions except the query-parameter
+    * filter, which is one higher-order `filter` over the split
+    * parameter list (tiny arrays — not a hot path). Map-only. */
+  def parseUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val url = col(urlCol)
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(hostRaw, "^www\\.", "")
+    val domain = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val tld = regexp_extract(host, "\\.([^.]+)$", 1)
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    val qs = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptParams = filter(split(qs, "&"),
+      p => !(p.startsWith("utm_") || p.startsWith("fbclid=") ||
+        p.startsWith("gclid=") || p.startsWith("ref=") || p === ""))
+    val canonPath = regexp_replace(path, "/$", "")
+    val canonQs = array_join(keptParams, "&")
+    df.select(col("*"),
+      scheme.as("scheme"),
+      host.as("host"),
+      domain.as("domain"),
+      tld.as("tld"),
+      path.as("path"),
+      qs.as("query_string"),
+      concat(scheme, lit("://"), host, canonPath,
+        when(canonQs === "", lit("")).otherwise(concat(lit("?"), canonQs)))
+        .as("url_canonical"))
+  }
+
+  /** Within-document consecutive-duplicate-line removal — the C4
+    * cleaning rule (Raffel et al. 2020 strip repeated lines; boiler-
+    * plate headers/footers repeat verbatim and adjacently after HTML
+    * extraction). Pure per-row array work: split on `sep`, keep line i
+    * iff i==0 or line i ≠ line i−1, reassemble. No shuffle; the
+    * corpus-level companions are lineDedup (cross-doc) and
+    * purgeDuplicateSubstrings (sub-line). */
+  def dedupConsecutiveLines(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    // element_at is 1-based, so lines[i] with the 0-based lambda index i
+    // is the PREVIOUS line; the when() keeps element_at(_, 0) from ever
+    // evaluating (ANSI error) — Or does not short-circuit, CaseWhen does.
+    val kept = filter(lines, (x, i) =>
+      when(i === 0, lit(true)).otherwise(x =!= element_at(lines, i)))
+    df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, sep).as("text_clean"))
+  }
+
   /** HTML-encode a text column (the inverse entity set, & first). Used
     * by tests and the oracle query to synthesize pages determin-
     * istically from plain-text fixtures. */

@@ -49,6 +49,51 @@ class TextExtractSpec extends SparkSpec {
     assert(out(2).getAs[String]("text_clean") == "")
   }
 
+  test("parseUrls canonicalizes scheme/host/params and splits components") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://www.Example.COM/a/b/?utm_source=x&id=7&ref=z#frag"),
+      (2L, "http://sub.site.org/page?x=1&fbclid=abc&gclid=q"),
+      (3L, "https://bare.net"),
+      (4L, "not a url at all")).toDF("id", "url")
+    val out = TextExtract.parseUrls(urls, "url").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[String]("scheme") == "https")
+    assert(r1.getAs[String]("host") == "example.com")
+    assert(r1.getAs[String]("domain") == "example.com")
+    assert(r1.getAs[String]("tld") == "com")
+    assert(r1.getAs[String]("path") == "/a/b/")
+    // tracking params dropped, real param kept, trailing slash stripped,
+    // fragment gone
+    assert(r1.getAs[String]("url_canonical") == "https://example.com/a/b?id=7")
+    val r2 = out(2L)
+    assert(r2.getAs[String]("host") == "sub.site.org")
+    assert(r2.getAs[String]("domain") == "site.org")
+    assert(r2.getAs[String]("url_canonical") == "http://sub.site.org/page?x=1")
+    val r3 = out(3L)
+    assert(r3.getAs[String]("path") == "")
+    assert(r3.getAs[String]("url_canonical") == "https://bare.net")
+    // malformed: every component empty, canonical degenerates to "://"
+    assert(out(4L).getAs[String]("host") == "")
+  }
+
+  test("dedupConsecutiveLines keeps only adjacent-distinct lines") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a\na\nb\nb\na"),
+      (2L, ""),
+      (3L, "solo"),
+      (4L, "x\nx\nx\nx")).toDF("id", "text")
+    val out = TextExtract.dedupConsecutiveLines(df, "id", "text")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((5L, 3L, "a\nb\na")))
+    assert(out(2L) == ((1L, 1L, "")))
+    assert(out(3L) == ((1L, 1L, "solo")))
+    assert(out(4L) == ((4L, 1L, "x")))
+  }
+
   test("encode/decode entities round-trip") {
     import spark.implicits._
     val s0 = """x < y & y > "z" — plain"""
