@@ -688,6 +688,55 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Rolling skewness / excess kurtosis via the moment expansion —
+    // windowed avg's only, so both engines run the IDENTICAL arithmetic
+    // (Spark's streaming skewness/kurtosis aggregates use a different
+    // update formula whose cancellation behavior the oracle could not
+    // replay). Degenerate windows (σ²=0, incl. each partition's 1-row
+    // head) are NULL by the same CASE on both sides.
+    q("q_rolling_skew",
+      s"""SELECT event_id,
+         |  round(CASE WHEN sp2 > 0 THEN
+         |    (ex3 - 3 * mu * ex2 + 2 * mu * mu * mu) / pow(sp2, 1.5) END, 9)
+         |    AS roll_skew,
+         |  round(CASE WHEN sp2 > 0 THEN
+         |    (ex4 - 4 * mu * ex3 + 6 * mu * mu * ex2 - 3 * mu * mu * mu * mu)
+         |      / (sp2 * sp2) - 3 END, 9) AS roll_kurt
+         |FROM (SELECT event_id, mu, ex2, ex3, ex4, ex2 - mu * mu AS sp2
+         |  FROM (SELECT event_id,
+         |      avg(value) OVER w AS mu,
+         |      avg(value * value) OVER w AS ex2,
+         |      avg(value * value * value) OVER w AS ex3,
+         |      avg(value * value * value * value) OVER w AS ex4
+         |    FROM ${Queries.EVENTS_SQL}
+         |    WHERE user_id < 10
+         |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)))
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      val v = col("value").cast("double")
+      val base = Tables.events(s, dir).filter(col("user_id") < 10)
+        .select(col("event_id"),
+          avg(v).over(w).as("mu"),
+          avg(v * v).over(w).as("ex2"),
+          avg(v * v * v).over(w).as("ex3"),
+          avg(v * v * v * v).over(w).as("ex4"))
+        .withColumn("sp2", col("ex2") - col("mu") * col("mu"))
+      val mu = col("mu"); val ex2 = col("ex2"); val ex3 = col("ex3")
+      val ex4 = col("ex4"); val sp2 = col("sp2")
+      base.select(col("event_id"),
+        round(when(sp2 > 0,
+          (ex3 - lit(3) * mu * ex2 + lit(2) * mu * mu * mu) / pow(sp2, 1.5)), 9)
+          .as("roll_skew"),
+        round(when(sp2 > 0,
+          (ex4 - lit(4) * mu * ex3 + lit(6) * mu * mu * ex2
+            - lit(3) * mu * mu * mu * mu) / (sp2 * sp2) - lit(3)), 9)
+          .as("roll_kurt"))
+        .orderBy("event_id")
+    }
+
     q("q_resample_extra",
       s"""SELECT date_trunc('day', ts) AS day,
          |  round(var_samp(value), 9) AS day_var,

@@ -704,6 +704,33 @@ object Queries {
         covar_pop(col("l_quantity"), col("l_extendedprice")).as("cov_p"))
   }
 
+  // Full correlation matrix (reference DataFrame.corr returns the
+  // matrix, not one pair): ALL pairwise corrs in ONE aggregate pass
+  // (partial+final HashAggregate — the corpus is scanned once however
+  // many pairs there are), unpivoted to tidy (col_a, col_b, corr) rows.
+  // Diagonal excluded: it is 1 by definition, and replaying corr(x,x)'s
+  // last-ulp float behavior buys nothing.
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val corrPairs =
+    for { i <- corrCols.indices; j <- i + 1 until corrCols.length }
+      yield (corrCols(i), corrCols(j))
+  q("q_corr_matrix",
+    corrPairs.map { case (a, b) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, corr($a, $b) AS corr FROM lineitem"
+    }.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val agged = li.agg(
+      corr(col(corrPairs.head._1), col(corrPairs.head._2))
+        .as(s"${corrPairs.head._1}__${corrPairs.head._2}"),
+      corrPairs.tail.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }: _*)
+    agged.select(explode(array(corrPairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"${a}__${b}").as("corr"))
+      }: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.corr"))
+      .orderBy("col_a", "col_b")
+  }
+
   // ---------------------------------------------------------------
   // §2.5 Group-by
   // ---------------------------------------------------------------

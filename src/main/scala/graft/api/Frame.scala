@@ -664,6 +664,24 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.TextQuality.tokenBudgetMix(df, groupCol, idx,
       tokensCol, budget))
 
+  /** Full pairwise correlation matrix over `cols` in tidy long form
+    * (col_a, col_b, corr), upper triangle, diagonal omitted — all
+    * pairs in ONE aggregate pass over the data (pandas `df.corr()`). */
+  def corrMatrix(cols: String*): Frame = {
+    require(cols.length >= 2, "corrMatrix needs at least two columns")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.length }
+      yield (cols(i), cols(j))
+    val agged = df.agg(
+      F.corr(col(pairs.head._1), col(pairs.head._2))
+        .as(s"${pairs.head._1}__${pairs.head._2}"),
+      pairs.tail.map { case (a, b) => F.corr(col(a), col(b)).as(s"${a}__${b}") }: _*)
+    Frame(agged.select(F.explode(F.array(pairs.map { case (a, b) =>
+        F.struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col(s"${a}__${b}").as("corr"))
+      }: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.corr")))
+  }
+
   /** Per-group corpus diagnostics: docs, tokens, vocabulary, hapax
     * fraction, top-word share — one word explode + word-keyed counts. */
   def corpusStats(groupCol: String, textCol: String): Frame = {
@@ -1043,6 +1061,36 @@ final class Rolling(frame: Frame, w: WindowSpec) {
   def count(out: String): Rolling = add(out, org.apache.spark.sql.functions.count(lit(1)))
   def variance(c: String, out: String): Rolling = add(out, var_samp(col(c)))
   def std(c: String, out: String): Rolling = add(out, stddev_samp(col(c)))
+
+  private def addExpr(out: String, c: Column): Rolling =
+    new Rolling(Frame(frame.df.withColumn(out, c), frame.index), w)
+  private def moments(c: String): (Column, Column, Column, Column, Column) = {
+    val v = col(c).cast("double")
+    val mu = avg(v).over(w)
+    val ex2 = avg(v * v).over(w)
+    val ex3 = avg(v * v * v).over(w)
+    val ex4 = avg(v * v * v * v).over(w)
+    (mu, ex2, ex3, ex4, ex2 - mu * mu)
+  }
+
+  /** Rolling population skewness via the moment expansion
+    * (E[x³] − 3µE[x²] + 2µ³)/σ³ — windowed avg's only, so an external
+    * engine replays the identical arithmetic; degenerate windows
+    * (σ²=0, incl. the 1-row frame head) yield NULL. */
+  def skew(c: String, out: String): Rolling = {
+    val (mu, ex2, ex3, _, sp2) = moments(c)
+    addExpr(out, when(sp2 > 0,
+      (ex3 - lit(3) * mu * ex2 + lit(2) * mu * mu * mu) / pow(sp2, 1.5)))
+  }
+
+  /** Rolling population EXCESS kurtosis via the moment expansion
+    * (E[x⁴] − 4µE[x³] + 6µ²E[x²] − 3µ⁴)/σ⁴ − 3; NULL on σ²=0. */
+  def kurt(c: String, out: String): Rolling = {
+    val (mu, ex2, ex3, ex4, sp2) = moments(c)
+    addExpr(out, when(sp2 > 0,
+      (ex4 - lit(4) * mu * ex3 + lit(6) * mu * mu * ex2
+        - lit(3) * mu * mu * mu * mu) / (sp2 * sp2) - lit(3)))
+  }
   def toFrame: Frame = frame
 }
 

@@ -225,6 +225,19 @@ class FrameApiSpec extends SparkSpec {
       .sortValues("event_id"))
   }
 
+  test("q_rolling_skew via facade (moment-expansion skew/kurt)") {
+    val ev = fr("events")
+    same("q_rolling_skew", ev
+      .filter(ev("user_id") < 10)
+      .rolling(5, order = Seq("ts", "event_id"), by = Seq("user_id"))
+      .skew("value", "roll_skew").kurt("value", "roll_kurt")
+      .toFrame
+      .transform(_.select(col("event_id"),
+        round(col("roll_skew"), 9).as("roll_skew"),
+        round(col("roll_kurt"), 9).as("roll_kurt")))
+      .sortValues("event_id"))
+  }
+
   test("q_resample_daily via facade") {
     same("q_resample_daily", fr("events")
       .resample("1 day", on = "ts")
@@ -754,6 +767,12 @@ class FrameApiSpec extends SparkSpec {
     same("q_frequent_items", Frame(d)
       .frequentTokens("text", 2, 1000, k = 512)
       .transform(_.orderBy(col("cnt").desc, col("token"))))
+  }
+
+  test("corrMatrix facade matches the registered query") {
+    same("q_corr_matrix", fr("lineitem")
+      .corrMatrix("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .sortValues("col_a", "col_b"))
   }
 
   test("corpusStats facade matches the registered query") {
