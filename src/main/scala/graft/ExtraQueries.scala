@@ -737,6 +737,36 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // EWM (pandas ewm(alpha).mean(), adjust=True) — a keyed sequential
+    // recurrence no window can express (operators.Recurrence: one key
+    // shuffle + streaming fold over sorted partitions). The oracle
+    // replays the identical fold in a recursive CTE; (1 - 0.2) is
+    // written as the expression on both sides so the decay constant is
+    // the same IEEE double.
+    q("q_ewm",
+      s"""WITH RECURSIVE s AS (
+         |  SELECT user_id, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+         |  FROM ${Queries.EVENTS_SQL} WHERE user_id < 10),
+         |r AS (
+         |  SELECT user_id, i, event_id, value AS num, CAST(1 AS DOUBLE) AS den
+         |  FROM s WHERE i = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.i, s.event_id,
+         |    s.value + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.num,
+         |    1 + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.den
+         |  FROM r JOIN s ON s.user_id = r.user_id AND s.i = r.i + 1)
+         |SELECT event_id, round(num / den, 9) AS ewm
+         |FROM r ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Recurrence
+      Recurrence.ewm(
+          Tables.events(s, dir).filter(col("user_id") < 10)
+            .select("user_id", "ts", "event_id", "value"),
+          "user_id", Seq("ts", "event_id"), "value", alpha = 0.2)
+        .select(col("event_id"), round(col("ewm"), 9).as("ewm"))
+        .orderBy("event_id")
+    }
+
     q("q_resample_extra",
       s"""SELECT date_trunc('day', ts) AS day,
          |  round(var_samp(value), 9) AS day_var,

@@ -664,6 +664,15 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.TextQuality.tokenBudgetMix(df, groupCol, idx,
       tokensCol, budget))
 
+  /** Exponentially-weighted mean per `keyCol` in `orderCols` order
+    * (pandas ewm(alpha).mean(), adjust=True) — keyed sequential
+    * recurrence, one shuffle + streaming fold
+    * (operators.Recurrence.ewm). */
+  def ewm(keyCol: String, orderCols: Seq[String], valueCol: String,
+      alpha: Double, out: String = "ewm"): Frame =
+    keep(graft.operators.Recurrence.ewm(df, keyCol, orderCols, valueCol,
+      alpha, out))
+
   /** Full pairwise correlation matrix over `cols` in tidy long form
     * (col_a, col_b, corr), upper triangle, diagonal omitted — all
     * pairs in ONE aggregate pass over the data (pandas `df.corr()`). */

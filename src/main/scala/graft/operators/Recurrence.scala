@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Keyed sequential recurrences — the operator family a declarative
+  * window cannot express (each output depends on the previous OUTPUT,
+  * not on a frame of inputs). The canonical member is the
+  * exponentially-weighted mean (pandas `ewm(alpha).mean()`,
+  * adjust=True):
+  *
+  *   num_i = x_i + (1−α)·num_{i−1};  den_i = 1 + (1−α)·den_{i−1};
+  *   y_i = num_i / den_i
+  *
+  * Execution shape: ONE hash shuffle on the key, sort within
+  * partitions, then a streaming fold over each sorted partition with
+  * state reset at key boundaries — no per-group materialization, so a
+  * giant key streams through (the grouped-iterator form would buffer
+  * it). The naive closed-form alternative (two cumulative sums scaled
+  * by (1−α)^−i) overflows past a few hundred rows and is not a
+  * scale-safe plan.
+  *
+  * The fold's float arithmetic is written to be replayable verbatim:
+  * `x + decay*num` with decay derived as `1 − alpha` in IEEE, exactly
+  * what a SQL engine computes for `value + (1 - alpha) * num` in a
+  * recursive CTE.
+  */
+object Recurrence {
+
+  /** Append `out` = EWM(alpha, adjust=True) of `valueCol` per `keyCol`
+    * in `orderCols` order. Null values emit null and leave the state
+    * untouched (pandas ignore_na=False differs; documented deviation —
+    * nulls don't occur in the engine's corpora). */
+  def ewm(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, out: String = "ewm"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val decay = 1.0 - alpha
+    val sorted = df.repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+    val schema = sorted.schema.add(StructField(out, DoubleType))
+    implicit val enc = Encoders.row(schema)
+    val keyIdx = sorted.schema.fieldIndex(keyCol)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var started = false
+      var num = 0.0
+      var den = 0.0
+      it.map { r =>
+        val k = r.get(keyIdx)
+        if (!started || k != curKey) {
+          num = 0.0; den = 0.0; curKey = k; started = true
+        }
+        val y: Any =
+          if (r.isNullAt(vIdx)) null
+          else {
+            val x = r.getDouble(vIdx)
+            num = x + decay * num
+            den = 1.0 + decay * den
+            num / den
+          }
+        Row.fromSeq(r.toSeq :+ y)
+      }
+    }
+  }
+}

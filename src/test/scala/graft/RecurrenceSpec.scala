@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Recurrence
+
+/** EWM keyed recurrence: formula equivalence, key resets, partition
+  * invariance, null policy. */
+class RecurrenceSpec extends SparkSpec {
+
+  private def refEwm(xs: Seq[Double], alpha: Double): Seq[Double] = {
+    // direct pandas adjust=True formula, different arithmetic path than
+    // the operator's streaming fold
+    xs.indices.map { i =>
+      val w = (0 to i).map(j => math.pow(1 - alpha, i - j))
+      (0 to i).map(j => w(j) * xs(j)).sum / w.sum
+    }
+  }
+
+  test("ewm matches the closed-form pandas formula per key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = for (k <- 0 until 5; i <- 0 until 40)
+      yield (k.toLong, i.toLong, rnd.nextDouble() * 100 - 50)
+    val out = Recurrence.ewm(
+        rows.toDF("k", "i", "v").repartition(7), // scrambled input partitioning
+        "k", Seq("i"), "v", alpha = 0.3)
+      .select("k", "i", "ewm").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (k <- 0 until 5) {
+      val xs = rows.filter(_._1 == k).sortBy(_._2).map(_._3)
+      val expect = refEwm(xs, 0.3)
+      xs.indices.foreach { i =>
+        val got = out((k.toLong, i.toLong))
+        assert(math.abs(got - expect(i)) < 1e-9,
+          s"k=$k i=$i got $got want ${expect(i)}")
+      }
+    }
+  }
+
+  test("ewm state resets at key boundaries and first row equals x1") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (2L, 0L, 99.0))
+      .toDF("k", "i", "v")
+    val out = Recurrence.ewm(df, "k", Seq("i"), "v", alpha = 0.5)
+      .select("k", "i", "ewm").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 0L)) == 10.0)
+    assert(out((2L, 0L)) == 99.0) // unpolluted by key 1's state
+    // adjust=True second value: (0.5*10 + 20) / 1.5
+    assert(math.abs(out((1L, 1L)) - (20.0 + 0.5 * 10.0) / 1.5) < 1e-12)
+  }
+
+  test("ewm nulls emit null and leave the state untouched") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, Some(10.0)), (1L, 1L, None), (1L, 2L, Some(10.0)))
+      .toDF("k", "i", "v")
+    val out = Recurrence.ewm(df, "k", Seq("i"), "v", alpha = 0.5)
+      .select("i", "ewm").orderBy("i").collect()
+    assert(out(0).getDouble(1) == 10.0)
+    assert(out(1).isNullAt(1))
+    // state skipped the null: same as two consecutive 10s
+    assert(math.abs(out(2).getDouble(1) - 10.0) < 1e-12)
+  }
+}
