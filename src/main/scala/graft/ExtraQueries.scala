@@ -737,6 +737,33 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Regular-grid resample + forward fill (pandas asfreq().ffill()):
+    // dense per-key day grid via sequence()+explode, per-bucket last
+    // observation by (ts, event_id), partitioned running last(ignore
+    // nulls) fill (operators.TimeGrid).
+    q("q_asfreq_ffill",
+      s"""WITH ev AS (SELECT * FROM ${Queries.EVENTS_SQL} WHERE user_id < 6),
+         |b AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,
+         |        date_trunc('day', max(ts)) AS d1 FROM ev GROUP BY 1),
+         |grid AS (SELECT user_id,
+         |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS bucket FROM b),
+         |obs AS (SELECT user_id, date_trunc('day', ts) AS bucket,
+         |    arg_max(value, CAST(epoch_ns(ts) AS HUGEINT) * 10000000000
+         |      + event_id) AS v FROM ev GROUP BY 1, 2),
+         |j AS (SELECT g.user_id, g.bucket, o.v
+         |  FROM grid g LEFT JOIN obs o USING (user_id, bucket))
+         |SELECT user_id, bucket,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+         |  v IS NOT NULL AS observed
+         |FROM j ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+      import graft.operators.TimeGrid
+      TimeGrid.asFreqFfill(
+          Tables.events(s, dir).filter(col("user_id") < 6),
+          "user_id", "ts", "value", "event_id", unit = "day")
+        .orderBy("user_id", "bucket")
+    }
+
     // EWM (pandas ewm(alpha).mean(), adjust=True) — a keyed sequential
     // recurrence no window can express (operators.Recurrence: one key
     // shuffle + streaming fold over sorted partitions). The oracle

@@ -664,6 +664,14 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.TextQuality.tokenBudgetMix(df, groupCol, idx,
       tokensCol, budget))
 
+  /** Dense per-key time grid with forward fill — pandas
+    * `resample(freq).asfreq().ffill()` (operators.TimeGrid.asFreqFfill;
+    * sequence()+explode grid, key-partitioned fill window). */
+  def asfreqFfill(keyCol: String, tsCol: String, valueCol: String,
+      tieCol: String, unit: String = "day"): Frame =
+    Frame(graft.operators.TimeGrid.asFreqFfill(df, keyCol, tsCol, valueCol,
+      tieCol, unit))
+
   /** Exponentially-weighted mean per `keyCol` in `orderCols` order
     * (pandas ewm(alpha).mean(), adjust=True) — keyed sequential
     * recurrence, one shuffle + streaming fold

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid resampling with forward fill — pandas
+  * `resample(freq).asfreq().ffill()`: project each key's observations
+  * onto a gap-free time grid and carry the last observation forward
+  * into empty buckets. The missing-data companion to the aggregate
+  * resampler (sensor/market feeds stop emitting when nothing changes;
+  * training features need a dense grid).
+  *
+  * Plan shape: per-key bounds (one partial-agg groupBy), grid via
+  * `sequence()` + explode (rows ∝ key count × day span, never a
+  * driver loop), one (key, bucket) left join against the per-bucket
+  * last observation (max_by with a deterministic (ts, tiebreak)
+  * struct), and a partitioned `last(ignoreNulls)` running window for
+  * the fill. Every stage is key-partitioned — no global window, no
+  * collect. */
+object TimeGrid {
+
+  /** Dense `unit` grid per `keyCol` from each key's first to last
+    * observation, value forward-filled; `tieCol` breaks equal-ts
+    * observations deterministically (pass a unique id).
+    * Output: keyCol, bucket, value_ff, observed. */
+  def asFreqFfill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String, unit: String = "day"): DataFrame = {
+    val step = expr(s"interval 1 $unit")
+    val bounds = df.groupBy(keyCol).agg(
+      date_trunc(unit, min(col(tsCol))).as("__d0"),
+      date_trunc(unit, max(col(tsCol))).as("__d1"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(col("__d0"), col("__d1"), step)).as("bucket"))
+    val obs = df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(max_by(col(valueCol), struct(col(tsCol), col(tieCol))).as("__v"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        last(col("__v"), ignoreNulls = true).over(w).as("value_ff"),
+        col("__v").isNotNull.as("observed"))
+  }
+}

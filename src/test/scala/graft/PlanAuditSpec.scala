@@ -381,4 +381,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-N words ride a full sort instead of TakeOrdered")
   }
+
+  test("html extraction and url parse are map-only up to their output sort") {
+    for (q <- Seq("q_html_extract", "q_url_parse", "q_line_dedup_consecutive")) {
+      val exchanges = "Exchange".r.findAllIn(plan(q)).length
+      assert(exchanges <= 1, s"$q plans $exchanges exchanges — extraction must scan-stream")
+    }
+  }
+
+  test("frequent items: candidates broadcast into the semi join, total broadcast, no window") {
+    val p = plan("q_frequent_items")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "MG candidate set must broadcast into a semi join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "corpus total is not a broadcast one-row aggregate")
+    assert(!p.contains("windowspecdefinition"),
+      "frequent items must not plan a window")
+  }
+
+  test("ewm recurrence shuffles exactly once (key repartition)") {
+    val exchanges = "Exchange".r.findAllIn(plan("q_ewm")).length
+    // one hash exchange for the key repartition + the output orderBy's
+    // range exchange — nothing else
+    assert(exchanges <= 2, s"q_ewm plans $exchanges exchanges")
+  }
+
+  test("corr matrix is one aggregate pass over one scan") {
+    val p = plan("q_corr_matrix")
+    val scans = "FileScan".r.findAllIn(p).length
+    assert(scans == 1, s"q_corr_matrix scans lineitem $scans times")
+  }
 }

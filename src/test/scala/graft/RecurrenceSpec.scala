@@ -50,6 +50,28 @@ class RecurrenceSpec extends SparkSpec {
     assert(math.abs(out((1L, 1L)) - (20.0 + 0.5 * 10.0) / 1.5) < 1e-12)
   }
 
+  test("asFreqFfill fills gaps forward on a dense day grid") {
+    import spark.implicits._
+    import graft.operators.TimeGrid
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"2024-01-0$d 10:00:00")
+    val df = Seq(
+      (1L, ts("1"), 10.0, 100L),
+      (1L, ts("1"), 11.0, 101L), // same day, later event_id wins
+      (1L, ts("4"), 40.0, 102L), // days 2-3 are gaps
+      (2L, ts("2"), 7.0, 103L))
+      .toDF("k", "ts", "v", "id")
+    val out = TimeGrid.asFreqFfill(df, "k", "ts", "v", "id")
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(10),
+        r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", 11.0, true),
+      (1L, "2024-01-02", 11.0, false),
+      (1L, "2024-01-03", 11.0, false),
+      (1L, "2024-01-04", 40.0, true),
+      (2L, "2024-01-02", 7.0, true)))
+  }
+
   test("ewm nulls emit null and leave the state untouched") {
     import spark.implicits._
     val df = Seq((1L, 0L, Some(10.0)), (1L, 1L, None), (1L, 2L, Some(10.0)))
