@@ -352,6 +352,34 @@ object StreamOps {
       }
   }
 
+  /** Streaming EWM: the online form of [[graft.operators.Recurrence
+    * .ewm]] — per-key (num, den) recurrence state in
+    * flatMapGroupsWithState, two doubles per key forever. Rows are
+    * (key, seq, value); each micro-batch folds its rows in `seq` order
+    * (sorted within the batch — across batches the stream's arrival
+    * order IS the order, the same online-vs-batch caveat as
+    * [[streamingTokenBudget]]). Emits (key, seq, ewm) per row; equals
+    * the batch operator exactly when rows arrive in seq order.
+    */
+  def streamingEwm(rows: Dataset[(Long, Long, Double)],
+      alpha: Double): Dataset[(Long, Long, Double)] = {
+    import rows.sparkSession.implicits._
+    val decay = 1.0 - alpha
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[(Double, Double)]) =>
+          var (num, den) = state.getOption.getOrElse((0.0, 0.0))
+          val out = it.toVector.sortBy(_._2).map { case (_, seq, x) =>
+            num = x + decay * num
+            den = 1.0 + decay * den
+            (key, seq, num / den)
+          }
+          state.update((num, den))
+          out.iterator
+      }
+  }
+
   /** Arbitrary stateful processing via mapGroupsWithState: a per-key
     * running (count, sum) that emits the updated aggregate on every
     * micro-batch — the custom-state escape hatch (§2.11 analogue for

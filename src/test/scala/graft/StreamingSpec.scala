@@ -550,6 +550,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ewm equals the batch recurrence across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double)]
+    val out = StreamOps.streamingEwm(in.toDS(), alpha = 0.3)
+    val q = out.toDF().toDF("k", "seq", "ewm")
+      .writeStream.format("memory").queryName("ewm_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((1L, 0L, 5.0), (1L, 1L, 7.0), (2L, 0L, 1.0),
+        (1L, 2L, -3.0), (2L, 1L, 4.0), (1L, 3L, 9.0))
+      in.addData(rows.take(3): _*) // split mid-key: state must carry over
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("ewm_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Recurrence.ewm(
+          rows.toDF("k", "seq", "v"), "k", Seq("seq"), "v", alpha = 0.3)
+        .select("k", "seq", "ewm").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == batch, s"got $got want $batch")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: sharded MG state stays bounded with a sound count bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
