@@ -411,4 +411,20 @@ class PlanAuditSpec extends SparkSpec {
     val scans = "FileScan".r.findAllIn(p).length
     assert(scans == 1, s"q_corr_matrix scans lineitem $scans times")
   }
+
+  test("no registered query plans an unpartitioned window") {
+    // The all-rows-through-one-task shape that dies at scale. Operator-
+    // INTERNAL global windows over bounded O(partitions)-row tables
+    // (offset machinery) execute in separate helper jobs and are
+    // documented; the registered plans themselves must carry none.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.keys.flatMap { name =>
+      val globals = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+      if (globals.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.toSeq.sorted}")
+  }
 }
