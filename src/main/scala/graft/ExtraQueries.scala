@@ -737,6 +737,43 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Blocked fuzzy entity matching (operators.EntityMatch): first-token
+    // + exact-length blocking bounds the quadratic, levenshtein verifies;
+    // output aggregated per distance so the result stays compact.
+    q("q_fuzzy_match",
+      """WITH p AS (SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] || '|' || CAST(length(p_name) AS VARCHAR)
+        |      AS blk
+        |  FROM part),
+        |pairs AS (SELECT levenshtein(a.p_name, b.p_name) AS dist,
+        |    a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2)
+        |SELECT CAST(dist AS INT) AS dist, count(*) AS n_pairs,
+        |  CAST(count(DISTINCT id_a) AS BIGINT) AS n_left
+        |FROM pairs GROUP BY dist ORDER BY dist""".stripMargin) { (s, dir) =>
+      import graft.operators.EntityMatch
+      EntityMatch.fuzzyPairs(Tables.part(s, dir), "p_partkey", "p_name",
+          EntityMatch.tokenLengthBlock("p_name"), maxDist = 2)
+        .groupBy(col("dist").cast("int").as("dist"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("id_a").as("n_left"))
+        .orderBy("dist")
+    }
+
+    // k-anonymity governance report (operators.EntityMatch.kAnonymity):
+    // every quasi-identifier equivalence class with its size and flag.
+    q("q_k_anonymity",
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS class_size, count(*) >= 25 AS anonymous
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, dir) =>
+      import graft.operators.EntityMatch
+      EntityMatch.kAnonymity(Tables.customer(s, dir), k = 25,
+          "c_nationkey", "c_mktsegment")
+        .orderBy("c_nationkey", "c_mktsegment")
+    }
+
     // Regular-grid resample + forward fill (pandas asfreq().ffill()):
     // dense per-key day grid via sequence()+explode, per-bucket last
     // observation by (ts, event_id), partitioned running last(ignore

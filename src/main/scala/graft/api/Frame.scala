@@ -664,6 +664,18 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.TextQuality.tokenBudgetMix(df, groupCol, idx,
       tokensCol, budget))
 
+  /** Blocked fuzzy entity matching: within-block pairs at edit distance
+    * ≤ maxDist (operators.EntityMatch.fuzzyPairs with the first-token +
+    * length blocking default). */
+  def fuzzyPairs(nameCol: String, maxDist: Int): Frame =
+    Frame(graft.operators.EntityMatch.fuzzyPairs(df, idx, nameCol,
+      graft.operators.EntityMatch.tokenLengthBlock(nameCol), maxDist))
+
+  /** k-anonymity report over quasi-identifier columns
+    * (operators.EntityMatch.kAnonymity). */
+  def kAnonymity(k: Long, quasiCols: String*): Frame =
+    Frame(graft.operators.EntityMatch.kAnonymity(df, k, quasiCols: _*))
+
   /** Dense per-key time grid with forward fill — pandas
     * `resample(freq).asfreq().ffill()` (operators.TimeGrid.asFreqFfill;
     * sequence()+explode grid, key-partitioned fill window). */

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy entity matching + dataset-governance checks.
+  *
+  * `fuzzyPairs` is classic blocking-based entity resolution (Fellegi &
+  * Sunter lineage; the modern form in Christen 2012): a cheap blocking
+  * key bounds the quadratic comparison space to within-block pairs, and
+  * candidate pairs are verified with edit distance. Used on
+  * training-data metadata (titles, authors, product names) where
+  * near-identical spellings must collapse before grouping. Both the
+  * blocking key and levenshtein are built-in codegen'd expressions;
+  * one key-hash shuffle for the self-join, the quadratic term bounded
+  * by the largest block (choose blocks like first-token+length so
+  * blocks stay small; the same maxBucketSize discipline as the LSH
+  * dedup applies at 100 TB).
+  *
+  * `kAnonymity` is the governance gate (Sweeney 2002): every row whose
+  * quasi-identifier combination occurs in fewer than k rows is
+  * re-identifiable; the operator reports each equivalence class with
+  * its size and flag. One partial-agg groupBy — scales like any count.
+  */
+object EntityMatch {
+
+  /** Within-block pairs (idCol_a < idCol_b) with edit distance ≤
+    * `maxDist`. `block` is the blocking expression over the name. */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+      block: Column, maxDist: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      block.as("__blk"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      block.as("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .drop("__blk")
+  }
+
+  /** First-token + exact-length blocking — the default for word-list
+    * style names. */
+  def tokenLengthBlock(nameCol: String): Column =
+    concat(split(col(nameCol), " ").getItem(0), lit("|"),
+      length(col(nameCol)).cast("string"))
+
+  /** Per-equivalence-class k-anonymity report over the quasi-identifier
+    * columns: (quasiCols..., class_size, anonymous). */
+  def kAnonymity(df: DataFrame, k: Long, quasiCols: String*): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("anonymous", col("class_size") >= k)
+}
