@@ -737,6 +737,33 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Equi-width histogram: numeric profiling in one scan — bounds ride
+    // as a broadcast one-row aggregate (no driver action), bucket math
+    // replayed verbatim; the numeric companion to q_length_buckets.
+    q("q_histogram",
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |           FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19)
+        |    AS INT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(l_extendedprice), 9) AS bucket_min,
+        |  round(max(l_extendedprice), 9) AS bucket_max
+        |FROM lineitem, b
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val bounds = li.agg(min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"))
+      val v = col("l_extendedprice")
+      li.crossJoin(broadcast(bounds))
+        .select(least(floor((v - col("lo")) / ((col("hi") - col("lo")) / 20)),
+          lit(19)).cast("int").as("bucket"), v.as("p"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("p"), 9).as("bucket_min"),
+          round(max("p"), 9).as("bucket_max"))
+        .orderBy("bucket")
+    }
+
     // Blocked fuzzy entity matching (operators.EntityMatch): first-token
     // + exact-length blocking bounds the quadratic, levenshtein verifies;
     // output aggregated per distance so the result stays compact.
