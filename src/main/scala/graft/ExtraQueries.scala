@@ -767,11 +767,15 @@ object ExtraQueries {
     // Blocked fuzzy entity matching (operators.EntityMatch): first-token
     // + exact-length blocking bounds the quadratic, levenshtein verifies;
     // output aggregated per distance so the result stays compact.
+    // TPC-H part names are pathologically self-similar (5 words from a
+    // ~90-color vocabulary: ~150 true lev<=2 neighbors PER ROW at
+    // sf0.1), so the demo runs on a deterministic 10% id slice — the
+    // full corpus is the same plan with proportionally larger blocks.
     q("q_fuzzy_match",
       """WITH p AS (SELECT p_partkey, p_name,
         |    string_split(p_name, ' ')[1] || '|' || CAST(length(p_name) AS VARCHAR)
         |      AS blk
-        |  FROM part),
+        |  FROM part WHERE p_partkey % 10 = 0),
         |pairs AS (SELECT levenshtein(a.p_name, b.p_name) AS dist,
         |    a.p_partkey AS id_a, b.p_partkey AS id_b
         |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
@@ -780,7 +784,9 @@ object ExtraQueries {
         |  CAST(count(DISTINCT id_a) AS BIGINT) AS n_left
         |FROM pairs GROUP BY dist ORDER BY dist""".stripMargin) { (s, dir) =>
       import graft.operators.EntityMatch
-      EntityMatch.fuzzyPairs(Tables.part(s, dir), "p_partkey", "p_name",
+      EntityMatch.fuzzyPairs(
+          Tables.part(s, dir).filter(col("p_partkey") % 10 === 0),
+          "p_partkey", "p_name",
           EntityMatch.tokenLengthBlock("p_name"), maxDist = 2)
         .groupBy(col("dist").cast("int").as("dist"))
         .agg(count(lit(1)).as("n_pairs"),

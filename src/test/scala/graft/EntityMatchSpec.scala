@@ -29,6 +29,18 @@ class EntityMatchSpec extends SparkSpec {
       EntityMatch.tokenLengthBlock("name"), maxDist = 2).count() == 0)
   }
 
+  test("fuzzyPairs maxBlockSize drops oversized blocks before pairing") {
+    import spark.implicits._
+    val big = (1 to 20).map(i => (i.toLong, "alpha name" + ('a' + i % 3).toChar))
+    val small = Seq((100L, "beta xx"), (101L, "beta xy"))
+    val df = (big ++ small).toDF("id", "name")
+    val capped = EntityMatch.fuzzyPairs(df, "id", "name",
+      EntityMatch.tokenLengthBlock("name"), maxDist = 2, maxBlockSize = 5)
+    val got = capped.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)), s"oversized block leaked pairs: $got")
+  }
+
   test("kAnonymity flags small equivalence classes") {
     import spark.implicits._
     val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
