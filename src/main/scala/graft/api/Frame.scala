@@ -750,9 +750,11 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
 
   /** EXACT frequent tokens at support ≥ num/denom of the token stream,
     * via two-pass Misra-Gries candidate pruning — no full-vocabulary
-    * shuffle (operators.Sketches.frequentTokens). */
+    * shuffle (operators.Sketches.frequentTokens). The candidate
+    * broadcast is bounded by partitions·k rows, so keep k near 1/φ:
+    * at 1024 partitions the default stays ~10⁶ short strings. */
   def frequentTokens(textCol: String, num: Long, denom: Long,
-      k: Int = 4096): Frame = {
+      k: Int = 1024): Frame = {
     val toks = df.select(F.explode(split(col(textCol), " ")).as("token"))
       .filter(col("token") =!= "")
     Frame(graft.operators.Sketches.frequentTokens(toks, "token", num, denom, k))

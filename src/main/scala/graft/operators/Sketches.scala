@@ -145,7 +145,11 @@ object Sketches {
     * Scale: this is THE heavy-hitters plan at 100 TB — a full
     * vocabulary groupBy shuffles every distinct token (billions);
     * here the shuffle carries ≤ partitions·k candidate rows and one
-    * count per candidate. Driver never sees raw tokens.
+    * count per candidate. Driver never sees raw tokens. The candidate
+    * BROADCAST is the same partitions·k bound — size k near ⌈1/φ⌉
+    * (the guarantee needs no more) so ten thousand partitions still
+    * broadcast only ~10⁷ short strings; an oversized k buys nothing
+    * and inflates that table linearly.
     *
     * `tokens` is a single-string-column DataFrame (already exploded);
     * empty tokens are the caller's concern. Returns (token, cnt) for

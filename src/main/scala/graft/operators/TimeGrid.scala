@@ -23,7 +23,11 @@ object TimeGrid {
   /** Dense `unit` grid per `keyCol` from each key's first to last
     * observation, value forward-filled; `tieCol` breaks equal-ts
     * observations deterministically (pass a unique id).
-    * Output: keyCol, bucket, value_ff, observed. */
+    * Output: keyCol, bucket, value_ff, observed.
+    *
+    * Grid rows per key = span/unit: a 10-year key is ~3.7k rows at
+    * "day" but ~315M at "second" — pick the unit for the span, the
+    * explode is per-key-linear and the operator adds no other state. */
   def asFreqFfill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieCol: String, unit: String = "day"): DataFrame = {
     val step = expr(s"interval 1 $unit")
