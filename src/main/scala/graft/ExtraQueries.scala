@@ -737,6 +737,23 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Key-skew report (operators.Tuning.skewReport): the measurement
+    // that decides salting vs AQE skew handling; top shares via
+    // TakeOrdered, no global window.
+    q("q_skew_report",
+      """WITH c AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |        max(c) AS top1 FROM c),
+        |tt AS (SELECT sum(c) AS top10 FROM
+        |        (SELECT c FROM c ORDER BY c DESC, o_custkey LIMIT 10))
+        |SELECT n_rows, n_keys,
+        |  CAST(top1 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top1_share,
+        |  CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share,
+        |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_rows_per_key
+        |FROM t, tt""".stripMargin) { (s, dir) =>
+      graft.operators.Tuning.skewReport(Tables.orders(s, dir), "o_custkey")
+    }
+
     // Equi-width histogram: numeric profiling in one scan — bounds ride
     // as a broadcast one-row aggregate (no driver action), bucket math
     // replayed verbatim; the numeric companion to q_length_buckets.
