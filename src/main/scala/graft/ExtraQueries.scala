@@ -754,6 +754,29 @@ object ExtraQueries {
       graft.operators.Tuning.skewReport(Tables.orders(s, dir), "o_custkey")
     }
 
+    // Null-profile report (operators.Tuning.profileNulls): one agg pass,
+    // tidy per-column completeness rows; nulls synthesized via nullif so
+    // the counters are exercised on the null-free TPC-H columns.
+    q("q_null_profile",
+      """WITH s AS (SELECT nullif(l_returnflag, 'R') AS rf,
+        |    nullif(l_linestatus, 'F') AS ls, l_quantity AS q FROM lineitem),
+        |a AS (SELECT count(*) AS n, count(rf) AS c_rf, count(ls) AS c_ls,
+        |    count(q) AS c_q FROM s)
+        |SELECT 'rf' AS "column", n AS n_rows, n - c_rf AS n_nulls,
+        |  CAST(n - c_rf AS DOUBLE) / CAST(n AS DOUBLE) AS null_frac FROM a
+        |UNION ALL
+        |SELECT 'ls', n, n - c_ls, CAST(n - c_ls AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+        |UNION ALL
+        |SELECT 'q', n, n - c_q, CAST(n - c_q AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+        |ORDER BY "column"""".stripMargin) { (s, dir) =>
+      val base = Tables.lineitem(s, dir).select(
+        nullif(col("l_returnflag"), lit("R")).as("rf"),
+        nullif(col("l_linestatus"), lit("F")).as("ls"),
+        col("l_quantity").as("q"))
+      graft.operators.Tuning.profileNulls(base, Seq("rf", "ls", "q"))
+        .orderBy("column")
+    }
+
     // Equi-width histogram: numeric profiling in one scan — bounds ride
     // as a broadcast one-row aggregate (no driver action), bucket math
     // replayed verbatim; the numeric companion to q_length_buckets.

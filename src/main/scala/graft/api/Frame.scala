@@ -664,6 +664,12 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.TextQuality.tokenBudgetMix(df, groupCol, idx,
       tokensCol, budget))
 
+  /** Key-skew diagnostic: n_rows/n_keys/top-share report over a join
+    * key (operators.Tuning.skewReport) — the salt-vs-AQE decision
+    * input. */
+  def skewReport(keyCol: String): Frame =
+    Frame(graft.operators.Tuning.skewReport(df, keyCol))
+
   /** Blocked fuzzy entity matching: within-block pairs at edit distance
     * ≤ maxDist (operators.EntityMatch.fuzzyPairs with the first-token +
     * length blocking default). */

@@ -72,4 +72,24 @@ object Tuning {
         (col("n_rows").cast("double") / col("n_keys").cast("double"))
           .as("avg_rows_per_key"))
   }
+
+  /** Tidy null-profile over `cols` — (column, n_rows, n_nulls,
+    * null_frac) rows from ONE aggregate pass (count(col) skips nulls),
+    * unpivoted like corrMatrix. The completeness half of data
+    * profiling beside q_histogram's distribution half. */
+  def profileNulls(df: org.apache.spark.sql.DataFrame, cols: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "profileNulls needs at least one column")
+    val agged = df.agg(count(lit(1)).as("__n"),
+      cols.map(c => count(col(c)).as(s"__c_$c")): _*)
+    agged.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          (col("__n") - col(s"__c_$c")).as("n_nulls"),
+          ((col("__n") - col(s"__c_$c")).cast("double") /
+            col("__n").cast("double")).as("null_frac"))
+      }: _*)).as("r"))
+      .select(col("r.column"), col("r.n_rows"), col("r.n_nulls"),
+        col("r.null_frac"))
+  }
 }
