@@ -16,6 +16,22 @@ import graft.operators.{Sketches, TextDedup, TextQuality}
   */
 object CorpusQueries {
 
+  /** Deterministic page synthesis for q_html_extract — SHARED with the
+    * facade-equality spec so both always build the identical page (a
+    * copy would let the two inputs drift while the spec kept passing). */
+  def htmlPage: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit(" &amp; "), col("source"),
+    lit("</title><style>p{margin:0}</style></head><body><h1>Doc "),
+    col("doc_id").cast("string"),
+    lit("</h1><!-- generated --><p>"),
+    graft.operators.TextExtract.encodeEntities(col("text")),
+    lit("</p>"),
+    call_function("repeat", lit("<a href=\"/nav\">site &amp; nav</a>"),
+      (col("doc_id") % 4 + 1).cast("int")),
+    lit("<script type=\"text/javascript\">if (1 < 2) { x = \"</p>\"; }</script>"),
+    lit("</body></html>"))
+
   def registerAll(reg: (String, Option[String], (SparkSession, String) => DataFrame) => Unit): Unit = {
 
     def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Unit =
@@ -529,18 +545,7 @@ object CorpusQueries {
         |FROM o ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import graft.operators.TextExtract
       val d = Tables.documents(s, dir)
-      val page = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit(" &amp; "), col("source"),
-        lit("</title><style>p{margin:0}</style></head><body><h1>Doc "),
-        col("doc_id").cast("string"),
-        lit("</h1><!-- generated --><p>"),
-        TextExtract.encodeEntities(col("text")),
-        lit("</p>"),
-        call_function("repeat", lit("<a href=\"/nav\">site &amp; nav</a>"),
-          (col("doc_id") % 4 + 1).cast("int")),
-        lit("<script type=\"text/javascript\">if (1 < 2) { x = \"</p>\"; }</script>"),
-        lit("</body></html>"))
+      val page = htmlPage
       TextExtract.extractHtml(
           d.select(col("doc_id"), page.as("html")), "doc_id", "html",
           linkDensityMax = 0.05)

@@ -718,17 +718,11 @@ object Queries {
     corrPairs.map { case (a, b) =>
       s"SELECT '$a' AS col_a, '$b' AS col_b, corr($a, $b) AS corr FROM lineitem"
     }.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")) { (s, dir) =>
-    val li = Tables.lineitem(s, dir)
-    val agged = li.agg(
-      corr(col(corrPairs.head._1), col(corrPairs.head._2))
-        .as(s"${corrPairs.head._1}__${corrPairs.head._2}"),
-      corrPairs.tail.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }: _*)
-    agged.select(explode(array(corrPairs.map { case (a, b) =>
-        struct(lit(a).as("col_a"), lit(b).as("col_b"),
-          col(s"${a}__${b}").as("corr"))
-      }: _*)).as("r"))
-      .select(col("r.col_a"), col("r.col_b"), col("r.corr"))
-      .orderBy("col_a", "col_b")
+    // single implementation lives on the facade (api/Frame.corrMatrix);
+    // this registry entry pins it under the DuckDB hash gate directly
+    graft.api.Frame(Tables.lineitem(s, dir))
+      .corrMatrix(corrCols: _*)
+      .toDF.orderBy("col_a", "col_b")
   }
 
   // ---------------------------------------------------------------

@@ -1099,35 +1099,41 @@ final class Rolling(frame: Frame, w: WindowSpec) {
   def variance(c: String, out: String): Rolling = add(out, var_samp(col(c)))
   def std(c: String, out: String): Rolling = add(out, stddev_samp(col(c)))
 
-  private def addExpr(out: String, c: Column): Rolling =
-    new Rolling(Frame(frame.df.withColumn(out, c), frame.index), w)
-  private def moments(c: String): (Column, Column, Column, Column, Column) = {
+  /** Compute the output through NAMED moment columns in one projection
+    * (each windowed avg evaluated exactly once), then drop the temps —
+    * inlining the avg(...).over(w) subtrees into the composite would
+    * leave Catalyst to (maybe) deduplicate structurally-equal window
+    * expressions across projections, which is not guaranteed. */
+  private def viaMoments(c: String, out: String,
+      f: (Column, Column, Column, Column, Column) => Column): Rolling = {
     val v = col(c).cast("double")
-    val mu = avg(v).over(w)
-    val ex2 = avg(v * v).over(w)
-    val ex3 = avg(v * v * v).over(w)
-    val ex4 = avg(v * v * v * v).over(w)
-    (mu, ex2, ex3, ex4, ex2 - mu * mu)
+    val withM = frame.df
+      .withColumn("__mu", avg(v).over(w))
+      .withColumn("__ex2", avg(v * v).over(w))
+      .withColumn("__ex3", avg(v * v * v).over(w))
+      .withColumn("__ex4", avg(v * v * v * v).over(w))
+      .withColumn("__sp2", col("__ex2") - col("__mu") * col("__mu"))
+    val result = withM
+      .withColumn(out, f(col("__mu"), col("__ex2"), col("__ex3"),
+        col("__ex4"), col("__sp2")))
+      .drop("__mu", "__ex2", "__ex3", "__ex4", "__sp2")
+    new Rolling(Frame(result, frame.index), w)
   }
 
   /** Rolling population skewness via the moment expansion
     * (E[x³] − 3µE[x²] + 2µ³)/σ³ — windowed avg's only, so an external
     * engine replays the identical arithmetic; degenerate windows
     * (σ²=0, incl. the 1-row frame head) yield NULL. */
-  def skew(c: String, out: String): Rolling = {
-    val (mu, ex2, ex3, _, sp2) = moments(c)
-    addExpr(out, when(sp2 > 0,
+  def skew(c: String, out: String): Rolling =
+    viaMoments(c, out, (mu, ex2, ex3, _, sp2) => when(sp2 > 0,
       (ex3 - lit(3) * mu * ex2 + lit(2) * mu * mu * mu) / pow(sp2, 1.5)))
-  }
 
   /** Rolling population EXCESS kurtosis via the moment expansion
     * (E[x⁴] − 4µE[x³] + 6µ²E[x²] − 3µ⁴)/σ⁴ − 3; NULL on σ²=0. */
-  def kurt(c: String, out: String): Rolling = {
-    val (mu, ex2, ex3, ex4, sp2) = moments(c)
-    addExpr(out, when(sp2 > 0,
+  def kurt(c: String, out: String): Rolling =
+    viaMoments(c, out, (mu, ex2, ex3, ex4, sp2) => when(sp2 > 0,
       (ex4 - lit(4) * mu * ex3 + lit(6) * mu * mu * ex2
         - lit(3) * mu * mu * mu * mu) / (sp2 * sp2) - lit(3)))
-  }
   def toFrame: Frame = frame
 }
 

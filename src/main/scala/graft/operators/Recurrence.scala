@@ -55,7 +55,9 @@ object Recurrence {
         val y: Any =
           if (r.isNullAt(vIdx)) null
           else {
-            val x = r.getDouble(vIdx)
+            // getAs[Number]: the value column may be int/long/float —
+            // a raw getDouble would ClassCastException on non-double
+            val x = r.getAs[Number](vIdx).doubleValue()
             num = x + decay * num
             den = 1.0 + decay * den
             num / den

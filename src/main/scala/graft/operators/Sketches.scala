@@ -134,11 +134,11 @@ object Sketches {
   /** EXACT frequent items (support ≥ ⌈φ·N⌉) via the two-pass
     * Misra-Gries scheme (Misra & Gries 1982): pass 1 runs an
     * independent MG(k) summary inside each partition — an item absent
-    * from partition p's summary has local count < n_p/(k+1), so with
-    * k+1 ≥ 1/φ an item absent from EVERY summary has total count
-    * < N/(k+1) ≤ φN and cannot be frequent; the union of per-partition
-    * survivors is therefore a guaranteed candidate superset of at most
-    * partitions·k items. Pass 2 recounts ONLY the candidates exactly
+    * from partition p's summary has local count ≤ n_p/(k+1), so with
+    * k+1 > 1/φ (STRICT — equality is reachable) an item absent from
+    * EVERY summary has total count ≤ N/(k+1) < φN and cannot be
+    * frequent; the union of per-partition survivors is therefore a
+    * guaranteed candidate superset of at most partitions·k items. Pass 2 recounts ONLY the candidates exactly
     * (broadcast semi-join, tiny shuffle) and applies the threshold —
     * the output is exact, the sketch only prunes.
     *
@@ -158,8 +158,13 @@ object Sketches {
     */
   def frequentTokens(tokens: DataFrame, tokenCol: String,
       num: Long, denom: Long, k: Int): DataFrame = {
-    require(num > 0 && denom > 0 && (k.toLong + 1) * num >= denom,
-      s"MG needs k+1 >= 1/phi: k=$k, phi=$num/$denom")
+    // STRICT bound: an item absent from a partition's summary has local
+    // count ≤ n_p/(k+1) (equality reachable — k+1 occurrences are
+    // consumed per decrement event), so the superset guarantee needs
+    // (k+1)·φ > 1, not ≥. At equality an item with exactly φN
+    // occurrences can be evicted from every summary and silently lost.
+    require(num > 0 && denom > 0 && (k.toLong + 1) * num > denom,
+      s"MG needs k+1 > 1/phi (strict): k=$k, phi=$num/$denom")
     val spark = tokens.sparkSession
     import spark.implicits._
     val candidates = tokens.select(col(tokenCol).cast("string")).as[String]

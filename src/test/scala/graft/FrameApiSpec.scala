@@ -748,18 +748,9 @@ class FrameApiSpec extends SparkSpec {
 
   test("extractHtml / frequentTokens facades match the registry queries") {
     val d = Tables.documents(spark, sfDir)
-    val page = concat(
-      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-      lit(" &amp; "), col("source"),
-      lit("</title><style>p{margin:0}</style></head><body><h1>Doc "),
-      col("doc_id").cast("string"),
-      lit("</h1><!-- generated --><p>"),
-      graft.operators.TextExtract.encodeEntities(col("text")),
-      lit("</p>"),
-      call_function("repeat", lit("<a href=\"/nav\">site &amp; nav</a>"),
-        (col("doc_id") % 4 + 1).cast("int")),
-      lit("<script type=\"text/javascript\">if (1 < 2) { x = \"</p>\"; }</script>"),
-      lit("</body></html>"))
+    // page synthesis SHARED with the registry query — a copy here would
+    // let the two inputs drift while this spec kept passing
+    val page = CorpusQueries.htmlPage
     same("q_html_extract", Frame(d.select(col("doc_id"), page.as("html")),
         Some("doc_id"))
       .extractHtml("html", linkDensityMax = 0.05)

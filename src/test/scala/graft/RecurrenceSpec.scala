@@ -72,6 +72,15 @@ class RecurrenceSpec extends SparkSpec {
       (2L, "2024-01-02", 7.0, true)))
   }
 
+  test("ewm accepts non-double value columns (long)") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 10L), (1L, 1L, 20L)).toDF("k", "i", "v")
+    val out = Recurrence.ewm(df, "k", Seq("i"), "v", alpha = 0.5)
+      .select("i", "ewm").orderBy("i").collect()
+    assert(out(0).getDouble(1) == 10.0)
+    assert(math.abs(out(1).getDouble(1) - (20.0 + 0.5 * 10.0) / 1.5) < 1e-12)
+  }
+
   test("ewm nulls emit null and leave the state untouched") {
     import spark.implicits._
     val df = Seq((1L, 0L, Some(10.0)), (1L, 1L, None), (1L, 2L, Some(10.0)))
