@@ -483,8 +483,10 @@ object CorpusQueries {
     // regex-for-regex. Exercises: script/style/comment stripping before
     // tag parsing, block-tag newline structure, entity decode order
     // (&amp; last), anchor-text link density.
-    q("q_html_extract",
-      """WITH page AS (SELECT doc_id,
+    // Oracle CTE stack for the html extraction replay — SHARED
+    // verbatim by q_html_extract and q_crawl_e2e (no copies).
+    val htmlExtractCtes =
+      """page AS (SELECT doc_id,
         |    '<html><head><title>Doc ' || doc_id || ' &amp; ' || source ||
         |    '</title><style>p{margin:0}</style></head><body><h1>Doc ' || doc_id ||
         |    '</h1><!-- generated --><p>' ||
@@ -536,7 +538,10 @@ object CorpusQueries {
         |        '[ \t]+', ' ', 'g'), ' ?\n[ \n]*', chr(10), 'g'),
         |        ' ' || chr(10)),
         |      chr(10), '')) AS BIGINT) AS link_chars
-        |  FROM v)
+        |  FROM v)""".stripMargin
+
+    q("q_html_extract",
+      s"""WITH $htmlExtractCtes
         |SELECT doc_id, title, text_clean, n_chars, link_chars,
         |  CAST(link_chars AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)
         |    AS link_density,
@@ -550,6 +555,43 @@ object CorpusQueries {
           d.select(col("doc_id"), page.as("html")), "doc_id", "html",
           linkDensityMax = 0.05)
         .orderBy("doc_id")
+    }
+
+    // ---- crawl front-door e2e -----------------------------------------
+
+    // The composed ingest gate: URL parse (domain key) + HTML extraction
+    // (boilerplate verdict) -> per-(domain, verdict) corpus stats. Both
+    // CTE stacks are the SHARED vals above, so this oracle can never
+    // drift from q_url_parse / q_html_extract.
+    q("q_crawl_e2e",
+      s"""WITH $urlParseSql,
+         |$htmlExtractCtes,
+         |gate AS (SELECT doc_id, n_chars, link_chars,
+         |    CAST(link_chars AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)
+         |      > 0.05 AS is_boilerplate
+         |  FROM o)
+         |SELECT domain, is_boilerplate,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(link_chars) AS BIGINT) AS total_link_chars
+         |FROM parsed JOIN gate USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.operators.TextExtract
+      val d = Tables.documents(s, dir)
+      val parsed = TextExtract.parseUrls(
+          d.select(col("doc_id"), synthUrl.as("url")), "url")
+        .select(col("doc_id"), col("domain"))
+      val extracted = TextExtract.extractHtml(
+          d.select(col("doc_id"), htmlPage.as("html")), "doc_id", "html",
+          linkDensityMax = 0.05)
+        .select(col("doc_id"), col("n_chars"), col("link_chars"),
+          col("is_boilerplate"))
+      parsed.join(extracted, Seq("doc_id"))
+        .groupBy("domain", "is_boilerplate")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum("link_chars").as("total_link_chars"))
+        .orderBy("domain", "is_boilerplate")
     }
   }
 }
