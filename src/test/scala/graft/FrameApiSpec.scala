@@ -760,6 +760,21 @@ class FrameApiSpec extends SparkSpec {
       .transform(_.orderBy(col("cnt").desc, col("token"))))
   }
 
+  test("ewm / asfreqFfill facades match the registry queries") {
+    val ev = fr("events")
+    same("q_ewm", ev
+      .filter(ev("user_id") < 10)
+      .transform(_.select("user_id", "ts", "event_id", "value"))
+      .ewm("user_id", Seq("ts", "event_id"), "value", alpha = 0.2)
+      .transform(_.select(col("event_id"), round(col("ewm"), 9).as("ewm")))
+      .sortValues("event_id"))
+    val ev2 = fr("events")
+    same("q_asfreq_ffill", ev2
+      .filter(ev2("user_id") < 6)
+      .asfreqFfill("user_id", "ts", "value", "event_id", unit = "day")
+      .sortValues("user_id", "bucket"))
+  }
+
   test("corrMatrix facade matches the registered query") {
     same("q_corr_matrix", fr("lineitem")
       .corrMatrix("l_quantity", "l_extendedprice", "l_discount", "l_tax")
