@@ -775,6 +775,19 @@ class FrameApiSpec extends SparkSpec {
       .sortValues("user_id", "bucket"))
   }
 
+  test("fuzzyPairs / kAnonymity facades match the registry queries") {
+    val part10 = Frame(Tables.part(spark, sfDir)
+      .filter(col("p_partkey") % 10 === 0), Some("p_partkey"))
+    same("q_fuzzy_match", part10
+      .fuzzyPairs("p_name", maxDist = 2)
+      .transform(_.groupBy(col("dist").cast("int").as("dist"))
+        .agg(count(lit(1)).as("n_pairs"), countDistinct("id_a").as("n_left"))
+        .orderBy("dist")))
+    same("q_k_anonymity", Frame(Tables.customer(spark, sfDir))
+      .kAnonymity(25, "c_nationkey", "c_mktsegment")
+      .sortValues("c_nationkey", "c_mktsegment"))
+  }
+
   test("corrMatrix facade matches the registered query") {
     same("q_corr_matrix", fr("lineitem")
       .corrMatrix("l_quantity", "l_extendedprice", "l_discount", "l_tax")
