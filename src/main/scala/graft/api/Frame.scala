@@ -670,6 +670,11 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def skewReport(keyCol: String): Frame =
     Frame(graft.operators.Tuning.skewReport(df, keyCol))
 
+  /** Tidy per-column null-completeness report
+    * (operators.Tuning.profileNulls; one aggregate pass). */
+  def profileNulls(cols: String*): Frame =
+    Frame(graft.operators.Tuning.profileNulls(df, cols))
+
   /** Blocked fuzzy entity matching: within-block pairs at edit distance
     * ≤ maxDist (operators.EntityMatch.fuzzyPairs with the first-token +
     * length blocking default). */

@@ -775,6 +775,17 @@ class FrameApiSpec extends SparkSpec {
       .sortValues("user_id", "bucket"))
   }
 
+  test("skewReport / profileNulls facades match the registry queries") {
+    same("q_skew_report",
+      Frame(Tables.orders(spark, sfDir)).skewReport("o_custkey"))
+    same("q_null_profile", Frame(Tables.lineitem(spark, sfDir)
+        .select(nullif(col("l_returnflag"), lit("R")).as("rf"),
+          nullif(col("l_linestatus"), lit("F")).as("ls"),
+          col("l_quantity").as("q")))
+      .profileNulls("rf", "ls", "q")
+      .sortValues("column"))
+  }
+
   test("fuzzyPairs / kAnonymity facades match the registry queries") {
     val part10 = Frame(Tables.part(spark, sfDir)
       .filter(col("p_partkey") % 10 === 0), Some("p_partkey"))
