@@ -775,6 +775,39 @@ class FrameApiSpec extends SparkSpec {
       .sortValues("user_id", "bucket"))
   }
 
+  test("parseUrls / dedupConsecutiveLines / tokenizeBpe facades match the registry queries") {
+    val d = Tables.documents(spark, sfDir)
+    val synthUrl = concat(
+      lit("HTTPS://"),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      lit("Site"), (col("doc_id") % 50).cast("string"), lit("."),
+      element_at(typedLit(Seq("com", "org", "net")),
+        (col("doc_id") % 3 + 1).cast("int")),
+      lit("/docs/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      lit("?id="), col("doc_id").cast("string"), lit("&utm_source=feed"),
+      when(col("doc_id") % 2 === 0, lit("&ref=abc")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+    same("q_url_parse", Frame(d.select(col("doc_id"), synthUrl.as("url")),
+        Some("doc_id"))
+      .parseUrls("url")
+      .transform(_.drop("url"))
+      .sortValues("doc_id"))
+    val doubled = d.select(col("doc_id"),
+      array_join(
+        flatten(transform(split(col("text"), "\\. "), x => array(x, x))),
+        "\n").as("text"))
+    same("q_line_dedup_consecutive", Frame(doubled, Some("doc_id"))
+      .dedupConsecutiveLines("text")
+      .sortValues("doc_id"))
+    same("q_bpe_tokenize", Frame(d, Some("doc_id"))
+      .tokenizeBpe("text")
+      .transform(_.select(col("doc_id"),
+        array_join(col("bpe_pieces"), "|").as("pieces_str"),
+        size(col("bpe_pieces")).cast("long").as("n_pieces")))
+      .sortValues("doc_id"))
+  }
+
   test("skewReport / profileNulls facades match the registry queries") {
     same("q_skew_report",
       Frame(Tables.orders(spark, sfDir)).skewReport("o_custkey"))
