@@ -688,52 +688,106 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
-    // Rolling skewness / excess kurtosis via the moment expansion —
-    // windowed avg's only, so both engines run the IDENTICAL arithmetic
-    // (Spark's streaming skewness/kurtosis aggregates use a different
-    // update formula whose cancellation behavior the oracle could not
-    // replay). Degenerate windows (σ²=0, incl. each partition's 1-row
-    // head) are NULL by the same CASE on both sides.
+    // Rolling SAMPLE skewness / excess kurtosis (the pandas/dask
+    // rolling.skew()/kurt() bias-corrected statistics, with the pandas
+    // min-period NULLs: skew needs n>=3, kurt n>=4; zero-variance
+    // frames are NULL). Order-deterministic by construction: the ≤5
+    // frame values come off lag() chains and every power sum folds
+    // left-to-right `c4 + c3 + c2 + c1 + v` — the identical scalar
+    // expression tree in both engines, so the moment cancellation
+    // happens on bit-identical inputs (the round-11 lesson: windowed
+    // avg's summed in engine-specific order drifted one ulp and landed
+    // on opposite sides of the round(…, 9) boundary). The trailing
+    // `+ 0.0` canonicalizes any -0.0 before hashing.
     q("q_rolling_skew",
-      s"""SELECT event_id,
-         |  round(CASE WHEN sp2 > 0 THEN
-         |    (ex3 - 3 * mu * ex2 + 2 * mu * mu * mu) / pow(sp2, 1.5) END, 9)
-         |    AS roll_skew,
-         |  round(CASE WHEN sp2 > 0 THEN
-         |    (ex4 - 4 * mu * ex3 + 6 * mu * mu * ex2 - 3 * mu * mu * mu * mu)
-         |      / (sp2 * sp2) - 3 END, 9) AS roll_kurt
-         |FROM (SELECT event_id, mu, ex2, ex3, ex4, ex2 - mu * mu AS sp2
-         |  FROM (SELECT event_id,
-         |      avg(value) OVER w AS mu,
-         |      avg(value * value) OVER w AS ex2,
-         |      avg(value * value * value) OVER w AS ex3,
-         |      avg(value * value * value * value) OVER w AS ex4
-         |    FROM ${Queries.EVENTS_SQL}
-         |    WHERE user_id < 10
-         |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-         |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)))
+      s"""WITH base AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
+         |    lag(CAST(value AS DOUBLE), 1) OVER w AS l1,
+         |    lag(CAST(value AS DOUBLE), 2) OVER w AS l2,
+         |    lag(CAST(value AS DOUBLE), 3) OVER w AS l3,
+         |    lag(CAST(value AS DOUBLE), 4) OVER w AS l4,
+         |    CAST(count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nd
+         |  FROM ${Queries.EVENTS_SQL}
+         |  WHERE user_id < 10
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |cs AS (SELECT event_id, nd, v,
+         |    coalesce(l4, CAST(0 AS DOUBLE)) AS c4,
+         |    coalesce(l3, CAST(0 AS DOUBLE)) AS c3,
+         |    coalesce(l2, CAST(0 AS DOUBLE)) AS c2,
+         |    coalesce(l1, CAST(0 AS DOUBLE)) AS c1 FROM base),
+         |s AS (SELECT event_id, nd,
+         |    c4 + c3 + c2 + c1 + v AS s1,
+         |    c4*c4 + c3*c3 + c2*c2 + c1*c1 + v*v AS s2,
+         |    c4*c4*c4 + c3*c3*c3 + c2*c2*c2 + c1*c1*c1 + v*v*v AS s3,
+         |    c4*c4*c4*c4 + c3*c3*c3*c3 + c2*c2*c2*c2 + c1*c1*c1*c1 + v*v*v*v AS s4
+         |  FROM cs),
+         |m AS (SELECT event_id, nd, s1 / nd AS mu, s1, s2, s3, s4 FROM s),
+         |mm AS (SELECT event_id, nd,
+         |    s2 - mu * s1 AS m2,
+         |    s3 - 3 * mu * s2 + 2 * mu * mu * s1 AS m3,
+         |    s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 3 * mu * mu * mu * s1 AS m4
+         |  FROM m),
+         |fin AS (SELECT event_id, nd, m2, m3, m4,
+         |    m2 / nullif(nd - 1, CAST(0 AS DOUBLE)) AS sv,
+         |    sqrt(m2 / nullif(nd - 1, CAST(0 AS DOUBLE))) AS sd FROM mm)
+         |SELECT event_id,
+         |  round(CASE WHEN nd >= 3 AND m2 > 0 THEN
+         |    (nd * m3) / ((nd - 1) * (nd - 2)) / (sd * sd * sd) END, 9)
+         |    + CAST(0 AS DOUBLE) AS roll_skew,
+         |  round(CASE WHEN nd >= 4 AND m2 > 0 THEN
+         |    (nd * (nd + 1) * m4) / ((nd - 1) * (nd - 2) * (nd - 3)) / (sv * sv)
+         |      - (3 * (nd - 1) * (nd - 1)) / ((nd - 2) * (nd - 3)) END, 9)
+         |    + CAST(0 AS DOUBLE) AS roll_kurt
+         |FROM fin
          |ORDER BY event_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(-4, Window.currentRow)
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = ord.rowsBetween(-4, Window.currentRow)
       val v = col("value").cast("double")
       val base = Tables.events(s, dir).filter(col("user_id") < 10)
-        .select(col("event_id"),
-          avg(v).over(w).as("mu"),
-          avg(v * v).over(w).as("ex2"),
-          avg(v * v * v).over(w).as("ex3"),
-          avg(v * v * v * v).over(w).as("ex4"))
-        .withColumn("sp2", col("ex2") - col("mu") * col("mu"))
-      val mu = col("mu"); val ex2 = col("ex2"); val ex3 = col("ex3")
-      val ex4 = col("ex4"); val sp2 = col("sp2")
-      base.select(col("event_id"),
-        round(when(sp2 > 0,
-          (ex3 - lit(3) * mu * ex2 + lit(2) * mu * mu * mu) / pow(sp2, 1.5)), 9)
-          .as("roll_skew"),
-        round(when(sp2 > 0,
-          (ex4 - lit(4) * mu * ex3 + lit(6) * mu * mu * ex2
-            - lit(3) * mu * mu * mu * mu) / (sp2 * sp2) - lit(3)), 9)
-          .as("roll_kurt"))
+        .select(col("event_id"), v.as("v"),
+          lag(v, 1).over(ord).as("l1"), lag(v, 2).over(ord).as("l2"),
+          lag(v, 3).over(ord).as("l3"), lag(v, 4).over(ord).as("l4"),
+          count(col("value")).over(wf).cast("double").as("nd"))
+      val cs = base.select(col("event_id"), col("nd"), col("v"),
+        coalesce(col("l4"), lit(0.0)).as("c4"),
+        coalesce(col("l3"), lit(0.0)).as("c3"),
+        coalesce(col("l2"), lit(0.0)).as("c2"),
+        coalesce(col("l1"), lit(0.0)).as("c1"))
+      val (c4, c3, c2, c1, vv) =
+        (col("c4"), col("c3"), col("c2"), col("c1"), col("v"))
+      val sums = cs.select(col("event_id"), col("nd"),
+        (c4 + c3 + c2 + c1 + vv).as("s1"),
+        (c4 * c4 + c3 * c3 + c2 * c2 + c1 * c1 + vv * vv).as("s2"),
+        (c4 * c4 * c4 + c3 * c3 * c3 + c2 * c2 * c2 + c1 * c1 * c1
+          + vv * vv * vv).as("s3"),
+        (c4 * c4 * c4 * c4 + c3 * c3 * c3 * c3 + c2 * c2 * c2 * c2
+          + c1 * c1 * c1 * c1 + vv * vv * vv * vv).as("s4"))
+      val nd = col("nd"); val mu = col("mu")
+      val fin = sums
+        .withColumn("mu", col("s1") / nd)
+        .withColumn("m2", col("s2") - mu * col("s1"))
+        .withColumn("m3",
+          col("s3") - lit(3) * mu * col("s2") + lit(2) * mu * mu * col("s1"))
+        .withColumn("m4",
+          col("s4") - lit(4) * mu * col("s3") + lit(6) * mu * mu * col("s2")
+            - lit(3) * mu * mu * mu * col("s1"))
+        // nullif: the 1-row partition head would divide by zero under
+        // ANSI; those rows are NULL'd by the n>=3/4 min-period CASE anyway
+        .withColumn("sv", col("m2") / nullif(nd - lit(1), lit(0.0)))
+        .withColumn("sd", sqrt(col("sv")))
+      val (m2c, m3c, m4c, sv, sd) =
+        (col("m2"), col("m3"), col("m4"), col("sv"), col("sd"))
+      fin.select(col("event_id"),
+        (round(when(nd >= 3 && m2c > 0,
+          (nd * m3c) / ((nd - lit(1)) * (nd - lit(2))) / (sd * sd * sd)), 9)
+          + lit(0.0)).as("roll_skew"),
+        (round(when(nd >= 4 && m2c > 0,
+          (nd * (nd + lit(1)) * m4c)
+            / ((nd - lit(1)) * (nd - lit(2)) * (nd - lit(3))) / (sv * sv)
+            - (lit(3) * (nd - lit(1)) * (nd - lit(1)))
+              / ((nd - lit(2)) * (nd - lit(3)))), 9)
+          + lit(0.0)).as("roll_kurt"))
         .orderBy("event_id")
     }
 

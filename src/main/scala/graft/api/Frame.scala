@@ -1104,41 +1104,60 @@ final class Rolling(frame: Frame, w: WindowSpec) {
   def variance(c: String, out: String): Rolling = add(out, var_samp(col(c)))
   def std(c: String, out: String): Rolling = add(out, stddev_samp(col(c)))
 
-  /** Compute the output through NAMED moment columns in one projection
-    * (each windowed avg evaluated exactly once), then drop the temps —
-    * inlining the avg(...).over(w) subtrees into the composite would
-    * leave Catalyst to (maybe) deduplicate structurally-equal window
-    * expressions across projections, which is not guaranteed. */
+  /** Compute the output through NAMED central-moment columns in one
+    * projection chain (each windowed sum evaluated exactly once), then
+    * drop the temps — inlining the sum(...).over(w) subtrees into the
+    * composite would leave Catalyst to (maybe) deduplicate
+    * structurally-equal window expressions across projections, which
+    * is not guaranteed. Power sums accumulate in frame order (Spark's
+    * sliding frame re-adds rows ascending), so the values match the
+    * registry's explicit lag-chain fold bit-for-bit.
+    * f receives (n, m2, m3, m4, sv, sd). */
   private def viaMoments(c: String, out: String,
-      f: (Column, Column, Column, Column, Column) => Column): Rolling = {
+      f: (Column, Column, Column, Column, Column, Column) => Column): Rolling = {
     val v = col(c).cast("double")
-    val withM = frame.df
-      .withColumn("__mu", avg(v).over(w))
-      .withColumn("__ex2", avg(v * v).over(w))
-      .withColumn("__ex3", avg(v * v * v).over(w))
-      .withColumn("__ex4", avg(v * v * v * v).over(w))
-      .withColumn("__sp2", col("__ex2") - col("__mu") * col("__mu"))
-    val result = withM
-      .withColumn(out, f(col("__mu"), col("__ex2"), col("__ex3"),
-        col("__ex4"), col("__sp2")))
-      .drop("__mu", "__ex2", "__ex3", "__ex4", "__sp2")
+    val result = frame.df
+      .withColumn("__n", F.count(v).over(w).cast("double"))
+      .withColumn("__s1", F.sum(v).over(w))
+      .withColumn("__s2", F.sum(v * v).over(w))
+      .withColumn("__s3", F.sum(v * v * v).over(w))
+      .withColumn("__s4", F.sum(v * v * v * v).over(w))
+      .withColumn("__mu", col("__s1") / col("__n"))
+      .withColumn("__m2", col("__s2") - col("__mu") * col("__s1"))
+      .withColumn("__m3", col("__s3") - lit(3) * col("__mu") * col("__s2")
+        + lit(2) * col("__mu") * col("__mu") * col("__s1"))
+      .withColumn("__m4", col("__s4") - lit(4) * col("__mu") * col("__s3")
+        + lit(6) * col("__mu") * col("__mu") * col("__s2")
+        - lit(3) * col("__mu") * col("__mu") * col("__mu") * col("__s1"))
+      // nullif: a 1-row frame would divide by zero under ANSI; those
+      // rows are NULL'd by the n>=3/4 min-period guard anyway
+      .withColumn("__sv", col("__m2") / nullif(col("__n") - lit(1), lit(0.0)))
+      .withColumn("__sd", sqrt(col("__sv")))
+      .withColumn(out, f(col("__n"), col("__m2"), col("__m3"),
+        col("__m4"), col("__sv"), col("__sd")))
+      .drop("__n", "__s1", "__s2", "__s3", "__s4", "__mu", "__m2",
+        "__m3", "__m4", "__sv", "__sd")
     new Rolling(Frame(result, frame.index), w)
   }
 
-  /** Rolling population skewness via the moment expansion
-    * (E[x³] − 3µE[x²] + 2µ³)/σ³ — windowed avg's only, so an external
-    * engine replays the identical arithmetic; degenerate windows
-    * (σ²=0, incl. the 1-row frame head) yield NULL. */
+  /** Rolling SAMPLE skewness — the pandas/dask rolling.skew()
+    * bias-corrected statistic n·m3 / ((n−1)(n−2)·s³), NULL below the
+    * pandas min period (n < 3) and on zero-variance frames (pandas
+    * emits NaN there; the engine-wide convention is NULL). */
   def skew(c: String, out: String): Rolling =
-    viaMoments(c, out, (mu, ex2, ex3, _, sp2) => when(sp2 > 0,
-      (ex3 - lit(3) * mu * ex2 + lit(2) * mu * mu * mu) / pow(sp2, 1.5)))
+    viaMoments(c, out, (n, m2, m3, _, _, sd) => when(n >= 3 && m2 > 0,
+      (n * m3) / ((n - lit(1)) * (n - lit(2))) / (sd * sd * sd)))
 
-  /** Rolling population EXCESS kurtosis via the moment expansion
-    * (E[x⁴] − 4µE[x³] + 6µ²E[x²] − 3µ⁴)/σ⁴ − 3; NULL on σ²=0. */
+  /** Rolling SAMPLE excess kurtosis — the pandas/dask rolling.kurt()
+    * bias-corrected G2 statistic
+    * n(n+1)·m4 / ((n−1)(n−2)(n−3)·s⁴) − 3(n−1)² / ((n−2)(n−3)),
+    * NULL below the pandas min period (n < 4) and on zero variance. */
   def kurt(c: String, out: String): Rolling =
-    viaMoments(c, out, (mu, ex2, ex3, ex4, sp2) => when(sp2 > 0,
-      (ex4 - lit(4) * mu * ex3 + lit(6) * mu * mu * ex2
-        - lit(3) * mu * mu * mu * mu) / (sp2 * sp2) - lit(3)))
+    viaMoments(c, out, (n, m2, _, m4, sv, _) => when(n >= 4 && m2 > 0,
+      (n * (n + lit(1)) * m4) / ((n - lit(1)) * (n - lit(2)) * (n - lit(3)))
+        / (sv * sv)
+        - (lit(3) * (n - lit(1)) * (n - lit(1)))
+          / ((n - lit(2)) * (n - lit(3)))))
   def toFrame: Frame = frame
 }
 

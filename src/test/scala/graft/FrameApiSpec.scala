@@ -225,7 +225,7 @@ class FrameApiSpec extends SparkSpec {
       .sortValues("event_id"))
   }
 
-  test("q_rolling_skew via facade (moment-expansion skew/kurt)") {
+  test("q_rolling_skew via facade (pandas sample skew/kurt)") {
     val ev = fr("events")
     same("q_rolling_skew", ev
       .filter(ev("user_id") < 10)
@@ -233,8 +233,8 @@ class FrameApiSpec extends SparkSpec {
       .skew("value", "roll_skew").kurt("value", "roll_kurt")
       .toFrame
       .transform(_.select(col("event_id"),
-        round(col("roll_skew"), 9).as("roll_skew"),
-        round(col("roll_kurt"), 9).as("roll_kurt")))
+        (round(col("roll_skew"), 9) + lit(0.0)).as("roll_skew"),
+        (round(col("roll_kurt"), 9) + lit(0.0)).as("roll_kurt")))
       .sortValues("event_id"))
   }
 
