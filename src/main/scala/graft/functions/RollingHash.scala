@@ -242,6 +242,33 @@ object GraftFunctions {
           ShingleMinHashSet(args.head, intLit(args(1), "n"), intLit(args(2), "k"))
         }),
       (
+        // Bounded top-k aggregate (Spark's built-in CollectTopK, the
+        // TypedImperativeAggregate behind pandas-on-Spark nsmallest):
+        // each partial buffer is a k-bounded priority queue, so map-side
+        // partial aggregation reduces every task to <= k rows per group
+        // BEFORE the shuffle — the scale-safe replacement for a
+        // per-group rank window over an unbounded candidate stream.
+        // reverse=true keeps the k SMALLEST by the child's natural
+        // ordering (ascending), which composes with a (sortKey, id)
+        // struct child for deterministic ties.
+        FunctionIdentifier("graft_top_k"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK].getName,
+          "graft_top_k"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_top_k(child, k, reverse)")
+          def lit(e: Expression, name: String): Any = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null => v
+            case other => throw new IllegalArgumentException(
+              s"graft_top_k $name must be a literal, got $other")
+          }
+          new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+            args.head,
+            lit(args(1), "k").toString.toInt,
+            lit(args(2), "reverse").toString.toBoolean,
+            0, 0)
+        }),
+      (
         FunctionIdentifier("tdigest_quantile"),
         new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
         (args: Seq[Expression]) => {

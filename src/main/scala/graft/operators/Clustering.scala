@@ -96,7 +96,6 @@ object Clustering {
       corpus: DataFrame,    // (vec_id, embedding, ...)
       idCol: String, vecCol: String,
       nlist: Int, nprobe: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = seedCentroids(corpus, idCol, vecCol, nlist)
     val assigned = assignCells(corpus, idCol, vecCol, cents)
 
@@ -112,9 +111,9 @@ object Clustering {
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("c", Similarity.cosine(col("qv"), col(vecCol)))
-    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col(idCol))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // candidates are already cell-bounded; the bounded partial top-k
+    // still beats a per-query rank window when probed cells are large
+    Similarity.topKPerQuery(scored, k, "c", scoreDesc = true, idCol = idCol)
   }
 
   /** IVF-PQ approximate top-k — the standard large-scale ANN layout
@@ -136,7 +135,6 @@ object Clustering {
       idCol: String, vecCol: String,
       nlist: Int, nprobe: Int,
       dim: Int, m: Int, ks: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val cents = seedCentroids(corpus, idCol, vecCol, nlist)
     val codebook = Similarity.pqCodebook(
@@ -159,9 +157,7 @@ object Clustering {
       .withColumn("c",
         Similarity.dot(col("recon"), col("qv")) / col("nrm") /
           Similarity.norm(col("qv")))
-    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col(idCol))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    Similarity.topKPerQuery(scored, k, "c", scoreDesc = true, idCol = idCol)
       .select(col("query_id"), col(idCol), col("c"))
   }
 

@@ -87,10 +87,11 @@ object Retrieval {
 
     val scored = contrib.groupBy("query_id", "doc_id")
       .agg(sum("__c").as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+    // bounded partial top-k (Similarity.topKPerQuery) instead of a
+    // per-query rank window: postings-bounded here, but the partial
+    // aggregation shape is strictly cheaper and audit-uniform
+    Similarity.topKPerQuery(scored, k, "score", scoreDesc = true,
+        idCol = "doc_id")
       .select("query_id", "doc_id", "score")
   }
 }

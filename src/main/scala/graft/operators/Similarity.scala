@@ -23,22 +23,64 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
 
+  /** Scale-safe deterministic top-k per query over a scored candidate
+    * stream: one partial-aggregating `graft_top_k` (Spark's bounded
+    * CollectTopK priority queue) keyed by the query id.
+    *
+    * This replaces the round-11 funnel
+    * `row_number() over (partitionBy query_id)` — for brute-force
+    * scoring, that window put every scored corpus row for a query into
+    * ONE window partition: a single task sorting O(corpus) rows per
+    * query at 100 TB. Here each map task's state is bounded at k rows
+    * per query and only ≤ tasks·k survivors shuffle to the per-query
+    * merge; nothing corpus-sized ever crosses the wire or sits in one
+    * task.
+    *
+    * Results are bit-identical to the window form: ordering is
+    * (score desc|asc, id asc) via a (sortKey, id) struct — score
+    * negation is a sign flip, exact for doubles — and `rn` is the
+    * 1-based rank in that order. (NaN scores, impossible for the
+    * finite embeddings this serves, would rank last instead of the
+    * window's first.)
+    *
+    * Output: (queryCol, idCol, scoreCol, rn) — idCol/scoreCol keep
+    * their input types.
+    */
+  def topKPerQuery(scored: DataFrame, k: Int, scoreCol: String,
+      scoreDesc: Boolean, idCol: String = "vec_id",
+      queryCol: String = "query_id"): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val sortKey =
+      if (scoreDesc) -col(scoreCol).cast("double")
+      else col(scoreCol).cast("double")
+    val hit = struct(sortKey.as("k"), col(idCol).as("i"), col(scoreCol).as("s"))
+    scored
+      .groupBy(queryCol)
+      .agg(call_function("graft_top_k", hit, lit(k), lit(true)).as("__topk"))
+      // array_sort pins ascending (sortKey, id) order independent of the
+      // queue's emission order; k elements, negligible
+      .select(col(queryCol),
+        posexplode(array_sort(col("__topk"))).as(Seq("__p", "__t")))
+      .select(col(queryCol), col("__t.i").as(idCol), col("__t.s").as(scoreCol),
+        (col("__p") + 1).cast("int").as("rn"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector. The query set is
     * expected to be small (it is broadcast); the corpus side is one
     * distributed pass — the brute-force baseline an ANN variant is judged
-    * against.
+    * against. Top-k via [[topKPerQuery]]: bounded partial aggregation,
+    * never a corpus-sized per-query window partition.
+    * Returns (query_id, vec_id, c, rn).
     */
   def cosineTopK(
       queries: DataFrame,   // (query_id, qv)
       corpus: DataFrame,    // (vec_id, embedding, ...)
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("c", cosine(col("qv"), col("embedding")))
-    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    topKPerQuery(scored, k, "c", scoreDesc = true)
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
@@ -144,7 +186,6 @@ object Similarity {
       corpus: DataFrame,    // (vec_id, embedding, ...)
       dim: Int,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (mn, mx) = sq8Bounds(corpus, dim)
     val mnL = typedLit(mn.toSeq)
     val mxL = typedLit(mx.toSeq)
@@ -160,9 +201,7 @@ object Similarity {
     val scored = quantized.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("c", dot(col("deq"), col("qv")) / col("nrm") / norm(col("qv")))
-    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    topKPerQuery(scored, k, "c", scoreDesc = true)
       .select("query_id", "vec_id", "c")
   }
 
@@ -176,15 +215,12 @@ object Similarity {
       dim: Int,
       numPlanes: Int,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bq = queries.withColumn("bucket", lshBucket(col("qv"), dim, numPlanes))
     val bc = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, numPlanes))
     val scored = bc.join(broadcast(bq), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("c", cosine(col("qv"), col("embedding")))
-    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    topKPerQuery(scored, k, "c", scoreDesc = true)
   }
 
   // ---- random projection (Johnson-Lindenstrauss) ----------------------
@@ -214,7 +250,6 @@ object Similarity {
       dim: Int,
       outDim: Int,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val proj = corpus.select(col("vec_id"),
         rpProject(col("embedding"), dim, outDim).as("y"))
       .withColumn("nrm", norm(col("y")))
@@ -223,9 +258,7 @@ object Similarity {
     val scored = proj.crossJoin(broadcast(qproj))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("c", dot(col("y"), col("qy")) / col("nrm") / norm(col("qy")))
-    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    topKPerQuery(scored, k, "c", scoreDesc = true)
       .select("query_id", "vec_id", "c")
   }
 
@@ -260,15 +293,12 @@ object Similarity {
       corpus: DataFrame,    // (vec_id, embedding, ...)
       dim: Int,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val enc = corpus.select(col("vec_id"), signCode(col("embedding"), dim).as("code"))
     val qenc = queries.select(col("query_id"), signCode(col("qv"), dim).as("qcode"))
     val scored = enc.crossJoin(broadcast(qenc))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("hamming", bit_count(col("code").bitwiseXOR(col("qcode"))))
-    val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    topKPerQuery(scored, k, "hamming", scoreDesc = false)
       .select("query_id", "vec_id", "hamming")
   }
 
@@ -372,7 +402,6 @@ object Similarity {
       m: Int,
       ks: Int,
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val codebook = pqCodebook(corpus, ks)
     val encoded = corpus.select(col("vec_id"),
@@ -381,9 +410,7 @@ object Similarity {
     val scored = encoded.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("c", dot(col("recon"), col("qv")) / col("nrm") / norm(col("qv")))
-    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    topKPerQuery(scored, k, "c", scoreDesc = true)
       .select("query_id", "vec_id", "c")
   }
 }

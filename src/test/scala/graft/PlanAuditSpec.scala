@@ -412,6 +412,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"q_corr_matrix scans lineitem $scans times")
   }
 
+  test("retrieval top-k never rides a per-query rank window") {
+    // Round-11 systemic finding: every brute-force retrieval op ended in
+    // row_number() over (partitionBy query_id) — for corpus-wide scoring
+    // that is ONE task sorting O(corpus) rows per query at 100 TB. The
+    // top-k tail must be the bounded partial-aggregating graft_top_k
+    // (map-side k-bounded priority queues, ≤ tasks·k rows shuffled);
+    // no Window node may appear anywhere in a retrieval plan.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_cosine_topk", "q_sq8_topk", "q_rp_topk",
+        "q_binary_hamming", "q_pq_topk", "q_ann_lsh", "q_ivf_topk",
+        "q_ivf_pq_topk", "q_bm25_topk")) {
+      val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
+      val windows = qe.executedPlan.collect { case w: WindowExec => w }
+      assert(windows.isEmpty,
+        s"$q plans a rank window — per-query funnel at scale")
+      assert(qe.analyzed.toString.contains("collect_top_k") ||
+        qe.analyzed.toString.contains("graft_top_k"),
+        s"$q does not use the bounded partial top-k aggregate")
+    }
+  }
+
   test("no registered query plans an unpartitioned window") {
     // The all-rows-through-one-task shape that dies at scale. Operator-
     // INTERNAL global windows over bounded O(partitions)-row tables

@@ -112,4 +112,32 @@ class SimilaritySpec extends SparkSpec {
       assert(native(id) == hof(id), s"vec $id: ${native(id)} vs ${hof(id)}")
     }
   }
+
+  test("topKPerQuery is bit-identical to the rank-window form, incl. ties") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // scores engineered with exact ties (0.5 at ids 3,7,11,...) so the
+    // vec_id tie-break is exercised; several partitions so the partial
+    // merge path runs
+    val scored = (0L until 200L).flatMap { v =>
+      (0L until 3L).map(q => (q, v, if (v % 4 == 3) 0.5 else (v * 37 % 101) / 101.0))
+    }.toDF("query_id", "vec_id", "c").repartition(7)
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("vec_id"))
+    val viaWindow = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("query_id", "vec_id", "c", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaAgg = Similarity.topKPerQuery(scored, 10, "c", scoreDesc = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaAgg == viaWindow)
+    // ascending variant (hamming-style int scores) preserves the int type
+    val ints = scored.withColumn("d", (col("vec_id") % 5).cast("int"))
+    val wAsc = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    val ascWindow = ints.withColumn("rn", row_number().over(wAsc))
+      .filter(col("rn") <= 7).select("query_id", "vec_id", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ascAgg = Similarity.topKPerQuery(ints, 7, "d", scoreDesc = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ascAgg == ascWindow)
+  }
 }
