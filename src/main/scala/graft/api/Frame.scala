@@ -677,10 +677,15 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
 
   /** Blocked fuzzy entity matching: within-block pairs at edit distance
     * ≤ maxDist (operators.EntityMatch.fuzzyPairs with the first-token +
-    * length blocking default). */
-  def fuzzyPairs(nameCol: String, maxDist: Int): Frame =
+    * length blocking default). `maxBlockSize` is the quadratic-verify
+    * guard every blocked operator ships with: blocks above the cap are
+    * dropped before pairing (one skewed block otherwise owns a
+    * quadratic share of the work at scale). Pass 0 to disable. */
+  def fuzzyPairs(nameCol: String, maxDist: Int,
+      maxBlockSize: Long = 10000L): Frame =
     Frame(graft.operators.EntityMatch.fuzzyPairs(df, idx, nameCol,
-      graft.operators.EntityMatch.tokenLengthBlock(nameCol), maxDist))
+      graft.operators.EntityMatch.tokenLengthBlock(nameCol), maxDist,
+      maxBlockSize))
 
   /** k-anonymity report over quasi-identifier columns
     * (operators.EntityMatch.kAnonymity). */

@@ -35,9 +35,14 @@ object EntityMatch {
     val blocked =
       if (maxBlockSize <= 0) blocked0
       else {
-        val sizes = blocked0.groupBy("__blk")
-          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBlockSize)
-        blocked0.join(broadcast(sizes.select("__blk")), Seq("__blk"), "left_semi")
+        // Broadcast the DROP set (blocks with count > cap), not the keep
+        // set: at 100 TB the keep set is roughly ALL distinct blocks
+        // (corpus-scale — it would overflow the broadcast), while the
+        // oversized-block set is by construction tiny (≤ n/cap blocks).
+        val oversized = blocked0.groupBy("__blk")
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBlockSize)
+        blocked0.join(broadcast(oversized.select("__blk")), Seq("__blk"),
+          "left_anti")
       }
     val a = blocked.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
       col("__blk"))

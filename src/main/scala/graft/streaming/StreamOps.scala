@@ -322,15 +322,20 @@ object StreamOps {
     * at most that shard's decrement total, which rides along in the
     * output as `max_undercount` (true count ∈ [est, est+max_undercount]).
     * State is ≤ k counters + one long per shard — bounded forever, no
-    * watermark; every micro-batch re-emits each shard's current
-    * survivors (Update mode). Scale: shards spread the vocabulary over
-    * executors; k·shards total counters replaces an unbounded
-    * streaming groupBy count.
+    * watermark. Emission is per-shard-WITH-NEW-DATA (Update mode): a
+    * shard that receives rows in a micro-batch re-emits its full
+    * current survivor set; idle shards are not invoked (NoTimeout), so
+    * downstream must treat absent shards as "unchanged since last
+    * emit", not "empty". Null tokens are dropped up front (they carry
+    * no vocabulary signal and would NPE the hash routing). Scale:
+    * shards spread the vocabulary over executors; k·shards total
+    * counters replaces an unbounded streaming groupBy count.
     */
   def streamingHeavyHitters(tokens: Dataset[String], k: Int,
       shards: Int = 8): Dataset[(String, Long, Long)] = {
     import tokens.sparkSession.implicits._
-    tokens.groupByKey(t => math.floorMod(t.hashCode, shards))
+    tokens.filter((t: String) => t != null)
+      .groupByKey(t => math.floorMod(t.hashCode, shards))
       .flatMapGroupsWithState[(Map[String, Long], Long), (String, Long, Long)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         case (_, it, state: GroupState[(Map[String, Long], Long)]) =>
