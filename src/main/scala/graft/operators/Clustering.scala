@@ -134,11 +134,12 @@ object Clustering {
       corpus: DataFrame,    // (vec_id, embedding, ...)
       idCol: String, vecCol: String,
       nlist: Int, nprobe: Int,
-      dim: Int, m: Int, ks: Int, k: Int): DataFrame = {
+      dim: Int, m: Int, ks: Int, k: Int,
+      trainedCodebook: Option[Array[Seq[Double]]] = None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val cents = seedCentroids(corpus, idCol, vecCol, nlist)
-    val codebook = Similarity.pqCodebook(
-      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")), ks)
+    val codebook = trainedCodebook.getOrElse(Similarity.pqCodebook(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")), ks))
     val encoded = assignCells(corpus, idCol, vecCol, cents)
       .select(col(idCol), col("cell"),
         Similarity.pqRecon(col(vecCol), codebook, m, dim / m).as("recon"))
@@ -159,6 +160,45 @@ object Clustering {
           Similarity.norm(col("qv")))
     Similarity.topKPerQuery(scored, k, "c", scoreDesc = true, idCol = idCol)
       .select(col("query_id"), col(idCol), col("c"))
+  }
+
+  /** K-means-TRAINED PQ codebook — the quality path for
+    * [[Similarity.pqTopK]] / [[ivfPqTopK]] at scale (FAISS-style: train
+    * per-subspace centroids, not sampled corpus rows; the sampled
+    * [[Similarity.pqCodebook]] stays the bit-replayable oracle form).
+    *
+    * One Lloyd's run per subspace over a bounded deterministic
+    * content-hash training sample (`trainRows`; FAISS trains on a
+    * sample too — the sample collect is never corpus-sized), then the
+    * per-subspace centroid lists are CONCATENATED into full-dim
+    * codewords: [[graft.functions.PqReconstruct]] argmins each subspace
+    * independently, so concatenation gives exact per-subspace PQ
+    * semantics with the existing kernel. Returns ks codewords of dim
+    * doubles.
+    */
+  def pqCodebookKmeans(corpus: DataFrame, ks: Int, m: Int, dim: Int,
+      iters: Int = 5, trainRows: Int = 4096, roundTo: Int = 9): Array[Seq[Double]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val sample = corpus
+      .select(col("vec_id"), col("embedding"),
+        conv(substring(md5(col("vec_id").cast("string")), 1, 7), 16, 10)
+          .cast("long").as("__r"))
+      .orderBy(col("__r"), col("vec_id"))
+      .limit(trainRows)
+      .select("vec_id", "embedding")
+      .cache()
+    try {
+      val subCbs: Seq[IndexedSeq[Seq[Double]]] = (0 until m).map { j =>
+        val sub = sample.select(col("vec_id"),
+          slice(col("embedding"), j * subDim + 1, subDim).as("sub"))
+        val (_, cents) = kmeans(sub, "vec_id", "sub", ks, iters, roundTo)
+        require(cents.length == ks,
+          s"training sample has fewer than ks=$ks rows (${cents.length})")
+        cents.map(_._2).toIndexedSeq
+      }
+      (0 until ks).map(c => subCbs.map(_(c)).reduce(_ ++ _)).toArray
+    } finally sample.unpersist()
   }
 
   /** Semantic dedup: one representative per IVF cell — the vector most

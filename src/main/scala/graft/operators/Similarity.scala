@@ -401,11 +401,12 @@ object Similarity {
       dim: Int,
       m: Int,
       ks: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      codebook: Option[Array[Seq[Double]]] = None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
-    val codebook = pqCodebook(corpus, ks)
+    val cb = codebook.getOrElse(pqCodebook(corpus, ks))
     val encoded = corpus.select(col("vec_id"),
-      pqRecon(col("embedding"), codebook, m, dim / m).as("recon"))
+      pqRecon(col("embedding"), cb, m, dim / m).as("recon"))
       .withColumn("nrm", norm(col("recon")))
     val scored = encoded.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))

@@ -312,6 +312,47 @@ class SelectOpsSpec extends SparkSpec {
       s"probe leaked across cells: ${top.toSeq}")
   }
 
+  test("kmeans-trained PQ codebook recall >= sampled codebook on clusters") {
+    import graft.operators.Clustering
+    // 4 tight clusters around orthogonal prototypes; the md5-rank sample
+    // can draw its 4 codewords unevenly across clusters, the trained
+    // codebook should recover one centroid per cluster per subspace
+    val protos = Seq(
+      Seq.fill(4)(1.0f) ++ Seq.fill(12)(0.0f),
+      Seq.fill(4)(0.0f) ++ Seq.fill(4)(1.0f) ++ Seq.fill(8)(0.0f),
+      Seq.fill(8)(0.0f) ++ Seq.fill(4)(1.0f) ++ Seq.fill(4)(0.0f),
+      Seq.fill(12)(0.0f) ++ Seq.fill(4)(1.0f))
+    def jit(base: Seq[Float], s: Int): Seq[Float] =
+      base.zipWithIndex.map { case (v, i) => v + ((s * 17 + i * 3) % 7) * 0.02f }
+    val corpus = embDf((0L until 40L).map(i =>
+      i -> jit(protos((i % 4).toInt), i.toInt)))
+    val queries = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.cosineTopK(queries, corpus, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cb: Option[Array[Seq[Double]]]): Double = {
+      val got = Similarity.pqTopK(queries, corpus, dim = 16, m = 4, ks = 4,
+          k = 5, codebook = cb)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val trained = Clustering.pqCodebookKmeans(corpus, ks = 4, m = 4,
+      dim = 16, iters = 4)
+    assert(trained.length == 4 && trained.forall(_.length == 16))
+    val rTrained = recall(Some(trained))
+    val rSampled = recall(None)
+    assert(rTrained >= rSampled,
+      s"trained codebook recall $rTrained < sampled $rSampled")
+    assert(rTrained > 0.8, s"trained codebook recall $rTrained too low")
+    // ivfPqTopK accepts the trained codebook too
+    val ivf = Clustering.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      nlist = 4, nprobe = 4, dim = 16, m = 4, ks = 4, k = 5,
+      trainedCodebook = Some(trained))
+    assert(ivf.count() > 0)
+  }
+
   test("pqTopK rejects dim not divisible by m") {
     val corpus = embDf(Seq(0L -> vec(0, 9)))
     intercept[IllegalArgumentException] {
