@@ -314,6 +314,78 @@ object StreamOps {
       }
   }
 
+  /** The composed streaming ingest FRONT DOOR — the end-to-end online
+    * form of the batch prep funnel (q_prep_funnel), chaining the
+    * pieces a production crawl-ingest pipeline runs on every arriving
+    * document:
+    *
+    *   1. [[streamingBloomDedup]] form: exact-corpus dup gate — the
+    *      offline Bloom filter rides as a plan literal, stateless;
+    *   2. [[streamingQualityGate]] form: batch-trained hashed-LR score,
+    *      stateless (train offline / filter online);
+    *   3. [[streamingNearDupVerified]]: MinHash-band candidates against
+    *      the static corpus index, Jaccard-verified inline — emitted as
+    *      a SIDE OUTPUT (adjudication queue). Pairs cannot statelessly
+    *      collapse to a per-doc drop flag (any-band-matched needs a
+    *      per-doc aggregation = watermark state), and the exact-dup
+    *      class is already caught by the Bloom gate, so near-dups are
+    *      surfaced rather than silently dropped — the form a human/batch
+    *      adjudicator consumes;
+    *   4. per-source token budget: the [[streamingTokenBudget]]
+    *      recurrence inlined so the quality score rides through — one
+    *      long of state per source, no watermark. Admission order is
+    *      arrival order (the documented online-vs-batch caveat).
+    *
+    * Returns (admitted, nearDupCandidates). Both are lazily-composed
+    * streaming frames off the same source — starting both sinks runs
+    * two queries over the input (MemoryStream/Kafka replay this fine).
+    * Every stage is a DataFrame transform, so the SAME call runs on a
+    * batch frame for backfill — StreamingSpec pins the streaming run
+    * equal to the batch run end-to-end.
+    */
+  def ingestFrontDoor(
+      stream: DataFrame,             // (idCol, sourceCol, textCol)
+      idCol: String, sourceCol: String, textCol: String,
+      bloomPacked: Array[Long], bloomBits: Int, bloomHashes: Int,
+      model: graft.operators.QualityModel.Model, qualityThreshold: Double,
+      index: DataFrame,              // from [[nearDupIndex]]
+      nearDupThreshold: Double,
+      budgetPerSource: Long): (DataFrame, DataFrame) = {
+    import stream.sparkSession.implicits._
+    // stages 1+2: stateless gates, one projection pass
+    val gated = stream
+      .withColumn("might_dup", graft.operators.Sketches.mightContainInline(
+        col(textCol), bloomPacked, bloomBits, bloomHashes))
+      .filter(!col("might_dup"))
+      .withColumn("quality",
+        graft.operators.QualityModel.scoreInline(col(textCol), model))
+      .filter(col("quality") >= qualityThreshold)
+    // stage 3 (side output): verified near-dup candidates vs the index
+    val candidates = streamingNearDupVerified(
+      gated.select(col(idCol), col(textCol)), index, idCol, textCol,
+      nearDupThreshold)
+    // stage 4: per-source sequential token budget, quality riding along
+    val admitted = gated
+      .select(col(sourceCol).cast("string"), col(idCol).cast("long"),
+        size(split(col(textCol), " ")).cast("long"), col("quality"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Double, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (source, it, state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = it.map { case (_, id, tok, qual) =>
+            val keep = used + tok <= budgetPerSource
+            if (keep) used += tok
+            (source, id, tok, qual, keep)
+          }.toVector
+          state.update(used)
+          out.iterator
+      }
+      .toDF(sourceCol, idCol, "tokens", "quality", "admitted")
+    (admitted, candidates)
+  }
+
   /** Streaming heavy hitters: hash-sharded Misra-Gries state — the
     * online form of [[graft.operators.Sketches.frequentTokens]]. A
     * token always routes to the same shard (groupByKey on a hash), so

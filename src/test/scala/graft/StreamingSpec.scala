@@ -604,4 +604,75 @@ class StreamingSpec extends SparkSpec {
       assert(a._2 <= 9L && a._2 + a._3 >= 9L, s"bound violated: $a")
     } finally q.stop()
   }
+
+  test("ingest front door e2e: streaming run equals the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{QualityModel, Sketches}
+    // --- offline artifacts: corpus bloom filter, near-dup index, model
+    val corpus = Seq(
+      (100L, "excellent clear precise prose alpha beta gamma delta epsilon zeta"),
+      (200L, "p q r s t u v w x y z aa")).toDF("doc_id", "text")
+    val bits = 1 << 16
+    val packed = Sketches.packBits(Sketches.bloomBuild(corpus, "text", bits, 4), bits)
+    val index = StreamOps.nearDupIndex(corpus, "doc_id", "text").cache()
+    val train = spark.createDataFrame(Seq(
+      (0L, "excellent clear prose", 1.0), (1L, "wonderful precise text", 1.0),
+      (2L, "spam click buy now", 0.0), (3L, "cheap garbage spam", 0.0)))
+      .toDF("doc_id", "text", "y")
+    val model = QualityModel.trainLogReg(spark,
+      QualityModel.hashedFeatures(train, "doc_id", "text", 128),
+      train.select(col("doc_id"), col("y")), 128, iters = 5, lr = 2.0)
+    // --- arrivals: per-source totals chosen order-independent (a's docs
+    // all fit; b's reject is oversized ALONE) so batch group order and
+    // stream arrival order give identical verdicts
+    val batch1 = Seq(
+      (1L, "a", "excellent clear precise prose alpha beta gamma delta epsilon zeta"), // exact corpus dup → bloom drop
+      (2L, "a", "excellent clear precise prose indeed"),  // admitted, 5 toks
+      (3L, "a", "spam click buy cheap now"))              // quality drop
+    val batch2 = Seq(
+      (4L, "a", "excellent clear precise prose alpha beta gamma delta epsilon eta"), // near-dup of 100 → candidate + admitted
+      (5L, "b", Seq.fill(30)("excellent clear precise prose").mkString(" ")), // 120 toks > budget alone
+      (6L, "b", "excellent clear prose today friends yes")) // admitted, 6 toks
+    val in = MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "source", "text")
+    val (admitted, cands) = StreamOps.ingestFrontDoor(stream,
+      "doc_id", "source", "text", packed, bits, 4, model, 0.5,
+      index, nearDupThreshold = 0.5, budgetPerSource = 100L)
+    val qa = admitted.writeStream.format("memory").queryName("fd_admitted")
+      .outputMode("append").start()
+    val qc = cands.writeStream.format("memory").queryName("fd_cands")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1: _*)
+      qa.processAllAvailable(); qc.processAllAvailable()
+      in.addData(batch2: _*)
+      qa.processAllAvailable(); qc.processAllAvailable()
+      val gotAdm = spark.table("fd_admitted")
+        .select("source", "doc_id", "tokens", "admitted").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      assert(gotAdm == Set(
+        ("a", 2L, 5L, true), ("a", 4L, 10L, true),
+        ("b", 5L, 120L, false), ("b", 6L, 6L, true)), s"got $gotAdm")
+      val gotCands = spark.table("fd_cands")
+        .select("doc_id", "corpus_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotCands == Set((4L, 100L)), s"got $gotCands")
+      // --- batch-equivalence: the SAME composition on a batch frame
+      // (backfill mode) must produce identical admissions and candidates
+      val batchDf = (batch1 ++ batch2).toDF("doc_id", "source", "text")
+      val (bAdm, bCands) = StreamOps.ingestFrontDoor(batchDf,
+        "doc_id", "source", "text", packed, bits, 4, model, 0.5,
+        index, nearDupThreshold = 0.5, budgetPerSource = 100L)
+      val bAdmSet = bAdm.select("source", "doc_id", "tokens", "admitted")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      val bCandSet = bCands.select("doc_id", "corpus_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bAdmSet == gotAdm, s"batch $bAdmSet vs stream $gotAdm")
+      assert(bCandSet == gotCands, s"batch $bCandSet vs stream $gotCands")
+    } finally { qa.stop(); qc.stop(); index.unpersist() }
+  }
 }
