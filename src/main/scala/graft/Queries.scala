@@ -1053,10 +1053,12 @@ object Queries {
     // Star-schema join order: cull the fact table FIRST through the
     // most selective broadcast dimension chain (region→nation→supplier,
     // ASIA only), so the single unavoidable shuffle — lineitem⋈orders
-    // on orderkey — moves a pre-reduced fact stream. customer is a
-    // broadcast dimension too; only the region-filtered fan-in touches
-    // an exchange. Written-order joins matter: Catalyst does not
-    // reorder user join trees without CBO.
+    // on orderkey — moves a pre-reduced fact stream. customer broadcast-
+    // joins ONTO ORDERS before that shuffle (not onto the joined stream
+    // after it), so the orders side exchanges just (o_orderkey,
+    // c_nationkey) — 2 narrow columns — and the c/s nationkey equality
+    // rides the one shuffle join as an extra key. Written-order joins
+    // matter: Catalyst does not reorder user join trees without CBO.
     val asiaNations = Tables.nation(s, dir)
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
@@ -1064,11 +1066,15 @@ object Queries {
     val asiaSuppliers = Tables.supplier(s, dir)
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val custOrders = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
     Tables.lineitem(s, dir)
       .join(broadcast(asiaSuppliers), col("l_suppkey") === col("s_suppkey"))
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)),
-        col("c_custkey") === col("o_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(custOrders, col("l_orderkey") === col("o_orderkey") &&
+        col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name").as("nation"))
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("nation"))
