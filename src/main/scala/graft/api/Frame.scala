@@ -867,6 +867,97 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def bm25Search(textCol: String, queries: Frame, k: Int = 10): Frame =
     Frame(graft.operators.Retrieval.bm25TopK(df, idx, textCol, queries.df, k))
 
+  // ---- embedding similarity / vector retrieval (graft extensions) ----
+
+  /** This frame as an operator corpus: index → vec_id, vecCol →
+    * embedding (the Similarity/Clustering operator contract). */
+  private def asCorpus(vecCol: String): DataFrame =
+    df.select(col(idx).as("vec_id"), col(vecCol).as("embedding"))
+  /** A query frame as (query_id, qv). */
+  private def asQueries(queries: Frame, vecCol: String): DataFrame = {
+    val qidx = queries.index.getOrElse(throw new IllegalArgumentException(
+      "query frame needs an index — call setIndex(col) first"))
+    queries.df.select(col(qidx).as("query_id"), col(vecCol).as("qv"))
+  }
+
+  /** Exact brute-force cosine top-k per query vector
+    * (operators.Similarity.cosineTopK — bounded partial top-k, never a
+    * per-query rank window). Returns (query_id, vec_id, c, rn). */
+  def cosineTopK(queries: Frame, vecCol: String, k: Int): Frame =
+    Frame(graft.operators.Similarity.cosineTopK(
+      asQueries(queries, vecCol), asCorpus(vecCol), k))
+
+  /** ANN top-k via random-hyperplane LSH buckets
+    * (operators.Similarity.annTopK — bucket id is the join key). */
+  def annTopK(queries: Frame, vecCol: String, dim: Int,
+      numPlanes: Int = 4, k: Int = 10): Frame =
+    Frame(graft.operators.Similarity.annTopK(
+      asQueries(queries, vecCol), asCorpus(vecCol), dim, numPlanes, k))
+
+  /** Scalar-quantized (int8) asymmetric top-k
+    * (operators.Similarity.sq8TopK). */
+  def sq8TopK(queries: Frame, vecCol: String, dim: Int, k: Int): Frame =
+    Frame(graft.operators.Similarity.sq8TopK(
+      asQueries(queries, vecCol), asCorpus(vecCol), dim, k))
+
+  /** Top-k in the Johnson-Lindenstrauss-reduced space
+    * (operators.Similarity.rpTopK). */
+  def rpTopK(queries: Frame, vecCol: String, dim: Int, outDim: Int,
+      k: Int): Frame =
+    Frame(graft.operators.Similarity.rpTopK(
+      asQueries(queries, vecCol), asCorpus(vecCol), dim, outDim, k))
+
+  /** Binary sign-code Hamming top-k (operators.Similarity.hammingTopK —
+    * 64 dims packed into one BIGINT, xor+popcount distance). */
+  def hammingTopK(queries: Frame, vecCol: String, dim: Int, k: Int): Frame =
+    Frame(graft.operators.Similarity.hammingTopK(
+      asQueries(queries, vecCol), asCorpus(vecCol), dim, k))
+
+  /** Product-quantized asymmetric top-k (operators.Similarity.pqTopK;
+    * pass a Clustering.pqCodebookKmeans result for the trained-codebook
+    * quality path). */
+  def pqTopK(queries: Frame, vecCol: String, dim: Int, m: Int, ks: Int,
+      k: Int, codebook: Option[Array[Seq[Double]]] = None): Frame =
+    Frame(graft.operators.Similarity.pqTopK(
+      asQueries(queries, vecCol), asCorpus(vecCol), dim, m, ks, k, codebook))
+
+  /** IVF approximate top-k: probe the `nprobe` nearest of `nlist`
+    * seed-centroid cells (operators.Clustering.ivfTopK). */
+  def ivfTopK(queries: Frame, vecCol: String, nlist: Int, nprobe: Int,
+      k: Int): Frame =
+    Frame(graft.operators.Clustering.ivfTopK(asQueries(queries, vecCol),
+      asCorpus(vecCol), "vec_id", "embedding", nlist, nprobe, k))
+
+  /** IVF-PQ top-k — the FAISS IVFPQ layout
+    * (operators.Clustering.ivfPqTopK). */
+  def ivfPqTopK(queries: Frame, vecCol: String, nlist: Int, nprobe: Int,
+      dim: Int, m: Int, ks: Int, k: Int,
+      trainedCodebook: Option[Array[Seq[Double]]] = None): Frame =
+    Frame(graft.operators.Clustering.ivfPqTopK(asQueries(queries, vecCol),
+      asCorpus(vecCol), "vec_id", "embedding", nlist, nprobe, dim, m, ks, k,
+      trainedCodebook))
+
+  /** Embedding-cosine near-duplicate pairs within LSH buckets
+    * (operators.Similarity.cosineNearDup — never all-pairs). */
+  def embeddingNearDuplicates(vecCol: String, dim: Int,
+      numPlanes: Int = 4, threshold: Double = 0.9): Frame =
+    Frame(graft.operators.Similarity.cosineNearDup(asCorpus(vecCol), dim,
+      numPlanes, threshold))
+
+  /** Semantic dedup: one most-central representative per IVF cell
+    * (operators.Clustering.semanticDedup). */
+  def semanticDedup(vecCol: String, nlist: Int): Frame =
+    Frame(graft.operators.Clustering.semanticDedup(asCorpus(vecCol),
+      "vec_id", "embedding", nlist))
+
+  /** Distributed Lloyd's k-means cell assignment
+    * (operators.Clustering.kmeans; roundTo ≥ 0 makes every iteration
+    * externally replayable). Returns the frame with `cell`/`cell_cos`. */
+  def kmeansCells(vecCol: String, k: Int, iters: Int,
+      roundTo: Int = -1): Frame =
+    Frame(graft.operators.Clustering.kmeans(asCorpus(vecCol), "vec_id",
+      "embedding", k, iters, roundTo)._1)
+
   /** DSIR selection: importance-weight rows whose `isTarget` is false
     * against the target rows' hashed n-gram profile and keep the
     * Gumbel-top-k (operators.Dsir; Xie et al. 2023). */

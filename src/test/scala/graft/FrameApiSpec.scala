@@ -819,6 +819,63 @@ class FrameApiSpec extends SparkSpec {
       .sortValues("column"))
   }
 
+  test("brute-force + compressed retrieval facades match the registry queries") {
+    val emb = Frame(Tables.load(spark, sfDir, "embeddings"), Some("vec_id"))
+    val qs = emb.filter(emb("vec_id") < 3)
+    same("q_cosine_topk", emb.cosineTopK(qs, "embedding", k = 5)
+      .transform(_.select(col("query_id"), col("vec_id"),
+          round(col("c"), 9).as("cosine"))
+        .orderBy("query_id", "vec_id")))
+    same("q_sq8_topk", emb.sq8TopK(qs, "embedding", dim = 64, k = 5)
+      .transform(_.select(col("query_id"), col("vec_id"),
+          round(col("c"), 9).as("cosine_sq8"))
+        .orderBy("query_id", "vec_id")))
+    same("q_rp_topk", emb.rpTopK(qs, "embedding", dim = 64, outDim = 16, k = 5)
+      .transform(_.select(col("query_id"), col("vec_id"),
+          round(col("c"), 9).as("cosine_rp"))
+        .orderBy(col("query_id"), col("cosine_rp").desc, col("vec_id"))))
+    same("q_binary_hamming", emb.hammingTopK(qs, "embedding", dim = 64, k = 5)
+      .transform(_.orderBy(col("query_id"), col("hamming"), col("vec_id"))))
+    same("q_pq_topk", emb.pqTopK(qs, "embedding", dim = 64, m = 4, ks = 8, k = 5)
+      .transform(_.select(col("query_id"), col("vec_id"),
+          round(col("c"), 6).as("cosine_pq"))
+        .orderBy(col("query_id"), col("cosine_pq").desc, col("vec_id"))))
+  }
+
+  test("ANN / IVF / clustering facades match the registry queries") {
+    val emb = Frame(Tables.load(spark, sfDir, "embeddings"), Some("vec_id"))
+    val qs = emb.filter(emb("vec_id") < 3)
+    same("q_ann_lsh", emb.annTopK(qs, "embedding", dim = 64, numPlanes = 4, k = 3)
+      .transform(_.select(col("query_id"), col("vec_id"),
+          round(col("c"), 9).as("cosine"))
+        .orderBy("query_id", "vec_id")))
+    same("q_ivf_topk", emb.ivfTopK(qs, "embedding", nlist = 8, nprobe = 2, k = 3)
+      .transform(_.select(col("query_id"), col("vec_id"),
+          round(col("c"), 9).as("cosine"))
+        .orderBy("query_id", "vec_id")))
+    same("q_ivf_pq_topk", emb.ivfPqTopK(qs, "embedding", nlist = 8, nprobe = 2,
+        dim = 64, m = 4, ks = 8, k = 3)
+      .transform(_.select(col("query_id"), col("vec_id"),
+          round(col("c"), 6).as("cosine_ivfpq"))
+        .orderBy(col("query_id"), col("cosine_ivfpq").desc, col("vec_id"))))
+    same("q_embedding_near_dup", emb
+      .embeddingNearDuplicates("embedding", dim = 64, numPlanes = 4,
+        threshold = 0.3)
+      .transform(_.select(col("vec_a"), col("vec_b"),
+          round(col("cosine"), 9).as("cosine"))
+        .orderBy("vec_a", "vec_b")))
+    same("q_semantic_dedup", emb.semanticDedup("embedding", nlist = 8)
+      .transform(_.select(col("cell"), col("rep_id"),
+          round(col("rep_cos"), 9).as("rep_cos"), col("cell_size"))
+        .orderBy("cell")))
+    same("q_kmeans_cells", emb.kmeansCells("embedding", k = 8, iters = 3,
+        roundTo = 6)
+      .transform(_.groupBy("cell")
+        .agg(count(lit(1)).as("cell_size"),
+          round(avg("cell_cos"), 6).as("avg_cos"))
+        .orderBy("cell")))
+  }
+
   test("fuzzyPairs / kAnonymity facades match the registry queries") {
     val part10 = Frame(Tables.part(spark, sfDir)
       .filter(col("p_partkey") % 10 === 0), Some("p_partkey"))
