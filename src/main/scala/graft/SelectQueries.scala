@@ -202,6 +202,103 @@ object SelectQueries {
         .orderBy(col("query_id"), col("cosine_pq").desc, col("vec_id"))
     }
 
+    // PQ with a K-MEANS-TRAINED codebook (the FAISS-style quality path,
+    // Clustering.pqCodebookKmeans): per-subspace Lloyd's — 2 iterations,
+    // ks=8 cells seeded by the lowest vec_ids, trained on the whole
+    // corpus (trainRows ≥ corpus so the sample CTE collapses) — then the
+    // per-subspace centroid lists CONCATENATED into full-dim codewords.
+    // roundTo=6 snaps every centroid mean so the oracle replays
+    // seed → assign → round(avg) per subspace exactly (the
+    // q_kmeans_cells determinism device), and the recon/scoring CTEs
+    // are the q_pq_topk machinery verbatim on the trained codebook.
+    {
+      val (m, subDim, ks, iters) = (4, 16, 8, 2)
+      def sdot(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(generate_series(1, $subDim), i -> $a[i] * $b[i])), " +
+          "(acc, x) -> acc + x)"
+      val sb = new StringBuilder
+      for (j <- 0 until m) {
+        val off = j * subDim
+        sb.append(
+          s"""e$j AS (SELECT vec_id, list_transform(generate_series(1, $subDim),
+             |    i -> CAST(embedding[$off + i] AS DOUBLE)) AS sv FROM embeddings),
+             |c${j}_0 AS (SELECT vec_id AS cell, sv AS cv FROM e$j WHERE vec_id < $ks),
+             |""".stripMargin)
+        for (it <- 1 to iters) {
+          sb.append(
+            s"""s${j}_$it AS (SELECT e.vec_id, e.sv, c.cell,
+               |    ${sdot("c.cv", "e.sv")}
+               |      / (sqrt(${sdot("c.cv", "c.cv")}) * sqrt(${sdot("e.sv", "e.sv")})) AS cc
+               |  FROM e$j e, c${j}_${it - 1} c),
+               |a${j}_$it AS (SELECT vec_id, sv, cell,
+               |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS crn
+               |  FROM s${j}_$it),
+               |u${j}_$it AS (SELECT cell, i, round(avg(sv[i]), 6) AS mn
+               |  FROM (SELECT cell, sv, unnest(generate_series(1, $subDim)) AS i
+               |        FROM a${j}_$it WHERE crn = 1)
+               |  GROUP BY cell, i),
+               |c${j}_$it AS (SELECT c.cell, COALESCE(n.cv, c.cv) AS cv
+               |  FROM c${j}_${it - 1} c LEFT JOIN
+               |    (SELECT cell, list(mn ORDER BY i) AS cv FROM u${j}_$it GROUP BY cell) n
+               |    USING (cell)),
+               |""".stripMargin)
+        }
+      }
+      sb.append(
+        s"""cb AS (SELECT list(c0.cv || c1.cv || c2.cv || c3.cv ORDER BY c0.cell) AS cbs
+           |  FROM c0_$iters c0 JOIN c1_$iters c1 ON c0.cell = c1.cell
+           |    JOIN c2_$iters c2 ON c0.cell = c2.cell
+           |    JOIN c3_$iters c3 ON c0.cell = c3.cell)""".stripMargin)
+      q("q_pq_trained_topk",
+        s"""WITH ${sb.toString},
+          |recon AS (SELECT vec_id, flatten(list_transform(generate_series(0, 3), j ->
+          |    cbs[list_position(
+          |      list_transform(cbs, cw -> list_reduce(
+          |        list_prepend(CAST(0 AS DOUBLE),
+          |          list_transform(generate_series(1, 16), i ->
+          |            (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE))
+          |            * (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE)))),
+          |        (acc, v) -> acc + v)),
+          |      list_min(list_transform(cbs, cw -> list_reduce(
+          |        list_prepend(CAST(0 AS DOUBLE),
+          |          list_transform(generate_series(1, 16), i ->
+          |            (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE))
+          |            * (CAST(embedding[j*16+i] AS DOUBLE) - CAST(cw[j*16+i] AS DOUBLE)))),
+          |        (acc, v) -> acc + v))))
+          |    ][j*16+1 : j*16+16])) AS rv
+          |  FROM embeddings, cb),
+          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+          |sc AS (SELECT query_id, vec_id,
+          |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |      list_transform(generate_series(1, 64), i ->
+          |        rv[i] * CAST(qv[i] AS DOUBLE))), (acc, v) -> acc + v)
+          |    / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |        list_transform(generate_series(1, 64), i -> rv[i] * rv[i])),
+          |        (acc, v) -> acc + v))
+          |    / sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |        list_transform(generate_series(1, 64), i ->
+          |          CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))),
+          |        (acc, v) -> acc + v)) AS c
+          |  FROM recon, q WHERE vec_id != query_id),
+          |r AS (SELECT query_id, vec_id, c,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+          |      FROM sc)
+          |SELECT query_id, vec_id, round(c, 6) AS cosine_pqk FROM r WHERE rn <= 5
+          |ORDER BY query_id, cosine_pqk DESC, vec_id""".stripMargin) { (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val cb = graft.operators.Clustering.pqCodebookKmeans(emb, ks = ks,
+          m = m, dim = 64, iters = iters, trainRows = 1000000, roundTo = 6)
+        Similarity.pqTopK(queries, emb, dim = 64, m = m, ks = ks, k = 5,
+            codebook = Some(cb))
+          .select(col("query_id"), col("vec_id"),
+            round(col("c"), 6).as("cosine_pqk"))
+          .orderBy(col("query_id"), col("cosine_pqk").desc, col("vec_id"))
+      }
+    }
+
     // ---- CCNet perplexity bucketing -----------------------------------
 
     // Per-language head/middle/tail tertiles of the corpus bigram-LM

@@ -165,12 +165,20 @@ object Clustering {
   /** K-means-TRAINED PQ codebook — the quality path for
     * [[Similarity.pqTopK]] / [[ivfPqTopK]] at scale (FAISS-style: train
     * per-subspace centroids, not sampled corpus rows; the sampled
-    * [[Similarity.pqCodebook]] stays the bit-replayable oracle form).
+    * [[Similarity.pqCodebook]] stays the default oracle form).
     *
-    * One Lloyd's run per subspace over a bounded deterministic
-    * content-hash training sample (`trainRows`; FAISS trains on a
-    * sample too — the sample collect is never corpus-sized), then the
-    * per-subspace centroid lists are CONCATENATED into full-dim
+    * Lloyd's per subspace over a bounded deterministic content-hash
+    * training sample (`trainRows`; FAISS trains on a sample too), with
+    * ALL m subspaces trained in ONE job per iteration: every subspace's
+    * cell assignment is a literal projection on the same row, the
+    * (subspace, cell, dim) means ride one explode + one partial-agg
+    * groupBy, and the collected update is m·ks·subDim rows — identical
+    * per-subspace semantics to m independent [[kmeans]] runs (same
+    * seeds, same cosine argmax, same round(avg) update, empty cells
+    * keep their centroid; `roundTo ≥ 0` makes every decision
+    * externally replayable) at 1/m the corpus passes.
+    *
+    * The per-subspace centroid lists are CONCATENATED into full-dim
     * codewords: [[graft.functions.PqReconstruct]] argmins each subspace
     * independently, so concatenation gives exact per-subspace PQ
     * semantics with the existing kernel. Returns ks codewords of dim
@@ -189,15 +197,57 @@ object Clustering {
       .select("vec_id", "embedding")
       .cache()
     try {
-      val subCbs: Seq[IndexedSeq[Seq[Double]]] = (0 until m).map { j =>
-        val sub = sample.select(col("vec_id"),
-          slice(col("embedding"), j * subDim + 1, subDim).as("sub"))
-        val (_, cents) = kmeans(sub, "vec_id", "sub", ks, iters, roundTo)
-        require(cents.length == ks,
-          s"training sample has fewer than ks=$ks rows (${cents.length})")
-        cents.map(_._2).toIndexedSeq
+      // seeds: the ks lowest-id sample rows, sliced per subspace — the
+      // same rows for every subspace, so ONE bounded collect
+      val seedRows = sample
+        .select(col("vec_id").cast("long").as("id"), col("embedding"))
+        .orderBy("id").limit(ks).collect()
+      require(seedRows.length == ks,
+        s"training sample has fewer than ks=$ks rows (${seedRows.length})")
+      def toD(xs: Seq[Any]): Seq[Double] = xs.map {
+        case f: Float => f.toDouble
+        case d: Double => d
       }
-      (0 until ks).map(c => subCbs.map(_(c)).reduce(_ ++ _)).toArray
+      var cents: IndexedSeq[IndexedSeq[(Long, Seq[Double], Double)]] =
+        (0 until m).map { j =>
+          seedRows.map { r =>
+            val v = toD(r.getSeq[Any](1)).slice(j * subDim, (j + 1) * subDim)
+            (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+          }.sortBy(_._1).toIndexedSeq
+        }
+      val meanCol =
+        if (roundTo >= 0) round(avg(col("x").cast("double")), roundTo)
+        else avg(col("x").cast("double"))
+      for (_ <- 0 until iters) {
+        val cellCols = (0 until m).map(j =>
+          cellOf(slice(col("embedding"), j * subDim + 1, subDim), cents(j))
+            .as(s"__c$j"))
+        val updated = sample
+          .select(cellCols :+ col("embedding"): _*)
+          .select(array((0 until m).map(j => col(s"__c$j")): _*).as("__cells"),
+            posexplode(col("embedding")).as(Seq("fd", "x")))
+          .select((col("fd") / subDim).cast("int").as("j"),
+            element_at(col("__cells"),
+              (col("fd") / subDim).cast("int") + 1).as("cell"),
+            (col("fd") % subDim).cast("int").as("d"), col("x"))
+          .groupBy("j", "cell", "d")
+          .agg(meanCol.as("mn"))
+          .collect()
+        val byJ = updated.groupBy(_.getInt(0))
+        cents = (0 until m).map { j =>
+          val cellMap = byJ.getOrElse(j, Array.empty[Row])
+            .groupBy(_.getLong(1)).map { case (cell, rs) =>
+              val v: Seq[Double] = rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+              cell -> ((v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))))
+            }
+          require(cellMap.values.forall(_._1.length == subDim))
+          cents(j).map { case old @ (id, _, _) =>
+            cellMap.get(id).map { case (v, n) => (id, v, n) }.getOrElse(old)
+          }
+        }
+      }
+      (0 until ks).map(c => (0 until m).map(j => cents(j)(c)._2)
+        .reduce(_ ++ _)).toArray
     } finally sample.unpersist()
   }
 
