@@ -86,6 +86,20 @@ object Clustering {
       .drop("__cos")
   }
 
+  /** Each query exploded to its `nprobe` best cells, ranked by
+    * (cosine desc, cell asc): (query_id, qv, cell) — the probe list of
+    * the IVF family, shared by [[ivfTopK]], [[ivfPqTopK]] and the
+    * streaming [[graft.streaming.StreamOps.streamingVectorSearch]].
+    * A pure projection: no shuffle, no state. */
+  def probeCells(queries: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)], nprobe: Int): DataFrame =
+    queries
+      .withColumn("__cos", cosArray(col("qv"), cents))
+      .withColumn("__probe", explode(slice(array_sort(
+        zip_with(col("__cos"), typedLit(cents.map(_._1)),
+          (c, id) => struct((-c).as("negc"), id.as("cell")))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("__probe.cell").as("cell"))
+
   /** IVF approximate top-k: corpus vectors live in their nearest-centroid
     * cell; each query probes only its `nprobe` nearest cells and scores
     * exact cosine inside them. The probe list is broadcast (queries are
@@ -98,17 +112,8 @@ object Clustering {
       nlist: Int, nprobe: Int, k: Int): DataFrame = {
     val cents = seedCentroids(corpus, idCol, vecCol, nlist)
     val assigned = assignCells(corpus, idCol, vecCol, cents)
-
-    // each query → nprobe rows (query_id, qv, cell): explode its nprobe
-    // best cells, ranked by (cosine desc, cell asc)
-    val probes = queries
-      .withColumn("__cos", cosArray(col("qv"), cents))
-      .withColumn("__probe", explode(slice(array_sort(
-        zip_with(col("__cos"), typedLit(cents.map(_._1)),
-          (c, id) => struct((-c).as("negc"), id.as("cell")))), 1, nprobe)))
-      .select(col("query_id"), col("qv"), col("__probe.cell").as("cell"))
-
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    val scored = assigned.join(broadcast(probeCells(queries, cents, nprobe)),
+        Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("c", Similarity.cosine(col("qv"), col(vecCol)))
     // candidates are already cell-bounded; the bounded partial top-k
@@ -144,16 +149,8 @@ object Clustering {
       .select(col(idCol), col("cell"),
         Similarity.pqRecon(col(vecCol), codebook, m, dim / m).as("recon"))
       .withColumn("nrm", Similarity.norm(col("recon")))
-    val probes = queries
-      .withColumn("__cos", array(cents.map { case (_, cv, nrm) =>
-        Similarity.dot(typedLit(cv), col("qv")) /
-          (lit(nrm) * Similarity.norm(col("qv")))
-      }: _*))
-      .withColumn("__probe", explode(slice(array_sort(
-        zip_with(col("__cos"), typedLit(cents.map(_._1)),
-          (c, id) => struct((-c).as("negc"), id.as("cell")))), 1, nprobe)))
-      .select(col("query_id"), col("qv"), col("__probe.cell").as("cell"))
-    val scored = encoded.join(broadcast(probes), Seq("cell"))
+    val scored = encoded.join(broadcast(probeCells(queries, cents, nprobe)),
+        Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("c",
         Similarity.dot(col("recon"), col("qv")) / col("nrm") /

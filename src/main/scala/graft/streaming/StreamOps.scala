@@ -314,6 +314,35 @@ object StreamOps {
       }
   }
 
+  /** Streaming vector search: incoming query vectors probe a static
+    * IVF-celled corpus — the online form of
+    * [[graft.operators.Clustering.ivfTopK]]. Cell assignment for each
+    * arriving query is a pure literal projection (the centroid table
+    * rides in the plan, the [[graft.operators.Clustering.cellOf]]
+    * contract), candidates come from a stream-static equi-join on
+    * `cell` against the precomputed (cell, vec_id, embedding) index —
+    * at scale the index is bucketed on `cell` so each micro-batch is a
+    * bounded hash probe — and exact cosine scores ride the joined row
+    * as a stateless projection. Emits ALL probed-cell candidates
+    * (query_id, vec_id, c); consumers keep their top-k in the bounded
+    * sink (a per-query top-k aggregate would need streaming state for
+    * a one-shot query — same side-output contract as
+    * [[streamingNearDupCandidates]]). Stateless: no watermark, any
+    * output mode; scores equal the batch operator's exactly.
+    */
+  def streamingVectorSearch(queries: DataFrame,  // (query_id, qv)
+      index: DataFrame,                          // assignCells output
+      cents: Seq[(Long, Seq[Double], Double)],
+      nprobe: Int): DataFrame = {
+    import graft.operators.{Clustering, Similarity}
+    val probes = Clustering.probeCells(queries, cents, nprobe)
+    probes.join(index.select(col("cell"), col("vec_id"), col("embedding")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosine(col("qv"), col("embedding")).as("c"))
+  }
+
   /** The composed streaming ingest FRONT DOOR — the end-to-end online
     * form of the batch prep funnel (q_prep_funnel), chaining the
     * pieces a production crawl-ingest pipeline runs on every arriving

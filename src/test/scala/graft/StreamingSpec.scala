@@ -605,6 +605,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming vector search probes a static IVF index, scores equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Clustering
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(d => (((seed * 31 + d) * 2654435761L % 1000) / 500.0f) - 1.0f)
+    val corpus = (0L until 20L).map(i => (i, vec(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val cents = Clustering.seedCentroids(corpus, "vec_id", "embedding", 3)
+    val index = Clustering.assignCells(corpus, "vec_id", "embedding", cents)
+      .cache()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val out = StreamOps.streamingVectorSearch(
+      in.toDF().toDF("query_id", "qv"), index, cents, nprobe = 2)
+    val q = out.writeStream.format("memory").queryName("vsearch")
+      .outputMode("append").start()
+    try {
+      in.addData((0L, vec(0)), (7L, vec(7)))
+      q.processAllAvailable()
+      val got = spark.table("vsearch").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch reference: ivfTopK with k >= all candidates keeps every
+      // probed-cell candidate with the identical cosine expression
+      val batchQ = Seq((0L, vec(0)), (7L, vec(7))).toDF("query_id", "qv")
+      val want = Clustering.ivfTopK(batchQ, corpus, "vec_id", "embedding",
+          nlist = 3, nprobe = 2, k = 1000)
+        .select("query_id", "vec_id", "c").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"stream ${got.size} vs batch ${want.size}")
+      assert(got.nonEmpty && got.forall(t => t._1 != t._2))
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("ingest front door e2e: streaming run equals the batch run") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
