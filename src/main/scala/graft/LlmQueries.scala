@@ -432,6 +432,36 @@ object LlmQueries {
       }
     }
 
+    // Semantic benchmark decontamination: max cosine of every corpus
+    // embedding against the (tiny) benchmark-embedding set — the
+    // EMBEDDING-space companion to the n-gram q_contamination, catching
+    // paraphrased eval leakage that exact grams miss. The bench set
+    // rides as PLAN LITERALS (the IVF-centroid pattern), so the whole
+    // probe is a map-only projection: no join, no shuffle at any scale.
+    // max() is order-independent over doubles, so the oracle's
+    // aggregate max over the identical cosine folds matches exactly.
+    q("q_semantic_contamination",
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS bv,
+         |             sqrt(${dotSql("embedding", "embedding")}) AS bn
+         |           FROM embeddings WHERE vec_id < 5),
+         |sc AS (SELECT e.vec_id,
+         |         ${dotSql("bv", "e.embedding")}
+         |           / (bn * sqrt(${dotSql("e.embedding", "e.embedding")})) AS c
+         |       FROM embeddings e, b WHERE e.vec_id >= 5),
+         |mx AS (SELECT vec_id, max(c) AS mc FROM sc GROUP BY vec_id)
+         |SELECT vec_id, round(mc, 9) AS max_cos, mc >= 0.25 AS contaminated
+         |FROM mx ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val bench = operators.Clustering.seedCentroids(
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+      e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"),
+          Similarity.maxCosineToSet(col("embedding"), bench).as("mc"))
+        .select(col("vec_id"), round(col("mc"), 9).as("max_cos"),
+          (col("mc") >= 0.25).as("contaminated"))
+        .orderBy("vec_id")
+    }
+
     // Per-label embedding statistics (vector-norm reductions).
     q("q_embedding_stats",
       s"""WITH n AS (SELECT label, sqrt(${dotSql("embedding", "embedding")}) AS nrm

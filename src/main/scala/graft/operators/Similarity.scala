@@ -83,6 +83,20 @@ object Similarity {
     topKPerQuery(scored, k, "c", scoreDesc = true)
   }
 
+  /** Max cosine of `vec` against a LITERAL set of vectors (id, vector,
+    * norm triples, the [[Clustering.seedCentroids]] shape) — the
+    * semantic-contamination probe: benchmark/eval embeddings are tiny
+    * and ride the plan as literals, so the whole check is a map-only
+    * projection — no join, no shuffle, no broadcast round-trip (the
+    * IVF-centroid literal pattern). max() is order-independent over
+    * IEEE doubles, so any engine replaying the per-vector cosine folds
+    * reproduces the value exactly. */
+  def maxCosineToSet(vec: Column,
+      set: Seq[(Long, Seq[Double], Double)]): Column =
+    array_max(array(set.map { case (_, v, nrm) =>
+      dot(typedLit(v), vec) / (lit(nrm) * norm(vec))
+    }: _*))
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * derived from md5(plane "_" dim) so it is reproducible anywhere.
     * Computed once at plan-build time and embedded as literals — the

@@ -376,6 +376,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"q_rendezvous_shards plans $exchanges exchanges")
   }
 
+  test("semantic contamination probe is map-only: no join, literal bench set") {
+    // the bench embeddings ride as plan literals (IVF-centroid pattern);
+    // the probe must stay a projection — a join/shuffle here would scan
+    // corpus × bench at scale
+    val p = plan("q_semantic_contamination")
+    assert(!p.contains("Join"), s"bench set joined instead of inlined:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"q_semantic_contamination plans $exchanges exchanges")
+  }
+
   test("zipf top-N is a distributed top-k, not a vocabulary-wide sort") {
     val p = plan("q_zipf_slope")
     assert(p.contains("TakeOrderedAndProject"),
