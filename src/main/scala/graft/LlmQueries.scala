@@ -430,6 +430,50 @@ object LlmQueries {
           .select(col("vec_a"), col("vec_b"), round(col("cosine"), 9).as("cosine"))
           .orderBy("vec_a", "vec_b")
       }
+
+      // Semantic cluster collapse ACROSS TABLES: embedding-cosine
+      // near-dup pairs (the CTEs above) clustered by the recursive
+      // closure, then each cluster of DOCUMENTS keeps its longest
+      // member — the embedding-space twin of q_cluster_keep_best
+      // (paraphrase-level dedup that n-gram LSH cannot see), and the
+      // documents⋈embeddings composition in one gate query. Exercises
+      // TextDedup.collapseKeepBestByPairs, the pairs-driven core shared
+      // by the text, embedding, and perceptual collapse paths.
+      q("q_semantic_keep_best",
+        s"""WITH RECURSIVE planes AS (SELECT $planes),
+           |b AS (SELECT vec_id, embedding,
+           |        sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+           |        ${bucketOf("embedding")} AS bucket
+           |      FROM embeddings, planes),
+           |pr AS (SELECT a.vec_id AS doc_a, x.vec_id AS doc_b
+           |       FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+           |       WHERE ${dotSql("a.embedding", "x.embedding")} / (a.nrm * x.nrm)
+           |             >= 0.3),
+           |edges AS (SELECT doc_a AS n, doc_b AS m FROM pr
+           |          UNION SELECT doc_b, doc_a FROM pr),
+           |reach(n, m) AS (SELECT n, m FROM edges
+           |                UNION
+           |                SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n),
+           |cl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+           |       FROM reach GROUP BY n),
+           |alldocs AS (SELECT d.doc_id, d.n_chars,
+           |              coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+           |            FROM documents d LEFT JOIN cl USING (doc_id)),
+           |rk AS (SELECT doc_id, cluster_id,
+           |         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+           |         row_number() OVER (PARTITION BY cluster_id
+           |                            ORDER BY n_chars DESC, doc_id) AS rn
+           |       FROM alldocs)
+           |SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members,
+           |  rn = 1 AS kept
+           |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val pairs = Similarity.cosineNearDup(Tables.embeddings(s, dir),
+            dim = 64, numPlanes = 4, threshold = 0.3)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        TextDedup.collapseKeepBestByPairs(Tables.documents(s, dir),
+            "doc_id", "n_chars", pairs)
+          .orderBy("doc_id")
+      }
     }
 
     // Semantic benchmark decontamination: max cosine of every corpus

@@ -931,10 +931,23 @@ object TextDedup {
       threshold: Double = 0.8,
       shingleLen: Int = 3,
       numHashes: Int = 16,
-      bandRows: Int = 4): DataFrame = {
+      bandRows: Int = 4): DataFrame =
+    collapseKeepBestByPairs(docs, idCol, scoreCol,
+      nearDuplicates(docs, idCol, textCol, shingleLen, numHashes,
+        bandRows, threshold).select("doc_a", "doc_b"))
+
+  /** The pairs-driven core of [[collapseKeepBest]]: cluster any
+    * near-dup pair stream — text LSH, embedding-cosine
+    * ([[Similarity.cosineNearDup]] pairs), perceptual — and keep each
+    * cluster's highest-`scoreCol` member (ties to smallest id);
+    * singletons keep themselves. The rank window is bounded by the
+    * largest clique, same as the text form. */
+  def collapseKeepBestByPairs(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = nearDuplicates(docs, idCol, textCol, shingleLen, numHashes,
-      bandRows, threshold).select("doc_a", "doc_b")
     val clusters = dupClusters(pairs).select(
       col("doc_id").as("__cid_doc"), col("cluster_id").as("__cl"))
     val withCl = docs.select(col(idCol), col(scoreCol))
