@@ -901,6 +901,48 @@ object ExtraQueries {
         .orderBy("c_nationkey", "c_mktsegment")
     }
 
+    // l-diversity report (operators.EntityMatch.lDiversity): class size
+    // is not enough — every member sharing one sensitive value still
+    // leaks it. Sensitive attribute = account-balance thousand-bucket.
+    q("q_l_diversity",
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |  count(DISTINCT floor(c_acctbal / 1000)) AS n_sensitive,
+        |  count(DISTINCT floor(c_acctbal / 1000)) >= 3 AS diverse
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, dir) =>
+      import graft.operators.EntityMatch
+      EntityMatch.lDiversity(
+          Tables.customer(s, dir)
+            .withColumn("bal_bucket", floor(col("c_acctbal") / 1000)),
+          l = 3, "bal_bucket", "c_nationkey", "c_mktsegment")
+        .orderBy("c_nationkey", "c_mktsegment")
+    }
+
+    // Temporal train/test split with embargo (operators.TimeGrid
+    // .temporalSplit): trailing 7 days = test, 2-day embargo dropped,
+    // rest = train; one one-row max(ts) aggregate broadcast into a
+    // map-only CASE. Compact per-split report.
+    q("q_temporal_split",
+      s"""WITH c AS (SELECT max(ts) - INTERVAL 7 DAY AS test_start,
+         |    max(ts) - INTERVAL 9 DAY AS embargo_start
+         |  FROM ${Queries.EVENTS_SQL}),
+         |lab AS (SELECT events.*, CASE WHEN ts > test_start THEN 'test'
+         |    WHEN ts > embargo_start THEN 'embargo' ELSE 'train' END AS split
+         |  FROM ${Queries.EVENTS_SQL}, c)
+         |SELECT split, count(*) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  min(ts) AS min_ts, max(ts) AS max_ts
+         |FROM lab GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      import graft.operators.TimeGrid
+      TimeGrid.temporalSplit(Tables.events(s, dir), "ts",
+          testUnits = 7, embargoUnits = 2, unit = "day")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          min("ts").as("min_ts"), max("ts").as("max_ts"))
+        .orderBy("split")
+    }
+
     // Regular-grid resample + forward fill (pandas asfreq().ffill()):
     // dense per-key day grid via sequence()+explode, per-bucket last
     // observation by (ts, event_id), partitioned running last(ignore

@@ -692,6 +692,20 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def kAnonymity(k: Long, quasiCols: String*): Frame =
     Frame(graft.operators.EntityMatch.kAnonymity(df, k, quasiCols: _*))
 
+  /** Per-equivalence-class l-diversity report over the sensitive
+    * column (operators.EntityMatch.lDiversity). */
+  def lDiversity(l: Long, sensitiveCol: String, quasiCols: String*): Frame =
+    Frame(graft.operators.EntityMatch.lDiversity(df, l, sensitiveCol,
+      quasiCols: _*))
+
+  /** Temporal train/embargo/test split labels from the corpus clock
+    * (operators.TimeGrid.temporalSplit; one broadcast max-ts aggregate
+    * plus a map-only CASE). */
+  def temporalSplit(tsCol: String, testUnits: Int, embargoUnits: Int,
+      unit: String = "day"): Frame =
+    Frame(graft.operators.TimeGrid.temporalSplit(df, tsCol, testUnits,
+      embargoUnits, unit))
+
   /** Dense per-key time grid with forward fill — pandas
     * `resample(freq).asfreq().ffill()` (operators.TimeGrid.asFreqFfill;
     * sequence()+explode grid, key-partitioned fill window). */

@@ -73,4 +73,17 @@ object EntityMatch {
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("class_size"))
       .withColumn("anonymous", col("class_size") >= k)
+
+  /** l-diversity report (Machanavajjhala et al. 2007) — k-anonymity's
+    * companion: a class can be large yet still leak if every member
+    * shares one sensitive value. Per quasi-identifier equivalence
+    * class: size, distinct sensitive values, and the ≥l flag. Same
+    * single partial-agg groupBy shape as [[kAnonymity]] (countDistinct
+    * expands to a two-phase exact distinct — no per-class buffering). */
+  def lDiversity(df: DataFrame, l: Long, sensitiveCol: String,
+      quasiCols: String*): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
 }

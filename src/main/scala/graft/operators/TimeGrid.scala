@@ -28,6 +28,35 @@ object TimeGrid {
     * Grid rows per key = span/unit: a 10-year key is ~3.7k rows at
     * "day" but ~315M at "second" — pick the unit for the span, the
     * explode is per-key-linear and the operator adds no other state. */
+  /** Temporal train/test split with an embargo gap — the time-series
+    * leakage control (de Prado 2018 "purged" splits; the temporal
+    * counterpart of content-hash [[TextDedup.leakageSafeSplit]]): test =
+    * the trailing `testUnits` of the corpus clock, train = everything
+    * older than an additional `embargoUnits` buffer, and the buffer
+    * rows are labeled "embargo" (callers drop them) so rows adjacent to
+    * the boundary can't leak near-future information into training.
+    *
+    * Plan shape: ONE one-row aggregate (max ts) broadcast back by
+    * cross join, then a map-only CASE — the cutoffs ride the plan, no
+    * per-row state, no window, nothing driver-side. Interval
+    * arithmetic on whole `unit`s is exact on microsecond timestamps,
+    * so any engine replaying the same CASE reproduces the labels
+    * bit-for-bit. */
+  def temporalSplit(df: DataFrame, tsCol: String, testUnits: Int,
+      embargoUnits: Int, unit: String = "day"): DataFrame = {
+    val cuts = df.agg(max(col(tsCol)).as("__end"))
+      .select(
+        (col("__end") - expr(s"interval $testUnits $unit")).as("__test_start"),
+        (col("__end") - expr(s"interval ${testUnits + embargoUnits} $unit"))
+          .as("__embargo_start"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("split",
+        when(col(tsCol) > col("__test_start"), lit("test"))
+          .when(col(tsCol) > col("__embargo_start"), lit("embargo"))
+          .otherwise(lit("train")))
+      .drop("__test_start", "__embargo_start")
+  }
+
   def asFreqFfill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieCol: String, unit: String = "day"): DataFrame = {
     val step = expr(s"interval 1 $unit")

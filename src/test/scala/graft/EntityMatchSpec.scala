@@ -53,4 +53,20 @@ class EntityMatchSpec extends SparkSpec {
       ("US", "B") -> ((2L, false)),
       ("DE", "A") -> ((1L, false))))
   }
+
+  test("lDiversity flags classes whose sensitive values collapse") {
+    import spark.implicits._
+    val df = Seq(
+      // class (US): 3 rows but only 1 sensitive value → not diverse
+      ("US", "flu"), ("US", "flu"), ("US", "flu"),
+      // class (DE): 2 rows, 2 sensitive values → diverse at l=2
+      ("DE", "flu"), ("DE", "cold"))
+      .toDF("country", "dx")
+    val got = EntityMatch.lDiversity(df, l = 2, "dx", "country")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      "US" -> ((3L, 1L, false)),
+      "DE" -> ((2L, 2L, true))))
+  }
 }

@@ -887,6 +887,20 @@ class FrameApiSpec extends SparkSpec {
     same("q_k_anonymity", Frame(Tables.customer(spark, sfDir))
       .kAnonymity(25, "c_nationkey", "c_mktsegment")
       .sortValues("c_nationkey", "c_mktsegment"))
+    same("q_l_diversity", Frame(Tables.customer(spark, sfDir)
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000)))
+      .lDiversity(3, "bal_bucket", "c_nationkey", "c_mktsegment")
+      .sortValues("c_nationkey", "c_mktsegment"))
+  }
+
+  test("temporalSplit facade matches the registered query") {
+    same("q_temporal_split", Frame(Tables.events(spark, sfDir))
+      .temporalSplit("ts", testUnits = 7, embargoUnits = 2)
+      .transform(_.groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          min("ts").as("min_ts"), max("ts").as("max_ts"))
+        .orderBy("split")))
   }
 
   test("corrMatrix facade matches the registered query") {

@@ -72,6 +72,25 @@ class RecurrenceSpec extends SparkSpec {
       (2L, "2024-01-02", 7.0, true)))
   }
 
+  test("temporalSplit labels test / embargo / train from the corpus clock") {
+    import spark.implicits._
+    import graft.operators.TimeGrid
+    def ts(d: Int, h: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val df = Seq(
+      (1L, ts(1)),        // oldest → train
+      (2L, ts(20)),       // 10 days before end → train
+      (3L, ts(22)),       // inside (end-9d, end-7d] → embargo
+      (4L, ts(23, 1)),    // just past test_start → test
+      (5L, ts(30)))       // end → test
+      .toDF("id", "ts")
+    val got = TimeGrid.temporalSplit(df, "ts", testUnits = 7,
+        embargoUnits = 2).select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "train", 2L -> "train", 3L -> "embargo",
+      4L -> "test", 5L -> "test"))
+  }
+
   test("ewm accepts non-double value columns (long)") {
     import spark.implicits._
     val df = Seq((1L, 0L, 10L), (1L, 1L, 20L)).toDF("k", "i", "v")
