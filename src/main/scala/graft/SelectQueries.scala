@@ -519,6 +519,31 @@ object SelectQueries {
         .orderBy(col("contrib").desc, col("bucket"))
     }
 
+    // Tokenizer-coverage / OOV report (operators.TextQuality.oovReport):
+    // per-source fraction of tokens outside the top-500 corpus
+    // vocabulary. Vocabulary = TakeOrdered over the token-count
+    // aggregate (ties by token), rates = single divisions of exact
+    // integer sums — no float-sum association anywhere.
+    q("q_oov_rate",
+      """WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        |              FROM documents),
+        |vocab AS (SELECT t FROM (SELECT t, count(*) AS c FROM toks GROUP BY t
+        |                         ORDER BY c DESC, t LIMIT 20)),
+        |j AS (SELECT doc_id, source, v.t IS NOT NULL AS hit
+        |      FROM toks LEFT JOIN vocab v ON toks.t = v.t)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      // the synthetic corpus has a ~31-token vocabulary — a top-20
+      // vocab leaves a real OOV tail at every SF
+      graft.operators.TextQuality.oovReport(Tables.documents(s, dir),
+          "doc_id", "text", "source", vocabSize = 20)
+        .orderBy("source")
+    }
+
     // ---- binary-code Hamming retrieval --------------------------------
 
     // Sign-bit binary codes: 64 float dims pack into ONE BIGINT (32x

@@ -1033,6 +1033,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextQuality.vocabDrift(df, idx, textCol, isNew,
       buckets, k))
 
+  /** Tokenizer-coverage / OOV report per `groupCol` against the
+    * top-`vocabSize` corpus vocabulary
+    * (operators.TextQuality.oovReport). */
+  def oovReport(textCol: String, groupCol: String, vocabSize: Int): Frame =
+    Frame(graft.operators.TextQuality.oovReport(df, idx, textCol, groupCol,
+      vocabSize))
+
   /** Fixed-token-budget training-shard manifest in index order
     * (operators.Packing.shardManifest — two-pass offsets). */
   def shardManifest(tokensCol: String, shardTokens: Long): Frame =

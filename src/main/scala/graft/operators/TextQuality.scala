@@ -424,6 +424,39 @@ object TextQuality {
     * occupied). Output: (bucket, c_base, c_new, contrib, kl_total) —
     * kl_total repeated per row so the result is self-contained.
     */
+  /** Tokenizer-coverage / OOV report per `groupCol`: the fraction of
+    * corpus tokens NOT covered by the top-`vocabSize` vocabulary — the
+    * go/no-go check before committing a tokenizer vocabulary to a
+    * training run (a vocab tuned on English shows its gaps as OOV
+    * spikes per source/language). Companion to [[vocabDrift]] (which
+    * compares two corpora; this compares corpus vs vocabulary).
+    *
+    * Plan shape: ONE token-keyed count aggregate (vocabulary-sized
+    * shuffle, never doc-keyed), top-N vocabulary via TakeOrdered
+    * (bounded, ties broken by token so any engine picks the same set),
+    * broadcast-joined back into the token stream, then a per-group
+    * partial aggregate. Rates are single divisions of exact integer
+    * sums (micro-average) — bit-reproducible anywhere, no float-sum
+    * association drift.
+    *
+    * Output: (groupCol, n_docs, n_tokens, n_oov, oov_rate). */
+  def oovReport(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"), col(groupCol),
+      explode(split(col(textCol), " ")).as("__t"))
+    val vocab = toks.groupBy("__t").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t")).limit(vocabSize)
+      .select(col("__t"), lit(true).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(groupCol)
+      .agg(countDistinct("__id").as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   def vocabDrift(docs: DataFrame, idCol: String, textCol: String,
       isNew: org.apache.spark.sql.Column, buckets: Int = 4096,
       k: Int = 15): DataFrame = {

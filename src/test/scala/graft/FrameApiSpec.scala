@@ -922,6 +922,12 @@ class FrameApiSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("oovReport facade matches the registered query") {
+    same("q_oov_rate", Frame(Tables.documents(spark, sfDir), Some("doc_id"))
+      .oovReport("text", "source", vocabSize = 20)
+      .sortValues("source"))
+  }
+
   test("selection/retrieval facades match the registry queries") {
     val docs = Frame(Tables.documents(spark, sfDir), Some("doc_id"))
 

@@ -249,6 +249,37 @@ class SelectOpsSpec extends SparkSpec {
     assert(d.take(4).forall(r => r.getLong(2) === 0L))
   }
 
+  test("oovReport counts exactly the tokens outside the top-N vocabulary") {
+    import graft.operators.TextQuality
+    // "common" appears 4x (in vocab at N=2), "shared" 3x (in vocab),
+    // rare tokens once each (OOV at N=2)
+    val docs = spark.createDataFrame(Seq(
+      (0L, "common shared rare1", "a"),
+      (1L, "common shared rare2", "a"),
+      (2L, "common shared", "b"),
+      (3L, "common unique3", "b")))
+      .toDF("doc_id", "text", "source")
+    val got = TextQuality.oovReport(docs, "doc_id", "text", "source",
+        vocabSize = 2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // source a: 6 tokens, rare1+rare2 OOV; source b: 4 tokens, unique3 OOV
+    assert(got == Map(
+      "a" -> ((2L, 6L, 2L, 2.0 / 6.0)),
+      "b" -> ((2L, 4L, 1L, 1.0 / 4.0))))
+  }
+
+  test("oovReport vocab boundary ties break by token, not hash order") {
+    import graft.operators.TextQuality
+    // all tokens count 1: top-2 vocab must be the lexicographically
+    // first two ("aa", "bb"); "cc" and "dd" are OOV
+    val docs = spark.createDataFrame(Seq((0L, "dd cc bb aa", "s")))
+      .toDF("doc_id", "text", "source")
+    val got = TextQuality.oovReport(docs, "doc_id", "text", "source",
+      vocabSize = 2).collect()
+    assert(got.head.getLong(3) === 2L, s"${got.toSeq}")
+  }
+
   test("signCode packs sign bits exactly, including the two's-complement bit 63") {
     // dims 0,63 positive, rest negative → bits 0 and 63 set
     val v: Seq[Float] = 1.0f +: Seq.fill(62)(-1.0f) :+ 1.0f
