@@ -59,6 +59,42 @@ object SelectQueries {
         .orderBy(col("query_id"), col("score").desc, col("doc_id"))
     }
 
+    // Lexical doc-kNN (operators.Retrieval.jaccardTopK): top-5 most
+    // similar corpus docs per query doc by word-trigram Jaccard, exact
+    // over the shared-shingle candidates. Per-doc shingle sets from ONE
+    // row-local kernel call; broadcast query side; (query, doc)-keyed
+    // partial-agg intersection counts; bounded top-k.
+    q("q_jaccard_topk",
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
+        |      AS BIGINT) AS h
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+        |        FROM words)),
+        |sizes AS (SELECT doc_id, count(*) AS cs FROM sh GROUP BY 1),
+        |qs AS (SELECT doc_id AS query_id, h FROM sh WHERE doc_id < 3),
+        |qsize AS (SELECT query_id, count(*) AS nq FROM qs GROUP BY 1),
+        |inter AS (SELECT query_id, s.doc_id, count(*) AS i
+        |  FROM qs JOIN sh s USING (h) WHERE s.doc_id <> qs.query_id
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT query_id, doc_id,
+        |    CAST(i AS DOUBLE) / CAST(nq + cs - i AS DOUBLE) AS jaccard
+        |  FROM inter JOIN qsize USING (query_id) JOIN sizes USING (doc_id)),
+        |r AS (SELECT query_id, doc_id, jaccard,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY jaccard DESC, doc_id) AS rn
+        |      FROM scored)
+        |SELECT query_id, doc_id, round(jaccard, 9) AS jaccard, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text"))
+      Retrieval.jaccardTopK(docs, "doc_id", "text", queries, n = 3, k = 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("jaccard"), 9).as("jaccard"), col("rn"))
+        .orderBy("query_id", "rn")
+    }
+
     // ---- DSIR importance resampling -----------------------------------
 
     // Target distribution = English docs; raw pool = the rest. Hashed

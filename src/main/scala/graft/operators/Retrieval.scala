@@ -94,4 +94,50 @@ object Retrieval {
         idCol = "doc_id")
       .select("query_id", "doc_id", "score")
   }
+
+  /** Lexical doc-kNN: the `k` corpus documents most similar to each
+    * query document by word n-gram Jaccard — the "find me more like
+    * these" primitive (near-dup triage, retrieval-augmented curation),
+    * exact over the shared-shingle candidate set.
+    *
+    * Scale shape (the asymmetric-retrieval layout, like [[bm25TopK]]):
+    * per-doc DISTINCT shingle-hash sets come from ONE row-local kernel
+    * call each ([[graft.functions.ShingleHashes]] — no explode+distinct
+    * shuffle; set size rides in the same projection), the small query
+    * side is broadcast into the corpus shingle stream, intersections
+    * are a (query, doc)-keyed partial-aggregate count — cost ∝ shared
+    * shingle postings, never corpus × queries — and Jaccard
+    * |A∩B| / (|A|+|B|−|A∩B|) is one division of exact integer sums.
+    * Top-k via [[Similarity.topKPerQuery]] (bounded partial
+    * aggregation; ties by doc id). A doc sharing no shingle with a
+    * query scores 0 and is simply absent.
+    *
+    * Output: (query_id, doc_id, jaccard, rn). */
+  def jaccardTopK(
+      corpus: DataFrame,    // (id, text, ...)
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,   // (query_id, text)
+      n: Int,
+      k: Int): DataFrame = {
+    def shingleSets(df: DataFrame, id: Column, outId: String) = df
+      .select(id.as(outId),
+        graft.functions.ShingleHashes(col(textCol), n, 7, dedup = true)
+          .as("__hs"))
+      .select(col(outId), size(col("__hs")).cast("long").as(s"__n_$outId"),
+        explode(col("__hs")).as("__h"))
+    val qSh = shingleSets(queries, col("query_id"), "query_id")
+    val cSh = shingleSets(corpus, col(idCol), "doc_id")
+    val scored = cSh.join(broadcast(qSh), Seq("__h"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("__i"),
+        max("__n_query_id").as("__qs"), max("__n_doc_id").as("__cs"))
+      .select(col("query_id"), col("doc_id"),
+        (col("__i").cast("double") /
+          (col("__qs") + col("__cs") - col("__i")).cast("double"))
+          .as("jaccard"))
+    Similarity.topKPerQuery(scored, k, "jaccard", scoreDesc = true,
+      idCol = "doc_id")
+  }
 }

@@ -939,6 +939,14 @@ class FrameApiSpec extends SparkSpec {
       .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))))
 
+    val jq = Frame(Tables.documents(spark, sfDir).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text")))
+    same("q_jaccard_topk", Frame(docs.jaccardSearch("text", jq, n = 3, k = 5)
+      .toDF
+      .select(col("query_id"), col("doc_id"),
+        round(col("jaccard"), 9).as("jaccard"), col("rn"))
+      .orderBy("query_id", "rn")))
+
     same("q_dsir_select", Frame(docs.dsirSelect("text", col("lang") === "en",
         k = 20).toDF
       .select(col("doc_id"), round(col("weight"), 6).as("weight"),

@@ -249,6 +249,23 @@ class SelectOpsSpec extends SparkSpec {
     assert(d.take(4).forall(r => r.getLong(2) === 0L))
   }
 
+  test("jaccardTopK matches set-arithmetic Jaccard and excludes self") {
+    import graft.operators.Retrieval
+    val corpus = docsDf(Seq(
+      0L -> "a b c d e",        // query: shingles {abc, bcd, cde}
+      1L -> "a b c d e",        // identical → jaccard 1
+      2L -> "a b c d x",        // shares {abc, bcd} of union 4 → 0.5
+      3L -> "a b c x y",        // shares {abc} of union 5 → 0.2
+      4L -> "p q r s t"))       // disjoint → absent
+    val queries = corpus.filter(col("doc_id") === 0L)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val got = Retrieval.jaccardTopK(corpus, "doc_id", "text", queries,
+        n = 3, k = 10)
+      .select("doc_id", "jaccard", "rn").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 1.0, 1), (2L, 0.5, 2), (3L, 0.2, 3)), s"$got")
+  }
+
   test("oovReport counts exactly the tokens outside the top-N vocabulary") {
     import graft.operators.TextQuality
     // "common" appears 4x (in vocab at N=2), "shared" 3x (in vocab),
