@@ -334,6 +334,41 @@ object TrainPrepQueries {
         .orderBy("bin")
     }
 
+    // Curriculum ordering (operators.TextQuality.curriculumOrder):
+    // easy→hard equi-width difficulty bands (difficulty = n_chars),
+    // md5-shuffled within a band, explicit global positions via the
+    // two-pass offset pattern, fixed 256-row batches. Per-batch
+    // aggregate keeps the gate result compact while pinning every
+    // position (batch boundaries depend on the full global order).
+    q("q_curriculum_order",
+      """WITH b AS (SELECT min(CAST(n_chars AS DOUBLE)) AS lo,
+        |             max(CAST(n_chars AS DOUBLE)) AS hi FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(CASE WHEN hi = lo THEN 0
+        |      ELSE least(floor((CAST(n_chars AS DOUBLE) - lo) / ((hi - lo) / 4)), 3)
+        |      END AS INT) AS stage,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents, b),
+        |r AS (SELECT doc_id, stage,
+        |        row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS position
+        |      FROM s)
+        |SELECT CAST(position // 256 AS BIGINT) AS batch,
+        |  count(*) AS n_rows,
+        |  CAST(min(stage) AS INT) AS stage_min,
+        |  CAST(max(stage) AS INT) AS stage_max,
+        |  CAST(min(position) AS BIGINT) AS pos_min,
+        |  CAST(max(position) AS BIGINT) AS pos_max
+        |FROM r GROUP BY 1 ORDER BY batch""".stripMargin) { (s, dir) =>
+      graft.operators.TextQuality.curriculumOrder(
+          Tables.documents(s, dir), "doc_id", "n_chars",
+          stages = 4, batchRows = 256L)
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_rows"),
+          min("stage").as("stage_min"), max("stage").as("stage_max"),
+          min("position").as("pos_min"), max("position").as("pos_max"))
+        .orderBy("batch")
+    }
+
     // Model-based quality scoring, perplexity-filter shape (CCNet/
     // RefinedWeb use a KenLM; here the LM is a corpus-trained bigram
     // model with add-one smoothing, so the whole thing is replayable

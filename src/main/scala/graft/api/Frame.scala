@@ -1048,6 +1048,14 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextQuality.oovReport(df, idx, textCol, groupCol,
       vocabSize))
 
+  /** Easy→hard curriculum order with explicit global positions and
+    * fixed-size batches (operators.TextQuality.curriculumOrder —
+    * two-pass offsets, no unpartitioned window). */
+  def curriculumOrder(difficultyCol: String, stages: Int,
+      batchRows: Long): Frame =
+    Frame(graft.operators.TextQuality.curriculumOrder(df, idx, difficultyCol,
+      stages, batchRows))
+
   /** Fixed-token-budget training-shard manifest in index order
     * (operators.Packing.shardManifest — two-pass offsets). */
   def shardManifest(tokensCol: String, shardTokens: Long): Frame =

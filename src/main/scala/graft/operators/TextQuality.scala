@@ -424,6 +424,60 @@ object TextQuality {
     * occupied). Output: (bucket, c_base, c_new, contrib, kl_total) —
     * kl_total repeated per row so the result is self-contained.
     */
+  /** Curriculum ordering for a training run: rows sorted easy→hard in
+    * `stages` equi-width difficulty bands, deterministically shuffled
+    * WITHIN each band (md5 of the id — curriculum learning wants
+    * difficulty to ramp across the run but stay i.i.d. inside a band),
+    * with an explicit global `position` and fixed-size `batch` index.
+    *
+    * Scale shape: difficulty bounds are ONE one-row aggregate broadcast
+    * back (band assignment is then map-only, [[Tuning.skewReport]]'s
+    * histogram convention); the global position — a global cumulative
+    * count, which a naive `Window.orderBy` would funnel through one
+    * task — uses the [[Packing]] two-pass offset pattern: range-
+    * partition by the (stage, md5, id) curriculum key, pin the layout,
+    * collect O(partitions) per-partition counts into cumulative
+    * offsets, and add a partition-local rank. No unpartitioned window,
+    * nothing corpus-sized on the driver.
+    *
+    * Output: (idCol, stage, position, batch). */
+  def curriculumOrder(docs: DataFrame, idCol: String, difficultyCol: String,
+      stages: Int, batchRows: Long): DataFrame = Tuning.forSize(docs) {
+    require(stages >= 1, s"stages must be >= 1: $stages")
+    require(batchRows >= 1, s"batchRows must be >= 1: $batchRows")
+    val spark = docs.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val d = col(difficultyCol).cast("double")
+    val bounds = docs.agg(min(d).as("__lo"), max(d).as("__hi"))
+    val staged = docs.select(col(idCol), d.as("__d"))
+      .crossJoin(broadcast(bounds))
+      .select(col(idCol),
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(
+            floor((col("__d") - col("__lo")) /
+              ((col("__hi") - col("__lo")) / stages)),
+            lit(stages - 1)))
+          .cast("int").as("stage"),
+        md5(col(idCol).cast("string")).as("__h"))
+    val pinned = staged
+      .repartitionByRange(parts, col("stage"), col("__h"), col(idCol))
+      .localCheckpoint(false)
+    val sums = pinned
+      .groupBy(spark_partition_id().as("__pid")).agg(count(lit(1)).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.zip(sums.scanLeft(0L) { case (acc, (_, s)) => acc + s })
+      .map { case ((pid, _), before) => pid -> before }
+    val lookup = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("stage"), col("__h"), col(idCol))
+    pinned.withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(lookup), Seq("__pid"))
+      .select(col(idCol), col("stage"),
+        (col("__off") + col("__rn") - 1).as("position"))
+      .withColumn("batch", floor(col("position") / batchRows))
+  }
+
   /** Tokenizer-coverage / OOV report per `groupCol`: the fraction of
     * corpus tokens NOT covered by the top-`vocabSize` vocabulary — the
     * go/no-go check before committing a tokenizer vocabulary to a

@@ -922,6 +922,17 @@ class FrameApiSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("curriculumOrder facade matches the registered query") {
+    same("q_curriculum_order", Frame(Tables.documents(spark, sfDir),
+        Some("doc_id"))
+      .curriculumOrder("n_chars", stages = 4, batchRows = 256L)
+      .transform(_.groupBy("batch")
+        .agg(count(lit(1)).as("n_rows"),
+          min("stage").as("stage_min"), max("stage").as("stage_max"),
+          min("position").as("pos_min"), max("position").as("pos_max"))
+        .orderBy("batch")))
+  }
+
   test("oovReport facade matches the registered query") {
     same("q_oov_rate", Frame(Tables.documents(spark, sfDir), Some("doc_id"))
       .oovReport("text", "source", vocabSize = 20)

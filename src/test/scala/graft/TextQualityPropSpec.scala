@@ -84,6 +84,40 @@ class TextQualityPropSpec extends SparkSpec {
     }
   }
 
+  test("curriculumOrder: positions are a permutation, stages ramp, batches cut") {
+    import graft.operators.TextQuality
+    val df = spark.createDataFrame(
+      (0L until 40L).map(i => (i, (i % 10) * 100L))).toDF("doc_id", "diff")
+    val out = TextQuality.curriculumOrder(df, "doc_id", "diff",
+        stages = 4, batchRows = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // positions are exactly 0..39 once each
+    assert(out.map(_._3).sorted.toSeq == (0L until 40L), s"${out.toSeq}")
+    // stage is non-decreasing along the global order
+    val byPos = out.sortBy(_._3)
+    assert(byPos.map(_._2).toSeq == byPos.map(_._2).sorted.toSeq)
+    // batch = position / 7 everywhere
+    assert(byPos.forall { case (_, _, p, b) => b == p / 7 })
+    // equi-width over diff 0..900 with 4 stages: 0-100→0 ... 900→3,
+    // 10 docs per diff decile → stage sizes 12/8/8/12
+    assert(out.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map(0 -> 12, 1 -> 8, 2 -> 8, 3 -> 12))
+  }
+
+  test("curriculumOrder is invariant to input partitioning") {
+    import graft.operators.TextQuality
+    val rows = (0L until 30L).map(i => (i, i * 3L % 7L))
+    val a = TextQuality.curriculumOrder(
+      spark.createDataFrame(rows).toDF("doc_id", "diff").repartition(1),
+      "doc_id", "diff", stages = 3, batchRows = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    val b = TextQuality.curriculumOrder(
+      spark.createDataFrame(rows).toDF("doc_id", "diff").repartition(13),
+      "doc_id", "diff", stages = 3, batchRows = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("bigramLmScore is a proper probability model over observed bigrams") {
     import spark.implicits._
     val docs = randomDocs(40, 30).filter(_._2.contains(" "))  // ≥2 tokens
