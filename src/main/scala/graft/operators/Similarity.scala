@@ -428,4 +428,26 @@ object Similarity {
     topKPerQuery(scored, k, "c", scoreDesc = true)
       .select("query_id", "vec_id", "c")
   }
+
+  /** Recall of an approximate retrieval result list against the exact
+    * one — the metric every ANN trade (IVF probes, PQ bits, LSH planes)
+    * is tuned by. Both inputs are (queryCol, idCol, ...) candidate
+    * lists (the `*TopK` output shape, pre-limited to the k under
+    * evaluation). Per query: |approx ∩ exact| / |exact| — one left
+    * join on the (query, id) pair key and a partial-agg groupBy,
+    * queries-×-k-sized throughout.
+    *
+    * Output: (queryCol, n_exact, n_hit, recall). */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+      queryCol: String = "query_id", idCol: String = "vec_id"): DataFrame = {
+    val a = approx.select(col(queryCol), col(idCol))
+      .withColumn("__hit", lit(1L))
+    exact.select(col(queryCol), col(idCol))
+      .join(a, Seq(queryCol, idCol), "left")
+      .groupBy(queryCol)
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
 }

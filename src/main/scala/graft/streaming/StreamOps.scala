@@ -282,6 +282,36 @@ object StreamOps {
           log(col("n_tokens") + lit(buckets.toDouble)), 9).as("kl"))
   }
 
+  /** Streaming tokenizer-coverage monitor: per tumbling event-time
+    * window, the OOV rate of arriving text against a FIXED vocabulary —
+    * the online form of [[graft.operators.TextQuality.oovReport]] (there
+    * the vocabulary is derived from the corpus; online it is the frozen
+    * tokenizer vocabulary under test, riding the plan as a map literal
+    * like [[streamingQualityGate]]'s weights). Per-row token/OOV counts
+    * are a map-only fold over the split array (no explode, no join);
+    * state is one (window) aggregate row dropped at the watermark.
+    * Rates are divisions of exact integer sums, replayable in batch.
+    *
+    * Output: (window_start, n_docs, n_tokens, n_oov, oov_rate). */
+  def streamingOovMonitor(stream: DataFrame, tsCol: String, textCol: String,
+      vocab: Seq[String], window: String, watermark: String): DataFrame = {
+    val vLit = typedLit(vocab.map(_ -> true).toMap)
+    val toks = split(col(textCol), " ")
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), size(toks).cast("long").as("__n"),
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + when(element_at(vLit, t).isNull, lit(1L)).otherwise(lit(0L)))
+          .as("__oov"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"),
+        sum("__oov").as("n_oov"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
   /** Online mixture construction: the streaming counterpart of
     * `TextQuality.tokenBudgetMix`. Per-source cumulative token counts
     * live in flatMapGroupsWithState; each arriving (source, id, tokens)

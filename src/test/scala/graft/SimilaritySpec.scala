@@ -140,4 +140,32 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(ascAgg == ascWindow)
   }
+
+  test("recallAtK counts exact-list hits per query") {
+    import spark.implicits._
+    val exact = Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 20L), (1L, 21L))
+      .toDF("query_id", "vec_id")
+    // query 0: approx finds 2 of 3 (+1 spurious, ignored); query 1: 0 of 2
+    val approx = Seq((0L, 10L), (0L, 12L), (0L, 99L), (1L, 98L))
+      .toDF("query_id", "vec_id")
+    val got = Similarity.recallAtK(exact, approx)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      0L -> ((3L, 2L, 2.0 / 3.0)),
+      1L -> ((2L, 0L, 0.0))))
+  }
+
+  test("recallAtK of a retrieval list against itself is 1.0") {
+    val corpus = corpusDf((0L until 8L).map(i =>
+      i -> Seq.tabulate(4)(j => (i * 4 + j + 1).toFloat)))
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = Similarity.cosineTopK(queries, corpus, k = 3)
+      .select("query_id", "vec_id")
+    val rec = Similarity.recallAtK(exact, exact).collect()
+    assert(rec.length == 2 && rec.forall(r =>
+      r.getLong(1) == 3L && r.getDouble(3) == 1.0),
+      s"${rec.map(_.toSeq).toSeq}")
+  }
 }

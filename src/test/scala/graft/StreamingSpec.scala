@@ -305,6 +305,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OOV monitor matches exact per-window set arithmetic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("sec", "text")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val mon = StreamOps.streamingOovMonitor(df, "ts", "text",
+      vocab = Seq("alpha", "beta", "gamma"), "10 seconds", "5 seconds")
+    val q = mon.writeStream.format("memory").queryName("oov_mon")
+      .outputMode("append").start()
+    try {
+      // window [0,10): 5 tokens, 1 OOV; window [10,20): 4 tokens, 3 OOV
+      in.addData((1L, "alpha beta zeta"), (2L, "alpha gamma"),
+        (11L, "beta qqq rrr sss"))
+      q.processAllAvailable()
+      in.addData((100L, "tick"))
+      q.processAllAvailable()
+      val rows = spark.table("oov_mon").orderBy("window_start")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSeq
+      assert(rows == Seq((2L, 5L, 1L, 0.2), (1L, 4L, 3L, 0.75)), s"$rows")
+    } finally q.stop()
+  }
+
   test("streaming vocab drift flags a shifted window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
