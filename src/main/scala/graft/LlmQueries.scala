@@ -1056,6 +1056,51 @@ object LlmQueries {
         .orderBy("query_id", "vec_id")
     }
 
+    // Retrieval-quality evaluation (operators.Similarity.recallAtK):
+    // recall@3 of the IVF(nprobe=2) candidate list against exact
+    // cosine — the metric every ANN trade is tuned by, here under the
+    // hash gate (both pipelines replayed in full, then one pair-key
+    // left join + per-query aggregate).
+    q("q_retrieval_recall",
+      s"""WITH $ivfCtes,
+         |asn AS (SELECT vec_id, embedding, cell FROM a WHERE crn = 1),
+         |probes AS (SELECT vec_id AS query_id, embedding AS qv, cell
+         |           FROM a WHERE vec_id < 3 AND crn <= 2),
+         |sc AS (SELECT query_id, asn.vec_id,
+         |         ${cosSql("qv", "asn.embedding")} AS c
+         |       FROM asn JOIN probes USING (cell)
+         |       WHERE asn.vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, c,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+         |      FROM sc),
+         |ap AS (SELECT query_id, vec_id FROM r WHERE rn <= 3),
+         |exq AS (SELECT vec_id AS query_id, embedding AS qv
+         |        FROM embeddings WHERE vec_id < 3),
+         |exsc AS (SELECT query_id, vec_id, ${cosSql("qv", "embedding")} AS c
+         |         FROM embeddings, exq WHERE vec_id != query_id),
+         |exr AS (SELECT query_id, vec_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+         |        FROM exsc),
+         |ex AS (SELECT query_id, vec_id FROM exr WHERE rn <= 3)
+         |SELECT ex.query_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val exact = operators.Similarity.cosineTopK(queries, e, k = 3)
+        .select("query_id", "vec_id")
+      val approx = operators.Clustering.ivfTopK(queries, e, "vec_id",
+          "embedding", nlist = 8, nprobe = 2, k = 3)
+        .select("query_id", "vec_id")
+      operators.Similarity.recallAtK(exact, approx).orderBy("query_id")
+    }
+
     // Semantic dedup: keep the most-central vector per IVF cell — the
     // embedding-space counterpart of MinHash near-dup clustering.
     q("q_semantic_dedup",

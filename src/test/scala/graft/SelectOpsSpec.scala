@@ -266,6 +266,19 @@ class SelectOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1.0, 1), (2L, 0.5, 2), (3L, 0.2, 3)), s"$got")
   }
 
+  test("jaccardTopK is invariant to corpus partitioning") {
+    import graft.operators.Retrieval
+    val rows = (0L until 25L).map(i =>
+      i -> s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5} w${(i * 3) % 7} end")
+    val queries = docsDf(rows.take(2))
+      .select(col("doc_id").as("query_id"), col("text"))
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Retrieval.jaccardTopK(c, "doc_id", "text", queries, n = 2, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq
+    assert(run(docsDf(rows).repartition(1)) == run(docsDf(rows).repartition(11)))
+  }
+
   test("oovReport counts exactly the tokens outside the top-N vocabulary") {
     import graft.operators.TextQuality
     // "common" appears 4x (in vocab at N=2), "shared" 3x (in vocab),

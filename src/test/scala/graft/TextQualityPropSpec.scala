@@ -104,6 +104,17 @@ class TextQualityPropSpec extends SparkSpec {
       Map(0 -> 12, 1 -> 8, 2 -> 8, 3 -> 12))
   }
 
+  test("curriculumOrder: constant difficulty puts everything in stage 0") {
+    import graft.operators.TextQuality
+    val df = spark.createDataFrame((0L until 9L).map(i => (i, 5L)))
+      .toDF("doc_id", "diff")
+    val out = TextQuality.curriculumOrder(df, "doc_id", "diff",
+        stages = 4, batchRows = 4L)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.forall(_._1 == 0), s"${out.toSeq}")
+    assert(out.map(_._2).sorted.toSeq == (0L until 9L))
+  }
+
   test("curriculumOrder is invariant to input partitioning") {
     import graft.operators.TextQuality
     val rows = (0L until 30L).map(i => (i, i * 3L % 7L))
