@@ -334,6 +334,40 @@ object TrainPrepQueries {
         .orderBy("bin")
     }
 
+    // Corpus data card (operators.Tuning.dataCard): the one-call
+    // datasheet summary — volume, vocabulary, exact-dup fraction,
+    // source mixture, language share — all integer sums and exact
+    // distincts, so every ratio is one exact division.
+    q("q_data_card",
+      """WITH base AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(count(DISTINCT md5(text)) AS DOUBLE) AS n_unique,
+        |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS n_tokens,
+        |    CAST(sum(length(text)) AS DOUBLE) AS n_chars,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS n_lang,
+        |    CAST(count(DISTINCT source) AS DOUBLE) AS n_sources
+        |  FROM documents),
+        |voc AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vocab
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        |top AS (SELECT CAST(max(c) AS DOUBLE) AS top_src
+        |  FROM (SELECT count(*) AS c FROM documents GROUP BY source))
+        |SELECT metric, value FROM (
+        |  SELECT * FROM (VALUES
+        |    ('n_docs', (SELECT n_docs FROM base)),
+        |    ('n_tokens', (SELECT n_tokens FROM base)),
+        |    ('n_chars', (SELECT n_chars FROM base)),
+        |    ('vocab', (SELECT vocab FROM voc)),
+        |    ('mean_tokens_per_doc', (SELECT n_tokens / n_docs FROM base)),
+        |    ('exact_dup_frac', (SELECT 1.0 - n_unique / n_docs FROM base)),
+        |    ('lang_share', (SELECT n_lang / n_docs FROM base)),
+        |    ('n_sources', (SELECT n_sources FROM base)),
+        |    ('top_source_frac',
+        |      (SELECT top_src / n_docs FROM top, base))) AS v(metric, value))
+        |ORDER BY metric""".stripMargin) { (s, dir) =>
+      graft.operators.Tuning.dataCard(Tables.documents(s, dir),
+          "text", "lang", "en", "source")
+        .orderBy("metric")
+    }
+
     // Curriculum ordering (operators.TextQuality.curriculumOrder):
     // easy→hard equi-width difficulty bands (difficulty = n_chars),
     // md5-shuffled within a band, explicit global positions via the

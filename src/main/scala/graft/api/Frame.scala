@@ -1048,6 +1048,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextQuality.oovReport(df, idx, textCol, groupCol,
       vocabSize))
 
+  /** One-call corpus data card: tidy (metric, value) datasheet summary
+    * (operators.Tuning.dataCard). */
+  def dataCard(textCol: String, langCol: String, langValue: String,
+      sourceCol: String): Frame =
+    Frame(graft.operators.Tuning.dataCard(df, textCol, langCol, langValue,
+      sourceCol))
+
   /** Easy→hard curriculum order with explicit global positions and
     * fixed-size batches (operators.TextQuality.curriculumOrder —
     * two-pass offsets, no unpartitioned window). */

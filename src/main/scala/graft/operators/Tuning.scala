@@ -92,4 +92,57 @@ object Tuning {
       .select(col("r.column"), col("r.n_rows"), col("r.n_nulls"),
         col("r.null_frac"))
   }
+
+  /** One-call corpus data card (the "datasheet" summary a dataset
+    * release ships): tidy (metric, value) rows covering volume
+    * (docs/tokens/chars), vocabulary, exact-duplicate fraction, source
+    * mixture, and a language share — the headline numbers from the
+    * profiling family in ONE result.
+    *
+    * Scale shape: one doc-level aggregate (long sums + exact
+    * countDistinct — all integer arithmetic, so every derived ratio is
+    * a single exact division, no float-sum association), one
+    * token-keyed distinct for vocabulary, one vocabulary-sized source
+    * groupBy for the top-source share; the three one-row results
+    * broadcast-crossJoin into the tidy explode. Nothing corpus-sized
+    * moves anywhere.
+    *
+    * Output: (metric, value) — doubles, stable metric order. */
+  def dataCard(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      langCol: String, langValue: String, sourceCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = docs.agg(
+      count(lit(1)).as("__n_docs"),
+      countDistinct(md5(col(textCol))).as("__n_unique"),
+      sum(size(split(col(textCol), " ")).cast("long")).as("__n_tokens"),
+      sum(length(col(textCol)).cast("long")).as("__n_chars"),
+      sum(when(col(langCol) === langValue, 1L).otherwise(0L)).as("__n_lang"),
+      countDistinct(col(sourceCol)).as("__n_sources"))
+    val vocab = docs.select(explode(split(col(textCol), " ")).as("__t"))
+      .agg(countDistinct("__t").as("__vocab"))
+    val topSrc = docs.groupBy(sourceCol).agg(count(lit(1)).as("__c"))
+      .agg(max("__c").as("__top_src"))
+    val nd = col("__n_docs").cast("double")
+    base.crossJoin(broadcast(vocab)).crossJoin(broadcast(topSrc))
+      .select(explode(array(
+        struct(lit("n_docs").as("metric"), nd.as("value")),
+        struct(lit("n_tokens").as("metric"),
+          col("__n_tokens").cast("double").as("value")),
+        struct(lit("n_chars").as("metric"),
+          col("__n_chars").cast("double").as("value")),
+        struct(lit("vocab").as("metric"),
+          col("__vocab").cast("double").as("value")),
+        struct(lit("mean_tokens_per_doc").as("metric"),
+          (col("__n_tokens").cast("double") / nd).as("value")),
+        struct(lit("exact_dup_frac").as("metric"),
+          (lit(1.0) - col("__n_unique").cast("double") / nd).as("value")),
+        struct(lit("lang_share").as("metric"),
+          (col("__n_lang").cast("double") / nd).as("value")),
+        struct(lit("n_sources").as("metric"),
+          col("__n_sources").cast("double").as("value")),
+        struct(lit("top_source_frac").as("metric"),
+          (col("__top_src").cast("double") / nd).as("value")))).as("r"))
+      .select(col("r.metric"), col("r.value"))
+  }
 }

@@ -17,6 +17,23 @@ class CorpusOpsSpec extends SparkSpec {
       .toMap
   }
 
+  test("dataCard reports exact counts and ratios on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c", "en", "s1"),
+      (1L, "a b c", "en", "s1"),   // exact dup of doc 0
+      (2L, "d e", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.operators.Tuning.dataCard(docs, "text", "lang", "en",
+        "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map(
+      "n_docs" -> 3.0, "n_tokens" -> 8.0, "n_chars" -> 13.0,
+      "vocab" -> 5.0, "mean_tokens_per_doc" -> 8.0 / 3.0,
+      "exact_dup_frac" -> (1.0 - 2.0 / 3.0), "lang_share" -> 2.0 / 3.0,
+      "n_sources" -> 2.0, "top_source_frac" -> 2.0 / 3.0), s"$got")
+  }
+
   test("substring purge spares the first occurrence and strips the rest") {
     val got = purge(Seq(
       (1L, "shared run of words here plus unique tail one"),

@@ -933,6 +933,12 @@ class FrameApiSpec extends SparkSpec {
         .orderBy("batch")))
   }
 
+  test("dataCard facade matches the registered query") {
+    same("q_data_card", Frame(Tables.documents(spark, sfDir))
+      .dataCard("text", "lang", "en", "source")
+      .sortValues("metric"))
+  }
+
   test("oovReport facade matches the registered query") {
     same("q_oov_rate", Frame(Tables.documents(spark, sfDir), Some("doc_id"))
       .oovReport("text", "source", vocabSize = 20)
