@@ -266,6 +266,37 @@ class SelectOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1.0, 1), (2L, 0.5, 2), (3L, 0.2, 3)), s"$got")
   }
 
+  test("new round-12 ops tolerate null and empty text rows") {
+    import graft.operators.{Retrieval, TextQuality, Tuning}
+    val docs = spark.createDataFrame(Seq(
+      (0L, Some("alpha beta gamma"), Some("en"), Some("s1")),
+      (1L, None: Option[String], Some("en"), Some("s1")),
+      (2L, Some(""), None: Option[String], None: Option[String]),
+      (3L, Some("alpha beta gamma delta"), Some("de"), Some("s2"))))
+      .toDF("doc_id", "text", "lang", "source")
+    // jaccardTopK: null/short docs simply produce no shingles → absent
+    val q = docs.filter(col("doc_id") === 0L)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val knn = Retrieval.jaccardTopK(docs, "doc_id", "text", q, n = 3, k = 5)
+      .collect()
+    assert(knn.map(_.getLong(1)).toSet == Set(3L), s"${knn.toSeq}")
+    // oovReport: null text contributes no tokens; empty text one token
+    val oov = TextQuality.oovReport(docs, "doc_id", "text", "source",
+      vocabSize = 2).collect()
+    assert(oov.nonEmpty)
+    // dataCard: runs through nulls (null text drops from sums via
+    // count semantics) without throwing
+    val card = Tuning.dataCard(docs, "text", "lang", "en", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") == 4.0)
+    // curriculumOrder over a null difficulty row keeps the row (null
+    // difficulty → stage of the when/otherwise chain) without NPE
+    val cur = TextQuality.curriculumOrder(
+      docs.withColumn("diff", length(col("text"))), "doc_id", "diff",
+      stages = 2, batchRows = 2L).collect()
+    assert(cur.length == 4, s"${cur.toSeq}")
+  }
+
   test("jaccardTopK is invariant to corpus partitioning") {
     import graft.operators.Retrieval
     val rows = (0L until 25L).map(i =>
