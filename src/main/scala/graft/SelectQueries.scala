@@ -144,8 +144,10 @@ object SelectQueries {
     // sigmoid exactly 0.5; scores and weights are quantized to 9
     // decimals each iteration on both sides so float noise cannot
     // compound.
-    q("q_quality_classifier",
-      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    // The unrolled-GD CTE stack, shared by the classifier query and the
+    // calibration report below.
+    val lrCtes =
+      """d AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
         |toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM d),
         |feats AS (SELECT doc_id,
         |            CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 512 AS b,
@@ -169,10 +171,13 @@ object SelectQueries {
         |-- iteration 3
         |s3 AS (SELECT doc_id, round(sum(x * w) + any_value(bias), 9) AS s
         |       FROM feats JOIN w2 USING (b), b2 GROUP BY doc_id),
-        |p AS (SELECT doc_id, 1.0 / (1.0 + exp(-s)) AS p FROM s3)
-        |SELECT doc_id, round(p, 6) AS quality,
-        |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
-        |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |p AS (SELECT doc_id, 1.0 / (1.0 + exp(-s)) AS p FROM s3)""".stripMargin
+
+    q("q_quality_classifier",
+      s"""WITH $lrCtes
+         |SELECT doc_id, round(p, 6) AS quality,
+         |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
+         |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val feats = QualityModel.hashedFeatures(docs, "doc_id", "text", buckets = 512)
       val labels = docs.select(col("doc_id"),
@@ -183,6 +188,34 @@ object SelectQueries {
         .select(col("doc_id"), round(col("quality"), 6).as("quality"),
           when(col("quality") >= 0.5, lit(1)).otherwise(lit(0)).as("pred"))
         .orderBy("doc_id")
+    }
+
+    // Reliability report for the trained classifier (operators
+    // .QualityModel.calibration): predicted-probability deciles vs
+    // observed positive fraction. Bin midpoints (not float means) keep
+    // every output integer-exact.
+    q("q_calibration",
+      s"""WITH $lrCtes,
+         |j AS (SELECT p.doc_id, p.p, y FROM p JOIN lab USING (doc_id)),
+         |bk AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bucket,
+         |         count(*) AS n,
+         |         sum(CASE WHEN y > 0.5 THEN 1 ELSE 0 END) AS pos
+         |       FROM j GROUP BY 1)
+         |SELECT bucket, n,
+         |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+         |  (CAST(bucket AS DOUBLE) + 0.5) / 10 AS midpoint,
+         |  abs(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+         |    - (CAST(bucket AS DOUBLE) + 0.5) / 10) AS gap
+         |FROM bk ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val feats = QualityModel.hashedFeatures(docs, "doc_id", "text", buckets = 512)
+      val labels = docs.select(col("doc_id"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      val model = QualityModel.trainLogReg(s, feats, labels,
+        buckets = 512, iters = 2, lr = 1.0)
+      QualityModel.calibration(QualityModel.classify(s, feats, model),
+          labels, buckets = 10)
+        .orderBy("bucket")
     }
 
     // ---- product-quantized retrieval ----------------------------------

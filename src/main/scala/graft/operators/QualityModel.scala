@@ -113,6 +113,36 @@ object QualityModel {
         (lit(1.0) / (lit(1.0) + exp(-col("s")))).as("quality"))
   }
 
+  /** Reliability (calibration) report for a probability scorer: rows
+    * bucketed by predicted probability into `buckets` equi-width bins,
+    * each reporting its size, the OBSERVED positive fraction, the bin
+    * midpoint, and the gap — the standard reliability-diagram table
+    * (Niculescu-Mizil & Caruana 2005) that decides whether a quality
+    * classifier's scores can be thresholded as probabilities.
+    *
+    * One equi-join + one partial-agg groupBy over `buckets` groups.
+    * Deliberately reports the bin MIDPOINT rather than the mean
+    * predicted probability: every output is then integer-exact
+    * arithmetic (counts and one division each) — no float-sum
+    * association, so any engine replays it bit-for-bit.
+    *
+    * Output: (bucket, n, frac_pos, midpoint, gap). */
+  def calibration(scored: DataFrame, labels: DataFrame,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    scored.join(labels.select(col("doc_id"), col("y").cast("double").as("y")),
+        Seq("doc_id"))
+      .withColumn("bucket",
+        least(floor(col("quality") * buckets), lit(buckets - 1)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") > 0.5, 1L).otherwise(0L)).as("__pos"))
+      .select(col("bucket"), col("n"),
+        (col("__pos").cast("double") / col("n").cast("double")).as("frac_pos"),
+        ((col("bucket").cast("double") + lit(0.5)) / buckets).as("midpoint"))
+      .withColumn("gap", abs(col("frac_pos") - col("midpoint")))
+  }
+
   /** Map-only scoring COLUMN: the weight vector rides along as a map
     * literal (O(B), plan-time) and the score is one fold over the
     * token array — no explode, no shuffle, no state. This is the

@@ -85,6 +85,32 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("cell-bucketed IVF index joins probe candidates without reshuffling itself") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import graft.operators.Clustering
+      // the offline half of the vector-search story: corpus assigned to
+      // IVF cells ONCE and written bucketed on `cell`; every later probe
+      // join (batch or the streaming front door) shuffles only queries.
+      val emb = Tables.embeddings(spark, sfDir)
+      val cents = Clustering.seedCentroids(emb, "vec_id", "embedding", 8)
+      val index = Clustering.assignCells(emb, "vec_id", "embedding", cents)
+      Layout.writeBucketed(index, "ivf_idx_lb", 4, "cell")
+      val queries = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val probes = Clustering.probeCells(queries, cents, nprobe = 2)
+      val joined = probes.join(spark.table("ivf_idx_lb"), Seq("cell"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).length <= 1,
+        s"more than the probe-side exchange:\n${plan.take(1500)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_lb")
+    }
+  }
+
   test("bucketed near-dup index joins a fresh batch without reshuffling itself") {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

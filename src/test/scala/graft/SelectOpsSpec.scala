@@ -266,6 +266,22 @@ class SelectOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1.0, 1), (2L, 0.5, 2), (3L, 0.2, 3)), s"$got")
   }
 
+  test("calibration buckets by predicted probability with exact fractions") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val scored = Seq((0L, 0.05), (1L, 0.08), (2L, 0.95), (3L, 0.97),
+      (4L, 1.0)).toDF("doc_id", "quality")
+    val labels = Seq((0L, 0.0), (1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0))
+      .toDF("doc_id", "y")
+    val got = QualityModel.calibration(scored, labels, buckets = 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // quality 1.0 clamps into the top bucket (least(floor(10), 9) = 9)
+    assert(got == Map(
+      0 -> ((2L, 0.5, 0.05)),
+      9 -> ((3L, 1.0, 0.95))), s"$got")
+  }
+
   test("new round-12 ops tolerate null and empty text rows") {
     import graft.operators.{Retrieval, TextQuality, Tuning}
     val docs = spark.createDataFrame(Seq(
