@@ -214,6 +214,39 @@ object LlmQueries {
         .orderBy("doc_id", "band")
     }
 
+    // LSH precision report (operators.TextDedup.bandPrecision): the
+    // fraction of band-bucket candidate pairs that survive the exact
+    // Jaccard verify — the precision half of the (numHashes, bandRows)
+    // s-curve trade (recall half: q_retrieval_recall's pattern). One
+    // exact-integer aggregate row.
+    q("q_lsh_precision",
+      s"""WITH ${minhashCtes(n = 3, k = 16, r = 4)},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS s FROM shd GROUP BY 1),
+         |iv AS (SELECT doc_a, doc_b, count(*) AS ni
+         |  FROM cand JOIN shd ha ON ha.doc_id = cand.doc_a
+         |  JOIN shd hb ON hb.doc_id = cand.doc_b AND hb.h0 = ha.h0
+         |  GROUP BY 1, 2),
+         |v AS (SELECT c.doc_a, c.doc_b, COALESCE(ni, 0) AS ni,
+         |    sa.s AS s_a, sb.s AS s_b
+         |  FROM cand c LEFT JOIN iv ON iv.doc_a = c.doc_a AND iv.doc_b = c.doc_b
+         |  JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b)
+         |SELECT count(*) AS n_candidates,
+         |  CAST(COALESCE(sum(CASE WHEN CAST(ni AS DOUBLE) / (s_a + s_b - ni) >= 0.8
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified,
+         |  CASE WHEN count(*) = 0 THEN 0.0
+         |    ELSE CAST(COALESCE(sum(CASE WHEN CAST(ni AS DOUBLE) / (s_a + s_b - ni)
+         |      >= 0.8 THEN 1 ELSE 0 END), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |  END AS band_precision
+         |FROM v""".stripMargin) { (s, dir) =>
+      TextDedup.bandPrecision(Tables.documents(s, dir), "doc_id", "text",
+          shingleLen = 3, numHashes = 16, bandRows = 4, threshold = 0.8)
+        .select(col("n_candidates"), col("n_verified"),
+          col("precision").as("band_precision"))
+    }
+
     // Same signatures via the PROJECTED (stateless, streaming-safe)
     // form — one row-local array computation per document, no
     // explode/groupBy. Identical oracle: both forms must reproduce the

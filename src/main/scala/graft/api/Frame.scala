@@ -564,6 +564,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextDedup.nearDuplicates(df, idx, textCol,
       threshold = threshold, maxBucketSize = maxBucketSize))
 
+  /** LSH candidate precision at `threshold` — the one-row band-tuning
+    * report (operators.TextDedup.bandPrecision). */
+  def bandPrecision(textCol: String, threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): Frame =
+    Frame(graft.operators.TextDedup.bandPrecision(df, idx, textCol,
+      threshold = threshold, maxBucketSize = maxBucketSize))
+
   /** Incremental dedup: best near-dup match in an existing `index`
     * frame for each row here — asymmetric band join, never index×index
     * or new×new (operators.TextDedup.dedupAgainstIndex). */

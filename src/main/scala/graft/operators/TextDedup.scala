@@ -254,6 +254,50 @@ object TextDedup {
       .distinct()
   }
 
+  /** LSH tuning report — the precision side of the band-parameter
+    * trade ([[graft.operators.Similarity.recallAtK]] is the recall
+    * side): how many band-bucket candidate pairs survive the exact
+    * Jaccard verify at `threshold`. Sweeping (numHashes, bandRows)
+    * against this one-row report is how the s-curve is tuned before a
+    * 100 TB run commits to a configuration.
+    *
+    * Scale shape: map-only projected signatures, the streamed
+    * candidatePairs expansion, per-doc distinct hash arrays from ONE
+    * kernel call each joined candidate-sized (only candidate docs pay
+    * the array join), and one global aggregate of exact integer
+    * counts — precision is a single exact division.
+    *
+    * Output: one row (n_candidates, n_verified, precision). */
+  def bandPrecision(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 4,
+      threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val sigs = bandSignaturesProjected(docs, idCol, textCol, shingleLen,
+      numHashes, bandRows)
+    val cand = candidatePairs(sigs, idCol, maxBucketSize)
+    val hs = docs.select(col(idCol),
+      graft.functions.ShingleHashes(col(textCol), shingleLen, 7, dedup = true)
+        .as("__hs"))
+    cand
+      .join(hs.select(col(idCol).as("doc_a"), col("__hs").as("__ha")), "doc_a")
+      .join(hs.select(col(idCol).as("doc_b"), col("__hs").as("__hb")), "doc_b")
+      .withColumn("__ni", size(array_intersect(col("__ha"), col("__hb"))))
+      .withColumn("__j", col("__ni").cast("double") /
+        (size(col("__ha")) + size(col("__hb")) - col("__ni")).cast("double"))
+      .agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("__j") >= threshold, 1L).otherwise(0L)), lit(0L))
+          .as("n_verified"))
+      .withColumn("precision",
+        when(col("n_candidates") === 0, lit(0.0))
+          .otherwise(col("n_verified").cast("double") /
+            col("n_candidates").cast("double")))
+  }
+
   /** Incremental (cross-snapshot) near-dup: flag NEW docs that
     * near-duplicate any doc already in the INDEX — the daily-crawl
     * shape, where the index is yesterday's corpus and only the new

@@ -933,6 +933,14 @@ class FrameApiSpec extends SparkSpec {
         .orderBy("batch")))
   }
 
+  test("bandPrecision facade matches the registered query") {
+    same("q_lsh_precision", Frame(Tables.documents(spark, sfDir),
+        Some("doc_id"))
+      .bandPrecision("text")
+      .transform(_.select(col("n_candidates"), col("n_verified"),
+        col("precision").as("band_precision"))))
+  }
+
   test("dataCard facade matches the registered query") {
     same("q_data_card", Frame(Tables.documents(spark, sfDir))
       .dataCard("text", "lang", "en", "source")

@@ -22,6 +22,23 @@ class TextDedupEdgeSpec extends SparkSpec {
     assert(TextDedup.nearDuplicates(docs, "doc_id", "text").count() == 0)
   }
 
+  test("bandPrecision: identical docs verify, disjoint corpus yields no pairs") {
+    import spark.implicits._
+    val dup = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),    // exact dup → candidate + verified
+      (3L, "p q r s t u v w x y"))    // no shared bucket expected
+      .toDF("doc_id", "text")
+    val r = TextDedup.bandPrecision(dup, "doc_id", "text").head()
+    assert(r.getLong(0) >= 1L)                       // at least the dup pair
+    assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(0))
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    // empty corpus → one zero row, precision 0 by convention
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val z = TextDedup.bandPrecision(empty, "doc_id", "text").head()
+    assert(z.getLong(0) == 0L && z.getLong(1) == 0L && z.getDouble(2) == 0.0)
+  }
+
   test("dup clusters: chain of pairs collapses to one component") {
     import spark.implicits._
     // 1-2, 2-3, 3-4 chain plus isolated pair 10-11
