@@ -247,6 +247,54 @@ object LlmQueries {
           col("precision").as("band_precision"))
     }
 
+    // LSH recall vs exact ground truth (operators.TextDedup.bandRecall)
+    // — the complement of q_lsh_precision; the two together tune the
+    // banding s-curve. Ground truth via the shared-shingle equi-join is
+    // ∝ shared postings (measured ~1.3M pair rows at sf0.1 — sparse on
+    // this corpus); at a real 100 TB run you pass a sampled slice, the
+    // operator's documented protocol.
+    q("q_lsh_recall", {
+      val seedRows = TextDedup.mixConsts(16).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+         |             FROM words)),
+         |shd AS (SELECT DISTINCT doc_id,
+         |          CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS h0 FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS s FROM shd GROUP BY 1),
+         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |  FROM shd a JOIN shd b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM iv
+         |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE CAST(ni AS DOUBLE) / (sa.s + sb.s - ni) >= 0.8),
+         |seeds(i, a, b) AS (VALUES $seedRows),
+         |mh AS (SELECT doc_id, i, min((h0 * a + b) % ${TextDedup.P}) AS mh
+         |       FROM shd, seeds GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT count(*) AS n_true,
+         |  CAST(COALESCE(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_caught,
+         |  CASE WHEN count(*) = 0 THEN 0.0
+         |    ELSE CAST(COALESCE(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END),
+         |      0) AS DOUBLE) / CAST(count(*) AS DOUBLE) END AS recall
+         |FROM truth t LEFT JOIN cand c
+         |  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b""".stripMargin
+    }) { (s, dir) =>
+      TextDedup.bandRecall(
+        Tables.documents(s, dir),
+        "doc_id", "text", shingleLen = 3, numHashes = 16, bandRows = 4,
+        threshold = 0.8)
+    }
+
     // Same signatures via the PROJECTED (stateless, streaming-safe)
     // form — one row-local array computation per document, no
     // explode/groupBy. Identical oracle: both forms must reproduce the

@@ -571,6 +571,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextDedup.bandPrecision(df, idx, textCol,
       threshold = threshold, maxBucketSize = maxBucketSize))
 
+  /** LSH recall vs exact shared-shingle ground truth — bandPrecision's
+    * complement (operators.TextDedup.bandRecall; pass a bounded slice
+    * at corpus scale). */
+  def bandRecall(textCol: String, threshold: Double = 0.8): Frame =
+    Frame(graft.operators.TextDedup.bandRecall(df, idx, textCol,
+      threshold = threshold))
+
   /** Incremental dedup: best near-dup match in an existing `index`
     * frame for each row here — asymmetric band join, never index×index
     * or new×new (operators.TextDedup.dedupAgainstIndex). */

@@ -298,6 +298,53 @@ object TextDedup {
             col("n_candidates").cast("double")))
   }
 
+  /** LSH recall against exact all-pairs ground truth — bandPrecision's
+    * complement, measured on a BOUNDED document slice (exact all-pairs
+    * is quadratic; the slice is the standard sampled-ground-truth
+    * protocol for tuning the s-curve before a full run). Truth = pairs
+    * whose exact shingle-set Jaccard ≥ `threshold` (computed via the
+    * shared-hash equi-join, cost ∝ shared postings — a pair with no
+    * shared shingle has Jaccard 0 and can't be truth); caught = truth
+    * pairs that band-bucketing also proposes.
+    *
+    * Output: one row (n_true, n_caught, recall) — exact integers, one
+    * division. */
+  def bandRecall(
+      docs: DataFrame,      // pass a bounded slice
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val hs = docs.select(col(idCol),
+      graft.functions.ShingleHashes(col(textCol), shingleLen, 7, dedup = true)
+        .as("__hs"))
+    val ex = hs.select(col(idCol), explode(col("__hs")).as("__h"))
+    val sz = hs.select(col(idCol), size(col("__hs")).cast("long").as("__s"))
+    val iv = ex.select(col(idCol).as("doc_a"), col("__h"))
+      .join(ex.select(col(idCol).as("doc_b"), col("__h")), Seq("__h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__ni"))
+    val truth = iv
+      .join(sz.select(col(idCol).as("doc_a"), col("__s").as("__sa")), "doc_a")
+      .join(sz.select(col(idCol).as("doc_b"), col("__s").as("__sb")), "doc_b")
+      .filter(col("__ni").cast("double") /
+        (col("__sa") + col("__sb") - col("__ni")).cast("double") >= threshold)
+      .select("doc_a", "doc_b")
+    val cand = candidatePairs(
+      bandSignaturesProjected(docs, idCol, textCol, shingleLen, numHashes,
+        bandRows), idCol)
+      .withColumn("__hit", lit(1L))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_caught"))
+      .withColumn("recall",
+        when(col("n_true") === 0, lit(0.0))
+          .otherwise(col("n_caught").cast("double") /
+            col("n_true").cast("double")))
+  }
+
   /** Incremental (cross-snapshot) near-dup: flag NEW docs that
     * near-duplicate any doc already in the INDEX — the daily-crawl
     * shape, where the index is yesterday's corpus and only the new

@@ -939,6 +939,9 @@ class FrameApiSpec extends SparkSpec {
       .bandPrecision("text")
       .transform(_.select(col("n_candidates"), col("n_verified"),
         col("precision").as("band_precision"))))
+    same("q_lsh_recall", Frame(Tables.documents(spark, sfDir),
+        Some("doc_id"))
+      .bandRecall("text"))
   }
 
   test("dataCard facade matches the registered query") {

@@ -39,6 +39,20 @@ class TextDedupEdgeSpec extends SparkSpec {
     assert(z.getLong(0) == 0L && z.getLong(1) == 0L && z.getDouble(2) == 0.0)
   }
 
+  test("bandRecall: exact dups are truth AND caught; recall in (0,1]") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),    // jaccard 1.0 with doc 1 → truth
+      (3L, "k l m n o p q r s t"),
+      (4L, "k l m n o p q r s t"))    // truth with doc 3
+      .toDF("doc_id", "text")
+    val r = TextDedup.bandRecall(docs, "doc_id", "text").head()
+    // identical docs have identical signatures → always caught
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getDouble(2) == 1.0,
+      s"${r.toSeq}")
+  }
+
   test("dup clusters: chain of pairs collapses to one component") {
     import spark.implicits._
     // 1-2, 2-3, 3-4 chain plus isolated pair 10-11
