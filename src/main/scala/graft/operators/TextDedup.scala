@@ -317,18 +317,22 @@ object TextDedup {
       numHashes: Int = 16,
       bandRows: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val hs = docs.select(col(idCol),
-      graft.functions.ShingleHashes(col(textCol), shingleLen, 7, dedup = true)
-        .as("__hs"))
-    val ex = hs.select(col(idCol), explode(col("__hs")).as("__h"))
-    val sz = hs.select(col(idCol), size(col("__hs")).cast("long").as("__s"))
-    val iv = ex.select(col(idCol).as("doc_a"), col("__h"))
-      .join(ex.select(col(idCol).as("doc_b"), col("__h")), Seq("__h"))
+    // set size rides the exploded stream (the jaccardTopK trick): the
+    // per-pair max() recovers it functionally-dependent, saving two
+    // corpus-keyed size joins after the pair aggregate
+    val ex = docs.select(col(idCol),
+        graft.functions.ShingleHashes(col(textCol), shingleLen, 7,
+          dedup = true).as("__hs"))
+      .select(col(idCol), size(col("__hs")).cast("long").as("__s"),
+        explode(col("__hs")).as("__h"))
+    val truth = ex
+      .select(col(idCol).as("doc_a"), col("__s").as("__sa"), col("__h"))
+      .join(ex.select(col(idCol).as("doc_b"), col("__s").as("__sb"),
+        col("__h")), Seq("__h"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__ni"))
-    val truth = iv
-      .join(sz.select(col(idCol).as("doc_a"), col("__s").as("__sa")), "doc_a")
-      .join(sz.select(col(idCol).as("doc_b"), col("__s").as("__sb")), "doc_b")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("__ni"),
+        max("__sa").as("__sa"), max("__sb").as("__sb"))
       .filter(col("__ni").cast("double") /
         (col("__sa") + col("__sb") - col("__ni")).cast("double") >= threshold)
       .select("doc_a", "doc_b")
