@@ -589,7 +589,7 @@ object SelectQueries {
     }
 
     // Tokenizer-coverage / OOV report (operators.TextQuality.oovReport):
-    // per-source fraction of tokens outside the top-500 corpus
+    // per-source fraction of tokens outside the top-20 corpus
     // vocabulary. Vocabulary = TakeOrdered over the token-count
     // aggregate (ties by token), rates = single divisions of exact
     // integer sums — no float-sum association anywhere.

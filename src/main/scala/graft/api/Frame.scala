@@ -895,9 +895,10 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def bm25Search(textCol: String, queries: Frame, k: Int = 10): Frame =
     Frame(graft.operators.Retrieval.bm25TopK(df, idx, textCol, queries.df, k))
 
-  /** Lexical doc-kNN: top-k corpus docs per (query_id, text) query row
-    * by word n-gram Jaccard (operators.Retrieval.jaccardTopK —
-    * row-local shingle sets, broadcast queries, bounded top-k). */
+  /** Lexical doc-kNN: top-k corpus docs per query row by word n-gram
+    * Jaccard (operators.Retrieval.jaccardTopK — row-local shingle
+    * sets, broadcast queries, bounded top-k). `queries` must carry
+    * (query_id, `textCol`) — the SAME text column name as this frame. */
   def jaccardSearch(textCol: String, queries: Frame, n: Int = 3,
       k: Int = 10): Frame =
     Frame(graft.operators.Retrieval.jaccardTopK(df, idx, textCol,

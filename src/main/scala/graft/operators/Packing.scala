@@ -27,6 +27,45 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** THE two-pass global-running-offset primitive (shared by
+    * [[packSequences]] and
+    * [[graft.operators.TextQuality.curriculumOrder]] — previously three
+    * hand-rolled copies of this subtle pattern lived side by side):
+    * `df` must carry a long `__w` weight column; `orderCols` define the
+    * global order. Range-partition on the order key and pin the layout
+    * (both passes must see identical partition bounds), collect
+    * O(partitions) per-partition weight sums into cumulative offsets,
+    * then add a partition-local running sum — the global cumulative sum
+    * with no single-partition `Window.orderBy` funnel.
+    *
+    * Returns the input rows + `__off_total` = total weight strictly
+    * BEFORE the row in the global order. */
+  private[graft] def runningOffset(df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pinned = df
+      .repartitionByRange(parts, orderCols: _*)
+      .localCheckpoint(false)
+    // Pass 1: per-partition weight sums → cumulative offsets (driver,
+    // O(partitions)).
+    val sums = pinned
+      .groupBy(spark_partition_id().as("__pid")).agg(sum("__w").as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.zip(sums.scanLeft(0L) { case (acc, (_, s)) => acc + s })
+      .map { case ((pid, _), before) => pid -> before }
+    // Pass 2: partition-local running sum + broadcast offset lookup
+    // (a join, not a chained CASE — O(1) per row at any partition count).
+    val lookup = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pinned.withColumn("__pid", spark_partition_id())
+      .withColumn("__cum", sum("__w").over(w))
+      .join(broadcast(lookup), Seq("__pid"))
+      .withColumn("__off_total", col("__off") + col("__cum") - col("__w"))
+      .drop("__pid", "__cum", "__off")
+  }
+
   /** Assign each row a `bin` (0-based context-window index) plus its
     * `tok_offset` (global tokens before it). `tokensCol` must be a
     * non-negative integral column; rows are packed in `idCol` order.
@@ -34,31 +73,12 @@ object Packing {
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       capacity: Long): DataFrame = Tuning.forSize(df) {
     require(capacity > 0, s"capacity must be positive: $capacity")
-    val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val pinned = df
-      .select(col(idCol), col(tokensCol).cast("long").as("__tok"))
-      .repartitionByRange(parts, col(idCol))
-      .localCheckpoint(false)
-    // Pass 1: per-partition token sums → cumulative offsets (driver,
-    // O(partitions)).
-    val sums = pinned
-      .groupBy(spark_partition_id().as("__pid")).agg(sum("__tok").as("__s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = sums.zip(sums.scanLeft(0L) { case (acc, (_, s)) => acc + s })
-      .map { case ((pid, _), before) => pid -> before }.toMap
-    // Pass 2: partition-local running sum + broadcast offset lookup
-    // (a join, not a chained CASE — O(1) per row at any partition count).
-    val lookup = spark.createDataFrame(offsets.toSeq.map { case (p, o) => (p, o) })
-      .toDF("__pid", "__off")
-    val w = Window.partitionBy("__pid").orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pinned.withColumn("__pid", spark_partition_id())
-      .withColumn("__cum", sum("__tok").over(w))
-      .join(broadcast(lookup), Seq("__pid"))
-      .withColumn("tok_offset", col("__off") + col("__cum") - col("__tok"))
+    val weighted = df
+      .select(col(idCol), col(tokensCol).cast("long").as("__w"))
+    runningOffset(weighted, Seq(col(idCol)))
+      .withColumn("tok_offset", col("__off_total"))
       .withColumn("bin", floor(col("tok_offset") / capacity))
-      .select(col(idCol), col("__tok").as("n_tokens"), col("tok_offset"), col("bin"))
+      .select(col(idCol), col("__w").as("n_tokens"), col("tok_offset"), col("bin"))
   }
 
   /** Training-shard manifest: documents in id order are cut into

@@ -114,10 +114,10 @@ object Retrieval {
     *
     * Output: (query_id, doc_id, jaccard, rn). */
   def jaccardTopK(
-      corpus: DataFrame,    // (id, text, ...)
+      corpus: DataFrame,    // (id, textCol, ...)
       idCol: String,
       textCol: String,
-      queries: DataFrame,   // (query_id, text)
+      queries: DataFrame,   // (query_id, textCol) — SAME text column name
       n: Int,
       k: Int): DataFrame = {
     def shingleSets(df: DataFrame, id: Column, outId: String) = df

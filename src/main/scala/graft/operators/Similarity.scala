@@ -440,9 +440,12 @@ object Similarity {
     * Output: (queryCol, n_exact, n_hit, recall). */
   def recallAtK(exact: DataFrame, approx: DataFrame,
       queryCol: String = "query_id", idCol: String = "vec_id"): DataFrame = {
-    val a = approx.select(col(queryCol), col(idCol))
+    // pair-dedup both sides: a non-distinct candidate list (band-join
+    // output, unioned probe lists) would otherwise fan out the join and
+    // silently inflate both n_exact and n_hit
+    val a = approx.select(col(queryCol), col(idCol)).dropDuplicates()
       .withColumn("__hit", lit(1L))
-    exact.select(col(queryCol), col(idCol))
+    exact.select(col(queryCol), col(idCol)).dropDuplicates()
       .join(a, Seq(queryCol, idCol), "left")
       .groupBy(queryCol)
       .agg(count(lit(1)).as("n_exact"),

@@ -280,9 +280,14 @@ object TextDedup {
     val sigs = bandSignaturesProjected(docs, idCol, textCol, shingleLen,
       numHashes, bandRows)
     val cand = candidatePairs(sigs, idCol, maxBucketSize)
-    val hs = docs.select(col(idCol),
-      graft.functions.ShingleHashes(col(textCol), shingleLen, 7, dedup = true)
-        .as("__hs"))
+    // only candidate docs pay the hash-array pass (same left_semi prune
+    // as nearDuplicates' scale path and dedupAgainstIndex)
+    val candDocs = cand.select(col("doc_a").as(idCol))
+      .union(cand.select(col("doc_b").as(idCol))).distinct()
+    val hs = docs.join(candDocs, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        graft.functions.ShingleHashes(col(textCol), shingleLen, 7,
+          dedup = true).as("__hs"))
     cand
       .join(hs.select(col(idCol).as("doc_a"), col("__hs").as("__ha")), "doc_a")
       .join(hs.select(col(idCol).as("doc_b"), col("__hs").as("__hb")), "doc_b")

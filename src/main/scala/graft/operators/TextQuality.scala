@@ -445,8 +445,6 @@ object TextQuality {
       stages: Int, batchRows: Long): DataFrame = Tuning.forSize(docs) {
     require(stages >= 1, s"stages must be >= 1: $stages")
     require(batchRows >= 1, s"batchRows must be >= 1: $batchRows")
-    val spark = docs.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val d = col(difficultyCol).cast("double")
     val bounds = docs.agg(min(d).as("__lo"), max(d).as("__hi"))
     val staged = docs.select(col(idCol), d.as("__d"))
@@ -459,22 +457,11 @@ object TextQuality {
             lit(stages - 1)))
           .cast("int").as("stage"),
         md5(col(idCol).cast("string")).as("__h"))
-    val pinned = staged
-      .repartitionByRange(parts, col("stage"), col("__h"), col(idCol))
-      .localCheckpoint(false)
-    val sums = pinned
-      .groupBy(spark_partition_id().as("__pid")).agg(count(lit(1)).as("__s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = sums.zip(sums.scanLeft(0L) { case (acc, (_, s)) => acc + s })
-      .map { case ((pid, _), before) => pid -> before }
-    val lookup = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
-    val w = Window.partitionBy("__pid")
-      .orderBy(col("stage"), col("__h"), col(idCol))
-    pinned.withColumn("__pid", spark_partition_id())
-      .withColumn("__rn", row_number().over(w))
-      .join(broadcast(lookup), Seq("__pid"))
-      .select(col(idCol), col("stage"),
-        (col("__off") + col("__rn") - 1).as("position"))
+      .withColumn("__w", lit(1L))
+    // global position = unit-weight running offset in curriculum-key
+    // order (Packing.runningOffset — the shared two-pass machinery)
+    Packing.runningOffset(staged, Seq(col("stage"), col("__h"), col(idCol)))
+      .select(col(idCol), col("stage"), col("__off_total").as("position"))
       .withColumn("batch", floor(col("position") / batchRows))
   }
 

@@ -51,7 +51,12 @@ object TimeGrid {
           .as("__embargo_start"))
     df.crossJoin(broadcast(cuts))
       .withColumn("split",
-        when(col(tsCol) > col("__test_start"), lit("test"))
+        // a NULL timestamp must NOT fall through to "train" — an
+        // undated row could sit inside the test window, the exact leak
+        // the embargo exists to prevent; label it for the caller to
+        // drop or repair
+        when(col(tsCol).isNull, lit("unknown"))
+          .when(col(tsCol) > col("__test_start"), lit("test"))
           .when(col(tsCol) > col("__embargo_start"), lit("embargo"))
           .otherwise(lit("train")))
       .drop("__test_start", "__embargo_start")

@@ -299,6 +299,9 @@ object StreamOps {
     val toks = split(col(textCol), " ")
     stream
       .withWatermark(tsCol, watermark)
+      // null text would count in n_docs but not n_tokens, diverging
+      // from the batch oovReport (where explode drops the doc entirely)
+      .filter(col(textCol).isNotNull)
       .select(col(tsCol), size(toks).cast("long").as("__n"),
         aggregate(toks, lit(0L), (acc, t) =>
           acc + when(element_at(vLit, t).isNull, lit(1L)).otherwise(lit(0L)))

@@ -91,6 +91,19 @@ class RecurrenceSpec extends SparkSpec {
       4L -> "test", 5L -> "test"))
   }
 
+  test("temporalSplit labels a NULL timestamp 'unknown', never 'train'") {
+    import graft.operators.TimeGrid
+    val df = spark.createDataFrame(Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2L, Some(java.sql.Timestamp.valueOf("2024-01-30 00:00:00"))),
+      (3L, None: Option[java.sql.Timestamp])))
+      .toDF("id", "ts")
+    val got = TimeGrid.temporalSplit(df, "ts", testUnits = 7,
+        embargoUnits = 2).select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "train", 2L -> "test", 3L -> "unknown"))
+  }
+
   test("ewm accepts non-double value columns (long)") {
     import spark.implicits._
     val df = Seq((1L, 0L, 10L), (1L, 1L, 20L)).toDF("k", "i", "v")

@@ -154,6 +154,11 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(
       0L -> ((3L, 2L, 2.0 / 3.0)),
       1L -> ((2L, 0L, 0.0))))
+    // non-distinct candidate lists must not inflate the metric
+    val got2 = Similarity.recallAtK(exact.union(exact), approx.union(approx))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got2 == got, s"duplicates changed recall: $got2")
   }
 
   test("recallAtK of a retrieval list against itself is 1.0") {
