@@ -16,6 +16,59 @@ import graft.operators.{Dsir, Packing, QualityModel, Retrieval, Similarity}
   */
 object SelectQueries {
 
+  /** DuckDB mirror of [[graft.operators.Retrieval.bm25TopK]] over
+    * `documents`: queries = distinct first-6-word terms of docs with
+    * doc_id < `cut`, Okapi BM25 (k1=1.2, b=0.75). Ends in relation
+    * `bm25r` = (query_id, doc_id, score, rn). Shared by the
+    * q_bm25_topk and q_rrf_fusion oracles so they can never drift. */
+  private def bm25Ctes(cut: Int): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |q AS (SELECT DISTINCT doc_id AS query_id, unnest(ws[1:6]) AS term
+       |      FROM d WHERE doc_id < $cut),
+       |toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM d),
+       |matched AS (SELECT * FROM toks
+       |            WHERE term IN (SELECT DISTINCT term FROM q)),
+       |tf AS (SELECT doc_id, CAST(dl AS DOUBLE) AS dl, term, count(*) AS tf
+       |       FROM matched GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |            avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM d),
+       |contrib AS (SELECT query_id, doc_id,
+       |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+       |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+       |  FROM tf JOIN dfx USING (term) JOIN q USING (term), stats),
+       |sc AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+       |bm25r AS (SELECT query_id, doc_id, score,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY score DESC, doc_id) AS rn
+       |      FROM sc)""".stripMargin
+
+  /** DuckDB mirror of [[graft.operators.Retrieval.jaccardTopK]] over
+    * `documents` (word trigrams, 28-bit md5 shingle hashes): queries =
+    * docs with doc_id < `cut`, self-matches excluded. Ends in relation
+    * `jacr` = (query_id, doc_id, jaccard, rn). Shared by the
+    * q_jaccard_topk and q_rrf_fusion oracles so they can never drift. */
+  private def jaccardCtes(cut: Int): String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
+       |      AS BIGINT) AS h
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+       |        FROM words)),
+       |sizes AS (SELECT doc_id, count(*) AS cs FROM sh GROUP BY 1),
+       |qs AS (SELECT doc_id AS query_id, h FROM sh WHERE doc_id < $cut),
+       |qsize AS (SELECT query_id, count(*) AS nq FROM qs GROUP BY 1),
+       |inter AS (SELECT query_id, s.doc_id, count(*) AS i
+       |  FROM qs JOIN sh s USING (h) WHERE s.doc_id <> qs.query_id
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT query_id, doc_id,
+       |    CAST(i AS DOUBLE) / CAST(nq + cs - i AS DOUBLE) AS jaccard
+       |  FROM inter JOIN qsize USING (query_id) JOIN sizes USING (doc_id)),
+       |jacr AS (SELECT query_id, doc_id, jaccard,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY jaccard DESC, doc_id) AS rn
+       |      FROM scored)""".stripMargin
+
   def registerAll(reg: (String, Option[String], (SparkSession, String) => DataFrame) => Unit): Unit = {
 
     def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Unit =
@@ -28,27 +81,8 @@ object SelectQueries {
     // stream is semi-joined against the broadcast query-term set before
     // any shuffle.
     q("q_bm25_topk",
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |q AS (SELECT DISTINCT doc_id AS query_id, unnest(ws[1:6]) AS term
-        |      FROM d WHERE doc_id < 4),
-        |toks AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM d),
-        |matched AS (SELECT * FROM toks
-        |            WHERE term IN (SELECT DISTINCT term FROM q)),
-        |tf AS (SELECT doc_id, CAST(dl AS DOUBLE) AS dl, term, count(*) AS tf
-        |       FROM matched GROUP BY 1, 2, 3),
-        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM matched GROUP BY 1),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |            avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM d),
-        |contrib AS (SELECT query_id, doc_id,
-        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
-        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
-        |  FROM tf JOIN dfx USING (term) JOIN q USING (term), stats),
-        |sc AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score,
-        |        row_number() OVER (PARTITION BY query_id
-        |                           ORDER BY score DESC, doc_id) AS rn
-        |      FROM sc)
-        |SELECT query_id, doc_id, round(score, 6) AS score FROM r WHERE rn <= 5
+      s"""WITH ${bm25Ctes(4)}
+        |SELECT query_id, doc_id, round(score, 6) AS score FROM bm25r WHERE rn <= 5
         |ORDER BY query_id, score DESC, doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val queries = docs.filter(col("doc_id") < 4)
@@ -65,33 +99,50 @@ object SelectQueries {
     // row-local kernel call; broadcast query side; (query, doc)-keyed
     // partial-agg intersection counts; bounded top-k.
     q("q_jaccard_topk",
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |    CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
-        |      AS BIGINT) AS h
-        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
-        |        FROM words)),
-        |sizes AS (SELECT doc_id, count(*) AS cs FROM sh GROUP BY 1),
-        |qs AS (SELECT doc_id AS query_id, h FROM sh WHERE doc_id < 3),
-        |qsize AS (SELECT query_id, count(*) AS nq FROM qs GROUP BY 1),
-        |inter AS (SELECT query_id, s.doc_id, count(*) AS i
-        |  FROM qs JOIN sh s USING (h) WHERE s.doc_id <> qs.query_id
-        |  GROUP BY 1, 2),
-        |scored AS (SELECT query_id, doc_id,
-        |    CAST(i AS DOUBLE) / CAST(nq + cs - i AS DOUBLE) AS jaccard
-        |  FROM inter JOIN qsize USING (query_id) JOIN sizes USING (doc_id)),
-        |r AS (SELECT query_id, doc_id, jaccard,
-        |        row_number() OVER (PARTITION BY query_id
-        |                           ORDER BY jaccard DESC, doc_id) AS rn
-        |      FROM scored)
+      s"""WITH ${jaccardCtes(3)}
         |SELECT query_id, doc_id, round(jaccard, 9) AS jaccard, CAST(rn AS INT) AS rn
-        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+        |FROM jacr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val queries = docs.filter(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"), col("text"))
       Retrieval.jaccardTopK(docs, "doc_id", "text", queries, n = 3, k = 5)
         .select(col("query_id"), col("doc_id"),
           round(col("jaccard"), 9).as("jaccard"), col("rn"))
+        .orderBy("query_id", "rn")
+    }
+
+    // Hybrid retrieval via reciprocal-rank fusion: the BM25 and
+    // trigram-Jaccard top-5 lists above, fused on rank alone
+    // (score = Σ 1/(60+rn)) — no score calibration across retrievers.
+    // Both CTE stacks are the SHARED defs used by q_bm25_topk /
+    // q_jaccard_topk, so this oracle can never drift from them. The
+    // fused candidate set is ≤ lists·k per query: everything after the
+    // (already bounded) retrievers is map-only + a ≤2-row-group sum.
+    q("q_rrf_fusion",
+      s"""WITH ${bm25Ctes(3)},
+        |${jaccardCtes(3)},
+        |u AS (SELECT query_id, doc_id, 1.0 / (60.0 + rn) AS w
+        |      FROM bm25r WHERE rn <= 5
+        |      UNION ALL
+        |      SELECT query_id, doc_id, 1.0 / (60.0 + rn) AS w
+        |      FROM jacr WHERE rn <= 5),
+        |f AS (SELECT query_id, doc_id, sum(w) AS rrf FROM u GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY rrf DESC, doc_id) AS rn
+        |       FROM f)
+        |SELECT query_id, doc_id, round(rrf, 9) AS rrf, CAST(rn AS INT) AS rn
+        |FROM fr WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val qdocs = docs.filter(col("doc_id") < 3)
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+        qdocs.select(col("doc_id").as("query_id"),
+          explode(slice(split(col("text"), " "), 1, 6)).as("term")), k = 5)
+      val knn = Retrieval.jaccardTopK(docs, "doc_id", "text",
+        qdocs.select(col("doc_id").as("query_id"), col("text")), n = 3, k = 5)
+      Retrieval.rrfFuse(Seq(lex, knn), k = 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("rrf"), 9).as("rrf"), col("rn"))
         .orderBy("query_id", "rn")
     }
 

@@ -904,6 +904,16 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.Retrieval.jaccardTopK(df, idx, textCol,
       queries.df, n, k))
 
+  /** Reciprocal-rank fusion of this ranked list with `others` —
+    * hybrid retrieval without score calibration
+    * (operators.Retrieval.rrfFuse). Every input must carry
+    * (query_id, doc_id, rn) as produced by [[bm25Search]] /
+    * [[jaccardSearch]] / the vector `*Search` family. */
+  def rrfFuse(others: Seq[Frame], k: Int = 10, c: Double = 60.0,
+      queryCol: String = "query_id", idCol: String = "doc_id"): Frame =
+    Frame(graft.operators.Retrieval.rrfFuse(df +: others.map(_.df), k, c,
+      queryCol, idCol))
+
   // ---- embedding similarity / vector retrieval (graft extensions) ----
 
   /** This frame as an operator corpus: index → vec_id, vecCol →

@@ -92,7 +92,44 @@ object Retrieval {
     // aggregation shape is strictly cheaper and audit-uniform
     Similarity.topKPerQuery(scored, k, "score", scoreDesc = true,
         idCol = "doc_id")
-      .select("query_id", "doc_id", "score")
+      .select("query_id", "doc_id", "score", "rn")
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): combine
+    * ranked lists from heterogeneous retrievers (lexical BM25, dense
+    * cosine, n-gram Jaccard, ...) into one list without score
+    * calibration — each list contributes `1/(c + rank)` per hit and a
+    * document's fused score is the sum, so retrievers with wildly
+    * different score scales vote on rank alone. The standard hybrid
+    * first-stage for retrieval-augmented data curation.
+    *
+    * Every input is already top-k-per-query (bounded), so the fused
+    * candidate set is ≤ lists·k rows per query: the union is a narrow
+    * map-only projection, the per-(query, doc) sum is a partial
+    * aggregate over group size ≤ number of lists, and the final top-k
+    * is [[Similarity.topKPerQuery]] — nothing corpus-sized moves, at
+    * any scale. With ≤2 lists the fused sum is order-exact (IEEE
+    * addition is commutative); beyond that it is deterministic up to
+    * the usual 1-ulp association drift of any distributed sum.
+    *
+    * Inputs need columns (queryCol, idCol, rn); ranks must be 1-based
+    * (as emitted by [[bm25TopK]], [[jaccardTopK]] and the
+    * `Similarity.*TopK` family). Output: (queryCol, idCol, rrf, rn).
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      k: Int,
+      c: Double = 60.0,
+      queryCol: String = "query_id",
+      idCol: String = "doc_id"): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val weighted = lists.map(_.select(col(queryCol), col(idCol),
+      (lit(1.0) / (lit(c) + col("rn").cast("double"))).as("__w")))
+    val scored = weighted.reduce(_ unionByName _)
+      .groupBy(queryCol, idCol)
+      .agg(sum("__w").as("rrf"))
+    Similarity.topKPerQuery(scored, k, "rrf", scoreDesc = true,
+      idCol = idCol, queryCol = queryCol)
   }
 
   /** Lexical doc-kNN: the `k` corpus documents most similar to each

@@ -975,6 +975,16 @@ class FrameApiSpec extends SparkSpec {
         round(col("jaccard"), 9).as("jaccard"), col("rn"))
       .orderBy("query_id", "rn")))
 
+    val rq = Frame(Tables.documents(spark, sfDir).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 6)).as("term")))
+    val lex3 = docs.bm25Search("text", rq, k = 5)
+    val knn3 = docs.jaccardSearch("text", jq, n = 3, k = 5)
+    same("q_rrf_fusion", Frame(lex3.rrfFuse(Seq(knn3), k = 5).toDF
+      .select(col("query_id"), col("doc_id"),
+        round(col("rrf"), 9).as("rrf"), col("rn"))
+      .orderBy("query_id", "rn")))
+
     same("q_dsir_select", Frame(docs.dsirSelect("text", col("lang") === "en",
         k = 20).toDF
       .select(col("doc_id"), round(col("weight"), 6).as("weight"),

@@ -326,6 +326,33 @@ class SelectOpsSpec extends SparkSpec {
     assert(run(docsDf(rows).repartition(1)) == run(docsDf(rows).repartition(11)))
   }
 
+  test("rrfFuse sums 1/(c+rank) across lists and ranks deterministically") {
+    def ranked(rows: Seq[(Long, Long, Int)]) =
+      spark.createDataFrame(rows).toDF("query_id", "doc_id", "rn")
+    // list A ranks docs (1,2,3); list B ranks (3,2,9) for the same query
+    val a = ranked(Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3)))
+    val b = ranked(Seq((7L, 3L, 1), (7L, 2L, 2), (7L, 9L, 3)))
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 4, c = 60.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._3)
+    def w(r: Int) = 1.0 / (60.0 + r)
+    // doc 3: ranks 3+1; doc 2: 2+2 (equal score — doc_id tie-break);
+    // docs 1 and 9: single-list hits
+    assert(out.map(_._1).toSeq == Seq(3L, 2L, 1L, 9L))
+    assert(out(0)._2 == w(3) + w(1))
+    assert(out(1)._2 == w(2) + w(2))
+    assert(out(2)._2 == w(1) && out(3)._2 == w(3))
+    assert(out.map(_._3).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("rrfFuse with one list preserves that list's order, re-scored") {
+    val a = spark.createDataFrame(Seq((1L, 10L, 1), (1L, 11L, 2)))
+      .toDF("query_id", "doc_id", "rn")
+    val out = Retrieval.rrfFuse(Seq(a), k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
+    assert(out.toSeq == Seq(10L -> 1, 11L -> 2))
+  }
+
   test("oovReport counts exactly the tokens outside the top-N vocabulary") {
     import graft.operators.TextQuality
     // "common" appears 4x (in vocab at N=2), "shared" 3x (in vocab),
