@@ -19,12 +19,12 @@ object LlmQueries {
   // ---- shared oracle SQL fragments ------------------------------------
 
   /** DuckDB mirror of Similarity.dot: cast-to-double, fold in order. */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(generate_series(1, len($a)), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
 
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / sqrt(${dotSql(a, a)}) / sqrt(${dotSql(b, b)})"
 
   /** DuckDB mirror of the shingle → minhash → band CTEs (k hashes,

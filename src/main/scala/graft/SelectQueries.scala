@@ -146,6 +146,70 @@ object SelectQueries {
         .orderBy("query_id", "rn")
     }
 
+    // MMR diversity re-ranking: cosine top-8 per query (3 queries),
+    // then greedy λ=0.5 maximal-marginal-relevance selection of 3 —
+    // each pick maximizes λ·rel − (1−λ)·max-cos-to-selected. The
+    // oracle unrolls the same 3 greedy rounds with the identical
+    // double arithmetic (cast-to-double cosine folds, CAST(0.5 AS
+    // DOUBLE) factors), so selections and scores match bit-for-bit.
+    {
+      val cos = LlmQueries.cosSql("qvv", "embedding")
+      val ce = LlmQueries.cosSql("c.emb", "s.emb")
+      val l = "CAST(0.5 AS DOUBLE)"
+      q("q_mmr_rerank",
+        s"""WITH qv AS (SELECT vec_id AS query_id, embedding AS qvv
+          |            FROM embeddings WHERE vec_id < 3),
+          |scx AS (SELECT query_id, vec_id, $cos AS rel, embedding AS emb
+          |       FROM embeddings, qv WHERE vec_id != query_id),
+          |cand AS (SELECT query_id, vec_id, rel, emb FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY query_id
+          |                                 ORDER BY rel DESC, vec_id) AS rr
+          |    FROM scx) WHERE rr <= 8),
+          |s1 AS (SELECT query_id, vec_id, $l * rel AS mmr, 1 AS rn, emb
+          |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |               ORDER BY $l * rel DESC, vec_id) AS pk FROM cand)
+          |       WHERE pk = 1),
+          |p2 AS (SELECT c.query_id, c.vec_id, max(c.rel) AS rel,
+          |              max($ce) AS ms
+          |       FROM cand c JOIN s1 s USING (query_id)
+          |       WHERE c.vec_id <> s.vec_id GROUP BY 1, 2),
+          |s2 AS (SELECT query_id, vec_id, $l * rel - $l * ms AS mmr, 2 AS rn
+          |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |               ORDER BY $l * rel - $l * ms DESC, vec_id) AS pk
+          |             FROM p2) WHERE pk = 1),
+          |sel2 AS (SELECT query_id, vec_id, emb FROM s1
+          |         UNION ALL
+          |         SELECT s2.query_id, s2.vec_id, c.emb
+          |         FROM s2 JOIN cand c ON s2.query_id = c.query_id
+          |                            AND s2.vec_id = c.vec_id),
+          |p3 AS (SELECT c.query_id, c.vec_id, max(c.rel) AS rel,
+          |              max($ce) AS ms
+          |       FROM cand c JOIN sel2 s USING (query_id)
+          |       WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+          |           WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+          |       GROUP BY 1, 2),
+          |s3 AS (SELECT query_id, vec_id, $l * rel - $l * ms AS mmr, 3 AS rn
+          |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          |               ORDER BY $l * rel - $l * ms DESC, vec_id) AS pk
+          |             FROM p3) WHERE pk = 1),
+          |outx AS (SELECT query_id, vec_id, mmr, rn FROM s1
+          |        UNION ALL SELECT query_id, vec_id, mmr, rn FROM s2
+          |        UNION ALL SELECT query_id, vec_id, mmr, rn FROM s3)
+          |SELECT query_id, vec_id, round(mmr, 9) AS mmr, CAST(rn AS INT) AS rn
+          |FROM outx ORDER BY query_id, rn""".stripMargin) { (s, dir) =>
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val cand = Similarity.cosineTopK(queries, e, k = 8)
+          .select(col("query_id"), col("vec_id"), col("c").as("rel"))
+          .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        Similarity.mmrRerank(cand, k = 3, lambda = 0.5)
+          .select(col("query_id"), col("vec_id"),
+            round(col("mmr"), 9).as("mmr"), col("rn"))
+          .orderBy("query_id", "rn")
+      }
+    }
+
     // ---- DSIR importance resampling -----------------------------------
 
     // Target distribution = English docs; raw pool = the rest. Hashed

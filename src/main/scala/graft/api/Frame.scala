@@ -934,6 +934,18 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.Similarity.cosineTopK(
       asQueries(queries, vecCol), asCorpus(vecCol), k))
 
+  /** Diversity-aware MMR re-ranking of a first-stage top-N: greedily
+    * pick `k` per query maximizing λ·rel − (1−λ)·max-cos-to-selected
+    * (operators.Similarity.mmrRerank — k unrolled bounded rounds, no
+    * rank window). This frame is the vector corpus; `candidates` must
+    * carry (query_id, vec_id, `relCol`) from a retriever such as
+    * [[cosineTopK]]. Returns (query_id, vec_id, mmr, rn). */
+  def mmrRerank(candidates: Frame, vecCol: String, k: Int,
+      lambda: Double = 0.5, relCol: String = "rel"): Frame =
+    Frame(graft.operators.Similarity.mmrRerank(
+      candidates.df.join(asCorpus(vecCol), Seq("vec_id")), k, lambda,
+      relCol = relCol))
+
   /** ANN top-k via random-hyperplane LSH buckets
     * (operators.Similarity.annTopK — bucket id is the join key). */
   def annTopK(queries: Frame, vecCol: String, dim: Int,

@@ -83,6 +83,68 @@ object Similarity {
     topKPerQuery(scored, k, "c", scoreDesc = true)
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell/Goldstein 1998):
+    * greedily select `k` of each query's candidates maximizing
+    * `λ·relevance − (1−λ)·max cosine to the already-selected set` — the
+    * diversity-aware second stage after any first-stage retriever
+    * (dedup-aware retrieval, diverse exemplar mining for training
+    * mixes). Pick 1 is the pure-relevance argmax (empty selected set →
+    * similarity penalty 0, scored as λ·rel so one formula covers every
+    * round); ties break on ascending id, so selection is deterministic.
+    *
+    * `candidates` must be a BOUNDED per-query list — (queryCol, idCol,
+    * relCol, vecCol), the output of a top-N first stage joined back to
+    * its vectors. Greedy selection is inherently sequential in k, so
+    * the k rounds are unrolled into the plan: each round anti-joins the
+    * (≤N-row) per-query remainder against the (<k-row) selected set,
+    * scores each remaining candidate's max-similarity-to-selected with
+    * a partial-aggregating max over ≤k pair rows, and picks the next
+    * winner with the bounded [[topKPerQuery]]. Per query that is
+    * O(N·k²) arithmetic on ≤N·k rows — fully parallel across queries,
+    * nothing corpus-sized, no rank window. Keep k small (it multiplies
+    * plan depth); the candidate frame is cached because every round
+    * re-reads it.
+    *
+    * Output: (queryCol, idCol, mmr, rn) — rn = 1-based selection order.
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      k: Int,
+      lambda: Double = 0.5,
+      idCol: String = "vec_id",
+      queryCol: String = "query_id",
+      relCol: String = "rel",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "mmrRerank needs k >= 1")
+    val cand = candidates.select(col(queryCol), col(idCol),
+      col(relCol).cast("double").as(relCol), col(vecCol)).cache()
+    val vecs = cand.select(col(queryCol), col(idCol), col(vecCol))
+    def withVec(sel: DataFrame) = sel.join(vecs, Seq(queryCol, idCol))
+    val first = topKPerQuery(
+      cand.withColumn("mmr", lit(lambda) * col(relCol)),
+      1, "mmr", scoreDesc = true, idCol = idCol, queryCol = queryCol)
+    var selected = withVec(first)
+    for (t <- 2 to k) {
+      val rem = cand.join(selected.select(queryCol, idCol),
+        Seq(queryCol, idCol), "left_anti")
+      val scored = rem
+        .join(selected.select(col(queryCol), col(vecCol).as("__sv")),
+          Seq(queryCol))
+        .select(col(queryCol), col(idCol), col(relCol),
+          cosine(col(vecCol), col("__sv")).as("__s"))
+        .groupBy(queryCol, idCol)
+        .agg(max(relCol).as(relCol), max("__s").as("__ms"))
+        .withColumn("mmr",
+          lit(lambda) * col(relCol) - lit(1.0 - lambda) * col("__ms"))
+      val pick = topKPerQuery(scored, 1, "mmr", scoreDesc = true,
+          idCol = idCol, queryCol = queryCol)
+        .withColumn("rn", lit(t))
+      selected = selected.unionByName(withVec(pick))
+    }
+    selected.select(col(queryCol), col(idCol), col("mmr"),
+      col("rn").cast("int").as("rn"))
+  }
+
   /** Max cosine of `vec` against a LITERAL set of vectors (id, vector,
     * norm triples, the [[Clustering.seedCentroids]] shape) — the
     * semantic-contamination probe: benchmark/eval embeddings are tiny

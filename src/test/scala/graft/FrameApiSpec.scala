@@ -826,6 +826,13 @@ class FrameApiSpec extends SparkSpec {
       .transform(_.select(col("query_id"), col("vec_id"),
           round(col("c"), 9).as("cosine"))
         .orderBy("query_id", "vec_id")))
+    same("q_mmr_rerank", emb.mmrRerank(
+        Frame(emb.cosineTopK(qs, "embedding", k = 8).toDF
+          .select(col("query_id"), col("vec_id"), col("c").as("rel"))),
+        "embedding", k = 3, lambda = 0.5)
+      .transform(_.select(col("query_id"), col("vec_id"),
+          round(col("mmr"), 9).as("mmr"), col("rn"))
+        .orderBy("query_id", "rn")))
     same("q_sq8_topk", emb.sq8TopK(qs, "embedding", dim = 64, k = 5)
       .transform(_.select(col("query_id"), col("vec_id"),
           round(col("c"), 9).as("cosine_sq8"))

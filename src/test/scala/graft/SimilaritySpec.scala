@@ -42,6 +42,86 @@ class SimilaritySpec extends SparkSpec {
     sq8.foreach { case (k, c) => assert(math.abs(c - exact(k)) < 1e-2, s"$k: $c vs ${exact(k)}") }
   }
 
+  test("mmrRerank matches a local greedy MMR reference") {
+    val corpus = corpusDf((0L until 30L).map(i => (i, vec(i.toInt))))
+    val queries = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val lam = 0.5
+    val cand = Similarity.cosineTopK(queries, corpus, k = 6)
+      .select(col("query_id"), col("vec_id"), col("c").as("rel"))
+      .join(corpus, Seq("vec_id"))
+    val got = Similarity.mmrRerank(cand, k = 3, lambda = lam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq).toMap
+
+    // local greedy replay over the same candidates
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (d, na, nb) = (0 until dim).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, na, nb), i) =>
+          (d + a(i).toDouble * b(i).toDouble,
+           na + a(i).toDouble * a(i).toDouble,
+           nb + b(i).toDouble * b(i).toDouble)
+      }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val vecs = (0L until 30L).map(i => i -> vec(i.toInt)).toMap
+    val candLocal = cand.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("query_id"),
+        r.getAs[Double]("rel")))
+      .groupBy(_._2).view.mapValues(_.map(t => t._1 -> t._3).toMap).toMap
+    got.foreach { case (qid, sel) =>
+      var chosen = Vector.empty[(Long, Double)]
+      val pool = scala.collection.mutable.Map(candLocal(qid).toSeq: _*)
+      for (_ <- 1 to 3) {
+        val best = pool.map { case (id, rel) =>
+          val ms = if (chosen.isEmpty) 0.0
+            else chosen.map(c => cos(vecs(id), vecs(c._1))).max
+          (id, lam * rel - (if (chosen.isEmpty) 0.0 else (1 - lam) * ms))
+        }.minBy { case (id, s) => (-s, id) }
+        chosen :+= best
+        pool.remove(best._1)
+      }
+      assert(sel.map(_._1) == chosen.map(_._1),
+        s"query $qid selected ${sel.map(_._1)} vs local ${chosen.map(_._1)}")
+      sel.zip(chosen).foreach { case ((_, s), (_, ls)) =>
+        assert(math.abs(s - ls) < 1e-12) }
+    }
+  }
+
+  test("mmrRerank diversifies: near-duplicate of pick 1 is skipped") {
+    // docs 10 and 11 nearly identical (both highly relevant); doc 12
+    // moderately relevant but far from 10 — at λ=0.5 the pick-2 margin
+    // rel − max_sim favors 12 (0.6 − 0.59 ≈ +0.01) over the near-dup
+    // 11 (0.99 − 0.9999 ≈ −0.01), so MMR must pick 10 then 12.
+    def pad(xs: Double*) = xs.map(_.toFloat) ++ Seq.fill(dim - xs.size)(0.0f)
+    val corpus = corpusDf(Seq(
+      (10L, pad(0.99, 0.141)),
+      (11L, pad(0.99, 0.1411)),
+      (12L, pad(0.6, 0.0, 0.8))))
+    val q = corpusDf(Seq((0L, pad(1.0))))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cand = Similarity.cosineTopK(q, corpus, k = 3)
+      .select(col("query_id"), col("vec_id"), col("c").as("rel"))
+      .join(corpus, Seq("vec_id"))
+    val picks = Similarity.mmrRerank(cand, k = 2, lambda = 0.5)
+      .collect().sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+    assert(picks == Seq(10L, 12L), s"got $picks")
+  }
+
+  test("mmrRerank k=1 is the relevance argmax; empty candidates yield no rows") {
+    val corpus = corpusDf((0L until 5L).map(i => (i, vec(i.toInt))))
+    val q = corpusDf(Seq((0L, vec(0))))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cand = Similarity.cosineTopK(q, corpus, k = 3)
+      .select(col("query_id"), col("vec_id"), col("c").as("rel"))
+      .join(corpus, Seq("vec_id"))
+    val one = Similarity.mmrRerank(cand, k = 1, lambda = 0.5).collect()
+    assert(one.length == 1 && one.head.getInt(3) == 1)
+    val top = Similarity.cosineTopK(q, corpus, k = 1).collect().head.getLong(1)
+    assert(one.head.getLong(1) == top)
+    assert(Similarity.mmrRerank(cand.filter(lit(false)), k = 2).count() == 0)
+  }
+
   test("sq8TopK survives constant dimensions without NaN") {
     // dim 0 constant across the corpus: mx == mn there
     val rows = (0L until 10L).map(i => (i, 1.0f +: vec(i.toInt).tail))
