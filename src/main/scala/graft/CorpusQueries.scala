@@ -593,5 +593,57 @@ object CorpusQueries {
           sum("link_chars").as("total_link_chars"))
         .orderBy("domain", "is_boilerplate")
     }
+
+    // ---- host-graph PageRank ------------------------------------------
+
+    // Host-level PageRank over a deterministic doc_id-derived link
+    // graph (40 hosts, 2 out-links per page, self-loops dropped):
+    // operators.GraphOps.pageRank, 5 power iterations, damping 0.85,
+    // dangling mass redistributed uniformly. The oracle unrolls the
+    // identical 5 iterations (same IEEE constants via CAST(...AS
+    // DOUBLE), same coalesce/dangling structure), so ranks agree to
+    // the summation-association ulp, far inside round(6).
+    {
+      val one = "CAST(1.0 AS DOUBLE)"
+      val dmp = "CAST(0.85 AS DOUBLE)"
+      val zero = "CAST(0.0 AS DOUBLE)"
+      val iterCtes = (1 to 5).map { i =>
+        val p = s"r${i - 1}"
+        s"""dg$i AS (SELECT coalesce(sum(pr), $zero) AS dang
+           |        FROM $p WHERE odeg IS NULL),
+           |c$i AS (SELECT e.dst AS node, sum($p.pr / $p.odeg) AS contrib
+           |       FROM e JOIN $p ON e.src = $p.node GROUP BY 1),
+           |r$i AS (SELECT deg.node, deg.odeg,
+           |         ($one - $dmp) / nn.n + $dmp *
+           |           (coalesce(c$i.contrib, $zero) + dg$i.dang / nn.n) AS pr
+           |       FROM deg LEFT JOIN c$i ON deg.node = c$i.node, nn, dg$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      q("q_pagerank",
+        s"""WITH e0 AS (SELECT doc_id % 40 AS src, (doc_id * 17 + 13) % 40 AS dst
+          |           FROM documents
+          |           UNION
+          |           SELECT doc_id % 40, (doc_id * 17 + 26) % 40 FROM documents),
+          |e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+          |nodes AS (SELECT DISTINCT src AS node FROM e
+          |          UNION SELECT DISTINCT dst FROM e),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+          |odegs AS (SELECT src, CAST(count(*) AS DOUBLE) AS odeg
+          |          FROM e GROUP BY 1),
+          |deg AS (SELECT node, odeg FROM nodes LEFT JOIN odegs ON node = src),
+          |r0 AS (SELECT node, odeg, $one / nn.n AS pr FROM deg, nn),
+          |$iterCtes
+          |SELECT node, round(pr, 6) AS pr FROM r5 ORDER BY node""".stripMargin) {
+        (s, dir) =>
+        import graft.operators.GraphOps
+        val docs = Tables.documents(s, dir)
+        def link(off: Int) = docs.select((col("doc_id") % 40).as("src"),
+          ((col("doc_id") * 17 + off) % 40).as("dst"))
+        GraphOps.pageRank(link(13).unionByName(link(26)), "src", "dst",
+            iters = 5, damping = 0.85)
+          .select(col("node"), round(col("pr"), 6).as("pr"))
+          .orderBy("node")
+      }
+    }
   }
 }

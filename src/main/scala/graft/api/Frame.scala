@@ -592,6 +592,15 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       graft.operators.TextDedup.nearDuplicates(df, idx, textCol,
         threshold = threshold).select("doc_a", "doc_b")))
 
+  /** PageRank over this frame as an edge list (operators.GraphOps
+    * .pageRank — iterative src-keyed join + dst-keyed sum, dangling
+    * mass redistributed; the crawl-frontier / host-quality prior).
+    * Returns (node, pr). */
+  def pageRank(srcCol: String, dstCol: String, iters: Int = 5,
+      damping: Double = 0.85): Frame =
+    Frame(graft.operators.GraphOps.pageRank(df, srcCol, dstCol, iters,
+      damping))
+
   /** Exact duplicated-substring purge: remove every word position
     * covered by a `windowWords`-word window whose content repeats in
     * the corpus, sparing the first occurrence when `keepFirst`

@@ -806,6 +806,12 @@ class FrameApiSpec extends SparkSpec {
         array_join(col("bpe_pieces"), "|").as("pieces_str"),
         size(col("bpe_pieces")).cast("long").as("n_pieces")))
       .sortValues("doc_id"))
+    def link(off: Int) = d.select((col("doc_id") % 40).as("src"),
+      ((col("doc_id") * 17 + off) % 40).as("dst"))
+    same("q_pagerank", Frame(link(13).unionByName(link(26)))
+      .pageRank("src", "dst", iters = 5, damping = 0.85)
+      .transform(_.select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy("node")))
   }
 
   test("skewReport / profileNulls facades match the registry queries") {
