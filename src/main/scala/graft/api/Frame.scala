@@ -597,9 +597,9 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * mass redistributed; the crawl-frontier / host-quality prior).
     * Returns (node, pr). */
   def pageRank(srcCol: String, dstCol: String, iters: Int = 5,
-      damping: Double = 0.85): Frame =
+      damping: Double = 0.85, maxDriverNodes: Int = 1 << 20): Frame =
     Frame(graft.operators.GraphOps.pageRank(df, srcCol, dstCol, iters,
-      damping))
+      damping, maxDriverNodes))
 
   /** Exact duplicated-substring purge: remove every word position
     * covered by a `windowWords`-word window whose content repeats in

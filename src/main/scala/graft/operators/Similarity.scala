@@ -123,7 +123,10 @@ object Similarity {
     val first = topKPerQuery(
       cand.withColumn("mmr", lit(lambda) * col(relCol)),
       1, "mmr", scoreDesc = true, idCol = idCol, queryCol = queryCol)
-    var selected = withVec(first)
+    // selected feeds three consumers per round (anti-join, sim join,
+    // union) — pin each round's ≤k·queries-row result so the plan grows
+    // linearly in k, not exponentially
+    var selected = withVec(first).localCheckpoint(false)
     for (t <- 2 to k) {
       val rem = cand.join(selected.select(queryCol, idCol),
         Seq(queryCol, idCol), "left_anti")
@@ -139,7 +142,7 @@ object Similarity {
       val pick = topKPerQuery(scored, 1, "mmr", scoreDesc = true,
           idCol = idCol, queryCol = queryCol)
         .withColumn("rn", lit(t))
-      selected = selected.unionByName(withVec(pick))
+      selected = selected.unionByName(withVec(pick)).localCheckpoint(false)
     }
     selected.select(col(queryCol), col(idCol), col("mmr"),
       col("rn").cast("int").as("rn"))

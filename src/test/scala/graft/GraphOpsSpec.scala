@@ -30,16 +30,19 @@ class GraphOpsSpec extends SparkSpec {
     pr
   }
 
-  test("pageRank matches a local power-iteration replay") {
-    // 4 nodes; node 3 is dangling (no out-edges)
+  test("pageRank matches a local power-iteration replay on BOTH paths") {
+    // 4 nodes; node 3 is dangling (no out-edges). maxDriverNodes = 0
+    // forces the distributed fallback; default takes the driver path.
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (1L, 3L))
-    val got = GraphOps.pageRank(edgesDf(edges), "src", "dst",
-        iters = 5, damping = 0.85)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val want = localPr(edges, 5, 0.85)
-    assert(got.keySet == want.keySet)
-    got.foreach { case (v, p) =>
-      assert(math.abs(p - want(v)) < 1e-12, s"node $v: $p vs ${want(v)}") }
+    for (gate <- Seq(1 << 20, 0)) {
+      val got = GraphOps.pageRank(edgesDf(edges), "src", "dst",
+          iters = 5, damping = 0.85, maxDriverNodes = gate)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == want.keySet, s"gate=$gate")
+      got.foreach { case (v, p) =>
+        assert(math.abs(p - want(v)) < 1e-12, s"gate=$gate node $v: $p vs ${want(v)}") }
+    }
   }
 
   test("pageRank conserves total rank mass with dangling nodes") {
@@ -66,7 +69,7 @@ class GraphOpsSpec extends SparkSpec {
     val edges = (0L until 60L).map(i => (i % 12, (i * 7 + 3) % 12))
     def run(parts: Int) =
       GraphOps.pageRank(edgesDf(edges).repartition(parts), "src", "dst",
-          iters = 4)
+          iters = 4, maxDriverNodes = 0) // distributed path
         .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e9))
         .toMap
     assert(run(1) == run(13))
