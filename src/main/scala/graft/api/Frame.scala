@@ -842,6 +842,14 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def redactPii(textCol: String): Frame =
     Frame(graft.operators.TextQuality.redactPii(df, idx, textCol))
 
+  /** DEFLATE compression-ratio repetitiveness signal
+    * (operators.TextQuality.compressionRatio — codegen'd deflate_len
+    * kernel, map-only). Adds (compression_ratio, is_repetitive). */
+  def compressionRatio(textCol: String, minRatio: Double = 0.30,
+      minBytes: Int = 64): Frame =
+    Frame(graft.operators.TextQuality.compressionRatio(df, textCol,
+      minRatio, minBytes))
+
   /** Perceptual near-duplicate image pairs over a binary image column:
     * real BMP decode → 64-bit dHash → byte-band hamming LSH
     * (operators.ImageDedup — bucketed candidates, never all-pairs). */

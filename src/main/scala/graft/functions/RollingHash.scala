@@ -282,6 +282,19 @@ object GraftFunctions {
           }
           val comp = if (args.length == 3) dblLit(args(2), "compression") else 100.0
           TDigestQuantile(args.head, dblLit(args(1), "q"), comp)
+        }),
+      (
+        FunctionIdentifier("deflate_len"),
+        new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "deflate_len(text, level)")
+          val level = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"deflate_len level must be an int literal, got $other")
+          }
+          DeflateLen(args.head, level)
         }))
 
   /** Imperative registration on an existing session (tests, notebooks). */

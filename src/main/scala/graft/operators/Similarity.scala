@@ -114,8 +114,13 @@ object Similarity {
       idCol: String = "vec_id",
       queryCol: String = "query_id",
       relCol: String = "rel",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      pin: Boolean = true): DataFrame = {
     require(k >= 1, "mmrRerank needs k >= 1")
+    // pin=false keeps the full lineage visible (plan audits); the
+    // checkpointed default is what production runs
+    def pinned(df: DataFrame): DataFrame =
+      if (pin) df.localCheckpoint(false) else df
     val cand = candidates.select(col(queryCol), col(idCol),
       col(relCol).cast("double").as(relCol), col(vecCol)).cache()
     val vecs = cand.select(col(queryCol), col(idCol), col(vecCol))
@@ -126,7 +131,7 @@ object Similarity {
     // selected feeds three consumers per round (anti-join, sim join,
     // union) — pin each round's ≤k·queries-row result so the plan grows
     // linearly in k, not exponentially
-    var selected = withVec(first).localCheckpoint(false)
+    var selected = pinned(withVec(first))
     for (t <- 2 to k) {
       val rem = cand.join(selected.select(queryCol, idCol),
         Seq(queryCol, idCol), "left_anti")
@@ -142,7 +147,7 @@ object Similarity {
       val pick = topKPerQuery(scored, 1, "mmr", scoreDesc = true,
           idCol = idCol, queryCol = queryCol)
         .withColumn("rn", lit(t))
-      selected = selected.unionByName(withVec(pick)).localCheckpoint(false)
+      selected = pinned(selected.unionByName(withVec(pick)))
     }
     selected.select(col(queryCol), col(idCol), col("mmr"),
       col("rn").cast("int").as("rn"))

@@ -498,6 +498,36 @@ object TextQuality {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Compression-ratio quality signal: per-doc
+    * `deflate_len(text) / octet_length(text)` via the codegen'd
+    * [[graft.functions.DeflateLen]] kernel — the Gopher/CCNet-class
+    * repetitiveness probe. Pathologically repetitive documents
+    * (boilerplate loops, keyword stuffing, generator output) compress
+    * far below normal prose, so `compression_ratio < minRatio` flags
+    * them even when token-level repetition rules miss (the repetition
+    * can live at any granularity; DEFLATE's 32 KB window catches all
+    * of it at once). Map-only at any scale. Docs shorter than
+    * `minBytes` are never flagged (tiny inputs compress badly and
+    * noisily — the flag would be meaningless).
+    *
+    * Spec-gated, not oracle-gated: DEFLATE output is stable per zlib
+    * build but not a cross-engine contract (see [[graft.functions
+    * .DeflateLen]]).
+    *
+    * Output: input columns + (compression_ratio, is_repetitive). */
+  def compressionRatio(docs: DataFrame, textCol: String,
+      minRatio: Double = 0.30, minBytes: Int = 64,
+      level: Int = 6): DataFrame = {
+    val rawLen = octet_length(col(textCol)).cast("double")
+    docs.withColumn("compression_ratio",
+        when(col(textCol).isNull || rawLen === 0, lit(null))
+          .otherwise(graft.functions.DeflateLen(col(textCol), level)
+            .cast("double") / rawLen))
+      .withColumn("is_repetitive",
+        coalesce(col("compression_ratio") < minRatio &&
+          rawLen >= minBytes, lit(false)))
+  }
+
   def vocabDrift(docs: DataFrame, idCol: String, textCol: String,
       isNew: org.apache.spark.sql.Column, buckets: Int = 4096,
       k: Int = 15): DataFrame = {

@@ -433,7 +433,7 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("q_cosine_topk", "q_sq8_topk", "q_rp_topk",
         "q_binary_hamming", "q_pq_topk", "q_pq_trained_topk", "q_ann_lsh",
         "q_ivf_topk", "q_ivf_pq_topk", "q_bm25_topk", "q_jaccard_topk",
-        "q_retrieval_recall", "q_rrf_fusion", "q_mmr_rerank")) {
+        "q_retrieval_recall", "q_rrf_fusion")) {
       val qe = SparkEntry.queries(q)(spark, sfDir).queryExecution
       val windows = qe.executedPlan.collect { case w: WindowExec => w }
       assert(windows.isEmpty,
@@ -442,6 +442,25 @@ class PlanAuditSpec extends SparkSpec {
         qe.analyzed.toString.contains("graft_top_k"),
         s"$q does not use the bounded partial top-k aggregate")
     }
+    // q_mmr_rerank's registry form pins each greedy round with a
+    // localCheckpoint (plan collapses to LogicalRDD — nothing left to
+    // audit), so audit the UNPINNED operator: full lineage, same plan
+    // shape production would run per round.
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sfDir)
+    val cand = graft.operators.Similarity.cosineTopK(
+        e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        e, k = 8)
+      .select(col("query_id"), col("vec_id"), col("c").as("rel"))
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val mmr = graft.operators.Similarity.mmrRerank(cand, k = 3, pin = false)
+      .queryExecution
+    assert(mmr.executedPlan.collect { case w: WindowExec => w }.isEmpty,
+      "mmrRerank plans a rank window — per-query funnel at scale")
+    assert(mmr.analyzed.toString.contains("collect_top_k") ||
+      mmr.analyzed.toString.contains("graft_top_k"),
+      "mmrRerank does not use the bounded partial top-k aggregate")
   }
 
   test("no registered query plans an unpartitioned window") {

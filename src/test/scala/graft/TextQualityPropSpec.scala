@@ -23,6 +23,65 @@ class TextQualityPropSpec extends SparkSpec {
       (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
     }
 
+  test("compressionRatio matches a direct java.util.zip replay") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ("lorem ipsum dolor sit amet " * 20).trim),         // repetitive
+      (1L, (0 until 150).map(i => f"tok${(i * 2654435761L) % 100000}%x")
+        .mkString(" ")),                                       // varied prose-ish
+      (2L, (0 until 400).map(i => s"w${i * 2654435761L % 997}")
+        .mkString(" ")),                                       // high entropy
+      (3L, "short"),                                           // < minBytes
+      (4L, "")).toDF("doc_id", "text")                         // empty → null
+    val out = TextQuality.compressionRatio(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Double]("compression_ratio")),
+         r.getAs[Boolean]("is_repetitive"))).toMap
+
+    def zipLen(s: String): Long = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](8192)
+      var t = 0L
+      while (!d.finished()) t += d.deflate(buf)
+      d.end(); t
+    }
+    docs.collect().foreach { r =>
+      val (id, t) = (r.getLong(0), r.getString(1))
+      val want =
+        if (t.isEmpty) None
+        else Some(zipLen(t).toDouble / t.getBytes("UTF-8").length)
+      assert(out(id)._1 == want, s"doc $id")
+    }
+    // the 20x-repeated phrase is flagged; prose/high-entropy/short are not
+    assert(out(0L)._2 && !out(1L)._2 && !out(2L)._2 && !out(3L)._2 && !out(4L)._2,
+      out.toSeq.sortBy(_._1).toString)
+    // ordering sanity: repetitive << high-entropy
+    assert(out(0L)._1.get < out(2L)._1.get)
+    // facade delegates to the operator exactly
+    val viaFacade = graft.api.Frame(docs).compressionRatio("text").toDF
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Double]("compression_ratio")),
+         r.getAs[Boolean]("is_repetitive"))).toMap
+    assert(viaFacade == out)
+  }
+
+  test("deflate_len kernel: null propagates, SQL surface registered") {
+    import spark.implicits._
+    val df = Seq((0L, Option("abc abc abc abc")), (1L, None: Option[String]))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        graft.functions.DeflateLen(col("text"), 6).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(0L).exists(_ > 0) && out(1L).isEmpty)
+    // via spark.sql after registration
+    df.createOrReplaceTempView("dl_t")
+    val viaSql = spark.sql(
+      "SELECT deflate_len(text, 6) FROM dl_t WHERE id = 0").collect()
+    assert(viaSql.head.getLong(0) == out(0L).get)
+  }
+
   test("tokenBudgetMix matches the brute-force budget walk") {
     import spark.implicits._
     for (_ <- 0 until 5) {
