@@ -837,6 +837,36 @@ object LlmQueries {
         .orderBy("doc_id")
     }
 
+    // Winnowing (Schleimer 2003, the MOSS primitive): distinct minima
+    // of 4-wide windows over the ordered word-trigram hash stream, then
+    // pairs sharing >= 3 fingerprints — local edit-robust overlap
+    // candidates over a set ~2/(w+1) the density of full shingles. The
+    // oracle replays the identical md5 fold, window minima and integer
+    // counts.
+    q("q_winnow_overlap",
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |hs AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(ws) - 2),
+        |      i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
+        |             AS BIGINT)) AS h
+        |  FROM words WHERE len(ws) >= 3),
+        |win AS (SELECT doc_id, least(4, len(h)) AS weff, h FROM hs),
+        |fp0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(h) - weff + 1),
+        |      i -> list_min(h[i:i+weff-1]))) AS fp
+        |  FROM win),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM fp0),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      TextDedup.winnowOverlap(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, w = 4, minShared = 3L)
+        .orderBy("doc_a", "doc_b")
+    }
+
     // Multimodal metadata: each doc carries a REAL container byte stream
     // (PNG IHDR / JPEG SOF behind an APP0 segment / GIF screen
     // descriptor, dims derived from doc_id) with the text bytes as

@@ -592,6 +592,20 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       graft.operators.TextDedup.nearDuplicates(df, idx, textCol,
         threshold = threshold).select("doc_a", "doc_b")))
 
+  /** Winnowing fingerprints (operators.TextDedup.winnowFingerprints —
+    * Schleimer 2003 value-set variant, map-only). (doc_id, fp). */
+  def winnowFingerprints(textCol: String, k: Int = 3, w: Int = 4): Frame =
+    Frame(graft.operators.TextDedup.winnowFingerprints(df, idx, textCol,
+      k, w))
+
+  /** MOSS-style overlap candidates: pairs sharing ≥ minShared winnow
+    * fingerprints (operators.TextDedup.winnowOverlap — shared-postings
+    * join over the winnowed ≈2/(w+1)-density set). */
+  def winnowOverlap(textCol: String, k: Int = 3, w: Int = 4,
+      minShared: Long = 3L): Frame =
+    Frame(graft.operators.TextDedup.winnowOverlap(df, idx, textCol, k, w,
+      minShared))
+
   /** PageRank over this frame as an edge list (operators.GraphOps
     * .pageRank — iterative src-keyed join + dst-keyed sum, dangling
     * mass redistributed; the crawl-frontier / host-quality prior).

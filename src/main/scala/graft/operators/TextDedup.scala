@@ -1062,4 +1062,62 @@ object TextDedup {
       .select(col(idCol), col("cluster_id"), col("__nm").as("n_members"),
         (col("__rn") === 1).as("kept"))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * primitive): per document, the DISTINCT minima of every `w`-wide
+    * sliding window over the ORDERED word-`k`-gram hash stream. The
+    * winnowing guarantee: any word run of ≥ w+k−1 words shared by two
+    * documents contributes at least one shared fingerprint — local
+    * (edit-robust) overlap detection that whole-doc hashes miss and
+    * ExactSubstr pays a full positional shuffle for — at an expected
+    * ~2/(w+1) of the shingle-set density, so every downstream
+    * shared-postings join is proportionally cheaper. (Value-set
+    * variant: windows select min VALUES, not rightmost-min positions —
+    * the same containment guarantee, engine-replayable as pure integer
+    * min/distinct arithmetic.) Docs with fewer than w k-grams use one
+    * window over all of them; docs shorter than k words have no
+    * fingerprints. Map-only per doc; one row-local kernel call plus
+    * in-plan window minima.
+    *
+    * Output: (idCol, fp) distinct. */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints needs k,w >= 1: k=$k w=$w")
+    val hs = graft.functions.ShingleHashes(col(textCol), k, 7, dedup = false)
+    docs.select(col(idCol), hs.as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col(idCol), size(col("__hs")).as("__n"),
+        least(lit(w), size(col("__hs"))).as("__w"), col("__hs"))
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(1), col("__n") - col("__w") + 1),
+          i => array_min(slice(col("__hs"), i, col("__w")))))).as("fp"))
+  }
+
+  /** MOSS-style overlap candidates: document pairs sharing at least
+    * `minShared` winnow fingerprints. The same shared-postings
+    * equi-join shape as the shingle-based detectors, but over the
+    * winnowed ≈2/(w+1)-density set — identical long-run detection
+    * guarantee, a fraction of the join postings. Cost ∝ shared
+    * fingerprint postings; never all-pairs.
+    *
+    * Output: (doc_a, doc_b, n_shared), doc_a < doc_b. */
+  def winnowOverlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Long = 3L): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    fps.select(col(idCol).as("doc_a"), col("fp"))
+      .join(fps.select(col(idCol).as("doc_b"), col("fp")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

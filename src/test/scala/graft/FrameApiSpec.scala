@@ -812,6 +812,9 @@ class FrameApiSpec extends SparkSpec {
       .pageRank("src", "dst", iters = 5, damping = 0.85)
       .transform(_.select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy("node")))
+    same("q_winnow_overlap", Frame(d, Some("doc_id"))
+      .winnowOverlap("text", k = 3, w = 4, minShared = 3L)
+      .transform(_.orderBy("doc_a", "doc_b")))
   }
 
   test("skewReport / profileNulls facades match the registry queries") {

@@ -16,6 +16,55 @@ class TextDedupEdgeSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
   }
 
+  test("winnowing guarantee: a shared w+k-1-word run yields a shared fingerprint") {
+    import spark.implicits._
+    // k=3, w=4 → any shared run of >= 6 words must share a fingerprint.
+    // Docs 1 and 2 share exactly the 6-word run "m n o p q r" embedded
+    // in otherwise-disjoint text; doc 3 is fully disjoint.
+    val docs = Seq(
+      (1L, "a1 b1 c1 m n o p q r d1 e1 f1"),
+      (2L, "a2 b2 m n o p q r c2 d2"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0")).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run lost its fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // density: winnowed set strictly smaller than the full shingle set
+    val shingles1 = docs.filter(col("doc_id") === 1)
+      .select(explode(graft.functions.ShingleHashes(col("text"), 3, 7,
+        dedup = true))).count()
+    assert(fps(1L).size < shingles1, s"${fps(1L).size} vs $shingles1")
+  }
+
+  test("winnowFingerprints: short docs use one window; sub-k docs vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),          // exactly one 3-gram → one fingerprint
+      (2L, "a b"),            // < k words → none
+      (3L, "a b c d")).toDF("doc_id", "text") // 2 grams < w → single window
+    val fps = TextDedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    assert(fps(1L) == 1 && !fps.contains(2L) && fps(3L) == 1)
+  }
+
+  test("winnowOverlap finds near-identical docs and honors minShared") {
+    import spark.implicits._
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra tail words"),
+      (3L, (100 until 130).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = TextDedup.winnowOverlap(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(pairs.head._3 >= 3L)
+    // raising minShared above the overlap removes the pair
+    assert(TextDedup.winnowOverlap(docs, "doc_id", "text",
+      minShared = pairs.head._3 + 1).count() == 0)
+  }
+
   test("near-dup on an empty corpus returns no pairs") {
     import spark.implicits._
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
