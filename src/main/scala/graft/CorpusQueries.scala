@@ -448,6 +448,31 @@ object CorpusQueries {
         .orderBy("domain")
     }
 
+    // ---- per-domain document cap (C4/RefinedWeb curation rule) --------
+
+    // Keep the `cap` longest docs per domain (n_chars as the quality
+    // proxy), rank exposed. The Spark side is the bounded graft_top_k
+    // aggregate per domain — never a rank window over a potentially
+    // corpus-sized domain partition; the oracle replays the identical
+    // (score desc, id asc) order with a window, equal by construction.
+    q("q_domain_cap",
+      s"""WITH $urlParseSql,
+         |j AS (SELECT p.domain, p.doc_id, d.n_chars
+         |      FROM parsed p JOIN documents d USING (doc_id)),
+         |r AS (SELECT domain, doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY domain
+         |          ORDER BY n_chars DESC, doc_id) AS rn
+         |      FROM j)
+         |SELECT domain, doc_id, n_chars, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= 2 ORDER BY domain, rn""".stripMargin) { (s, dir) =>
+      import graft.operators.TextExtract
+      val parsed = TextExtract.parseUrls(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"), synthUrl.as("url")), "url")
+      TextExtract.capPerDomain(parsed, "doc_id", "domain", "n_chars", cap = 2)
+        .orderBy("domain", "rn")
+    }
+
     // ---- within-doc consecutive-duplicate-line removal (C4 rule) ------
 
     // Input synthesized by doubling every sentence: [s1,s1,s2,s2,...];

@@ -621,6 +621,35 @@ object LlmQueries {
         .orderBy("label", "pos")
     }
 
+    // Per-label embedding diversity: mean pairwise squared distance by
+    // the moment identity 2·n/(n−1)·(E‖x‖² − ‖µ‖²) — two linear
+    // aggregates, never a pairs join; the oracle replays the identical
+    // moments (same ArrayDot fold for ‖x‖², same per-dim means).
+    q("q_embedding_diversity",
+      s"""WITH m AS (SELECT label, count(*) AS n_vecs,
+         |    avg(${dotSql("embedding", "embedding")}) AS m2
+         |  FROM embeddings GROUP BY label),
+         |c AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS mv
+         |  FROM (SELECT label, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)
+         |  GROUP BY label, i),
+         |c2 AS (SELECT label, sum(mv * mv) AS c2 FROM c GROUP BY label)
+         |SELECT label, n_vecs,
+         |  round(m2, 6) AS mean_sq_norm,
+         |  round(c2, 6) AS centroid_sq_norm,
+         |  round(2.0 * n_vecs / nullif(n_vecs - 1, 0) * (m2 - c2), 6)
+         |    AS mean_pairwise_sq_dist
+         |FROM m JOIN c2 USING (label) ORDER BY label""".stripMargin) { (s, dir) =>
+      Similarity.embeddingDiversity(Tables.embeddings(s, dir),
+          "embedding", "label")
+        .select(col("label"), col("n_vecs"),
+          round(col("mean_sq_norm"), 6).as("mean_sq_norm"),
+          round(col("centroid_sq_norm"), 6).as("centroid_sq_norm"),
+          round(col("mean_pairwise_sq_dist"), 6).as("mean_pairwise_sq_dist"))
+        .orderBy("label")
+    }
+
     // ---- text analysis -------------------------------------------------
 
     // Quality scoring: length, lexical diversity, stopword density.
@@ -1278,6 +1307,31 @@ object LlmQueries {
       assigned.groupBy("cell")
         .agg(count(lit(1)).as("cell_size"),
           round(avg("cell_cos"), 6).as("avg_cos"))
+        .orderBy("cell")
+    }
+
+    // Clustering-quality readout over the SAME trained centroids as
+    // q_kmeans_cells: simplified (centroid-based) silhouette with
+    // cosine distance, s = (cos₁ − cos₂)/(1 − cos₂). The oracle reuses
+    // the kmeans CTE stack verbatim — af's crn=1/crn=2 rows are exactly
+    // the own/runner-up cosines the Spark projection ranks row-locally.
+    q("q_silhouette",
+      s"""WITH $kmeansIterCtes,
+         |own AS (SELECT vec_id, cell, cc FROM af WHERE crn = 1),
+         |nxt AS (SELECT vec_id, cc AS cc2 FROM af WHERE crn = 2),
+         |sil AS (SELECT own.cell,
+         |          (own.cc - nxt.cc2) / nullif(1 - nxt.cc2, 0) AS sil
+         |        FROM own JOIN nxt USING (vec_id))
+         |SELECT cell, count(*) AS n_vecs, round(avg(sil), 6) AS avg_silhouette
+         |FROM sil GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
+      val (_, cents) = operators.Clustering.kmeans(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3,
+        roundTo = 6)
+      operators.Clustering.silhouette(
+          Tables.embeddings(s, dir), "vec_id", "embedding", cents)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("silhouette"), 6).as("avg_silhouette"))
         .orderBy("cell")
     }
 

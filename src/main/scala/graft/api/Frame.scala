@@ -809,6 +809,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def parseUrls(urlCol: String): Frame =
     keep(graft.operators.TextExtract.parseUrls(df, urlCol))
 
+  /** Per-domain document cap, best-first by `scoreCol` (operators.
+    * TextExtract.capPerDomain; the C4/RefinedWeb max-pages-per-site
+    * rule — bounded top-k aggregate, never a per-domain rank window). */
+  def capPerDomain(domainCol: String, scoreCol: String, cap: Int): Frame =
+    Frame(graft.operators.TextExtract.capPerDomain(df, idx, domainCol,
+      scoreCol, cap))
+
   /** C4-rule consecutive-duplicate-line removal within each document
     * (operators.TextExtract.dedupConsecutiveLines; map-only). */
   def dedupConsecutiveLines(textCol: String, sep: String = "\n"): Frame =
@@ -1047,6 +1054,26 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       roundTo: Int = -1): Frame =
     Frame(graft.operators.Clustering.kmeans(asCorpus(vecCol), "vec_id",
       "embedding", k, iters, roundTo)._1)
+
+  /** Simplified centroid-based silhouette per vector against k-means-
+    * trained centroids (operators.Clustering.silhouette; map-only
+    * scoring, cluster-quality readout before a semantic-dedup layout
+    * commits). Returns (vec_id, cell, cell_cos, next_cos, silhouette). */
+  def silhouette(vecCol: String, k: Int, iters: Int,
+      roundTo: Int = -1): Frame = {
+    val corpus = asCorpus(vecCol)
+    val cents = graft.operators.Clustering.kmeans(corpus, "vec_id",
+      "embedding", k, iters, roundTo)._2
+    Frame(graft.operators.Clustering.silhouette(corpus, "vec_id",
+      "embedding", cents))
+  }
+
+  /** Per-group embedding-diversity report (operators.Similarity.
+    * embeddingDiversity; the all-pairs mean squared distance by the
+    * moment identity — two linear aggregates, never a pairs join). */
+  def embeddingDiversity(vecCol: String, groupCol: String): Frame =
+    Frame(graft.operators.Similarity.embeddingDiversity(df, vecCol,
+      groupCol))
 
   /** DSIR selection: importance-weight rows whose `isTarget` is false
     * against the target rows' hashed n-gram profile and keep the

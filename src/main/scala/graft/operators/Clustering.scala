@@ -69,6 +69,39 @@ object Clustering {
     element_at(ids, array_position(arr, array_max(arr)).cast("int"))
   }
 
+  /** Simplified (centroid-based) silhouette per vector — the standard
+    * clustering-quality readout (Rousseeuw 1987, centroid form): with
+    * cosine distance d(x, c) = 1 − cos(x, c), a = distance to the OWN
+    * (nearest) centroid, b = distance to the runner-up centroid,
+    * s = (b − a) / max(a, b). Because assignment is argmax-cos,
+    * a ≤ b always, so s = (cos₁ − cos₂) / (1 − cos₂) ∈ [0, 1]; s near 0
+    * marks a point sitting on a cell boundary (candidate for k or seed
+    * tuning before a 100 TB semantic-dedup run commits to a layout).
+    *
+    * Pure map-only projection against the literal centroid table — the
+    * assignCells/probeCells pattern: no shuffle, no join, no state.
+    * Ties rank (cos desc, cell asc), matching assignCells'
+    * first-max-wins and a replaying engine's `ORDER BY cc DESC, cell`.
+    * The 1 − cos₂ = 0 edge (a point exactly on two centroids) yields
+    * NULL via nullif, never a division error.
+    *
+    * Output: (idCol, cell, cell_cos, next_cos, silhouette). */
+  def silhouette(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    val ranked = array_sort(zip_with(cosArray(col(vecCol), cents),
+      typedLit(cents.map(_._1)),
+      (c, id) => struct((-c).as("negc"), id.as("cell"))))
+    corpus
+      .withColumn("__p", ranked)
+      .select(col(idCol),
+        element_at(col("__p"), 1).getField("cell").as("cell"),
+        (-element_at(col("__p"), 1).getField("negc")).as("cell_cos"),
+        (-element_at(col("__p"), 2).getField("negc")).as("next_cos"))
+      .withColumn("silhouette",
+        (col("cell_cos") - col("next_cos")) /
+          nullif(lit(1.0) - col("next_cos"), lit(0.0)))
+  }
+
   /** Assign every corpus vector to its nearest seed-centroid cell.
     * Pure projection — no shuffle, no join. Adds `cell` (centroid id)
     * and `cell_cos` (cosine to that centroid).

@@ -523,4 +523,36 @@ object Similarity {
       .withColumn("recall",
         col("n_hit").cast("double") / col("n_exact").cast("double"))
   }
+
+  /** Per-group embedding-diversity report — mean pairwise squared
+    * Euclidean distance of each group's vectors, the corpus-spread
+    * readout for a training mix (a collapsing source shows up as a
+    * diversity drop long before eval loss does). Computed by the
+    * moment identity
+    * `E_{i≠j}‖x_i − x_j‖² = 2·n/(n−1)·(E‖x‖² − ‖µ‖²)`
+    * so the all-pairs quantity costs two linear aggregates, NEVER a
+    * pairs join: one doc-level pass (n, mean squared norm via the
+    * ArrayDot fold) and one per-dimension mean (posexplode → (group,
+    * dim) partial agg — scalars shuffle, dims·groups rows out), then
+    * ‖µ‖² = Σ_d µ_d². Single-vector groups yield NULL via nullif.
+    *
+    * Output: (groupCol, n_vecs, mean_sq_norm, centroid_sq_norm,
+    * mean_pairwise_sq_dist), unrounded — callers round for reports. */
+  def embeddingDiversity(df: DataFrame, vecCol: String,
+      groupCol: String): DataFrame = {
+    val moments = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n_vecs"),
+      avg(dot(col(vecCol), col(vecCol))).as("mean_sq_norm"))
+    val centroid = df
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy(col(groupCol), col("__d"))
+      .agg(avg(col("__x").cast("double")).as("__m"))
+      .groupBy(groupCol)
+      .agg(sum(col("__m") * col("__m")).as("centroid_sq_norm"))
+    moments.join(centroid, Seq(groupCol))
+      .withColumn("mean_pairwise_sq_dist",
+        lit(2.0) * col("n_vecs") /
+          nullif((col("n_vecs") - lit(1L)).cast("double"), lit(0.0)) *
+          (col("mean_sq_norm") - col("centroid_sq_norm")))
+  }
 }

@@ -152,6 +152,28 @@ object TextExtract {
       array_join(kept, sep).as("text_clean"))
   }
 
+  /** Per-domain document cap — the crawl-curation rule that bounds any
+    * one site's share of the corpus (C4 and RefinedWeb cap pages per
+    * domain so boilerplate-heavy mega-sites cannot dominate training):
+    * keep at most `cap` docs per domain, best-first by `scoreCol`
+    * (ties: ascending id — fully deterministic).
+    *
+    * Scale shape: this is exactly the per-group-ranked pattern the
+    * round-12 rule forbids as a rank window — a mega-domain
+    * (wikipedia.org at 100 TB) would funnel its whole corpus-sized
+    * partition into one window task. Instead it reuses
+    * [[Similarity.topKPerQuery]]: one bounded `graft_top_k` partial
+    * aggregate keyed by domain, so every map task holds a ≤cap-row
+    * priority queue per domain and only ≤ tasks·cap survivors shuffle.
+    *
+    * Output: (domainCol, idCol, scoreCol, rn) — rn the 1-based
+    * quality rank within the domain. */
+  def capPerDomain(docs: DataFrame, idCol: String, domainCol: String,
+      scoreCol: String, cap: Int): DataFrame =
+    Similarity.topKPerQuery(
+      docs.select(col(domainCol), col(idCol), col(scoreCol)),
+      cap, scoreCol, scoreDesc = true, idCol = idCol, queryCol = domainCol)
+
   /** HTML-encode a text column (the inverse entity set, & first). Used
     * by tests and the oracle query to synthesize pages determin-
     * istically from plain-text fixtures. */

@@ -90,4 +90,42 @@ class ClusteringSpec extends SparkSpec {
     assert(cents.length == 2 && cents.forall(_._2.length == 2))
     assert(assigned.count() == 4)
   }
+
+  test("silhouette matches hand arithmetic, agrees with assignCells, no shuffle") {
+    import spark.implicits._
+    // two orthogonal unit centroids; points at known angles
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0), 1.0),
+      (1L, Seq(0.0, 1.0), 1.0))
+    val df = Seq(
+      (10L, Seq(1f, 0f)),          // on centroid 0: cc1=1, cc2=0, s=1
+      (11L, Seq(1f, 1f)),          // boundary: cc1=cc2=cos45 → s=0, tie→cell 0
+      (12L, Seq(0.1f, 1f))         // near centroid 1
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.silhouette(df, "vec_id", "embedding", cents)
+    val rows = got.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows(10L)._1 == 0L && math.abs(rows(10L)._4 - 1.0) < 1e-12)
+    // boundary point: own/runner-up cosines equal, tie ranks cell 0 first
+    assert(rows(11L)._1 == 0L && math.abs(rows(11L)._4) < 1e-12)
+    // hand arithmetic for 12: cos to c1 = 1/sqrt(1.01), cos to c0 = 0.1/sqrt(1.01)
+    val cc1 = 1.0 / math.sqrt(1.01); val cc2 = 0.1 / math.sqrt(1.01)
+    assert(rows(12L)._1 == 1L)
+    assert(math.abs(rows(12L)._4 - (cc1 - cc2) / (1 - cc2)) < 1e-9)
+    // cell agrees with assignCells on the same centroids
+    val asg = Clustering.assignCells(df, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map { case (id, t) => id -> t._1 } == asg)
+    // pure projection: no exchange anywhere
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("silhouette separated cones score near 1; boundary-heavy k scores lower") {
+    val df = clusteredVecs(20)
+    val cents = Clustering.seedCentroids(df, "vec_id", "embedding", 3)
+    val s = Clustering.silhouette(df, "vec_id", "embedding", cents)
+      .agg(avg("silhouette")).collect()(0).getDouble(0)
+    assert(s > 0.8, s"separated cones should score high, got $s")
+  }
 }

@@ -793,6 +793,12 @@ class FrameApiSpec extends SparkSpec {
       .parseUrls("url")
       .transform(_.drop("url"))
       .sortValues("doc_id"))
+    same("q_domain_cap", Frame(
+        d.select(col("doc_id"), col("n_chars"), synthUrl.as("url")),
+        Some("doc_id"))
+      .parseUrls("url")
+      .capPerDomain("domain", "n_chars", cap = 2)
+      .transform(_.orderBy("domain", "rn")))
     val doubled = d.select(col("doc_id"),
       array_join(
         flatten(transform(split(col("text"), "\\. "), x => array(x, x))),
@@ -890,6 +896,18 @@ class FrameApiSpec extends SparkSpec {
         .agg(count(lit(1)).as("cell_size"),
           round(avg("cell_cos"), 6).as("avg_cos"))
         .orderBy("cell")))
+    same("q_silhouette", emb.silhouette("embedding", k = 8, iters = 3,
+        roundTo = 6)
+      .transform(_.groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("silhouette"), 6).as("avg_silhouette"))
+        .orderBy("cell")))
+    same("q_embedding_diversity", emb.embeddingDiversity("embedding", "label")
+      .transform(_.select(col("label"), col("n_vecs"),
+          round(col("mean_sq_norm"), 6).as("mean_sq_norm"),
+          round(col("centroid_sq_norm"), 6).as("centroid_sq_norm"),
+          round(col("mean_pairwise_sq_dist"), 6).as("mean_pairwise_sq_dist"))
+        .orderBy("label")))
   }
 
   test("fuzzyPairs / kAnonymity facades match the registry queries") {

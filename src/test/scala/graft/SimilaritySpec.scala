@@ -253,4 +253,37 @@ class SimilaritySpec extends SparkSpec {
       r.getLong(1) == 3L && r.getDouble(3) == 1.0),
       s"${rec.map(_.toSeq).toSeq}")
   }
+
+  test("embeddingDiversity equals the brute-force all-pairs mean") {
+    import spark.implicits._
+    val rows = (0L until 12L).map(i => (i, (i % 3).toInt, vec(i.toInt)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.embeddingDiversity(df, "embedding", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(4)))).toMap
+    // brute force per label: mean over ordered distinct pairs
+    for (lbl <- 0 until 3) {
+      val vs = rows.filter(_._2 == lbl).map(_._3.map(_.toDouble))
+      val pairs = for ((a, i) <- vs.zipWithIndex; (b, j) <- vs.zipWithIndex
+          if i != j) yield
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val expect = pairs.sum / pairs.size
+      assert(got(lbl)._1 == vs.size.toLong)
+      assert(math.abs(got(lbl)._2 - expect) < 1e-9,
+        s"label $lbl: got ${got(lbl)._2}, expect $expect")
+    }
+  }
+
+  test("embeddingDiversity edge groups: singleton is NULL, identical vectors are 0") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "solo", Seq(1f, 2f)),
+      (1L, "same", Seq(3f, 4f)),
+      (2L, "same", Seq(3f, 4f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.embeddingDiversity(df, "embedding", "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.isNullAt(4), if (r.isNullAt(4)) 0.0 else r.getDouble(4)))).toMap
+    assert(got("solo")._1, "single-vector group must be NULL")
+    assert(!got("same")._1 && math.abs(got("same")._2) < 1e-9)
+  }
 }

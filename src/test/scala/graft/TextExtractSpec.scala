@@ -160,4 +160,29 @@ class TextExtractSpec extends SparkSpec {
     val empty = Seq.empty[String].toDF("token")
     assert(Sketches.frequentTokens(empty, "token", 1, 100, k = 128).count() == 0L)
   }
+
+  test("capPerDomain keeps the cap best per domain, score desc then id asc") {
+    import spark.implicits._
+    val docs = Seq(
+      // big.com: 4 docs, scores 5,9,9,1 → keep 11 (9), 12 (9, id tie), rank 3 drops
+      (10L, "big.com", 5L), (11L, "big.com", 9L),
+      (12L, "big.com", 9L), (13L, "big.com", 1L),
+      // small.org: fewer than cap → keep all
+      (20L, "small.org", 2L)
+    ).toDF("doc_id", "domain", "n_chars")
+    val got = TextExtract.capPerDomain(docs, "doc_id", "domain", "n_chars", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got.toSeq == Seq(
+      ("big.com", 11L, 9L, 1), ("big.com", 12L, 9L, 2),
+      ("small.org", 20L, 2L, 1)))
+    // the scale rule: a bounded aggregate, never a per-domain rank window
+    val qe = TextExtract.capPerDomain(docs, "doc_id", "domain", "n_chars", 2)
+      .queryExecution
+    assert(qe.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+    assert(qe.analyzed.toString.contains("collect_top_k") ||
+      qe.analyzed.toString.contains("graft_top_k"))
+  }
 }
