@@ -419,6 +419,61 @@ object LlmQueries {
         .orderBy("query_id", "vec_id")
     }
 
+    // Margin-based bitext mining (Artetxe & Schwenk 2019 ratio margin,
+    // the CCMatrix criterion): forward top-k pairs normalized by both
+    // endpoints' neighborhood-mean cosines. The oracle replays the
+    // identical two retrieval passes and the rank-ordered fold means
+    // (list(c ORDER BY rn) + list_reduce == array_sort + aggregate).
+    q("q_margin_mine",
+      s"""WITH srcv AS (SELECT vec_id AS src_id, embedding AS sv
+         |              FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 80),
+         |tgtv AS (SELECT vec_id AS tgt_id, embedding AS tv
+         |         FROM embeddings WHERE vec_id % 2 = 1),
+         |fs AS (SELECT src_id, tgt_id, ${cosSql("sv", "tv")} AS c
+         |       FROM srcv, tgtv),
+         |fr AS (SELECT src_id, tgt_id, c,
+         |         row_number() OVER (PARTITION BY src_id
+         |           ORDER BY c DESC, tgt_id) AS rn
+         |       FROM fs),
+         |fwd AS (SELECT * FROM fr WHERE rn <= 4),
+         |asrc AS (SELECT src_id,
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list(c ORDER BY rn)), (acc, x) -> acc + x)
+         |             / count(*) AS a_src
+         |         FROM fwd GROUP BY src_id),
+         |cand AS (SELECT DISTINCT tgt_id FROM fwd),
+         |ct AS (SELECT t.* FROM tgtv t JOIN cand USING (tgt_id)),
+         |bs AS (SELECT ct.tgt_id, s.src_id, ${cosSql("ct.tv", "s.sv")} AS c
+         |       FROM ct, srcv s),
+         |br AS (SELECT tgt_id, src_id, c,
+         |         row_number() OVER (PARTITION BY tgt_id
+         |           ORDER BY c DESC, src_id) AS rn
+         |       FROM bs),
+         |bwd AS (SELECT * FROM br WHERE rn <= 4),
+         |atgt AS (SELECT tgt_id,
+         |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |             list(c ORDER BY rn)), (acc, x) -> acc + x)
+         |             / count(*) AS a_tgt
+         |         FROM bwd GROUP BY tgt_id),
+         |m AS (SELECT f.src_id, f.tgt_id, f.c,
+         |        f.c / ((a_src + a_tgt) / 2) AS margin
+         |      FROM fwd f JOIN asrc USING (src_id) JOIN atgt USING (tgt_id)),
+         |mk AS (SELECT *, row_number() OVER (PARTITION BY src_id
+         |         ORDER BY margin DESC, tgt_id) AS mrn
+         |       FROM m WHERE margin >= 1.0)
+         |SELECT src_id, tgt_id, round(c, 9) AS c,
+         |  round(margin, 9) AS margin, CAST(mrn AS INT) AS rn
+         |FROM mk ORDER BY src_id, rn""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.marginMine(
+          e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 80),
+          e.filter(col("vec_id") % 2 === 1),
+          k = 4, minMargin = 1.0)
+        .select(col("src_id"), col("tgt_id"), round(col("c"), 9).as("c"),
+          round(col("margin"), 9).as("margin"), col("rn"))
+        .orderBy("src_id", "rn")
+    }
+
     // Scalar-quantized (int8) asymmetric retrieval: corpus stored as
     // 0..255 per-dim codes against corpus min/max (4x smaller than
     // float32), queries full-precision, scores on the dequantized

@@ -1068,6 +1068,20 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       "embedding", cents))
   }
 
+  /** Margin-based bitext mining against a target-side frame
+    * (operators.Similarity.marginMine; Artetxe & Schwenk 2019 ratio
+    * margin — forward top-k pairs normalized by both endpoints'
+    * neighborhood-mean cosines, pairs ≥ minMargin ranked per src). */
+  def marginMine(tgt: Frame, vecCol: String, k: Int,
+      minMargin: Double): Frame = {
+    val tidx = tgt.index.getOrElse(throw new IllegalArgumentException(
+      "target frame needs an index — call setIndex(col) first"))
+    Frame(graft.operators.Similarity.marginMine(
+      asCorpus(vecCol),
+      tgt.df.select(col(tidx).as("vec_id"), col(vecCol).as("embedding")),
+      k, minMargin))
+  }
+
   /** Per-group embedding-diversity report (operators.Similarity.
     * embeddingDiversity; the all-pairs mean squared distance by the
     * moment identity — two linear aggregates, never a pairs join). */

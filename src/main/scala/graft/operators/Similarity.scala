@@ -524,6 +524,65 @@ object Similarity {
         col("n_hit").cast("double") / col("n_exact").cast("double"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, ratio margin —
+    * the CCMatrix/LASER parallel-corpus mining criterion): score every
+    * forward neighbor pair (x, y) by
+    * `margin = cos(x,y) / ((avgₖ cos(x, NNₖ(x)) + avgₖ cos(y, NNₖ(y))) / 2)`
+    * — raw cosine is miscalibrated across hubness regions, so each
+    * pair is normalized by the two points' own neighborhood densities;
+    * pairs with margin ≥ `minMargin` are emitted ranked per src.
+    *
+    * Shape: forward top-k of each src vector against the tgt corpus
+    * (`src` is the bounded/broadcast query side — at 100 TB both
+    * directions swap in the IVF probe join, same downstream algebra);
+    * backward neighborhoods are computed ONLY for the ≤ |src|·k
+    * candidate tgt vectors (semi-join prune, the dedupAgainstIndex
+    * discipline). Neighborhood means fold in rank order (array_sort →
+    * left-to-right aggregate), so every value is a deterministic
+    * function of the inputs and a replaying engine matches bit-for-bit.
+    * All ranking is the bounded [[topKPerQuery]] aggregate — no rank
+    * window anywhere.
+    *
+    * Output: (src_id, tgt_id, c, margin, rn) — rn ranks a src's
+    * surviving pairs by (margin desc, tgt_id asc). */
+  def marginMine(src: DataFrame, tgt: DataFrame, k: Int,
+      minMargin: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("tv"))
+    // forward: src (bounded query side) against the full tgt corpus
+    val fwd = topKPerQuery(
+      t.crossJoin(broadcast(s)).withColumn("c", cosine(col("sv"), col("tv"))),
+      k, "c", scoreDesc = true, idCol = "tgt_id", queryCol = "src_id")
+    // rank-ordered fold mean: collect ≤k (rn, c) pairs, sort, fold —
+    // the deterministic-summation discipline from rolling skew/kurt
+    def neighborhoodMean(topk: DataFrame, key: String, as: String) =
+      topk.groupBy(key)
+        .agg(aggregate(
+            array_sort(collect_list(struct(col("rn"), col("c")))),
+            lit(0.0), (acc, x) => acc + x.getField("c")).as("__sum"),
+          count(lit(1)).cast("double").as("__n"))
+        .select(col(key), (col("__sum") / col("__n")).as(as))
+    val aSrc = neighborhoodMean(fwd, "src_id", "a_src")
+    // backward: only candidate tgt vectors pay a neighborhood pass
+    val candT = fwd.select("tgt_id").distinct().join(t, "tgt_id")
+    val bwd = topKPerQuery(
+      s.crossJoin(broadcast(candT))
+        .withColumn("c", cosine(col("tv"), col("sv"))),
+      k, "c", scoreDesc = true, idCol = "src_id", queryCol = "tgt_id")
+    val aTgt = neighborhoodMean(bwd, "tgt_id", "a_tgt")
+    val margined = fwd.join(aSrc, "src_id").join(aTgt, "tgt_id")
+      .withColumn("margin",
+        col("c") / ((col("a_src") + col("a_tgt")) / lit(2.0)))
+      .filter(col("margin") >= minMargin)
+    // survivors are ≤k per src; rank by margin with the same bounded
+    // aggregate (audit-uniform), then join c back on the pair key
+    topKPerQuery(margined, k, "margin", scoreDesc = true,
+        idCol = "tgt_id", queryCol = "src_id")
+      .join(margined.select("src_id", "tgt_id", "c"), Seq("src_id", "tgt_id"))
+      .select("src_id", "tgt_id", "c", "margin", "rn")
+  }
+
   /** Per-group embedding-diversity report — mean pairwise squared
     * Euclidean distance of each group's vectors, the corpus-spread
     * readout for a training mix (a collapsing source shows up as a

@@ -902,6 +902,14 @@ class FrameApiSpec extends SparkSpec {
         .agg(count(lit(1)).as("n_vecs"),
           round(avg("silhouette"), 6).as("avg_silhouette"))
         .orderBy("cell")))
+    same("q_margin_mine", Frame(emb.df.filter(
+          col("vec_id") % 2 === 0 && col("vec_id") < 80), Some("vec_id"))
+      .marginMine(Frame(emb.df.filter(col("vec_id") % 2 === 1),
+          Some("vec_id")), "embedding", k = 4, minMargin = 1.0)
+      .transform(_.select(col("src_id"), col("tgt_id"),
+          round(col("c"), 9).as("c"), round(col("margin"), 9).as("margin"),
+          col("rn"))
+        .orderBy("src_id", "rn")))
     same("q_embedding_diversity", emb.embeddingDiversity("embedding", "label")
       .transform(_.select(col("label"), col("n_vecs"),
           round(col("mean_sq_norm"), 6).as("mean_sq_norm"),

@@ -433,7 +433,7 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("q_cosine_topk", "q_sq8_topk", "q_rp_topk",
         "q_binary_hamming", "q_pq_topk", "q_pq_trained_topk", "q_ann_lsh",
         "q_ivf_topk", "q_ivf_pq_topk", "q_bm25_topk", "q_jaccard_topk",
-        "q_retrieval_recall", "q_rrf_fusion",
+        "q_retrieval_recall", "q_rrf_fusion", "q_margin_mine",
         // per-DOMAIN ranked cap: same rule — a mega-domain is a
         // corpus-sized group, so the cap must be the bounded aggregate
         "q_domain_cap")) {

@@ -254,6 +254,56 @@ class SimilaritySpec extends SparkSpec {
       s"${rec.map(_.toSeq).toSeq}")
   }
 
+  test("marginMine matches a local replay of the margin criterion") {
+    val src = corpusDf((0L until 6L).map(i => (i, vec(i.toInt))))
+    val tgt = corpusDf((100L until 120L).map(i => (i, vec(i.toInt * 7))))
+    val k = 3; val thr = 1.0
+    val got = Similarity.marginMine(src, tgt, k, thr)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+
+    // local replay
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def d(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + p.toDouble * q.toDouble }
+      d(a, b) / math.sqrt(d(a, a)) / math.sqrt(d(b, b))
+    }
+    val sv = (0L until 6L).map(i => i -> vec(i.toInt)).toMap
+    val tv = (100L until 120L).map(i => i -> vec(i.toInt * 7)).toMap
+    def topk(q: Seq[Float], corp: Map[Long, Seq[Float]]) =
+      corp.toSeq.map { case (id, v) => (id, cos(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+    val fwd = sv.map { case (s, v) => s -> topk(v, tv) }
+    val aSrc = fwd.map { case (s, l) => s -> l.map(_._2).sum / l.size }
+    val cand = fwd.values.flatten.map(_._1).toSet
+    val aTgt = cand.map { t =>
+      val l = topk(tv(t), sv); t -> l.map(_._2).sum / l.size }.toMap
+    val expect = fwd.flatMap { case (s, l) => l.map { case (t, c) =>
+        (s, t, c, c / ((aSrc(s) + aTgt(t)) / 2)) } }
+      .filter(_._4 >= thr)
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.toSeq.sortBy(r => (-r._4, r._2)).zipWithIndex.map {
+          case ((s, t, c, m), i) => (s, t) -> ((c, m, i + 1)) } }
+    assert(got.keySet == expect.keySet,
+      s"pair sets differ: ${got.keySet} vs ${expect.keySet}")
+    for ((key, (c, m, rn)) <- expect) {
+      val (gc, gm, grn) = got(key)
+      assert(math.abs(gc - c) < 1e-9 && math.abs(gm - m) < 1e-9 && grn == rn,
+        s"$key: got ($gc,$gm,$grn) expect ($c,$m,$rn)")
+    }
+  }
+
+  test("marginMine threshold filters and an empty side yields no rows") {
+    val src = corpusDf(Seq((0L, vec(1))))
+    val tgt = corpusDf((100L until 110L).map(i => (i, vec(i.toInt))))
+    // impossible threshold → empty
+    assert(Similarity.marginMine(src, tgt, 3, 99.0).count() == 0L)
+    // empty tgt → empty, no error
+    assert(Similarity.marginMine(src, corpusDf(Seq.empty), 3, 0.0).count() == 0L)
+  }
+
   test("embeddingDiversity equals the brute-force all-pairs mean") {
     import spark.implicits._
     val rows = (0L until 12L).map(i => (i, (i % 3).toInt, vec(i.toInt)))
