@@ -341,13 +341,32 @@ object TextDedup {
       .filter(col("__ni").cast("double") /
         (col("__sa") + col("__sb") - col("__ni")).cast("double") >= threshold)
       .select("doc_a", "doc_b")
-    val cand = candidatePairs(
-      bandSignaturesProjected(docs, idCol, textCol, shingleLen, numHashes,
-        bandRows), idCol)
-      .withColumn("__hit", lit(1L))
-    truth.join(cand, Seq("doc_a", "doc_b"), "left")
+    // "caught" needs only a per-PAIR predicate — the pair shares some
+    // (band, sig) — so instead of materializing the full banded
+    // candidate-pair set (bucket groupBy + streamed pair expansion +
+    // distinct: three exchanges), keep each doc's k/r band signatures
+    // as ONE row-local array ("band:sig" strings off the same projected
+    // minhash kernel) and test truth pairs with arrays_overlap. The
+    // truth stream is already bounded (≥threshold pairs); two joins on
+    // its endpoints replace the whole candidate machinery.
+    val bandSigArr = array((0 until numHashes / bandRows).map(bi =>
+      concat_ws(",", (Seq(lit(s"$bi:")) ++ (bi * bandRows until
+        (bi + 1) * bandRows).map(i =>
+          element_at(col("__mins"), i + 1).cast("string"))): _*)): _*)
+    val sigs = docs
+      .filter(size(split(col(textCol), " ")) >= shingleLen)
+      .select(col(idCol),
+        graft.functions.ShingleMinHashes(col(textCol), shingleLen,
+          numHashes).as("__mins"))
+      .select(col(idCol), bandSigArr.as("__sigs"))
+    truth
+      .join(sigs.select(col(idCol).as("doc_a"), col("__sigs").as("__sa")),
+        Seq("doc_a"))
+      .join(sigs.select(col(idCol).as("doc_b"), col("__sigs").as("__sb")),
+        Seq("doc_b"))
       .agg(count(lit(1)).as("n_true"),
-        coalesce(sum(col("__hit")), lit(0L)).as("n_caught"))
+        coalesce(sum(when(arrays_overlap(col("__sa"), col("__sb")), 1L)
+          .otherwise(0L)), lit(0L)).as("n_caught"))
       .withColumn("recall",
         when(col("n_true") === 0, lit(0.0))
           .otherwise(col("n_caught").cast("double") /
