@@ -448,6 +448,38 @@ object CorpusQueries {
         .orderBy("domain")
     }
 
+    // ---- blocklist host filter (UT1-style domain blocking) ------------
+
+    // Hosts keep their www. prefix here (no canonicalization), so
+    // blocking 'site9.com' must also drop 'www.site9.com' — the
+    // subdomain-suffix semantics the operator implements. Both engines
+    // build the same host string and the same ≥2-label suffix sets.
+    q("q_blocklist",
+      s"""WITH u AS (SELECT doc_id,
+         |    lower(regexp_extract($urlSynthSql, '://([^/?#]*)', 1)) AS host
+         |  FROM documents),
+         |b(bh) AS (VALUES ('site9.com'), ('site10.net'), ('site11.org'),
+         |                 ('site0.com')),
+         |suf AS (SELECT doc_id,
+         |    unnest(list_transform(
+         |      generate_series(1, len(string_split(host, '.')) - 1),
+         |      i -> array_to_string(string_split(host, '.')[i:], '.'))) AS s
+         |  FROM u),
+         |blocked AS (SELECT DISTINCT doc_id FROM suf JOIN b ON s = bh)
+         |SELECT u.doc_id, u.host FROM u
+         |ANTI JOIN blocked USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.TextExtract
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          lower(regexp_extract(synthUrl, "://([^/?#]*)", 1)).as("host"))
+      val blocklist = Seq("site9.com", "site10.net", "site11.org",
+        "site0.com").toDF("host")
+      TextExtract.filterBlockedHosts(docs, "doc_id", "host", blocklist)
+        .orderBy("doc_id")
+    }
+
     // ---- per-domain document cap (C4/RefinedWeb curation rule) --------
 
     // Keep the `cap` longest docs per domain (n_chars as the quality

@@ -809,6 +809,14 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def parseUrls(urlCol: String): Frame =
     keep(graft.operators.TextExtract.parseUrls(df, urlCol))
 
+  /** Blocklist host filter: drop rows whose `hostCol` is a blocked
+    * domain or any subdomain of one (operators.TextExtract.
+    * filterBlockedHosts; UT1-style crawl blocklist semantics). */
+  def filterBlockedHosts(hostCol: String, blocklist: Frame,
+      blockCol: String = "host"): Frame =
+    keep(graft.operators.TextExtract.filterBlockedHosts(df, idx, hostCol,
+      blocklist.df, blockCol))
+
   /** Per-domain document cap, best-first by `scoreCol` (operators.
     * TextExtract.capPerDomain; the C4/RefinedWeb max-pages-per-site
     * rule — bounded top-k aggregate, never a per-domain rank window). */

@@ -152,6 +152,39 @@ object TextExtract {
       array_join(kept, sep).as("text_clean"))
   }
 
+  /** Blocklist host filter — the crawl-curation gate that drops any doc
+    * whose host IS a blocked domain or a SUBDOMAIN of one (the UT1 /
+    * adult-blocklist semantics every CommonCrawl pipeline applies:
+    * blocking `tracker.com` must drop `www.tracker.com` and
+    * `cdn.eu.tracker.com`). A host with L labels is tested against its
+    * L−1 dot-suffixes of ≥2 labels (bare TLDs are never blockable).
+    *
+    * Scale shape: the suffix set is row-local and ≤ label-count-sized
+    * (explode fan-out ≤ ~5×), the membership test is one equi-join of
+    * (doc, suffix) against the blocklist table (broadcast when the list
+    * is small — the usual case; a shuffle join otherwise), and the
+    * verdict returns to the corpus as one left_anti on the id — never a
+    * per-row scan of the list, never a LIKE-cascade.
+    *
+    * Returns the input rows whose host survives. */
+  def filterBlockedHosts(df: DataFrame, idCol: String, hostCol: String,
+      blocklist: DataFrame, blockCol: String = "host"): DataFrame = {
+    val labels = split(col(hostCol), "\\.")
+    // single-label hosts (bare TLD / localhost) have NO blockable
+    // suffixes — guard them out: Spark's sequence(0, -1) would DESCEND
+    // (and slice(start=0) errors under ANSI), not return empty
+    val sufs = when(size(labels) >= 2,
+      transform(sequence(lit(0), size(labels) - 2),
+        i => array_join(slice(labels, i + 1, size(labels)), ".")))
+      .otherwise(array().cast("array<string>"))
+    val blockedIds = df
+      .select(col(idCol), explode(sufs).as("__suf"))
+      .join(blocklist.select(col(blockCol).as("__suf")), Seq("__suf"),
+        "left_semi")
+      .select(idCol)
+    df.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
   /** Per-domain document cap — the crawl-curation rule that bounds any
     * one site's share of the corpus (C4 and RefinedWeb cap pages per
     * domain so boilerplate-heavy mega-sites cannot dominate training):

@@ -347,6 +347,36 @@ object StreamOps {
       }
   }
 
+  /** Streaming per-domain document cap — the online form of
+    * [[graft.operators.TextExtract.capPerDomain]]'s admission decision:
+    * in arrival order (batch-first, the sequencing every stateful op
+    * here honors), the first `cap` docs of each domain are admitted and
+    * later ones flagged. The batch operator ranks best-by-score over a
+    * full snapshot; a stream cannot rank what it hasn't seen, so the
+    * online contract is first-come-first-admitted with one Long of
+    * state per domain — exactly [[streamingTokenBudget]]'s shape, and
+    * at 100 TB the state is bounded by the distinct-domain count, never
+    * the doc count.
+    *
+    * Emits (domain, id, admitted, n_seen) for every input doc — rejects
+    * included, so a rejects side-output is one filter. */
+  def streamingDomainCap(rows: Dataset[(String, Long)],
+      cap: Int): Dataset[(String, Long, Boolean, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Boolean, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (domain, it, state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = it.map { case (_, id) =>
+            seen += 1
+            (domain, id, seen <= cap, seen)
+          }.toVector
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Streaming vector search: incoming query vectors probe a static
     * IVF-celled corpus — the online form of
     * [[graft.operators.Clustering.ivfTopK]]. Cell assignment for each

@@ -793,6 +793,15 @@ class FrameApiSpec extends SparkSpec {
       .parseUrls("url")
       .transform(_.drop("url"))
       .sortValues("doc_id"))
+    same("q_blocklist", Frame(
+        d.select(col("doc_id"),
+          lower(regexp_extract(synthUrl, "://([^/?#]*)", 1)).as("host")),
+        Some("doc_id"))
+      .filterBlockedHosts("host", Frame {
+        import spark.implicits._
+        Seq("site9.com", "site10.net", "site11.org", "site0.com").toDF("host")
+      })
+      .sortValues("doc_id"))
     same("q_domain_cap", Frame(
         d.select(col("doc_id"), col("n_chars"), synthUrl.as("url")),
         Some("doc_id"))

@@ -378,6 +378,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming domain cap admits the first cap docs per domain across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val out = StreamOps.streamingDomainCap(in.toDS(), cap = 2)
+    val q = out.toDF().toDF("domain", "id", "admitted", "n_seen")
+      .writeStream.format("memory").queryName("domcap_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("a.com", 1L), ("a.com", 2L), ("b.org", 1L))
+      q.processAllAvailable()
+      in.addData(("a.com", 3L), ("b.org", 2L), ("b.org", 3L))
+      q.processAllAvailable()
+      val got = spark.table("domcap_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getBoolean(2), r.getLong(3)))).toMap
+      assert(got == Map(
+        ("a.com", 1L) -> ((true, 1L)), ("a.com", 2L) -> ((true, 2L)),
+        ("b.org", 1L) -> ((true, 1L)),
+        // state persists: a.com's third doc (batch 2) is over the cap
+        ("a.com", 3L) -> ((false, 3L)),
+        ("b.org", 2L) -> ((true, 2L)), ("b.org", 3L) -> ((false, 3L))),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming token budget admits per-source until exhausted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -161,6 +161,24 @@ class TextExtractSpec extends SparkSpec {
     assert(Sketches.frequentTokens(empty, "token", 1, 100, k = 128).count() == 0L)
   }
 
+  test("filterBlockedHosts drops exact hosts and all subdomains, never bare TLDs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "tracker.com"),          // exact block
+      (2L, "www.tracker.com"),      // subdomain of block
+      (3L, "cdn.eu.tracker.com"),   // deep subdomain
+      (4L, "nottracker.com"),       // suffix STRING but not suffix DOMAIN
+      (5L, "tracker.com.evil.org"), // blocked name as a non-suffix label
+      (6L, "clean.net"),
+      (7L, "com")                   // bare TLD can never be blocked
+    ).toDF("doc_id", "host")
+    val bl = Seq("tracker.com", "com").toDF("host")
+    val kept = graft.operators.TextExtract
+      .filterBlockedHosts(docs, "doc_id", "host", bl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L, 6L, 7L), s"got $kept")
+  }
+
   test("capPerDomain keeps the cap best per domain, score desc then id asc") {
     import spark.implicits._
     val docs = Seq(
