@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Packing, TextDedup}
+import graft.operators.{Packing, TextDedup, TextQuality}
 
 /** Training-data preparation surface beyond dedup/similarity: repetition
   * quality signals, rule-composed quality filtering (Gopher-style),
@@ -101,6 +101,124 @@ object TrainPrepQueries {
       st.select(col("doc_id"), okWords.as("ok_words"), okWordlen.as("ok_wordlen"),
           okStop.as("ok_stopwords"), okDiv.as("ok_diversity"),
           (okWords && okWordlen && okStop && okDiv).as("keep"))
+        .orderBy("doc_id")
+    }
+
+    // C4 "bad words" rule: drop any page containing a blocklisted word
+    // (Raffel et al. 2020). The list rides as a plan literal — one
+    // map-only codegen'd projection; the big-list form is the
+    // blocklist-join shape. Both engines normalize tokens identically.
+    q("q_badwords",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(
+        |    list_transform(string_split(lower(text), ' '),
+        |      t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |    t -> list_contains(['slow', 'dup'], t))) AS BIGINT) AS n_blocked,
+        |  len(list_filter(
+        |    list_transform(string_split(lower(text), ' '),
+        |      t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+        |    t -> list_contains(['slow', 'dup'], t))) > 0 AS flagged
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextQuality.flagBlockedWords(Tables.documents(s, dir), "doc_id",
+          "text", Seq("slow", "dup"))
+        .orderBy("doc_id")
+    }
+
+    // Unicode-script profile: per-doc character counts of the major BMP
+    // script blocks + the dominant script. Mixed-script text is
+    // synthesized deterministically (Cyrillic/CJK tails by doc_id) so
+    // the operator's non-Latin paths are exercised; both engines build
+    // the identical string and count codepoints.
+    q("q_script_detect",
+      """WITH mixed AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 1
+        |      THEN ' ' || repeat('привет мир ', CAST(n_chars // 10 + 1 AS INT))
+        |      WHEN doc_id % 3 = 2
+        |      THEN ' ' || repeat('漢字文本 ', CAST(n_chars // 4 + 1 AS INT))
+        |      ELSE '' END AS mtext
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')) AS BIGINT) AS n_cjk,
+        |  CAST(length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic,
+        |  CAST(length(mtext)
+        |    - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
+        |    - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
+        |    - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
+        |    - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
+        |    - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')))
+        |    AS BIGINT) AS n_other,
+        |  CASE WHEN length(mtext) = 0 THEN 'empty'
+        |    WHEN length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')) = greatest(
+        |      length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')),
+        |      length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')),
+        |      length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')),
+        |      length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')),
+        |      length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')),
+        |      length(mtext)
+        |        - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g'))))
+        |    THEN 'latin'
+        |    WHEN length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')) = greatest(
+        |      length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')),
+        |      length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')),
+        |      length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')),
+        |      length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')),
+        |      length(mtext)
+        |        - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g'))))
+        |    THEN 'digit'
+        |    WHEN length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')) = greatest(
+        |      length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')),
+        |      length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')),
+        |      length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')),
+        |      length(mtext)
+        |        - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g'))))
+        |    THEN 'cyrillic'
+        |    WHEN length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')) = greatest(
+        |      length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')),
+        |      length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')),
+        |      length(mtext)
+        |        - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g'))))
+        |    THEN 'cjk'
+        |    WHEN length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')) = greatest(
+        |      length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')),
+        |      length(mtext)
+        |        - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
+        |        - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g'))))
+        |    THEN 'arabic'
+        |    ELSE 'other' END AS dominant
+        |FROM mixed ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val mixed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 1,
+              concat(lit(" "), repeat(lit("привет мир "),
+                ((col("n_chars") / 10).cast("int") + 1))))
+            .when(col("doc_id") % 3 === 2,
+              concat(lit(" "), repeat(lit("漢字文本 "),
+                ((col("n_chars") / 4).cast("int") + 1))))
+            .otherwise(lit(""))).as("mtext"))
+      TextQuality.scriptProfile(mixed, "doc_id", "mtext")
         .orderBy("doc_id")
     }
 

@@ -809,6 +809,18 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def parseUrls(urlCol: String): Frame =
     keep(graft.operators.TextExtract.parseUrls(df, urlCol))
 
+  /** C4 "bad words" rule: per-row blocked-token count + drop flag
+    * (operators.TextQuality.flagBlockedWords; the list rides as a plan
+    * literal — map-only). */
+  def flagBlockedWords(textCol: String, words: Seq[String]): Frame =
+    Frame(graft.operators.TextQuality.flagBlockedWords(df, idx, textCol,
+      words))
+
+  /** Unicode-script character profile + dominant script per row
+    * (operators.TextQuality.scriptProfile; map-only). */
+  def scriptProfile(textCol: String): Frame =
+    Frame(graft.operators.TextQuality.scriptProfile(df, idx, textCol))
+
   /** Blocklist host filter: drop rows whose `hostCol` is a blocked
     * domain or any subdomain of one (operators.TextExtract.
     * filterBlockedHosts; UT1-style crawl blocklist semantics). */

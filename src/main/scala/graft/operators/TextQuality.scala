@@ -101,6 +101,65 @@ object TextQuality {
       size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).as("n_ips"),
       size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).as("n_phones"))
 
+  /** Blocked-word flagging — the C4 "bad words" rule (Raffel et al.
+    * 2020 drop any page containing a word from a fixed blocklist):
+    * per doc, the count of normalized tokens (lowercase, non-
+    * alphanumerics stripped — so "Word!" matches "word") that appear
+    * in `words`, plus the drop flag. The list rides the plan as a
+    * LITERAL array (the C4 list is ~400 words — a broadcast variable
+    * would be overkill and a join unnecessary), so the whole operator
+    * is one map-only codegen'd projection at any corpus scale; a
+    * million-entry list would instead use the explode + equi-join shape
+    * of [[TextExtract.filterBlockedHosts]].
+    *
+    * Output: (idCol, n_blocked, flagged). */
+  def flagBlockedWords(docs: DataFrame, idCol: String, textCol: String,
+      words: Seq[String]): DataFrame = {
+    val wordsLit = typedLit(words.map(_.toLowerCase))
+    val norm = transform(split(lower(col(textCol)), " "),
+      t => regexp_replace(t, "[^a-z0-9]", ""))
+    docs.select(col(idCol),
+      size(filter(norm, t => array_contains(wordsLit, t))).cast("long")
+        .as("n_blocked"))
+      .withColumn("flagged", col("n_blocked") > 0)
+  }
+
+  /** Unicode-script profile — the fastText-precursor signal (script ≠
+    * language, but a CJK page in an "en" bucket is mislabeled for
+    * sure): per doc, character counts of the major BMP script blocks
+    * and the dominant script by count (ties resolved by the fixed
+    * column order latin > digit > cyrillic > cjk > arabic > other).
+    * Counts via `length(text) − length(regexp_replace(text, cls, ""))`
+    * — both engines count codepoints, all classes are BMP ranges, so
+    * the arithmetic replays exactly. Map-only at any scale.
+    *
+    * Output: (idCol, n_latin, n_digit, n_cyrillic, n_cjk, n_arabic,
+    * n_other, dominant). */
+  def scriptProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String) =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    val latin = cnt("[A-Za-z]"); val digit = cnt("[0-9]")
+    val cyr = cnt("[\\u0400-\\u04FF]"); val cjk = cnt("[\\u4E00-\\u9FFF]")
+    val ar = cnt("[\\u0600-\\u06FF]")
+    val counted = docs.select(col(idCol),
+      latin.as("n_latin"), digit.as("n_digit"), cyr.as("n_cyrillic"),
+      cjk.as("n_cjk"), ar.as("n_arabic"),
+      (length(t) - latin - digit - cyr - cjk - ar).cast("long")
+        .as("n_other"))
+    val top = greatest(col("n_latin"), col("n_digit"), col("n_cyrillic"),
+      col("n_cjk"), col("n_arabic"), col("n_other"))
+    counted.withColumn("dominant",
+      when(top === 0, "empty")
+        .when(col("n_latin") === top, "latin")
+        .when(col("n_digit") === top, "digit")
+        .when(col("n_cyrillic") === top, "cyrillic")
+        .when(col("n_cjk") === top, "cjk")
+        .when(col("n_arabic") === top, "arabic")
+        .otherwise("other"))
+  }
+
   /** Keep each group's rows, in deterministic md5-of-id priority order,
     * while the running `tokensCol` total stays within `budget`. Returns
     * the input plus (pr, cum, keep) — callers filter on `keep` to

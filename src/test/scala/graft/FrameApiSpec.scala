@@ -793,6 +793,22 @@ class FrameApiSpec extends SparkSpec {
       .parseUrls("url")
       .transform(_.drop("url"))
       .sortValues("doc_id"))
+    same("q_badwords", Frame(d, Some("doc_id"))
+      .flagBlockedWords("text", Seq("slow", "dup"))
+      .sortValues("doc_id"))
+    same("q_script_detect", Frame(
+        d.select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 1,
+              concat(lit(" "), repeat(lit("привет мир "),
+                ((col("n_chars") / 10).cast("int") + 1))))
+            .when(col("doc_id") % 3 === 2,
+              concat(lit(" "), repeat(lit("漢字文本 "),
+                ((col("n_chars") / 4).cast("int") + 1))))
+            .otherwise(lit(""))).as("mtext")),
+        Some("doc_id"))
+      .scriptProfile("mtext")
+      .sortValues("doc_id"))
     same("q_blocklist", Frame(
         d.select(col("doc_id"),
           lower(regexp_extract(synthUrl, "://([^/?#]*)", 1)).as("host")),

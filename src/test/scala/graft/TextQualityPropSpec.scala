@@ -283,4 +283,40 @@ class TextQualityPropSpec extends SparkSpec {
     val first = out.filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again === first)
   }
+
+  test("flagBlockedWords normalizes case and punctuation, counts occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "some SPAM! and more spam."),   // case + punctuation both match
+      (3L, "spamming is not spam-adjacent"), // normalized 'spamadjacent' ≠ 'spam'
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextQuality.flagBlockedWords(docs, "doc_id", "text", Seq("Spam"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((0L, false)))
+    assert(got(2L) == ((2L, true)))
+    assert(got(3L) == ((0L, false)), s"got ${got(3L)}")
+    assert(got(4L) == ((0L, false)))
+  }
+
+  test("scriptProfile counts BMP script blocks and picks the dominant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abc 12 привет"),  // 3 latin, 2 digit, 6 cyr, 2 other(spaces)
+      (2L, "漢字文本"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextQuality.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    assert(got(1L) == ((3L, 2L, 6L, 0L, 0L, 2L, "cyrillic")), s"${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, 4L, 0L, 0L, "cjk")))
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L, 0L, "empty")))
+    // tie goes to the fixed priority order: 1 latin vs 1 digit → latin
+    val tie = TextQuality.scriptProfile(Seq((9L, "a1")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0).getString(7)
+    assert(tie == "latin")
+  }
 }
