@@ -193,4 +193,37 @@ class OperatorEdgeSpec extends SparkSpec {
     val rows = typed.orderBy("k").collect()
     assert(rows(0).getInt(1) == 7 && rows(1).isNullAt(1))
   }
+
+  test("round-13 operators tolerate empty and degenerate inputs") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "domain", "n_chars")
+    assert(graft.operators.TextExtract.capPerDomain(
+      noDocs, "doc_id", "domain", "n_chars", 3).count() == 0L)
+    val noHosts = Seq.empty[(Long, String)].toDF("doc_id", "host")
+    val bl = Seq("x.com").toDF("host")
+    assert(graft.operators.TextExtract.filterBlockedHosts(
+      noHosts, "doc_id", "host", bl).count() == 0L)
+    // empty BLOCKLIST keeps everything
+    val docs = Seq((1L, "a.com"), (2L, "b.org")).toDF("doc_id", "host")
+    assert(graft.operators.TextExtract.filterBlockedHosts(
+      docs, "doc_id", "host", Seq.empty[String].toDF("host")).count() == 2L)
+    // empty word list flags nothing
+    val txt = Seq((1L, "some text")).toDF("doc_id", "text")
+    val fb = graft.operators.TextQuality.flagBlockedWords(
+      txt, "doc_id", "text", Seq.empty).collect()(0)
+    assert(fb.getLong(1) == 0L && !fb.getBoolean(2))
+    // embeddingDiversity on an empty frame: no rows, no error
+    val noVecs = Seq.empty[(Long, Int, Seq[Float])]
+      .toDF("vec_id", "label", "embedding")
+    assert(Similarity.embeddingDiversity(noVecs, "embedding", "label")
+      .count() == 0L)
+    // silhouette needs >= 2 centroids to have a runner-up; with exactly
+    // 2 it is well-formed for every vector
+    val two = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.operators.Clustering.seedCentroids(
+      two, "vec_id", "embedding", 2)
+    assert(graft.operators.Clustering.silhouette(
+      two, "vec_id", "embedding", cents).count() == 3L)
+  }
 }
