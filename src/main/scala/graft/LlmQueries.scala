@@ -295,6 +295,25 @@ object LlmQueries {
         threshold = 0.8)
     }
 
+    // The s-curve THEORY table beside the measured precision/recall
+    // reports: candidate probability at the target threshold and the
+    // crossover similarity for every band width dividing k. Data-free
+    // math both engines replay with the identical pow/arithmetic.
+    q("q_lsh_scurve",
+      """SELECT CAST(r AS BIGINT) AS r, CAST(16 // r AS BIGINT) AS b,
+        |  round(1.0 - pow(1.0 - pow(CAST(0.8 AS DOUBLE), CAST(r AS DOUBLE)),
+        |    CAST(16 // r AS DOUBLE)), 6) AS p_at_threshold,
+        |  round(pow(1.0 / CAST(16 // r AS DOUBLE), 1.0 / CAST(r AS DOUBLE)), 6)
+        |    AS t_star
+        |FROM (SELECT unnest(generate_series(1, 16)) AS r)
+        |WHERE 16 % r = 0 ORDER BY r""".stripMargin) { (s, dir) =>
+      TextDedup.bandSCurve(s, numHashes = 16, threshold = 0.8)
+        .select(col("r"), col("b"),
+          round(col("p_at_threshold"), 6).as("p_at_threshold"),
+          round(col("t_star"), 6).as("t_star"))
+        .orderBy("r")
+    }
+
     // Same signatures via the PROJECTED (stateless, streaming-safe)
     // form — one row-local array computation per document, no
     // explode/groupBy. Identical oracle: both forms must reproduce the

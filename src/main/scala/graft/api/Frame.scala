@@ -836,6 +836,19 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextExtract.capPerDomain(df, idx, domainCol,
       scoreCol, cap))
 
+  /** Deterministic fixed-size sample per group: exactly min(n, group
+    * size) rows each, chosen by md5-of-id priority (content-hash
+    * sampling policy — reproducible under any partitioning). The
+    * per-group-ranked shape rides the same bounded top-k aggregate as
+    * capPerDomain, never a rank window over a corpus-sized group. */
+  def sampleNPerGroup(groupCol: String, n: Int): Frame = {
+    val scored = df.select(col(groupCol), col(idx),
+      graft.operators.TextDedup.baseHash(col(idx).cast("string")).as("__pr"))
+    Frame(graft.operators.Similarity.topKPerQuery(scored, n, "__pr",
+        scoreDesc = false, idCol = idx, queryCol = groupCol)
+      .select(col(groupCol), col(idx), col("rn")))
+  }
+
   /** C4-rule consecutive-duplicate-line removal within each document
     * (operators.TextExtract.dedupConsecutiveLines; map-only). */
   def dedupConsecutiveLines(textCol: String, sep: String = "\n"): Frame =

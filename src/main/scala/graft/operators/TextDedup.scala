@@ -373,6 +373,32 @@ object TextDedup {
             col("n_true").cast("double")))
   }
 
+  /** LSH band-plan s-curve table — the THEORY side of the
+    * (numHashes, bandRows) trade that [[bandPrecision]] and
+    * [[bandRecall]] measure empirically: for every band width r
+    * dividing k (b = k/r bands), the probability a pair at similarity
+    * `threshold` becomes a candidate, `1 − (1 − t^r)^b`, and the
+    * curve's crossover similarity `t* = (1/b)^(1/r)` (pairs above t*
+    * are more likely caught than missed). Sweeping this one table is
+    * how a 100 TB run picks its configuration BEFORE paying for a
+    * measured sweep; data-free, driver-sized, replayable math.
+    *
+    * Output: (r, b, p_at_threshold, t_star) one row per valid r. */
+  def bandSCurve(spark: org.apache.spark.sql.SparkSession, numHashes: Int,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    (1 to numHashes).filter(numHashes % _ == 0).toDF("r")
+      .withColumn("b", (lit(numHashes) / col("r")).cast("long"))
+      .withColumn("p_at_threshold",
+        lit(1.0) - pow(lit(1.0) - pow(lit(threshold),
+          col("r").cast("double")), col("b").cast("double")))
+      .withColumn("t_star",
+        pow(lit(1.0) / col("b").cast("double"),
+          lit(1.0) / col("r").cast("double")))
+      .select(col("r").cast("long").as("r"), col("b"),
+        col("p_at_threshold"), col("t_star"))
+  }
+
   /** Incremental (cross-snapshot) near-dup: flag NEW docs that
     * near-duplicate any doc already in the INDEX — the daily-crawl
     * shape, where the index is yesterday's corpus and only the new

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,14 +114,18 @@ object TextQuality {
     *
     * Output: (idCol, n_blocked, flagged). */
   def flagBlockedWords(docs: DataFrame, idCol: String, textCol: String,
-      words: Seq[String]): DataFrame = {
-    val wordsLit = typedLit(words.map(_.toLowerCase))
-    val norm = transform(split(lower(col(textCol)), " "),
-      t => regexp_replace(t, "[^a-z0-9]", ""))
+      words: Seq[String]): DataFrame =
     docs.select(col(idCol),
-      size(filter(norm, t => array_contains(wordsLit, t))).cast("long")
-        .as("n_blocked"))
+      blockedWordCount(col(textCol), words).as("n_blocked"))
       .withColumn("flagged", col("n_blocked") > 0)
+
+  /** The [[flagBlockedWords]] counting expression as a bare Column, so
+    * streaming/batch pipelines can ride it inline (stateless, no join). */
+  def blockedWordCount(text: Column, words: Seq[String]): Column = {
+    val wordsLit = typedLit(words.map(_.toLowerCase))
+    val norm = transform(split(lower(text), " "),
+      t => regexp_replace(t, "[^a-z0-9]", ""))
+    size(filter(norm, t => array_contains(wordsLit, t))).cast("long")
   }
 
   /** Unicode-script profile — the fastText-precursor signal (script ≠

@@ -347,6 +347,18 @@ object StreamOps {
       }
   }
 
+  /** Streaming C4 blocked-words gate — the stateless online form of
+    * [[graft.operators.TextQuality.flagBlockedWords]] (the list rides
+    * as a plan literal, so this composes into any micro-batch pipeline
+    * with no state, watermark, or join — the streamingQualityGate
+    * pattern). Adds (n_blocked, flagged) to every arriving row. */
+  def streamingBadwordsGate(stream: DataFrame, textCol: String,
+      words: Seq[String]): DataFrame =
+    stream
+      .withColumn("n_blocked",
+        graft.operators.TextQuality.blockedWordCount(col(textCol), words))
+      .withColumn("flagged", col("n_blocked") > 0)
+
   /** Streaming per-domain document cap — the online form of
     * [[graft.operators.TextExtract.capPerDomain]]'s admission decision:
     * in arrival order (batch-first, the sequencing every stateful op

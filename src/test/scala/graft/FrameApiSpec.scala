@@ -793,6 +793,19 @@ class FrameApiSpec extends SparkSpec {
       .parseUrls("url")
       .transform(_.drop("url"))
       .sortValues("doc_id"))
+    // sampleNPerGroup: exact-size groups, deterministic under layout
+    locally {
+      val s1 = Frame(d, Some("doc_id")).sampleNPerGroup("lang", 5)
+      val sizes = s1.toDF.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val avail = d.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sizes == avail.map { case (l, c) => l -> math.min(5L, c) })
+      val s2 = Frame(d.repartition(7), Some("doc_id"))
+        .sampleNPerGroup("lang", 5)
+      assert(s1.toDF.collect().map(_.toSeq).toSet ==
+        s2.toDF.collect().map(_.toSeq).toSet)
+    }
     same("q_badwords", Frame(d, Some("doc_id"))
       .flagBlockedWords("text", Seq("slow", "dup"))
       .sortValues("doc_id"))

@@ -378,6 +378,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming badwords gate equals the batch operator exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "clean text"), (2L, "SPAM! here"), (3L, "spam spam"))
+    val in = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingBadwordsGate(
+      in.toDS().toDF("doc_id", "text"), "text", Seq("spam"))
+    val q = out.writeStream.format("memory").queryName("badwords_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("badwords_stream")
+        .select("doc_id", "n_blocked", "flagged").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      val batch = graft.operators.TextQuality.flagBlockedWords(
+          rows.toDF("doc_id", "text"), "doc_id", "text", Seq("spam"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming domain cap admits the first cap docs per domain across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -179,6 +179,19 @@ class TextExtractSpec extends SparkSpec {
     assert(kept == Set(4L, 5L, 6L, 7L), s"got $kept")
   }
 
+  test("bandSCurve replays the s-curve math and is monotone in r at fixed t") {
+    val got = graft.operators.TextDedup.bandSCurve(spark, 16, 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L, 8L, 16L))
+    // hand arithmetic at r=4, b=4: p = 1-(1-0.8^4)^4
+    val p4 = 1.0 - math.pow(1.0 - math.pow(0.8, 4), 4)
+    assert(math.abs(got(4L)._2 - p4) < 1e-12)
+    assert(math.abs(got(4L)._3 - math.pow(0.25, 0.25)) < 1e-12)
+    // r=1,b=16 catches nearly everything; r=16,b=1 nearly nothing at t=0.8
+    assert(got(1L)._2 > 0.99 && got(16L)._2 < 0.05)
+  }
+
   test("capPerDomain keeps the cap best per domain, score desc then id asc") {
     import spark.implicits._
     val docs = Seq(
