@@ -111,11 +111,11 @@ object TrainPrepQueries {
     q("q_badwords",
       """SELECT doc_id,
         |  CAST(len(list_filter(
-        |    list_transform(string_split(lower(text), ' '),
+        |    list_transform(string_split_regex(lower(text), '\s+'),
         |      t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
         |    t -> list_contains(['slow', 'dup'], t))) AS BIGINT) AS n_blocked,
         |  len(list_filter(
-        |    list_transform(string_split(lower(text), ' '),
+        |    list_transform(string_split_regex(lower(text), '\s+'),
         |      t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
         |    t -> list_contains(['slow', 'dup'], t))) > 0 AS flagged
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -136,78 +136,26 @@ object TrainPrepQueries {
         |      WHEN doc_id % 3 = 2
         |      THEN ' ' || repeat('漢字文本 ', CAST(n_chars // 4 + 1 AS INT))
         |      ELSE '' END AS mtext
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
-        |  CAST(length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
-        |  CAST(length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
-        |  CAST(length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')) AS BIGINT) AS n_cjk,
-        |  CAST(length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic,
-        |  CAST(length(mtext)
-        |    - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
-        |    - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
-        |    - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
-        |    - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
-        |    - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')))
-        |    AS BIGINT) AS n_other,
-        |  CASE WHEN length(mtext) = 0 THEN 'empty'
-        |    WHEN length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')) = greatest(
-        |      length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')),
-        |      length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')),
-        |      length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')),
-        |      length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')),
-        |      length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')),
-        |      length(mtext)
-        |        - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g'))))
-        |    THEN 'latin'
-        |    WHEN length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')) = greatest(
-        |      length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')),
-        |      length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')),
-        |      length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')),
-        |      length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')),
-        |      length(mtext)
-        |        - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g'))))
-        |    THEN 'digit'
-        |    WHEN length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')) = greatest(
-        |      length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')),
-        |      length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')),
-        |      length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')),
-        |      length(mtext)
-        |        - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g'))))
-        |    THEN 'cyrillic'
-        |    WHEN length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')) = greatest(
-        |      length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')),
-        |      length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')),
-        |      length(mtext)
-        |        - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g'))))
-        |    THEN 'cjk'
-        |    WHEN length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')) = greatest(
-        |      length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')),
-        |      length(mtext)
-        |        - (length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')))
-        |        - (length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g'))))
-        |    THEN 'arabic'
+        |  FROM documents),
+        |counted AS (SELECT doc_id, CAST(length(mtext) AS BIGINT) AS n_all,
+        |    CAST(length(mtext) - length(regexp_replace(mtext, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |    CAST(length(mtext) - length(regexp_replace(mtext, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(mtext) - length(regexp_replace(mtext, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |    CAST(length(mtext) - length(regexp_replace(mtext, '[一-鿿]', '', 'g')) AS BIGINT) AS n_cjk,
+        |    CAST(length(mtext) - length(regexp_replace(mtext, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic
+        |  FROM mixed),
+        |f AS (SELECT doc_id, n_all, n_latin, n_digit, n_cyrillic, n_cjk, n_arabic,
+        |    n_all - n_latin - n_digit - n_cyrillic - n_cjk - n_arabic AS n_other
+        |  FROM counted)
+        |SELECT doc_id, n_latin, n_digit, n_cyrillic, n_cjk, n_arabic, n_other,
+        |  CASE WHEN n_all = 0 THEN 'empty'
+        |    WHEN n_latin = greatest(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic, n_other) THEN 'latin'
+        |    WHEN n_digit = greatest(n_digit, n_cyrillic, n_cjk, n_arabic, n_other) THEN 'digit'
+        |    WHEN n_cyrillic = greatest(n_cyrillic, n_cjk, n_arabic, n_other) THEN 'cyrillic'
+        |    WHEN n_cjk = greatest(n_cjk, n_arabic, n_other) THEN 'cjk'
+        |    WHEN n_arabic = greatest(n_arabic, n_other) THEN 'arabic'
         |    ELSE 'other' END AS dominant
-        |FROM mixed ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val mixed = Tables.documents(s, dir)
         .select(col("doc_id"),
           concat(col("text"),

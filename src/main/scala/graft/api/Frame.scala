@@ -814,12 +814,12 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * literal — map-only). */
   def flagBlockedWords(textCol: String, words: Seq[String]): Frame =
     Frame(graft.operators.TextQuality.flagBlockedWords(df, idx, textCol,
-      words))
+      words), index)
 
   /** Unicode-script character profile + dominant script per row
     * (operators.TextQuality.scriptProfile; map-only). */
   def scriptProfile(textCol: String): Frame =
-    Frame(graft.operators.TextQuality.scriptProfile(df, idx, textCol))
+    Frame(graft.operators.TextQuality.scriptProfile(df, idx, textCol), index)
 
   /** Blocklist host filter: drop rows whose `hostCol` is a blocked
     * domain or any subdomain of one (operators.TextExtract.
@@ -834,7 +834,7 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * rule — bounded top-k aggregate, never a per-domain rank window). */
   def capPerDomain(domainCol: String, scoreCol: String, cap: Int): Frame =
     Frame(graft.operators.TextExtract.capPerDomain(df, idx, domainCol,
-      scoreCol, cap))
+      scoreCol, cap), index)
 
   /** Deterministic fixed-size sample per group: exactly min(n, group
     * size) rows each, chosen by md5-of-id priority (content-hash
@@ -844,9 +844,12 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def sampleNPerGroup(groupCol: String, n: Int): Frame = {
     val scored = df.select(col(groupCol), col(idx),
       graft.operators.TextDedup.baseHash(col(idx).cast("string")).as("__pr"))
-    Frame(graft.operators.Similarity.topKPerQuery(scored, n, "__pr",
+    val picked = graft.operators.Similarity.topKPerQuery(scored, n, "__pr",
         scoreDesc = false, idCol = idx, queryCol = groupCol)
-      .select(col(groupCol), col(idx), col("rn")))
+      .select(col(idx), col("rn"))
+    // join the FULL rows back on the id — callers get the sample's
+    // payload (like sample/sampleByHash), plus the within-group rank
+    Frame(df.join(picked, Seq(idx)), index)
   }
 
   /** C4-rule consecutive-duplicate-line removal within each document

@@ -88,6 +88,11 @@ object Clustering {
     * Output: (idCol, cell, cell_cos, next_cos, silhouette). */
   def silhouette(corpus: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    // a runner-up centroid must exist; with one cell, element_at(_, 2)
+    // would throw INVALID_ARRAY_INDEX at runtime under ANSI
+    require(cents.length >= 2,
+      s"silhouette needs >= 2 centroids (got ${cents.length}); " +
+        "it is undefined for a single cluster")
     val ranked = array_sort(zip_with(cosArray(col(vecCol), cents),
       typedLit(cents.map(_._1)),
       (c, id) => struct((-c).as("negc"), id.as("cell"))))

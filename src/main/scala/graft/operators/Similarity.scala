@@ -48,13 +48,19 @@ object Similarity {
     */
   def topKPerQuery(scored: DataFrame, k: Int, scoreCol: String,
       scoreDesc: Boolean, idCol: String = "vec_id",
-      queryCol: String = "query_id"): DataFrame = {
+      queryCol: String = "query_id",
+      payloadCols: Seq[String] = Nil): DataFrame = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.GraftFunctions.register)
     val sortKey =
       if (scoreDesc) -col(scoreCol).cast("double")
       else col(scoreCol).cast("double")
-    val hit = struct(sortKey.as("k"), col(idCol).as("i"), col(scoreCol).as("s"))
+    // payload columns ride the struct AFTER (sortKey, id): (k, i) is
+    // already unique per query, so they can never influence the order —
+    // they just avoid a join-back to recover carried columns
+    val hit = struct(
+      (Seq(sortKey.as("k"), col(idCol).as("i"), col(scoreCol).as("s")) ++
+        payloadCols.zipWithIndex.map { case (c, j) => col(c).as(s"p$j") }): _*)
     scored
       .groupBy(queryCol)
       .agg(call_function("graft_top_k", hit, lit(k), lit(true)).as("__topk"))
@@ -62,8 +68,11 @@ object Similarity {
       // queue's emission order; k elements, negligible
       .select(col(queryCol),
         posexplode(array_sort(col("__topk"))).as(Seq("__p", "__t")))
-      .select(col(queryCol), col("__t.i").as(idCol), col("__t.s").as(scoreCol),
-        (col("__p") + 1).cast("int").as("rn"))
+      .select((Seq(col(queryCol), col("__t.i").as(idCol),
+        col("__t.s").as(scoreCol)) ++
+        payloadCols.zipWithIndex.map { case (c, j) =>
+          col(s"__t.p$j").as(c) } :+
+        (col("__p") + 1).cast("int").as("rn")): _*)
   }
 
   /** Exact top-k cosine neighbors for each query vector. The query set is
@@ -576,10 +585,10 @@ object Similarity {
         col("c") / ((col("a_src") + col("a_tgt")) / lit(2.0)))
       .filter(col("margin") >= minMargin)
     // survivors are ≤k per src; rank by margin with the same bounded
-    // aggregate (audit-uniform), then join c back on the pair key
+    // aggregate (audit-uniform), c riding as struct payload — no
+    // join-back, the margined subtree evaluates once
     topKPerQuery(margined, k, "margin", scoreDesc = true,
-        idCol = "tgt_id", queryCol = "src_id")
-      .join(margined.select("src_id", "tgt_id", "c"), Seq("src_id", "tgt_id"))
+        idCol = "tgt_id", queryCol = "src_id", payloadCols = Seq("c"))
       .select("src_id", "tgt_id", "c", "margin", "rn")
   }
 

@@ -169,7 +169,13 @@ object TextExtract {
     * Returns the input rows whose host survives. */
   def filterBlockedHosts(df: DataFrame, idCol: String, hostCol: String,
       blocklist: DataFrame, blockCol: String = "host"): DataFrame = {
-    val labels = split(col(hostCol), "\\.")
+    // normalize BOTH sides before matching: case-fold, strip an
+    // explicit :port (parseUrls keeps it in `host`), strip the
+    // FQDN trailing dot — each of these would otherwise be a blocklist
+    // evasion ('Tracker.COM:8080.' must still match 'tracker.com')
+    def canon(c: Column): Column =
+      regexp_replace(regexp_replace(lower(c), ":[0-9]+$", ""), "\\.$", "")
+    val labels = split(canon(col(hostCol)), "\\.")
     // single-label hosts (bare TLD / localhost) have NO blockable
     // suffixes — guard them out: Spark's sequence(0, -1) would DESCEND
     // (and slice(start=0) errors under ANSI), not return empty
@@ -179,7 +185,7 @@ object TextExtract {
       .otherwise(array().cast("array<string>"))
     val blockedIds = df
       .select(col(idCol), explode(sufs).as("__suf"))
-      .join(blocklist.select(col(blockCol).as("__suf")), Seq("__suf"),
+      .join(blocklist.select(canon(col(blockCol)).as("__suf")), Seq("__suf"),
         "left_semi")
       .select(idCol)
     df.join(blockedIds, Seq(idCol), "left_anti")

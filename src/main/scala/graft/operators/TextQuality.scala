@@ -120,10 +120,20 @@ object TextQuality {
       .withColumn("flagged", col("n_blocked") > 0)
 
   /** The [[flagBlockedWords]] counting expression as a bare Column, so
-    * streaming/batch pipelines can ride it inline (stateless, no join). */
+    * streaming/batch pipelines can ride it inline (stateless, no join).
+    *
+    * List entries get the SAME normalization as document tokens
+    * (lowercase, non-alphanumerics stripped) — an asymmetric normalize
+    * would silently dead-list every punctuated entry ("in-app" could
+    * never match the normalized token "inapp"); a multi-word entry
+    * collapses to its concatenation and matches only a single token.
+    * Tokens split on ANY whitespace run (web text is multi-line — a
+    * space-only split would hide blocked words at line starts). */
   def blockedWordCount(text: Column, words: Seq[String]): Column = {
-    val wordsLit = typedLit(words.map(_.toLowerCase))
-    val norm = transform(split(lower(text), " "),
+    val wordsLit = typedLit(words
+      .map(_.toLowerCase.replaceAll("[^a-z0-9]", ""))
+      .filter(_.nonEmpty).distinct)
+    val norm = transform(split(lower(text), "\\s+"),
       t => regexp_replace(t, "[^a-z0-9]", ""))
     size(filter(norm, t => array_contains(wordsLit, t))).cast("long")
   }

@@ -127,5 +127,10 @@ class ClusteringSpec extends SparkSpec {
     val s = Clustering.silhouette(df, "vec_id", "embedding", cents)
       .agg(avg("silhouette")).collect()(0).getDouble(0)
     assert(s > 0.8, s"separated cones should score high, got $s")
+    // undefined for a single cluster: clear require, not an ANSI
+    // array-index error at runtime
+    intercept[IllegalArgumentException] {
+      Clustering.silhouette(df, "vec_id", "embedding", cents.take(1))
+    }
   }
 }

@@ -179,6 +179,21 @@ class TextExtractSpec extends SparkSpec {
     assert(kept == Set(4L, 5L, 6L, 7L), s"got $kept")
   }
 
+  test("filterBlockedHosts normalizes case, explicit port, and trailing dot") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Tracker.COM"),          // case evasion
+      (2L, "tracker.com:8080"),     // parseUrls keeps the port in host
+      (3L, "www.tracker.com."),     // FQDN trailing dot
+      (4L, "clean.net:443")
+    ).toDF("doc_id", "host")
+    val bl = Seq("TRACKER.com.").toDF("host") // list itself un-normalized
+    val kept = graft.operators.TextExtract
+      .filterBlockedHosts(docs, "doc_id", "host", bl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L), s"got $kept")
+  }
+
   test("bandSCurve replays the s-curve math and is monotone in r at fixed t") {
     val got = graft.operators.TextDedup.bandSCurve(spark, 16, 0.8)
       .collect().map(r => r.getLong(0) ->

@@ -300,6 +300,21 @@ class TextQualityPropSpec extends SparkSpec {
     assert(got(4L) == ((0L, false)))
   }
 
+  test("flagBlockedWords: list entries normalize like tokens; any whitespace splits") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "get the in-app offer"),   // token normalizes to 'inapp'
+      (2L, "buy\nspam now"),          // newline-adjacent blocked word
+      (3L, "tab\tspam here"),
+      (4L, "no match")
+    ).toDF("doc_id", "text")
+    val got = TextQuality.flagBlockedWords(docs, "doc_id", "text",
+        Seq("In-App", "spam", "", "!!"))   // punctuated + degenerate entries
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false),
+      s"got $got")
+  }
+
   test("scriptProfile counts BMP script blocks and picks the dominant") {
     import spark.implicits._
     val docs = Seq(
