@@ -25,22 +25,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
     // Experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies arbitrary
-    // session confs so A/B runs need no recompile. Never set by the driver.
+    // confs so A/B runs need no recompile — at BUILDER time, so static
+    // core confs (spark.shuffle.*, spark.local.dir) work too. Never set
+    // by the driver.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
       s.split(';').map(_.trim).filter(_.contains("=")).foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
+        builder.config(k.trim, v.trim)
       }
     }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
