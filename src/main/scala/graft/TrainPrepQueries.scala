@@ -375,6 +375,64 @@ object TrainPrepQueries {
         .orderBy("doc_id")
     }
 
+    // Decontamination UNION verdict — the report an eval-aware pipeline
+    // actually acts on: per doc, the n-gram flag (exact 8-gram overlap
+    // with the benchmark docs, q_contamination's machinery) OR the
+    // semantic flag (max cosine vs the benchmark embeddings ≥ τ,
+    // q_semantic_contamination's map-only literal probe). Each method
+    // alone misses a class (grams miss paraphrase, embeddings miss
+    // verbatim snippets below τ); the union is the drop set. The
+    // documents and embeddings tables share the id domain, so the two
+    // verdicts meet in one equi-join.
+    q("q_decontam_union",
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |gr AS (SELECT doc_id,
+         |         CAST('0x' || substr(md5(array_to_string(list_slice(w, i, i + 7), ' ')), 1, 15) AS BIGINT) AS h
+         |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM ws)),
+         |bench AS (SELECT DISTINCT h FROM gr WHERE doc_id < 10),
+         |grd AS (SELECT DISTINCT doc_id, h FROM gr WHERE doc_id >= 10),
+         |tr AS (SELECT grd.doc_id,
+         |         CAST(sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |       FROM grd LEFT JOIN bench ON grd.h = bench.h
+         |       GROUP BY grd.doc_id),
+         |bv AS (SELECT vec_id AS bench_id, embedding AS bvec,
+         |         sqrt(${LlmQueries.dotSql("embedding", "embedding")}) AS bn
+         |       FROM embeddings WHERE vec_id < 10),
+         |sc AS (SELECT e.vec_id AS doc_id,
+         |         ${LlmQueries.dotSql("bvec", "e.embedding")}
+         |           / (bn * sqrt(${LlmQueries.dotSql("e.embedding", "e.embedding")})) AS c
+         |       FROM embeddings e, bv WHERE e.vec_id >= 10),
+         |mx AS (SELECT doc_id, max(c) AS mc FROM sc GROUP BY doc_id)
+         |SELECT tr.doc_id, n_hit > 0 AS flag_ngram,
+         |  round(mc, 9) AS max_cos, mc >= 0.25 AS flag_semantic,
+         |  (n_hit > 0 OR mc >= 0.25) AS flagged
+         |FROM tr JOIN mx USING (doc_id) ORDER BY tr.doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Similarity
+      val docs = Tables.documents(s, dir)
+      def gramHash(d: DataFrame) = d.select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(col("text"), 8, 15,
+          dedup = true)).as("h"))
+      val bench = gramHash(docs.filter(col("doc_id") < 10))
+        .select("h").distinct()
+      val ng = gramHash(docs.filter(col("doc_id") >= 10))
+        .join(broadcast(bench.withColumnRenamed("h", "bh")),
+          col("h") === col("bh"), "left")
+        .groupBy("doc_id")
+        .agg(sum(when(col("bh").isNotNull, 1).otherwise(0)).as("n_hit"))
+      val e = Tables.embeddings(s, dir)
+      val benchVecs = graft.operators.Clustering.seedCentroids(
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+      val sem = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("doc_id"),
+          Similarity.maxCosineToSet(col("embedding"), benchVecs).as("mc"))
+      ng.join(sem, Seq("doc_id"))
+        .select(col("doc_id"), (col("n_hit") > 0).as("flag_ngram"),
+          round(col("mc"), 9).as("max_cos"),
+          (col("mc") >= 0.25).as("flag_semantic"),
+          (col("n_hit") > 0 || col("mc") >= 0.25).as("flagged"))
+        .orderBy("doc_id")
+    }
+
     // Sequence packing: documents in id order cut into 2048-token
     // context windows (offset-cut policy; see operators.Packing for the
     // two-pass no-global-window plan). Oracle replays the global running

@@ -194,7 +194,7 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(rows(0).getInt(1) == 7 && rows(1).isNullAt(1))
   }
 
-  test("round-13 operators tolerate empty and degenerate inputs") {
+  test("new curation operators tolerate empty and degenerate inputs") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "domain", "n_chars")
     assert(graft.operators.TextExtract.capPerDomain(
