@@ -448,6 +448,49 @@ object CorpusQueries {
         .orderBy("domain")
     }
 
+    // ---- C4 line-level rule filter -------------------------------------
+
+    // Lines synthesized deterministically from the word stream (6-word
+    // lines; by (doc_id+i) mod: some get no terminal punctuation, some
+    // get a ' javascript.' tail) so all three rules fire. Both engines
+    // build the identical line text and replay the identical keep
+    // predicate.
+    q("q_c4_line_filter",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lt AS (SELECT doc_id, array_to_string(list_transform(
+        |    generate_series(0, CAST(ceil(len(w) / 6.0) AS INT) - 1),
+        |    i -> array_to_string(w[i*6+1 : least(i*6+6, len(w))], ' ') ||
+        |         CASE WHEN (doc_id + i) % 7 = 0 THEN ' javascript.'
+        |              WHEN (doc_id + i) % 3 = 0 THEN ''
+        |              ELSE '.' END), chr(10)) AS ltext
+        |  FROM ws),
+        |f AS (SELECT doc_id, string_split(ltext, chr(10)) AS ls FROM lt),
+        |k AS (SELECT doc_id, ls,
+        |    list_filter(ls, l -> len(string_split(l, ' ')) >= 5
+        |      AND (ends_with(l, '.') OR ends_with(l, '!')
+        |        OR ends_with(l, '?') OR ends_with(l, '"'))
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM f)
+        |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.TextExtract
+      val wsa = col("__ws")
+      val nLines = ceil(size(wsa) / lit(6.0)).cast("int")
+      val lines = transform(sequence(lit(0), nLines - 1), i =>
+        concat(array_join(slice(wsa, i * 6 + 1, lit(6)), " "),
+          when((col("doc_id") + i) % 7 === 0, lit(" javascript."))
+            .when((col("doc_id") + i) % 3 === 0, lit(""))
+            .otherwise(lit("."))))
+      val synth = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+        .select(col("doc_id"), array_join(lines, "\n").as("ltext"))
+      TextExtract.c4FilterLines(synth, "doc_id", "ltext", minWords = 5,
+          blocked = Seq("javascript"))
+        .orderBy("doc_id")
+    }
+
     // ---- blocklist host filter (UT1-style domain blocking) ------------
 
     // Hosts keep their www. prefix here (no canonicalization), so

@@ -852,6 +852,14 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(df.join(picked, Seq(idx)), index)
   }
 
+  /** C4 line-level rule filter: keep lines with ≥ minWords words, a
+    * terminal-punctuation ending, and no blocked substring
+    * (operators.TextExtract.c4FilterLines; map-only). */
+  def c4FilterLines(textCol: String, minWords: Int = 5,
+      blocked: Seq[String] = Seq("javascript")): Frame =
+    Frame(graft.operators.TextExtract.c4FilterLines(df, idx, textCol,
+      minWords, blocked), index)
+
   /** C4-rule consecutive-duplicate-line removal within each document
     * (operators.TextExtract.dedupConsecutiveLines; map-only). */
   def dedupConsecutiveLines(textCol: String, sep: String = "\n"): Frame =

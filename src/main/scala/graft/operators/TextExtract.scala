@@ -152,6 +152,39 @@ object TextExtract {
       array_join(kept, sep).as("text_clean"))
   }
 
+  /** C4 line-level rule filter (Raffel et al. 2020 §2.2): keep only
+    * lines with ≥ `minWords` words, ending in terminal punctuation
+    * (. ! ? "), and containing none of `blocked` (case-insensitive) —
+    * the rules that strip navigation stubs, un-sentence-like fragments
+    * and code/boilerplate lines from extracted web text. Rebuilds each
+    * document from its surviving lines.
+    *
+    * Pure per-row array work (split → filter lambda → rejoin): no
+    * shuffle, no UDF — the same map-only scale shape as
+    * [[dedupConsecutiveLines]], which handles the dedup half of C4's
+    * line rules.
+    *
+    * Output: (idCol, n_lines, n_kept, text_clean). */
+  def c4FilterLines(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, blocked: Seq[String] = Seq("javascript"),
+      sep: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    def keep(l: Column): Column = {
+      val okWords = size(split(l, " ")) >= minWords
+      val okTerm = Seq(".", "!", "?", "\"")
+        .map(p => l.endsWith(p)).reduce(_ || _)
+      val okBlocked = blocked
+        .map(b => !contains(lower(l), lit(b.toLowerCase)))
+        .foldLeft(lit(true))(_ && _)
+      okWords && okTerm && okBlocked
+    }
+    val kept = filter(lines, keep _)
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, sep).as("text_clean"))
+  }
+
   /** Blocklist host filter — the crawl-curation gate that drops any doc
     * whose host IS a blocked domain or a SUBDOMAIN of one (the UT1 /
     * adult-blocklist semantics every CommonCrawl pipeline applies:

@@ -806,6 +806,21 @@ class FrameApiSpec extends SparkSpec {
       assert(s1.toDF.collect().map(_.toSeq).toSet ==
         s2.toDF.collect().map(_.toSeq).toSet)
     }
+    locally {
+      val wsa = col("__ws")
+      val nLines = ceil(size(wsa) / lit(6.0)).cast("int")
+      val lines = transform(sequence(lit(0), nLines - 1), i =>
+        concat(array_join(slice(wsa, i * 6 + 1, lit(6)), " "),
+          when((col("doc_id") + i) % 7 === 0, lit(" javascript."))
+            .when((col("doc_id") + i) % 3 === 0, lit(""))
+            .otherwise(lit("."))))
+      same("q_c4_line_filter", Frame(
+          d.select(col("doc_id"), split(col("text"), " ").as("__ws"))
+            .select(col("doc_id"), array_join(lines, "\n").as("ltext")),
+          Some("doc_id"))
+        .c4FilterLines("ltext", minWords = 5, blocked = Seq("javascript"))
+        .sortValues("doc_id"))
+    }
     same("q_badwords", Frame(d, Some("doc_id"))
       .flagBlockedWords("text", Seq("slow", "dup"))
       .sortValues("doc_id"))

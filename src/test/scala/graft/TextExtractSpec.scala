@@ -161,6 +161,27 @@ class TextExtractSpec extends SparkSpec {
     assert(Sketches.frequentTokens(empty, "token", 1, 100, k = 128).count() == 0L)
   }
 
+  test("c4FilterLines applies word-count, terminal-punct and blocklist rules per line") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "this line has enough words here.\nshort one.\n" +
+        "no terminal punctuation on this line\n" +
+        "this has JavaScript inside it somewhere.\n" +
+        "is this a kept question line too?"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextExtract
+      .c4FilterLines(docs, "doc_id", "text", minWords = 5,
+        blocked = Seq("javascript"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 == 5L && got(1L)._2 == 2L)
+    assert(got(1L)._3 ==
+      "this line has enough words here.\nis this a kept question line too?")
+    // empty doc: one empty "line", dropped by the word-count rule
+    assert(got(2L) == ((1L, 0L, "")))
+  }
+
   test("filterBlockedHosts drops exact hosts and all subdomains, never bare TLDs") {
     import spark.implicits._
     val docs = Seq(
