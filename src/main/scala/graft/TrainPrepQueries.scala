@@ -104,6 +104,76 @@ object TrainPrepQueries {
         .orderBy("doc_id")
     }
 
+    // The Gopher line/symbol rule family over deterministically
+    // synthesized line text: every ~31st token becomes '#', 6-word
+    // lines, every (doc_id+li)%5==0 line gets a '- ' bullet prefix,
+    // %4==0 lines end in '...' (else '.') — so all four rules fire with
+    // doc-dependent ratios. Both engines build the identical string
+    // (DuckDB list lambdas index 1-based; the synthesis accounts for it).
+    q("q_gopher_full",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |rp AS (SELECT doc_id, list_transform(w, (x, i) ->
+        |         CASE WHEN (doc_id + i - 1) % 31 = 0 THEN '#' ELSE x END) AS w
+        |       FROM ws),
+        |lt AS (SELECT doc_id, array_to_string(list_transform(
+        |    generate_series(0, CAST(ceil(len(w) / 6.0) AS INT) - 1),
+        |    li -> CASE WHEN (doc_id + li) % 5 = 0 THEN '- ' ELSE '' END ||
+        |          array_to_string(w[li*6+1 : least(li*6+6, len(w))], ' ') ||
+        |          CASE WHEN (doc_id + li) % 4 = 0 THEN '...' ELSE '.' END),
+        |    chr(10)) AS ltext
+        |  FROM rp),
+        |m AS (SELECT doc_id, ltext,
+        |    string_split(ltext, chr(10)) AS ls,
+        |    string_split_regex(ltext, '\s+') AS wd
+        |  FROM lt),
+        |r AS (SELECT doc_id,
+        |    (CAST(length(ltext) - length(regexp_replace(ltext, '#', '', 'g')) AS DOUBLE)
+        |      + CAST(length(ltext) - length(replace(ltext, '...', '')) AS DOUBLE) / 3.0)
+        |      / CAST(len(wd) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+        |      OR starts_with(l, '• '))) AS DOUBLE)
+        |      / CAST(len(ls) AS DOUBLE) AS bullet_frac,
+        |    CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
+        |      / CAST(len(ls) AS DOUBLE) AS ellipsis_frac,
+        |    CAST(len(list_filter(wd, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |      / CAST(len(wd) AS DOUBLE) AS alpha_frac
+        |  FROM m)
+        |SELECT doc_id, round(symbol_ratio, 9) AS symbol_ratio,
+        |  round(bullet_frac, 9) AS bullet_frac,
+        |  round(ellipsis_frac, 9) AS ellipsis_frac,
+        |  round(alpha_frac, 9) AS alpha_frac,
+        |  symbol_ratio <= 0.1 AS ok_symbols,
+        |  bullet_frac <= 0.1 AS ok_bullets,
+        |  ellipsis_frac <= 0.3 AS ok_ellipsis,
+        |  alpha_frac >= 0.8 AS ok_alpha,
+        |  (symbol_ratio <= 0.1 AND bullet_frac <= 0.1
+        |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val wsa = col("__ws")
+      val repl = transform(wsa, (x, i) =>
+        when((col("doc_id") + i) % 31 === 0, lit("#")).otherwise(x))
+      val rp = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+        .select(col("doc_id"), repl.as("__ws"))
+      val nLines = ceil(size(wsa) / lit(6.0)).cast("int")
+      val lines = transform(sequence(lit(0), nLines - 1), li =>
+        concat(
+          when((col("doc_id") + li) % 5 === 0, lit("- ")).otherwise(lit("")),
+          array_join(slice(wsa, li * 6 + 1, lit(6)), " "),
+          when((col("doc_id") + li) % 4 === 0, lit("..."))
+            .otherwise(lit("."))))
+      val synth = rp.select(col("doc_id"), array_join(lines, "\n").as("ltext"))
+      TextQuality.gopherLineRules(synth, "doc_id", "ltext")
+        .select(col("doc_id"),
+          round(col("symbol_ratio"), 9).as("symbol_ratio"),
+          round(col("bullet_frac"), 9).as("bullet_frac"),
+          round(col("ellipsis_frac"), 9).as("ellipsis_frac"),
+          round(col("alpha_frac"), 9).as("alpha_frac"),
+          col("ok_symbols"), col("ok_bullets"), col("ok_ellipsis"),
+          col("ok_alpha"), col("keep"))
+        .orderBy("doc_id")
+    }
+
     // C4 "bad words" rule: drop any page containing a blocklisted word
     // (Raffel et al. 2020). The list rides as a plan literal — one
     // map-only codegen'd projection; the big-list form is the

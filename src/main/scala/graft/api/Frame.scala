@@ -816,6 +816,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextQuality.flagBlockedWords(df, idx, textCol,
       words), index)
 
+  /** Gopher line/symbol rule family: symbol ratio, bullet/ellipsis line
+    * fractions, alpha-word fraction with the paper thresholds
+    * (operators.TextQuality.gopherLineRules; map-only). */
+  def gopherLineRules(textCol: String): Frame =
+    Frame(graft.operators.TextQuality.gopherLineRules(df, idx, textCol),
+      index)
+
   /** Unicode-script character profile + dominant script per row
     * (operators.TextQuality.scriptProfile; map-only). */
   def scriptProfile(textCol: String): Frame =

@@ -174,6 +174,46 @@ object TextQuality {
         .otherwise("other"))
   }
 
+  /** The Gopher line/symbol rule family (Rae et al. 2021 §A1.1) that
+    * complements the word-level rules in q_gopher_rules: symbol-to-word
+    * ratio ('#' chars + '...' occurrences per word), fraction of lines
+    * starting with a bullet, fraction of lines ending in an ellipsis,
+    * and fraction of words containing an alphabetic character — with
+    * the paper's thresholds (≤0.1, ≤0.1, ≤0.3, ≥0.8) as named booleans
+    * plus the composed keep. Pure per-row array/string arithmetic:
+    * map-only at any scale, replayable ratio divisions of small exact
+    * integers.
+    *
+    * Output: (idCol, symbol_ratio, bullet_frac, ellipsis_frac,
+    * alpha_frac, ok_symbols, ok_bullets, ok_ellipsis, ok_alpha, keep). */
+  def gopherLineRules(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, java.util.regex.Pattern.quote(sep))
+    val words = split(t, "\\s+")
+    val nw = size(words).cast("double")
+    val nl = size(lines).cast("double")
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val nEll = ((length(t) -
+      length(call_function("replace", t, lit("..."), lit("")))) / lit(3.0))
+    val symbolRatio = (nHash + nEll) / nw
+    val bulletFrac = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("• "))).cast("double") / nl
+    val ellipsisFrac = size(filter(lines,
+      l => l.endsWith("..."))).cast("double") / nl
+    val alphaFrac = size(filter(words,
+      w => w.rlike("[A-Za-z]"))).cast("double") / nw
+    docs.select(col(idCol),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"))
+      .withColumn("ok_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("ok_bullets", col("bullet_frac") <= 0.1)
+      .withColumn("ok_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("keep", col("ok_symbols") && col("ok_bullets") &&
+        col("ok_ellipsis") && col("ok_alpha"))
+  }
+
   /** Keep each group's rows, in deterministic md5-of-id priority order,
     * while the running `tokensCol` total stays within `budget`. Returns
     * the input plus (pr, cum, keep) — callers filter on `keep` to

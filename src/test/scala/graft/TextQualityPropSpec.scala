@@ -315,6 +315,28 @@ class TextQualityPropSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("gopherLineRules hand arithmetic on a constructed document") {
+    import spark.implicits._
+    // 2 lines, 8 words total: one bulleted line, one ellipsis line,
+    // one '#' token, words otherwise alphabetic
+    val text = "- alpha beta gamma delta.\nepsilon # zeta..."
+    val got = TextQuality.gopherLineRules(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    // words: -,alpha,beta,gamma,delta.,epsilon,#,zeta... → 8
+    // symbols: one '#' char + one '...' occurrence → 2/8
+    assert(math.abs(got.getDouble(1) - 2.0 / 8) < 1e-12)
+    assert(math.abs(got.getDouble(2) - 0.5) < 1e-12)   // 1 of 2 lines bulleted
+    assert(math.abs(got.getDouble(3) - 0.5) < 1e-12)   // 1 of 2 ends '...'
+    assert(math.abs(got.getDouble(4) - 6.0 / 8) < 1e-12) // '-' and '#' lack alpha
+    assert(!got.getBoolean(5) && !got.getBoolean(6))   // symbol+bullet fail
+    assert(!got.getBoolean(9))                          // composed keep fails
+    // a plain clean doc passes everything
+    val clean = TextQuality.gopherLineRules(
+      Seq((2L, "all plain words here.\nand more plain words."))
+        .toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+    assert(clean.getBoolean(9), s"clean doc should keep: $clean")
+  }
+
   test("scriptProfile counts BMP script blocks and picks the dominant") {
     import spark.implicits._
     val docs = Seq(
