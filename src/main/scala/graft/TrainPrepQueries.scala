@@ -174,6 +174,60 @@ object TrainPrepQueries {
         .orderBy("doc_id")
     }
 
+    // Gopher within-doc duplicate-line fractions over synthesized lines
+    // (6-word lines; docs re-append their first one or two lines by
+    // doc_id mod 3, so dup fractions vary 0 → ~0.3 across docs). A
+    // (doc, line)-keyed count aggregate, never a row-local O(lines²)
+    // probe.
+    q("q_dup_lines_within",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |l0 AS (SELECT doc_id, list_transform(
+        |    generate_series(0, CAST(ceil(len(w) / 6.0) AS INT) - 1),
+        |    i -> array_to_string(w[i*6+1 : least(i*6+6, len(w))], ' ')) AS ls
+        |  FROM ws),
+        |l1 AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 3 = 0 THEN list_append(ls, ls[1])
+        |    WHEN doc_id % 3 = 1 AND len(ls) >= 2
+        |      THEN list_concat(ls, [ls[1], ls[2]])
+        |    ELSE ls END AS ls
+        |  FROM l0),
+        |ex AS (SELECT doc_id, unnest(ls) AS l FROM l1),
+        |c AS (SELECT doc_id, l, count(*) AS c FROM ex GROUP BY doc_id, l),
+        |r AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE) AS dup_line_frac,
+        |    CAST(sum(CASE WHEN c >= 2 THEN c * length(l) ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(c * length(l)) AS DOUBLE) AS dup_char_frac
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_lines,
+        |  round(dup_line_frac, 9) AS dup_line_frac,
+        |  round(dup_char_frac, 9) AS dup_char_frac,
+        |  dup_line_frac <= 0.3 AS ok_dup_lines,
+        |  dup_char_frac <= 0.2 AS ok_dup_chars
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val wsa = col("__ws")
+      val nLines = ceil(size(wsa) / lit(6.0)).cast("int")
+      val baseLines = transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(wsa, i * 6 + 1, lit(6)), " "))
+      val ls = col("__ls")
+      val synth = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+        .select(col("doc_id"), baseLines.as("__ls"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(ls, array(element_at(ls, 1))))
+          .when(col("doc_id") % 3 === 1 && size(ls) >= 2,
+            concat(ls, array(element_at(ls, 1), element_at(ls, 2))))
+          .otherwise(ls).as("__ls"))
+        .select(col("doc_id"), array_join(col("__ls"), "\n").as("ltext"))
+      TextQuality.withinDocDupLines(synth, "doc_id", "ltext")
+        .select(col("doc_id"), col("n_lines"),
+          round(col("dup_line_frac"), 9).as("dup_line_frac"),
+          round(col("dup_char_frac"), 9).as("dup_char_frac"),
+          col("ok_dup_lines"), col("ok_dup_chars"))
+        .orderBy("doc_id")
+    }
+
     // C4 "bad words" rule: drop any page containing a blocklisted word
     // (Raffel et al. 2020). The list rides as a plan literal — one
     // map-only codegen'd projection; the big-list form is the

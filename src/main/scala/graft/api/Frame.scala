@@ -823,6 +823,12 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextQuality.gopherLineRules(df, idx, textCol),
       index)
 
+  /** Gopher within-doc duplicate-line fractions (operators.TextQuality.
+    * withinDocDupLines; (doc, line)-keyed aggregate, never O(lines²)). */
+  def withinDocDupLines(textCol: String): Frame =
+    Frame(graft.operators.TextQuality.withinDocDupLines(df, idx, textCol),
+      index)
+
   /** Unicode-script character profile + dominant script per row
     * (operators.TextQuality.scriptProfile; map-only). */
   def scriptProfile(textCol: String): Frame =

@@ -214,6 +214,41 @@ object TextQuality {
         col("ok_ellipsis") && col("ok_alpha"))
   }
 
+  /** Within-document duplicate-line fractions — Gopher's dup_line_frac /
+    * dup_line_char_frac rules (Rae 2021 §A1.1: a page whose lines
+    * repeat internally is boilerplate even if globally unique; distinct
+    * from [[graft.operators.TextExtract.dedupConsecutiveLines]], which
+    * only sees ADJACENT repeats). A line counts as duplicated when its
+    * content occurs ≥2 times in the same document; both the line share
+    * and the character share are reported with the paper thresholds
+    * (≤0.30 lines, ≤0.20 chars).
+    *
+    * Scale shape: explode → one (doc, line)-keyed count aggregate → one
+    * doc-keyed rollup. Deliberately NOT the row-local O(lines²)
+    * membership probe: a 10k-line document would pay 10⁸ comparisons in
+    * one task; the keyed aggregate is linear and partitions freely.
+    *
+    * Output: (idCol, n_lines, dup_line_frac, dup_char_frac,
+    * ok_dup_lines, ok_dup_chars). */
+  def withinDocDupLines(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = split(col(textCol),
+      java.util.regex.Pattern.quote(sep))
+    docs.select(col(idCol), explode(lines).as("__l"))
+      .groupBy(col(idCol), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(idCol)
+      .agg(sum(col("__c")).as("n_lines"),
+        (sum(when(col("__c") >= 2, col("__c")).otherwise(0L)).cast("double") /
+          sum(col("__c")).cast("double")).as("dup_line_frac"),
+        (sum(when(col("__c") >= 2, col("__c") * length(col("__l")))
+          .otherwise(0L)).cast("double") /
+          sum(col("__c") * length(col("__l"))).cast("double"))
+          .as("dup_char_frac"))
+      .withColumn("ok_dup_lines", col("dup_line_frac") <= 0.3)
+      .withColumn("ok_dup_chars", col("dup_char_frac") <= 0.2)
+  }
+
   /** Keep each group's rows, in deterministic md5-of-id priority order,
     * while the running `tokensCol` total stays within `budget`. Returns
     * the input plus (pr, cum, keep) — callers filter on `keep` to

@@ -337,6 +337,25 @@ class TextQualityPropSpec extends SparkSpec {
     assert(clean.getBoolean(9), s"clean doc should keep: $clean")
   }
 
+  test("withinDocDupLines hand arithmetic; all-unique doc scores 0") {
+    import spark.implicits._
+    // doc 1: 4 lines, 'aa' twice → dup lines 2/4; chars: aa,aa,bbb,c →
+    // dup chars 4/(2+2+3+1)
+    val docs = Seq(
+      (1L, "aa\naa\nbbb\nc"),
+      (2L, "x\ny\nz")
+    ).toDF("doc_id", "text")
+    val got = TextQuality.withinDocDupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4),
+          r.getBoolean(5)))).toMap
+    assert(got(1L)._1 == 4L)
+    assert(math.abs(got(1L)._2 - 0.5) < 1e-12)
+    assert(math.abs(got(1L)._3 - 4.0 / 8) < 1e-12)
+    assert(!got(1L)._4 && !got(1L)._5) // 0.5 > 0.3 and 0.5 > 0.2
+    assert(got(2L) == ((3L, 0.0, 0.0, true, true)))
+  }
+
   test("scriptProfile counts BMP script blocks and picks the dominant") {
     import spark.implicits._
     val docs = Seq(
