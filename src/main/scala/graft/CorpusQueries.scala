@@ -466,7 +466,7 @@ object CorpusQueries {
         |  FROM ws),
         |f AS (SELECT doc_id, string_split(ltext, chr(10)) AS ls FROM lt),
         |k AS (SELECT doc_id, ls,
-        |    list_filter(ls, l -> len(string_split(l, ' ')) >= 5
+        |    list_filter(ls, l -> len(string_split_regex(l, '\s+')) >= 5
         |      AND (ends_with(l, '.') OR ends_with(l, '!')
         |        OR ends_with(l, '?') OR ends_with(l, '"'))
         |      AND NOT contains(lower(l), 'javascript')) AS kept

@@ -18,6 +18,26 @@ object TrainPrepQueries {
     def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Unit =
       reg(name, Some(oracle), fn)
 
+    // Shared by q_contamination and q_decontam_union: per corpus doc
+    // (doc_id >= 10), its distinct-8-gram count and the number of those
+    // grams also present in the benchmark docs (doc_id < 10). 60-bit
+    // grams from the native kernel, per-doc dedup in-kernel — (doc_id,
+    // h) rows are unique by construction, so the train-side distinct
+    // exchange disappears; the eval-sized bench set broadcasts.
+    def benchGramCounts(docs: DataFrame): DataFrame = {
+      def gramHash(d: DataFrame) = d.select(col("doc_id"),
+        explode(graft.functions.ShingleHashes(col("text"), 8, 15,
+          dedup = true)).as("h"))
+      val bench = gramHash(docs.filter(col("doc_id") < 10))
+        .select("h").distinct()
+      gramHash(docs.filter(col("doc_id") >= 10))
+        .join(broadcast(bench.withColumnRenamed("h", "bh")),
+          col("h") === col("bh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("bh").isNotNull, 1).otherwise(0)).as("n_hit"))
+    }
+
     // Repetition signals (the Gopher/RefinedWeb-style dup-text class):
     // top-bigram share of all bigrams plus distinct-word fraction. One
     // bigram explode + two bounded aggregations; the doc-level stats are
@@ -480,20 +500,7 @@ object TrainPrepQueries {
         |       GROUP BY grd.doc_id)
         |SELECT doc_id, n_grams, n_hit, n_hit > 0 AS contaminated
         |FROM tr ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // 60-bit grams from the native kernel, per-doc dedup in-kernel:
-      // (doc_id, h) rows are unique by construction, so the train-side
-      // distinct exchange disappears (the oracle's DISTINCT doc_id, h)
-      def gramHash(docs: DataFrame) = docs.select(col("doc_id"),
-        explode(graft.functions.ShingleHashes(col("text"), 8, 15, dedup = true)).as("h"))
-      val docs = Tables.documents(s, dir)
-      val bench = gramHash(docs.filter(col("doc_id") < 10))
-        .select("h").distinct()
-      gramHash(docs.filter(col("doc_id") >= 10))
-        .join(broadcast(bench.withColumnRenamed("h", "bh")),
-          col("h") === col("bh"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("bh").isNotNull, 1).otherwise(0)).as("n_hit"))
+      benchGramCounts(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_grams"), col("n_hit"),
           (col("n_hit") > 0).as("contaminated"))
         .orderBy("doc_id")
@@ -527,33 +534,28 @@ object TrainPrepQueries {
          |           / (bn * sqrt(${LlmQueries.dotSql("e.embedding", "e.embedding")})) AS c
          |       FROM embeddings e, bv WHERE e.vec_id >= 10),
          |mx AS (SELECT doc_id, max(c) AS mc FROM sc GROUP BY doc_id)
-         |SELECT tr.doc_id, n_hit > 0 AS flag_ngram,
+         |SELECT mx.doc_id, coalesce(n_hit, 0) > 0 AS flag_ngram,
          |  round(mc, 9) AS max_cos, mc >= 0.25 AS flag_semantic,
-         |  (n_hit > 0 OR mc >= 0.25) AS flagged
-         |FROM tr JOIN mx USING (doc_id) ORDER BY tr.doc_id""".stripMargin) { (s, dir) =>
+         |  (coalesce(n_hit, 0) > 0 OR mc >= 0.25) AS flagged
+         |FROM mx LEFT JOIN tr USING (doc_id) ORDER BY mx.doc_id""".stripMargin) { (s, dir) =>
       import graft.operators.Similarity
-      val docs = Tables.documents(s, dir)
-      def gramHash(d: DataFrame) = d.select(col("doc_id"),
-        explode(graft.functions.ShingleHashes(col("text"), 8, 15,
-          dedup = true)).as("h"))
-      val bench = gramHash(docs.filter(col("doc_id") < 10))
-        .select("h").distinct()
-      val ng = gramHash(docs.filter(col("doc_id") >= 10))
-        .join(broadcast(bench.withColumnRenamed("h", "bh")),
-          col("h") === col("bh"), "left")
-        .groupBy("doc_id")
-        .agg(sum(when(col("bh").isNotNull, 1).otherwise(0)).as("n_hit"))
+      // a short doc (< 8 words) has NO grams: it must still appear in
+      // the verdict via the semantic side (left join, n_hit -> 0), not
+      // silently vanish from the drop set
+      val ng = benchGramCounts(Tables.documents(s, dir))
+        .select("doc_id", "n_hit")
       val e = Tables.embeddings(s, dir)
       val benchVecs = graft.operators.Clustering.seedCentroids(
         e.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
       val sem = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("doc_id"),
           Similarity.maxCosineToSet(col("embedding"), benchVecs).as("mc"))
-      ng.join(sem, Seq("doc_id"))
-        .select(col("doc_id"), (col("n_hit") > 0).as("flag_ngram"),
+      val hit = coalesce(col("n_hit"), lit(0L)) > 0
+      sem.join(ng, Seq("doc_id"), "left")
+        .select(col("doc_id"), hit.as("flag_ngram"),
           round(col("mc"), 9).as("max_cos"),
           (col("mc") >= 0.25).as("flag_semantic"),
-          (col("n_hit") > 0 || col("mc") >= 0.25).as("flagged"))
+          (hit || col("mc") >= 0.25).as("flagged"))
         .orderBy("doc_id")
     }
 

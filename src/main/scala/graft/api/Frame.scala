@@ -859,7 +859,10 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       graft.operators.TextDedup.baseHash(col(idx).cast("string")).as("__pr"))
     val picked = graft.operators.Similarity.topKPerQuery(scored, n, "__pr",
         scoreDesc = false, idCol = idx, queryCol = groupCol)
-      .select(col(idx), col("rn"))
+      // 'sample_rn', not 'rn': a frame that already carries 'rn' (any
+      // topKPerQuery-derived output) would otherwise end up with an
+      // ambiguous duplicate column after the join
+      .select(col(idx), col("rn").as("sample_rn"))
     // join the FULL rows back on the id — callers get the sample's
     // payload (like sample/sampleByHash), plus the within-group rank
     Frame(df.join(picked, Seq(idx)), index)

@@ -170,7 +170,9 @@ object TextExtract {
       sep: String = "\n"): DataFrame = {
     val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
     def keep(l: Column): Column = {
-      val okWords = size(split(l, " ")) >= minWords
+      // \s+ not a bare space: tab-separated lines would undercount to
+      // one "word" and space runs would count empties as words
+      val okWords = size(split(l, "\\s+")) >= minWords
       val okTerm = Seq(".", "!", "?", "\"")
         .map(p => l.endsWith(p)).reduce(_ || _)
       val okBlocked = blocked
@@ -202,12 +204,13 @@ object TextExtract {
     * Returns the input rows whose host survives. */
   def filterBlockedHosts(df: DataFrame, idCol: String, hostCol: String,
       blocklist: DataFrame, blockCol: String = "host"): DataFrame = {
-    // normalize BOTH sides before matching: case-fold, strip an
-    // explicit :port (parseUrls keeps it in `host`), strip the
-    // FQDN trailing dot — each of these would otherwise be a blocklist
-    // evasion ('Tracker.COM:8080.' must still match 'tracker.com')
+    // normalize BOTH sides before matching: case-fold, strip the FQDN
+    // trailing dot, THEN strip an explicit :port (parseUrls keeps it in
+    // `host`) — each is a blocklist evasion alone, and the dot must go
+    // first or 'tracker.com:8080.' keeps its port (the port anchor
+    // can't see past the trailing dot)
     def canon(c: Column): Column =
-      regexp_replace(regexp_replace(lower(c), ":[0-9]+$", ""), "\\.$", "")
+      regexp_replace(regexp_replace(lower(c), "\\.$", ""), ":[0-9]+$", "")
     val labels = split(canon(col(hostCol)), "\\.")
     // single-label hosts (bare TLD / localhost) have NO blockable
     // suffixes — guard them out: Spark's sequence(0, -1) would DESCEND

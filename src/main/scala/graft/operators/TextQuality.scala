@@ -234,16 +234,22 @@ object TextQuality {
       sep: String = "\n"): DataFrame = {
     val lines = split(col(textCol),
       java.util.regex.Pattern.quote(sep))
-    docs.select(col(idCol), explode(lines).as("__l"))
+    // explode_outer keeps NULL-text docs as one NULL-line row (a plain
+    // explode would silently DROP the doc from the report — its siblings
+    // emit null metrics instead); the NULL group contributes nothing and
+    // nullif turns its 0/0 into null fracs
+    val valid = when(col("__l").isNotNull, col("__c")).otherwise(0L)
+    docs.select(col(idCol), explode_outer(lines).as("__l"))
       .groupBy(col(idCol), col("__l"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(idCol)
-      .agg(sum(col("__c")).as("n_lines"),
-        (sum(when(col("__c") >= 2, col("__c")).otherwise(0L)).cast("double") /
-          sum(col("__c")).cast("double")).as("dup_line_frac"),
-        (sum(when(col("__c") >= 2, col("__c") * length(col("__l")))
+      .agg(sum(valid).as("n_lines"),
+        (sum(when(col("__l").isNotNull && col("__c") >= 2, col("__c"))
           .otherwise(0L)).cast("double") /
-          sum(col("__c") * length(col("__l"))).cast("double"))
+          nullif(sum(valid).cast("double"), lit(0.0))).as("dup_line_frac"),
+        (sum(when(col("__l").isNotNull && col("__c") >= 2,
+          col("__c") * length(col("__l"))).otherwise(0L)).cast("double") /
+          nullif(sum(valid * length(col("__l"))).cast("double"), lit(0.0)))
           .as("dup_char_frac"))
       .withColumn("ok_dup_lines", col("dup_line_frac") <= 0.3)
       .withColumn("ok_dup_chars", col("dup_char_frac") <= 0.2)

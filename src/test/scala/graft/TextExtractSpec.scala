@@ -206,7 +206,8 @@ class TextExtractSpec extends SparkSpec {
       (1L, "Tracker.COM"),          // case evasion
       (2L, "tracker.com:8080"),     // parseUrls keeps the port in host
       (3L, "www.tracker.com."),     // FQDN trailing dot
-      (4L, "clean.net:443")
+      (4L, "clean.net:443"),
+      (5L, "Tracker.COM:8080.")     // all three at once
     ).toDF("doc_id", "host")
     val bl = Seq("TRACKER.com.").toDF("host") // list itself un-normalized
     val kept = graft.operators.TextExtract
