@@ -745,5 +745,94 @@ object CorpusQueries {
           .orderBy("node")
       }
     }
+
+    // ---- prefix-filtered set-similarity join --------------------------
+
+    // AllPairs/PPJoin prefix filter (TextDedup.prefixFilterJoin): exact
+    // Jaccard ≥ t pairs where docs join only on their rarest
+    // m − ⌈t·m⌉ + 1 tokens — hot tokens sort last and never become join
+    // keys, so candidate volume tracks rare-token postings, not the
+    // skewed ones. The oracle replays the identical df-ordered prefix,
+    // length filter, and exact set verify.
+    q("q_prefix_filter_join",
+      """WITH toks AS (SELECT doc_id AS id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |dfq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+        |ranked AS (SELECT id, tok,
+        |    row_number() OVER (PARTITION BY id ORDER BY df, tok) AS p,
+        |    count(*) OVER (PARTITION BY id) AS m
+        |  FROM toks JOIN dfq USING (tok)),
+        |prefix AS (SELECT id, tok, m FROM ranked
+        |  WHERE p <= m - CAST(ceil(CAST(0.6 AS DOUBLE) * m) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.m AS m_a, b.m AS m_b
+        |  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+        |  WHERE CAST(0.6 AS DOUBLE) * CAST(greatest(a.m, b.m) AS DOUBLE)
+        |        <= CAST(least(a.m, b.m) AS DOUBLE)),
+        |sets AS (SELECT doc_id AS id,
+        |    list_distinct(string_split(text, ' ')) AS ts FROM documents),
+        |v AS (SELECT id_a, id_b, m_a, m_b,
+        |    len(list_intersect(sa.ts, sb.ts)) AS inter
+        |  FROM cand
+        |  JOIN sets sa ON sa.id = id_a JOIN sets sb ON sb.id = id_b)
+        |SELECT id_a, id_b, m_a, m_b,
+        |  inter / (m_a + m_b - inter) AS jaccard
+        |FROM v WHERE inter / (m_a + m_b - inter) >= CAST(0.6 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      TextDedup.prefixFilterJoin(Tables.documents(s, dir),
+          "doc_id", "text", threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    }
+
+    // ---- content-defined chunk dedup ----------------------------------
+
+    // FastCDC-family chunking (TextDedup.cdcChunks): boundaries where a
+    // base-2 rolling hash of the trailing 31 chars hits the 2^5 mask, so
+    // shared passages re-align on the same chunks regardless of byte
+    // offset; dedup attributes each chunk hash to its earliest owner.
+    // Pure integer arithmetic — the oracle recomputes the identical
+    // recurrence h = (2h + (unicode·2654435761 mod 2³¹)) mod 2³¹ in a
+    // recursive CTE over character positions.
+    q("q_cdc_chunks",
+      """WITH RECURSIVE pos AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) >= 1),
+        |r AS (
+        |  SELECT doc_id, 1 AS i,
+        |    (unicode(substr(text, 1, 1)) * 2654435761) % 2147483648 AS h
+        |  FROM pos
+        |  UNION ALL
+        |  SELECT r.doc_id, r.i + 1,
+        |    ((2 * r.h) + ((unicode(substr(p.text, r.i + 1, 1)) * 2654435761)
+        |      % 2147483648)) % 2147483648
+        |  FROM r JOIN pos p ON p.doc_id = r.doc_id WHERE r.i < p.n),
+        |cuts AS (SELECT DISTINCT doc_id, b FROM (
+        |    SELECT doc_id, 0 AS b FROM pos
+        |    UNION ALL SELECT doc_id, i AS b FROM r WHERE h % 32 = 0
+        |    UNION ALL SELECT doc_id, n AS b FROM pos)),
+        |ck AS (SELECT doc_id, b AS b0,
+        |    lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS b1 FROM cuts),
+        |chunks AS (SELECT c.doc_id,
+        |    substr(p.text, c.b0 + 1, c.b1 - c.b0) AS chunk
+        |  FROM ck c JOIN pos p ON p.doc_id = c.doc_id
+        |  WHERE c.b1 IS NOT NULL),
+        |own AS (SELECT md5(chunk) AS ch, min(doc_id) AS owner
+        |  FROM chunks GROUP BY 1),
+        |j AS (SELECT doc_id, chunk, owner
+        |  FROM chunks JOIN own ON md5(chunk) = own.ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  round(CAST(sum(CASE WHEN owner < doc_id THEN length(chunk)
+        |      ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(length(chunk)) AS DOUBLE), 9) + CAST(0 AS DOUBLE)
+        |    AS dup_char_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextDedup.cdcDedupReport(Tables.documents(s, dir),
+          "doc_id", "text", maskBits = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }
   }
 }

@@ -791,6 +791,55 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Rolling rank (pandas rolling(5).rank(method='min') + pct) — rank
+    // of the current value within its trailing 5-row frame. Same
+    // lag-chain formulation as q_rolling_skew: the frame is explicit
+    // lagged columns, the rank is 1 + a fixed-order sum of strict-less
+    // indicators, so both engines compute identical integers (no float
+    // path at all until the pct division). min_periods = window: NULL
+    // until the frame is full, the pandas fixed-window default.
+    q("q_rolling_rank",
+      s"""WITH base AS (SELECT event_id, value AS v,
+         |    lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+         |    lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+         |    count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS nd
+         |  FROM ${Queries.EVENTS_SQL}
+         |  WHERE user_id < 10
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |rk AS (SELECT event_id, nd,
+         |    1 + (CASE WHEN l1 < v THEN 1 ELSE 0 END
+         |       + CASE WHEN l2 < v THEN 1 ELSE 0 END
+         |       + CASE WHEN l3 < v THEN 1 ELSE 0 END
+         |       + CASE WHEN l4 < v THEN 1 ELSE 0 END) AS r FROM base)
+         |SELECT event_id,
+         |  CAST(CASE WHEN nd = 5 THEN r END AS BIGINT) AS roll_rank,
+         |  CASE WHEN nd = 5 THEN CAST(r AS DOUBLE) / CAST(5 AS DOUBLE) END
+         |    AS roll_rank_pct
+         |FROM rk ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wf = ord.rowsBetween(-4, Window.currentRow)
+      val v = col("v")
+      val base = Tables.events(s, dir).filter(col("user_id") < 10)
+        .select(col("event_id"), col("value").as("v"),
+          lag(col("value"), 1).over(ord).as("l1"),
+          lag(col("value"), 2).over(ord).as("l2"),
+          lag(col("value"), 3).over(ord).as("l3"),
+          lag(col("value"), 4).over(ord).as("l4"),
+          count(col("value")).over(wf).as("nd"))
+      val r = lit(1) +
+        (when(col("l1") < v, 1).otherwise(0) +
+          when(col("l2") < v, 1).otherwise(0) +
+          when(col("l3") < v, 1).otherwise(0) +
+          when(col("l4") < v, 1).otherwise(0))
+      base.select(col("event_id"),
+          when(col("nd") === 5, r).cast("long").as("roll_rank"),
+          when(col("nd") === 5,
+            r.cast("double") / lit(5).cast("double")).as("roll_rank_pct"))
+        .orderBy("event_id")
+    }
+
     // Key-skew report (operators.Tuning.skewReport): the measurement
     // that decides salting vs AQE skew handling; top shares via
     // TakeOrdered, no global window.
@@ -806,6 +855,58 @@ object ExtraQueries {
         |  CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE) AS avg_rows_per_key
         |FROM t, tt""".stripMargin) { (s, dir) =>
       graft.operators.Tuning.skewReport(Tables.orders(s, dir), "o_custkey")
+    }
+
+    // Robust outlier profile: per-group median + MAD (median absolute
+    // deviation) and the 1.4826-scaled robust z-score outlier count —
+    // the outlier detector that, unlike mean/std, one corrupt feed
+    // cannot drag. Two holistic grouped medians (sort-based aggregates,
+    // parallel by group) + broadcast joins of the tiny per-group stat
+    // rows back onto the stream: nothing driver-side, nothing
+    // group-buffered, so the shape holds at 100 TB.
+    q("q_mad_outliers",
+      s"""WITH ev AS (SELECT * FROM ${Queries.EVENTS_SQL}),
+         |med AS (SELECT event_type, median(value) AS med
+         |  FROM ev GROUP BY 1),
+         |mad AS (SELECT e.event_type,
+         |    median(abs(e.value - m.med)) AS mad
+         |  FROM ev e JOIN med m USING (event_type)
+         |  GROUP BY 1),
+         |z AS (SELECT e.event_type, m.med, d.mad,
+         |    CASE WHEN d.mad > 0 THEN
+         |      (e.value - m.med) / (CAST(1.4826 AS DOUBLE) * d.mad) END AS rz
+         |  FROM ev e
+         |  JOIN med m USING (event_type) JOIN mad d USING (event_type))
+         |SELECT event_type,
+         |  round(min(med), 9) AS med, round(min(mad), 9) AS mad,
+         |  count(*) AS n,
+         |  CAST(sum(CASE WHEN abs(rz) > CAST(3.5 AS DOUBLE)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  round(CAST(sum(CASE WHEN abs(rz) > CAST(3.5 AS DOUBLE)
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+         |    + CAST(0 AS DOUBLE) AS outlier_frac
+         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables.events(s, dir)
+        val med = ev.groupBy("event_type").agg(median(col("value")).as("med"))
+        val mad = ev.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(median(abs(col("value") - col("med"))).as("mad"))
+        val rz = when(col("mad") > 0,
+          (col("value") - col("med")) / (lit(1.4826) * col("mad")))
+        ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+          .select(col("event_type"), col("med"), col("mad"),
+            rz.as("rz"))
+          .groupBy("event_type")
+          .agg(round(first(col("med")), 9).as("med"),
+            round(first(col("mad")), 9).as("mad"),
+            count(lit(1)).as("n"),
+            sum(when(abs(col("rz")) > lit(3.5), 1).otherwise(0))
+              .cast("long").as("n_outliers"),
+            (round(sum(when(abs(col("rz")) > lit(3.5), 1).otherwise(0))
+                .cast("double") / count(lit(1)).cast("double"), 9)
+              + lit(0.0)).as("outlier_frac"))
+          .orderBy("event_type")
     }
 
     // Null-profile report (operators.Tuning.profileNulls): one agg pass,
@@ -997,6 +1098,51 @@ object ExtraQueries {
             .select("user_id", "ts", "event_id", "value"),
           "user_id", Seq("ts", "event_id"), "value", alpha = 0.2)
         .select(col("event_id"), round(col("ewm"), 9).as("ewm"))
+        .orderBy("event_id")
+    }
+
+    // EWM bias-corrected variance/std (pandas ewm(alpha).var()/.std(),
+    // adjust=True, bias=False) — four-accumulator keyed recurrence
+    // (operators.Recurrence.ewmVar: one key shuffle + streaming fold).
+    // The oracle replays the identical fold step and final rational in
+    // a recursive CTE, with the decay constant written as (1 - 0.2) on
+    // both sides so every intermediate is the same IEEE double.
+    q("q_ewm_var",
+      s"""WITH RECURSIVE s AS (
+         |  SELECT user_id, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+         |  FROM ${Queries.EVENTS_SQL} WHERE user_id < 10),
+         |r AS (
+         |  SELECT user_id, i, event_id,
+         |    CAST(1 AS DOUBLE) AS sw, CAST(1 AS DOUBLE) AS sw2,
+         |    value AS swx, value * value AS sxx
+         |  FROM s WHERE i = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.i, s.event_id,
+         |    1 + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.sw,
+         |    1 + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE))
+         |      * (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.sw2,
+         |    s.value + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.swx,
+         |    s.value * s.value
+         |      + (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * r.sxx
+         |  FROM r JOIN s ON s.user_id = r.user_id AND s.i = r.i + 1),
+         |v AS (SELECT event_id,
+         |    CASE WHEN sw * sw - sw2 > 0
+         |      THEN (sw * sxx - swx * swx) / (sw * sw - sw2) END AS ev
+         |  FROM r)
+         |SELECT event_id,
+         |  round(ev, 9) + CAST(0 AS DOUBLE) AS ewm_var,
+         |  round(CASE WHEN ev >= 0 THEN sqrt(ev) END, 9)
+         |    + CAST(0 AS DOUBLE) AS ewm_std
+         |FROM v ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Recurrence
+      Recurrence.ewmVar(
+          Tables.events(s, dir).filter(col("user_id") < 10)
+            .select("user_id", "ts", "event_id", "value"),
+          "user_id", Seq("ts", "event_id"), "value", alpha = 0.2)
+        .select(col("event_id"),
+          (round(col("ewm_var"), 9) + lit(0.0)).as("ewm_var"),
+          (round(col("ewm_std"), 9) + lit(0.0)).as("ewm_std"))
         .orderBy("event_id")
     }
 

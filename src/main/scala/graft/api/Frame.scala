@@ -564,6 +564,21 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextDedup.nearDuplicates(df, idx, textCol,
       threshold = threshold, maxBucketSize = maxBucketSize))
 
+  /** Exact token-set Jaccard ≥ `threshold` pairs via the
+    * AllPairs/PPJoin prefix filter — docs join only on their rarest
+    * m − ⌈t·m⌉ + 1 tokens, so hot-token postings never explode the
+    * join (operators.TextDedup.prefixFilterJoin). */
+  def prefixFilterPairs(textCol: String, threshold: Double): Frame =
+    Frame(graft.operators.TextDedup.prefixFilterJoin(df, idx, textCol,
+      threshold))
+
+  /** Per-document duplicate share over content-defined chunks
+    * (FastCDC-family rolling-hash boundaries; keep-first attribution
+    * by chunk hash — operators.TextDedup.cdcDedupReport). */
+  def cdcDedupReport(textCol: String, maskBits: Int = 5): Frame =
+    Frame(graft.operators.TextDedup.cdcDedupReport(df, idx, textCol,
+      maskBits))
+
   /** LSH candidate precision at `threshold` — the one-row band-tuning
     * report (operators.TextDedup.bandPrecision). */
   def bandPrecision(textCol: String, threshold: Double = 0.8,
@@ -759,6 +774,16 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       alpha: Double, out: String = "ewm"): Frame =
     keep(graft.operators.Recurrence.ewm(df, keyCol, orderCols, valueCol,
       alpha, out))
+
+  /** Exponentially-weighted bias-corrected variance/std per `keyCol`
+    * (pandas ewm(alpha).var()/.std(), adjust=True, bias=False) — same
+    * one-shuffle streaming-fold shape as [[ewm]]
+    * (operators.Recurrence.ewmVar). */
+  def ewmVar(keyCol: String, orderCols: Seq[String], valueCol: String,
+      alpha: Double, outVar: String = "ewm_var",
+      outStd: String = "ewm_std"): Frame =
+    keep(graft.operators.Recurrence.ewmVar(df, keyCol, orderCols, valueCol,
+      alpha, outVar, outStd))
 
   /** Full pairwise correlation matrix over `cols` in tidy long form
     * (col_a, col_b, corr), upper triangle, diagonal omitted — all

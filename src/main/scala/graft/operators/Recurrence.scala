@@ -66,4 +66,64 @@ object Recurrence {
       }
     }
   }
+
+  /** Append `outVar`/`outStd` = EWM(alpha, adjust=True) bias-corrected
+    * variance and std of `valueCol` per `keyCol` (pandas
+    * `ewm(alpha).var()` / `.std()`, bias=False). Four accumulators
+    * roll forward with the same one-shuffle streaming-fold shape as
+    * [[ewm]]:
+    *
+    *   sw  = 1 + d·sw      (sum of weights)
+    *   sw2 = 1 + d·d·sw2   (sum of squared weights)
+    *   swx = x + d·swx     (weighted value sum)
+    *   sxx = x·x + d·sxx   (weighted square sum)
+    *   var = (sw·sxx − swx·swx) / (sw·sw − sw2)
+    *
+    * NULL until the reliability denominator sw² − sw2 is positive
+    * (i.e. before the second observation), matching pandas bias=False.
+    * Every fold step and the final rational are written as the exact
+    * scalar expression a recursive-CTE replay computes, so results are
+    * bit-identical across engines (the round-11 q_rolling_skew lesson).
+    */
+  def ewmVar(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double,
+      outVar: String = "ewm_var", outStd: String = "ewm_std"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val decay = 1.0 - alpha
+    val sorted = df.repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+    val schema = sorted.schema
+      .add(StructField(outVar, DoubleType))
+      .add(StructField(outStd, DoubleType))
+    implicit val enc = Encoders.row(schema)
+    val keyIdx = sorted.schema.fieldIndex(keyCol)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var started = false
+      var sw = 0.0; var sw2 = 0.0; var swx = 0.0; var sxx = 0.0
+      it.map { r =>
+        val k = r.get(keyIdx)
+        if (!started || k != curKey) {
+          sw = 0.0; sw2 = 0.0; swx = 0.0; sxx = 0.0
+          curKey = k; started = true
+        }
+        val (vr, sr): (Any, Any) =
+          if (r.isNullAt(vIdx)) (null, null)
+          else {
+            val x = r.getAs[Number](vIdx).doubleValue()
+            sw = 1.0 + decay * sw
+            sw2 = 1.0 + decay * decay * sw2
+            swx = x + decay * swx
+            sxx = x * x + decay * sxx
+            val den = sw * sw - sw2
+            if (den > 0) {
+              val v = (sw * sxx - swx * swx) / den
+              (v, if (v >= 0) math.sqrt(v) else null)
+            } else (null, null)
+          }
+        Row.fromSeq(r.toSeq :+ vr :+ sr)
+      }
+    }
+  }
 }

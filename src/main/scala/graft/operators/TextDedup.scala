@@ -1165,4 +1165,130 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Prefix-filtered set-similarity self-join (the AllPairs/PPJoin
+    * family — Chaudhuri et al. SSJoin 2006, Xiao et al. PPJoin 2008):
+    * exact token-set Jaccard ≥ `threshold` pairs WITHOUT the all-pairs
+    * product and without joining on every token.
+    *
+    * Tokens are canonically ordered by ascending global document
+    * frequency (rarest first, ties by token text); a doc with m tokens
+    * exposes only its first m − ⌈t·m⌉ + 1 tokens as join keys — any
+    * pair with Jaccard ≥ t MUST share a prefix token, so recall is
+    * exact. The scale property vs naive token blocking: hot tokens
+    * (the skewed postings that blow up an equi-join) sort LAST and
+    * almost never land in a prefix, so candidate volume tracks the
+    * rare-token postings. A length filter (t·max ≤ min) prunes before
+    * pair-dedup; survivors verify exact Jaccard via per-doc token
+    * sets — per-pair O(m), never corpus-quadratic.
+    *
+    * Output: (id_a, id_b, m_a, m_b, jaccard), id_a < id_b,
+    * jaccard ≥ threshold. */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Window per doc id: bounded by the doc's token count, not the corpus.
+    val ranked = toks.join(dfreq, "tok")
+      .withColumn("p",
+        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("id")))
+    val prefix = ranked
+      .filter(col("p") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
+      .select(col("id"), col("tok"), col("m"))
+    val cand = prefix.select(col("id").as("id_a"), col("tok"), col("m").as("m_a"))
+      .join(prefix.select(col("id").as("id_b"), col("tok"), col("m").as("m_b")),
+        Seq("tok"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(threshold) * greatest(col("m_a"), col("m_b")).cast("double") <=
+          least(col("m_a"), col("m_b")).cast("double"))
+      .select("id_a", "id_b", "m_a", "m_b").distinct()
+    val sets = toks.groupBy("id").agg(collect_set(col("tok")).as("ts"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("ts").as("ts_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .withColumn("jaccard",
+        col("inter") / (col("m_a") + col("m_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "m_a", "m_b", "jaccard")
+  }
+
+  /** Content-defined chunking (the FastCDC/rolling-Gear family): split
+    * each document at positions where a rolling hash of the trailing
+    * 31 characters hits a mask, so chunk boundaries move WITH content —
+    * an insertion early in a doc shifts byte offsets but not the
+    * downstream boundaries, which is what lets chunk-hash dedup find
+    * shared passages that fixed-size blocks never re-align on.
+    *
+    * The hash is the base-2 polynomial h_i = (2·h_{i−1} + g(c_i))
+    * mod 2³¹ with g(c) = (code(c)·2654435761) mod 2³¹ — O(1) per
+    * character, one forward scan per doc (the mod-2³¹ ring makes the
+    * shift-out implicit: a character's influence vanishes after 31
+    * shifts). A boundary falls after position i when h_i ≡ 0
+    * (mod 2^maskBits); expected chunk ≈ 2^maskBits chars. Integer
+    * arithmetic throughout — bit-replayable by any engine.
+    *
+    * Output: (id, chunk_idx, chunk) — one row per chunk occurrence,
+    * map-only (no shuffle; downstream dedup shuffles on md5(chunk)). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      maskBits: Int = 5): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20, s"maskBits in [1,20], got $maskBits")
+    val mask = 1L << maskBits
+    val mod = 2147483648L // 2^31
+    val len = length(col(textCol))
+    // Fold over positions: accumulator (h, boundary positions so far).
+    val bounds = aggregate(
+      sequence(lit(1), len),
+      struct(lit(0L).as("h"), array().cast("array<int>").as("bs")),
+      (acc, i) => {
+        val g = (ascii(col(textCol).substr(i, lit(1))).cast("long")
+          * lit(2654435761L)) % lit(mod)
+        val h2 = (acc.getField("h") * lit(2L) + g) % lit(mod)
+        struct(h2.as("h"),
+          when(h2 % lit(mask) === 0,
+              concat(acc.getField("bs"), array(i.cast("int"))))
+            .otherwise(acc.getField("bs")).as("bs"))
+      },
+      acc => acc.getField("bs"))
+    // Cut points = {0} ∪ boundaries ∪ {len}; distinct keeps ascending
+    // order and drops the double-len when the final char is a boundary.
+    val cuts = array_distinct(concat(
+      array(lit(0)), bounds, array(len.cast("int"))))
+    docs
+      // sequence(1, 0) DESCENDS on empty text — guard the degenerate doc
+      .filter(len >= 1)
+      .select(col(idCol).as("id"), col(textCol).as("__t"), cuts.as("__cuts"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), size(col("__cuts")) - 1), k =>
+          col("__t").substr(
+            element_at(col("__cuts"), k) + 1,
+            element_at(col("__cuts"), k + 1) - element_at(col("__cuts"), k)))))
+      .select(col("id"), col("pos").as("chunk_idx"), col("col").as("chunk"))
+  }
+
+  /** Per-document duplicate report over [[cdcChunks]]: each chunk
+    * occurrence is attributed to the earliest doc id owning its hash
+    * (keep-first, the exact-dedup convention); a doc's duplication is
+    * the share of its chunk characters owned elsewhere. One shuffle on
+    * the chunk hash + a broadcast-sized join back — at 100 TB only
+    * (hash, owner) digests shuffle, never the text. */
+  def cdcDedupReport(docs: DataFrame, idCol: String, textCol: String,
+      maskBits: Int = 5): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, maskBits)
+      .withColumn("ch", md5(col("chunk")))
+    val owners = chunks.groupBy("ch").agg(min(col("id")).as("owner"))
+    chunks.join(owners, "ch")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("owner") < col("id"), 1L).otherwise(0L))
+          .as("n_dup_chunks"),
+        (round(sum(when(col("owner") < col("id"), length(col("chunk")))
+            .otherwise(0)).cast("double")
+          / sum(length(col("chunk"))).cast("double"), 9) + lit(0.0))
+          .as("dup_char_frac"))
+  }
 }

@@ -775,6 +775,29 @@ class FrameApiSpec extends SparkSpec {
       .sortValues("user_id", "bucket"))
   }
 
+  test("ewmVar facade matches the registry query") {
+    val ev = fr("events")
+    same("q_ewm_var", ev
+      .filter(ev("user_id") < 10)
+      .transform(_.select("user_id", "ts", "event_id", "value"))
+      .ewmVar("user_id", Seq("ts", "event_id"), "value", alpha = 0.2)
+      .transform(_.select(col("event_id"),
+        (round(col("ewm_var"), 9) + lit(0.0)).as("ewm_var"),
+        (round(col("ewm_std"), 9) + lit(0.0)).as("ewm_std")))
+      .sortValues("event_id"))
+  }
+
+  test("prefixFilterPairs / cdcDedupReport facades match the registry queries") {
+    same("q_prefix_filter_join", Frame(Tables.documents(spark, sfDir),
+        Some("doc_id"))
+      .prefixFilterPairs("text", threshold = 0.6)
+      .sortValues("id_a", "id_b"))
+    same("q_cdc_chunks", Frame(Tables.documents(spark, sfDir),
+        Some("doc_id"))
+      .cdcDedupReport("text", maskBits = 5)
+      .transform(_.withColumnRenamed("id", "doc_id").orderBy("doc_id")))
+  }
+
   test("parseUrls / dedupConsecutiveLines / tokenizeBpe facades match the registry queries") {
     val d = Tables.documents(spark, sfDir)
     val synthUrl = concat(

@@ -50,6 +50,65 @@ class RecurrenceSpec extends SparkSpec {
     assert(math.abs(out((1L, 1L)) - (20.0 + 0.5 * 10.0) / 1.5) < 1e-12)
   }
 
+  private def refEwmVar(xs: Seq[Double], alpha: Double): Seq[Option[Double]] = {
+    // direct pandas adjust=True bias=False weighted variance, a
+    // different arithmetic path than the operator's 4-accumulator fold
+    xs.indices.map { i =>
+      val w = (0 to i).map(j => math.pow(1 - alpha, i - j))
+      val sw = w.sum
+      val sw2 = w.map(x => x * x).sum
+      val mu = (0 to i).map(j => w(j) * xs(j)).sum / sw
+      val m2 = (0 to i).map(j => w(j) * (xs(j) - mu) * (xs(j) - mu)).sum / sw
+      val den = sw * sw - sw2
+      if (den > 0) Some(m2 * sw * sw / den) else None
+    }
+  }
+
+  test("ewmVar matches the closed-form pandas weighted variance per key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- 0 until 4; i <- 0 until 30)
+      yield (k.toLong, i.toLong, rnd.nextDouble() * 10 - 5)
+    val out = Recurrence.ewmVar(
+        rows.toDF("k", "i", "v").repartition(5),
+        "k", Seq("i"), "v", alpha = 0.25)
+      .select("k", "i", "ewm_var", "ewm_std").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    for (k <- 0 until 4) {
+      val xs = rows.filter(_._1 == k).sortBy(_._2).map(_._3)
+      val expect = refEwmVar(xs, 0.25)
+      xs.indices.foreach { i =>
+        val (gv, gs) = out((k.toLong, i.toLong))
+        (gv, expect(i)) match {
+          case (Some(g), Some(e)) =>
+            assert(math.abs(g - e) < 1e-9, s"k=$k i=$i got $g want $e")
+            assert(gs.exists(s => math.abs(s - math.sqrt(e)) < 1e-9))
+          case (None, None) => assert(gs.isEmpty)
+          case other => fail(s"k=$k i=$i null mismatch: $other vs ${expect(i)}")
+        }
+      }
+    }
+  }
+
+  test("ewmVar is NULL on the first observation and resets per key") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (2L, 0L, 99.0))
+      .toDF("k", "i", "v")
+    val out = Recurrence.ewmVar(df, "k", Seq("i"), "v", alpha = 0.5)
+      .select("k", "i", "ewm_var").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out((1L, 0L)).isEmpty)
+    assert(out((2L, 0L)).isEmpty) // key 2 unpolluted by key 1's state
+    // two points, weights (0.5, 1): unbiased weighted var collapses to
+    // w·(x1−x2)²/Σw ... against the closed form directly:
+    val e = refEwmVar(Seq(10.0, 20.0), 0.5)(1).get
+    assert(math.abs(out((1L, 1L)).get - e) < 1e-12)
+  }
+
   test("asFreqFfill fills gaps forward on a dense day grid") {
     import spark.implicits._
     import graft.operators.TimeGrid
