@@ -750,14 +750,21 @@ object CorpusQueries {
 
     // AllPairs/PPJoin prefix filter (TextDedup.prefixFilterJoin): exact
     // Jaccard ≥ t pairs where docs join only on their rarest
-    // m − ⌈t·m⌉ + 1 tokens — hot tokens sort last and never become join
-    // keys, so candidate volume tracks rare-token postings, not the
-    // skewed ones. The oracle replays the identical df-ordered prefix,
-    // length filter, and exact set verify.
+    // m − ⌈t·m⌉ + 1 set elements — hot elements sort last and never
+    // become join keys, so candidate volume tracks rare postings, not
+    // the skewed ones. Elements are word 3-gram shingles: the corpus
+    // vocabulary is 31 words (every word hot — word sets would
+    // degenerate to 88.8M candidates at sf0.1; shingles measured 312K).
+    // The oracle replays the identical df-ordered prefix, length
+    // filter, and exact set verify.
     q("q_prefix_filter_join",
-      """WITH toks AS (SELECT doc_id AS id,
-        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+      """WITH words AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
         |  FROM documents),
+        |sh AS (SELECT DISTINCT id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+        |toks AS (SELECT DISTINCT id,
+        |    CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS tok FROM sh),
         |dfq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
         |ranked AS (SELECT id, tok,
         |    row_number() OVER (PARTITION BY id ORDER BY df, tok) AS p,
@@ -770,8 +777,7 @@ object CorpusQueries {
         |  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
         |  WHERE CAST(0.6 AS DOUBLE) * CAST(greatest(a.m, b.m) AS DOUBLE)
         |        <= CAST(least(a.m, b.m) AS DOUBLE)),
-        |sets AS (SELECT doc_id AS id,
-        |    list_distinct(string_split(text, ' ')) AS ts FROM documents),
+        |sets AS (SELECT id, list(tok) AS ts FROM toks GROUP BY 1),
         |v AS (SELECT id_a, id_b, m_a, m_b,
         |    len(list_intersect(sa.ts, sb.ts)) AS inter
         |  FROM cand
@@ -781,7 +787,7 @@ object CorpusQueries {
         |FROM v WHERE inter / (m_a + m_b - inter) >= CAST(0.6 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       TextDedup.prefixFilterJoin(Tables.documents(s, dir),
-          "doc_id", "text", threshold = 0.6)
+          "doc_id", "text", threshold = 0.6, ngram = 3)
         .orderBy("id_a", "id_b")
     }
 

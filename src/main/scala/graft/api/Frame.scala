@@ -564,13 +564,15 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextDedup.nearDuplicates(df, idx, textCol,
       threshold = threshold, maxBucketSize = maxBucketSize))
 
-  /** Exact token-set Jaccard ≥ `threshold` pairs via the
-    * AllPairs/PPJoin prefix filter — docs join only on their rarest
-    * m − ⌈t·m⌉ + 1 tokens, so hot-token postings never explode the
-    * join (operators.TextDedup.prefixFilterJoin). */
-  def prefixFilterPairs(textCol: String, threshold: Double): Frame =
+  /** Exact set-Jaccard ≥ `threshold` pairs via the AllPairs/PPJoin
+    * prefix filter — docs join only on their rarest m − ⌈t·m⌉ + 1 set
+    * elements, so hot postings never explode the join. `ngram` > 1
+    * uses word n-gram shingles as the set elements (the production
+    * default; see operators.TextDedup.prefixFilterJoin). */
+  def prefixFilterPairs(textCol: String, threshold: Double,
+      ngram: Int = 3): Frame =
     Frame(graft.operators.TextDedup.prefixFilterJoin(df, idx, textCol,
-      threshold))
+      threshold, ngram))
 
   /** Per-document duplicate share over content-defined chunks
     * (FastCDC-family rolling-hash boundaries; keep-first attribution

