@@ -857,6 +857,163 @@ object ExtraQueries {
       graft.operators.Tuning.skewReport(Tables.orders(s, dir), "o_custkey")
     }
 
+    // Cohort retention (operators.Analytics.cohortRetention): users
+    // cohorted by first-seen calendar day; distinct returning users and
+    // retention rate per (cohort, day_offset). User-keyed joins +
+    // grouped count-distinct + a calendar-bounded broadcast — no
+    // corpus-wide window.
+    q("q_cohort_retention",
+      s"""WITH ev AS (SELECT * FROM ${Queries.EVENTS_SQL}),
+         |fd AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+         |  FROM ev GROUP BY 1),
+         |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+         |r AS (SELECT f.cohort,
+         |    date_diff('day', f.cohort, a.day) AS day_offset,
+         |    count(DISTINCT a.user_id) AS n_users
+         |  FROM act a JOIN fd f USING (user_id)
+         |  WHERE date_diff('day', f.cohort, a.day) <= 7 GROUP BY 1, 2),
+         |base AS (SELECT cohort, n_users AS cohort_size FROM r
+         |  WHERE day_offset = 0)
+         |SELECT r.cohort, r.day_offset, r.n_users,
+         |  round(CAST(r.n_users AS DOUBLE) / CAST(b.cohort_size AS DOUBLE), 9)
+         |    + CAST(0 AS DOUBLE) AS retention
+         |FROM r JOIN base b USING (cohort)
+         |ORDER BY cohort, day_offset""".stripMargin) { (s, dir) =>
+      graft.operators.Analytics.cohortRetention(
+          Tables.events(s, dir), "user_id", "ts", maxOffsetDays = 7)
+        .orderBy("cohort", "day_offset")
+    }
+
+    // Ordered conversion funnel (operators.Analytics.funnelStages):
+    // reach at stage i = users whose first-occurrence times of stages
+    // 1..i exist in non-decreasing order. Two shuffles total.
+    q("q_funnel",
+      s"""WITH ev AS (SELECT * FROM ${Queries.EVENTS_SQL}),
+         |m AS (SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         |    min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+         |  FROM ev GROUP BY 1),
+         |a AS (SELECT
+         |    CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS s0,
+         |    CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+         |      AND t0 <= t1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+         |      AND t0 <= t1 AND t2 IS NOT NULL AND t1 <= t2
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS s2
+         |  FROM m)
+         |SELECT * FROM (
+         |  SELECT 1 AS stage_idx, 'view' AS stage, s0 AS n_users,
+         |    round(CASE WHEN s0 > 0 THEN CAST(s0 AS DOUBLE)
+         |      / CAST(s0 AS DOUBLE) END, 9) + CAST(0 AS DOUBLE) AS conv_total,
+         |    round(CASE WHEN s0 > 0 THEN CAST(s0 AS DOUBLE)
+         |      / CAST(s0 AS DOUBLE) END, 9) + CAST(0 AS DOUBLE) AS conv_prev
+         |  FROM a
+         |  UNION ALL
+         |  SELECT 2, 'click', s1,
+         |    round(CASE WHEN s0 > 0 THEN CAST(s1 AS DOUBLE)
+         |      / CAST(s0 AS DOUBLE) END, 9) + CAST(0 AS DOUBLE),
+         |    round(CASE WHEN s0 > 0 THEN CAST(s1 AS DOUBLE)
+         |      / CAST(s0 AS DOUBLE) END, 9) + CAST(0 AS DOUBLE)
+         |  FROM a
+         |  UNION ALL
+         |  SELECT 3, 'purchase', s2,
+         |    round(CASE WHEN s0 > 0 THEN CAST(s2 AS DOUBLE)
+         |      / CAST(s0 AS DOUBLE) END, 9) + CAST(0 AS DOUBLE),
+         |    round(CASE WHEN s1 > 0 THEN CAST(s2 AS DOUBLE)
+         |      / CAST(s1 AS DOUBLE) END, 9) + CAST(0 AS DOUBLE)
+         |  FROM a)
+         |ORDER BY stage_idx""".stripMargin) { (s, dir) =>
+      graft.operators.Analytics.funnelStages(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    }
+
+    // PSI drift report (operators.Analytics.psiReport): reference
+    // deciles (exact distributed quantiles, plan literals) bucket both
+    // halves of the stream; per-bucket stability terms sum to the PSI.
+    q("q_psi_drift",
+      s"""WITH ev AS (SELECT * FROM ${Queries.EVENTS_SQL}),
+         |e AS (SELECT
+         |    quantile_cont(value, 0.1) AS e1, quantile_cont(value, 0.2) AS e2,
+         |    quantile_cont(value, 0.3) AS e3, quantile_cont(value, 0.4) AS e4,
+         |    quantile_cont(value, 0.5) AS e5, quantile_cont(value, 0.6) AS e6,
+         |    quantile_cont(value, 0.7) AS e7, quantile_cont(value, 0.8) AS e8,
+         |    quantile_cont(value, 0.9) AS e9
+         |  FROM ev WHERE ts < TIMESTAMP '2024-01-16'),
+         |b AS (SELECT
+         |    CAST(value > e1 AS INTEGER) + CAST(value > e2 AS INTEGER)
+         |    + CAST(value > e3 AS INTEGER) + CAST(value > e4 AS INTEGER)
+         |    + CAST(value > e5 AS INTEGER) + CAST(value > e6 AS INTEGER)
+         |    + CAST(value > e7 AS INTEGER) + CAST(value > e8 AS INTEGER)
+         |    + CAST(value > e9 AS INTEGER) AS bucket,
+         |    (ts < TIMESTAMP '2024-01-16') AS ref
+         |  FROM ev, e),
+         |c AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         |  FROM b GROUP BY 1),
+         |sp AS (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER)
+         |  AS bucket),
+         |f AS (SELECT sp.bucket,
+         |    coalesce(n_ref, CAST(0 AS BIGINT)) AS n_ref,
+         |    coalesce(n_cur, CAST(0 AS BIGINT)) AS n_cur
+         |  FROM sp LEFT JOIN c ON c.bucket = sp.bucket),
+         |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         |    CAST(sum(n_cur) AS BIGINT) AS t_cur FROM f)
+         |SELECT bucket, n_ref, n_cur,
+         |  round(CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE), 9)
+         |    + CAST(0 AS DOUBLE) AS p_ref,
+         |  round(CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE), 9)
+         |    + CAST(0 AS DOUBLE) AS p_cur,
+         |  round(CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         |      (CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)
+         |        - CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE))
+         |      * ln(CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE)
+         |        / (CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)))
+         |    ELSE 0.0 END, 9) + CAST(0 AS DOUBLE) AS psi_term
+         |FROM f, t ORDER BY bucket""".stripMargin) { (s, dir) =>
+      graft.operators.Analytics.psiReport(
+          Tables.events(s, dir), "value",
+          col("ts") < lit("2024-01-16").cast("timestamp"), buckets = 10)
+        .orderBy("bucket")
+    }
+
+    // Per-group quartile binning (grouped qcut): thresholds from the
+    // bounded-memory grouped exact quantiles, broadcast back as a tiny
+    // stat join; bins are cumulative strict-greater comparisons.
+    q("q_grouped_qcut",
+      s"""WITH ev AS (SELECT * FROM ${Queries.EVENTS_SQL}),
+         |t AS (SELECT event_type,
+         |    quantile_cont(value, 0.25) AS q1,
+         |    quantile_cont(value, 0.5) AS q2,
+         |    quantile_cont(value, 0.75) AS q3
+         |  FROM ev GROUP BY 1),
+         |b AS (SELECT e.event_type,
+         |    1 + CAST(e.value > t.q1 AS INTEGER)
+         |      + CAST(e.value > t.q2 AS INTEGER)
+         |      + CAST(e.value > t.q3 AS INTEGER) AS quartile, e.value
+         |  FROM ev e JOIN t USING (event_type))
+         |SELECT event_type, quartile, count(*) AS n,
+         |  min(value) AS lo, max(value) AS hi
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val qs = graft.operators.Quantiles.groupedExactQuantiles(
+        ev, "event_type", "value", Seq(0.25, 0.5, 0.75))
+      ev.join(broadcast(qs), "event_type")
+        .select(col("event_type"),
+          (lit(1) + (col("value") > col("q_0_25")).cast("int")
+            + (col("value") > col("q_0_5")).cast("int")
+            + (col("value") > col("q_0_75")).cast("int")).as("quartile"),
+          col("value"))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy("event_type", "quartile")
+    }
+
     // Robust outlier profile: per-group median + MAD (median absolute
     // deviation) and the 1.4826-scaled robust z-score outlier count —
     // the outlier detector that, unlike mean/std, one corrupt feed

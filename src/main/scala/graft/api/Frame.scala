@@ -787,6 +787,28 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.Recurrence.ewmVar(df, keyCol, orderCols, valueCol,
       alpha, outVar, outStd))
 
+  /** Cohort retention matrix: users cohorted by first-seen day,
+    * distinct returning users and retention per (cohort, day_offset)
+    * (operators.Analytics.cohortRetention). */
+  def cohortRetention(userCol: String, tsCol: String,
+      maxOffsetDays: Int = 30): Frame =
+    Frame(graft.operators.Analytics.cohortRetention(df, userCol, tsCol,
+      maxOffsetDays))
+
+  /** Ordered conversion funnel over event-type `stages`: per-stage
+    * reach + conversion rates, two shuffles total
+    * (operators.Analytics.funnelStages). */
+  def funnel(userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): Frame =
+    Frame(graft.operators.Analytics.funnelStages(df, userCol, tsCol,
+      typeCol, stages))
+
+  /** Population-stability-index drift report of `valueCol` between the
+    * `refCond` rows and the rest; sum(psi_term) is the PSI
+    * (operators.Analytics.psiReport). */
+  def psiReport(valueCol: String, refCond: Column, buckets: Int = 10): Frame =
+    Frame(graft.operators.Analytics.psiReport(df, valueCol, refCond, buckets))
+
   /** Full pairwise correlation matrix over `cols` in tidy long form
     * (col_a, col_b, corr), upper triangle, diagonal omitted — all
     * pairs in ONE aggregate pass over the data (pandas `df.corr()`). */

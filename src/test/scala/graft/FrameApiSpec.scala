@@ -798,6 +798,18 @@ class FrameApiSpec extends SparkSpec {
       .transform(_.withColumnRenamed("id", "doc_id").orderBy("doc_id")))
   }
 
+  test("cohortRetention / funnel / psiReport facades match the registry queries") {
+    same("q_cohort_retention", fr("events")
+      .cohortRetention("user_id", "ts", maxOffsetDays = 7)
+      .sortValues("cohort", "day_offset"))
+    same("q_funnel", fr("events")
+      .funnel("user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .sortValues("stage_idx"))
+    same("q_psi_drift", fr("events")
+      .psiReport("value", col("ts") < lit("2024-01-16").cast("timestamp"))
+      .sortValues("bucket"))
+  }
+
   test("parseUrls / dedupConsecutiveLines / tokenizeBpe facades match the registry queries") {
     val d = Tables.documents(spark, sfDir)
     val synthUrl = concat(
