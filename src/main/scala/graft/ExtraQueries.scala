@@ -578,6 +578,29 @@ object ExtraQueries {
 
     // Salted skew join (operators.SkewJoin): output must equal the
     // plain join — the oracle proves the salting is semantics-free.
+    // Bloom-pruned join (operators.SkewJoin.bloomPrunedJoin): the big
+    // side is filtered by a packed plan-literal Bloom filter of the
+    // selective small side's keys BEFORE its shuffle — the explicit
+    // runtime-filter pattern. Result equality with the plain join is
+    // the oracle (no false negatives by construction).
+    q("q_bloom_join",
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_quantity), 9) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      graft.operators.SkewJoin.bloomPrunedJoin(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+          "l_orderkey", urgent, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 9).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }
+
     q("q_salted_join",
       """SELECT o_orderkey, o_totalprice, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -226,4 +226,33 @@ class OperatorEdgeSpec extends SparkSpec {
     assert(graft.operators.Clustering.silhouette(
       two, "vec_id", "embedding", cents).count() == 3L)
   }
+
+  test("bloomPrunedJoin equals the plain join and actually prunes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val big = (0 until 5000).map(i => (rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((3L, "x"), (7L, "y"), (500L, "z"), (999L, "w"))
+      .toDF("sk", "tag")
+    val got = graft.operators.SkewJoin
+      .bloomPrunedJoin(big, "k", small, "sk")
+      .select("k", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = big.join(small, col("k") === col("sk"))
+      .select("k", "payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+    // the filter itself must discard nearly everything: 4 keys of 1000
+    val packed = graft.operators.Sketches.packBits(
+      graft.operators.Sketches.bloomBuild(
+        small.select(col("sk").cast("string").as("sk")), "sk",
+        bits = 1 << 20, hashes = 4), 1 << 20)
+    val kept = big.filter(graft.operators.Sketches.mightContainInline(
+      col("k").cast("string"), packed, 1 << 20, 4)).count()
+    assert(kept < 100, s"bloom kept $kept of 5000 rows")
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.SkewJoin.bloomPrunedJoin(big, "k", small, "sk",
+        joinType = "left_outer")
+    }.getMessage.contains("inner/left_semi"))
+  }
 }
