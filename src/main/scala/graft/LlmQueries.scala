@@ -940,6 +940,48 @@ object LlmQueries {
         .orderBy("doc_id")
     }
 
+    // Greedy longest-prefix vocabulary tokenizer (WordPiece family,
+    // operators.WordPiece): vocabulary = corpus top-10 words + charset;
+    // segmentation runs once per DISTINCT word and joins back. The
+    // oracle precomputes each word's per-position longest match (a
+    // bounded words×positions×vocab aggregate — no aggregation inside
+    // the recursion) and walks it in a recursive CTE.
+    q("q_wordpiece_fertility",
+      """WITH RECURSIVE
+        |w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |wv AS (SELECT source, word FROM w WHERE length(word) >= 1),
+        |wc AS (SELECT word, count(*) AS cnt FROM wv GROUP BY 1),
+        |topw AS (SELECT word AS piece FROM wc ORDER BY cnt DESC, word LIMIT 10),
+        |chars AS (SELECT DISTINCT substr(text, i, 1) AS piece
+        |  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+        |  WHERE length(text) >= 1),
+        |vocab AS (SELECT DISTINCT piece FROM
+        |  (SELECT piece FROM topw UNION ALL SELECT piece FROM chars)),
+        |dw AS (SELECT DISTINCT word FROM wv),
+        |lm AS (SELECT word, i AS pos,
+        |    coalesce(max(CASE WHEN substr(word, i, length(piece)) = piece
+        |      THEN length(piece) END), 1) AS adv
+        |  FROM dw, unnest(generate_series(1, length(word))) AS t(i), vocab
+        |  GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT word, 1 AS pos, 0 AS n FROM dw
+        |  UNION ALL
+        |  SELECT s.word, s.pos + l.adv, s.n + 1
+        |  FROM seg s JOIN lm l ON l.word = s.word AND l.pos = s.pos
+        |  WHERE s.pos <= length(s.word)),
+        |np AS (SELECT word, max(n) AS n_pieces FROM seg GROUP BY 1)
+        |SELECT source, count(*) AS n_words,
+        |  CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+        |    + CAST(0 AS DOUBLE) AS fertility
+        |FROM wv JOIN np USING (word)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.operators.WordPiece.fertilityBySource(
+          Tables.documents(s, dir), "text", "source", topWords = 10)
+        .orderBy("source")
+    }
+
     // Winnowing (Schleimer 2003, the MOSS primitive): distinct minima
     // of 4-wide windows over the ordered word-trigram hash stream, then
     // pairs sharing >= 3 fingerprints — local edit-robust overlap

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Greedy longest-prefix vocabulary tokenizer (the WordPiece /
+  * SentencePiece-greedy family, simplified: no continuation marker):
+  * the vocabulary is the corpus's top-K whole words plus every distinct
+  * character (so segmentation always terminates and nothing is OOV);
+  * each word is consumed left-to-right taking the LONGEST vocabulary
+  * piece at each position, falling back to a single character.
+  *
+  * Scale design mirrors Bpe.tokenCounts: segmentation happens once per
+  * DISTINCT word (Zipf-bounded memo frame, not the corpus word stream)
+  * and joins back onto the stream by word; the vocabulary is a bounded
+  * driver collect (top-K + charset) that rides into the task closure.
+  *
+  * Character positions are Java chars on the engine side and code
+  * points in the SQL replay — identical for BMP text (the corpora are
+  * ASCII); supplementary-plane text would count differently
+  * (documented deviation).
+  */
+object WordPiece {
+
+  /** Top-`topWords` words by (count desc, word asc) + every distinct
+    * character of the corpus. Bounded driver collect. */
+  def buildVocab(docs: DataFrame, textCol: String, topWords: Int): Seq[String] = {
+    require(topWords >= 0, s"topWords >= 0, got $topWords")
+    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val top = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topWords)
+      .collect().map(_.getString(0))
+    val chars = docs.filter(length(col(textCol)) >= 1)
+      .select(explode(transform(sequence(lit(1), length(col(textCol))),
+        i => col(textCol).substr(i, lit(1)))).as("ch"))
+      .distinct().collect().map(_.getString(0))
+    (top ++ chars).distinct.toSeq
+  }
+
+  /** Greedy piece count per word: one row per input word with its
+    * segment count appended. Input must have a single "word" column. */
+  def segmentCounts(words: DataFrame, vocab: Seq[String]): DataFrame = {
+    val out = StructType(Seq(StructField("word", StringType),
+      StructField("n_pieces", IntegerType)))
+    implicit val enc = Encoders.row(out)
+    val vset = vocab.toSet
+    val maxLen = if (vocab.isEmpty) 1 else vocab.map(_.length).max
+    words.mapPartitions { it =>
+      it.map { r =>
+        val w = r.getString(0)
+        var pos = 0; var n = 0
+        while (pos < w.length) {
+          var l = math.min(maxLen, w.length - pos)
+          var adv = 1
+          var found = false
+          while (l >= 1 && !found) {
+            if (vset.contains(w.substring(pos, pos + l))) {
+              adv = l; found = true
+            }
+            l -= 1
+          }
+          pos += adv; n += 1
+        }
+        Row(w, n)
+      }
+    }
+  }
+
+  /** Tokenizer fertility report per `srcCol` group: word occurrences,
+    * greedy-piece tokens, and tokens-per-word — the measurement that
+    * tells you how a fixed vocabulary prices each corpus source into
+    * tokens (budgeting input for mixture planning). */
+  def fertilityBySource(docs: DataFrame, textCol: String, srcCol: String,
+      topWords: Int = 10): DataFrame = {
+    val vocab = buildVocab(docs, textCol, topWords)
+    val w = docs.select(col(srcCol).as("source"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val seg = segmentCounts(w.select("word").distinct(), vocab)
+    w.join(seg, "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_tokens"),
+        (round(sum(col("n_pieces")).cast("double")
+          / count(lit(1)).cast("double"), 9) + lit(0.0)).as("fertility"))
+  }
+}

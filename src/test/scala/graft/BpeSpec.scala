@@ -119,4 +119,35 @@ class BpeSpec extends SparkSpec {
       .flatMap(w => refEncode(w, merges))
     assert(out(1L) == expect)
   }
+
+  test("WordPiece greedy segmentation: in-vocab words, greedy longest, char fallback") {
+    import spark.implicits._
+    import graft.operators.WordPiece
+    val vocab = Seq("the", "then", "cat", "ca", "a", "b", "c", "t", "h", "e", "x")
+    val got = WordPiece.segmentCounts(
+        Seq("the", "then", "cats", "xxthe", "zzz", "").toDF("word"), vocab)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("the") == 1)    // whole word in vocab
+    assert(got("then") == 1)   // greedy takes the LONGER piece, not the+n
+    assert(got("cats") == 2)   // cat + s(fallback: 's' not in vocab, 1 char)
+    assert(got("xxthe") == 3)  // x + x + the
+    assert(got("zzz") == 3)    // pure fallback, one per char
+    assert(got("") == 0)
+  }
+
+  test("WordPiece fertilityBySource: known tiny corpus") {
+    import spark.implicits._
+    import graft.operators.WordPiece
+    // top-1 word is "aa" (3 occurrences); charset {a, b}
+    val docs = Seq(
+      ("s1", "aa aa b"), ("s2", "aa ab"))
+      .toDF("source", "text")
+    val out = WordPiece.fertilityBySource(docs, "text", "source", topWords = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // s1: words aa(1 tok) aa(1) b(1) -> 3 words, 3 tokens
+    assert(out("s1") == ((3L, 3L, 1.0)))
+    // s2: aa(1) ab(a+b = 2) -> 2 words, 3 tokens
+    assert(out("s2") == ((2L, 3L, 1.5)))
+  }
 }
