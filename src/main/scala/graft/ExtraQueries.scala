@@ -594,7 +594,9 @@ object ExtraQueries {
         .select("o_orderkey", "o_orderpriority")
       graft.operators.SkewJoin.bloomPrunedJoin(
           Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
-          "l_orderkey", urgent, "o_orderkey")
+          // sized to the key count (~30K urgent orders at sf0.1)
+          "l_orderkey", urgent, "o_orderkey",
+          expectedItems = 40000L, bits = 1L << 19)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_quantity")), 9).as("sum_qty"))

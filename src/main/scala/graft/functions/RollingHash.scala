@@ -282,6 +282,30 @@ object GraftFunctions {
             0, 0)
         }),
       (
+        // Spark's built-in (internal-registry-only) bloom filter
+        // aggregate, surfaced for the explicit bloom-pruned-join
+        // operator: xxhash64-based, binary buffer, codegen'd probe —
+        // the runtime-filter machinery itself, minus the planner rule.
+        FunctionIdentifier("graft_bloom_agg"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          "graft_bloom_agg"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_bloom_agg(xxhash64(key), items, bits)")
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            args.head, args(1), args(2))
+        }),
+      (
+        FunctionIdentifier("graft_bloom_contains"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          "graft_bloom_contains"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_bloom_contains(filter, xxhash64(key))")
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            args.head, args(1))
+        }),
+      (
         FunctionIdentifier("tdigest_quantile"),
         new ExpressionInfo(classOf[TDigestQuantile].getName, "tdigest_quantile"),
         (args: Seq[Expression]) => {

@@ -32,22 +32,42 @@ object SkewJoin {
     salted.join(replicated, keys :+ saltCol, joinType).drop(saltCol)
   }
 
+  /** The packed filter over `small`'s keys: one aggregation job, a
+    * driver buffer of ~bits/8 bytes. Uses Spark's own (internal)
+    * BloomFilterAggregate over xxhash64 — the exact machinery of the
+    * planner's runtime bloom-filter join pruning, codegen'd end to
+    * end (an earlier md5-position table form measured 3× slower on
+    * the probe side). */
+  def bloomFilterBytes(small: DataFrame, smallKey: String,
+      expectedItems: Long, bits: Long): Array[Byte] = {
+    graft.functions.GraftFunctions.register(small.sparkSession)
+    small.agg(call_function("graft_bloom_agg",
+        xxhash64(col(smallKey)), lit(expectedItems), lit(bits)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** Membership-probe column for a packed filter from
+    * [[bloomFilterBytes]]: the filter rides the plan as a binary
+    * literal; NULL keys probe NULL (dropped by a filter — inner-join
+    * semantics). */
+  def bloomMightContain(filter: Array[Byte], key: Column): Column =
+    call_function("graft_bloom_contains", lit(filter), xxhash64(key))
+
   /** Bloom-pruned equi-join: build a Bloom filter over the SMALL
-    * side's join keys, filter the BIG side with a stateless inline
-    * membership projection BEFORE its shuffle, then join. Join output
-    * is identical to the plain join (a Bloom filter has no false
+    * side's join keys, filter the BIG side with a stateless codegen'd
+    * membership probe BEFORE its shuffle, then join. Join output is
+    * identical to the plain join (a Bloom filter has no false
     * negatives; false positives only let a few doomed rows through to
-    * the join, p ≈ (1 − e^(−hashes·n/bits))^hashes).
+    * the join).
     *
     * This is the explicit form of Spark's runtime bloom-filter join
     * pruning, for when the planner can't inject it (non-obvious
     * selectivity, pre-partitioned stages): at 100 TB the win is that
     * the big side's shuffle carries only rows whose keys might match —
     * a selective small side turns a full-corpus exchange into a
-    * trickle. Driver state is the packed filter (bits/8 bytes — 2²⁰
-    * bits = 128 KiB), the same O(sketch) bound every sketch consumer
-    * pays; the filter rides into the plan as a literal, so the prune
-    * is codegen'd and shuffle-free.
+    * trickle. Driver state is the packed filter (bits/8 bytes), the
+    * same O(sketch) bound every sketch consumer pays. Both key columns
+    * must share a type (xxhash64 hashes the binary representation).
     *
     * `joinType` must be inner or left_semi — types that tolerate
     * pruning non-matching left rows. */
@@ -56,20 +76,13 @@ object SkewJoin {
       bigKey: String,
       small: DataFrame,
       smallKey: String,
-      bits: Int = 1 << 20,
-      hashes: Int = 4,
+      expectedItems: Long = 1L << 20,
+      bits: Long = 1L << 23,
       joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left_semi", "leftsemi", "semi").contains(joinType),
       s"bloomPrunedJoin supports inner/left_semi, got $joinType")
-    // The md5-based bit positions hash STRINGS; both sides go through
-    // the same cast so integer keys agree on representation.
-    val bloom = Sketches.bloomBuild(
-      small.select(col(smallKey).cast("string").as(smallKey)), smallKey,
-      bits, hashes)
-    val packed = Sketches.packBits(bloom, bits)
-    val pruned = big.filter(
-      Sketches.mightContainInline(col(bigKey).cast("string"), packed,
-        bits, hashes))
+    val bytes = bloomFilterBytes(small, smallKey, expectedItems, bits)
+    val pruned = big.filter(bloomMightContain(bytes, col(bigKey)))
     pruned.join(small, col(bigKey) === col(smallKey), joinType)
   }
 }

@@ -32,9 +32,15 @@ object WordPiece {
     val top = words.groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(topWords)
       .collect().map(_.getString(0))
-    val chars = docs.filter(length(col(textCol)) >= 1)
-      .select(explode(transform(sequence(lit(1), length(col(textCol))),
-        i => col(textCol).substr(i, lit(1)))).as("ch"))
+    // Charset from the DISTINCT words (Zipf-tiny), not a per-character
+    // corpus explode: every character that can appear inside a word is
+    // in some word by construction (the only text character missing is
+    // the space separator, which can never match within a word), so
+    // segmentation behavior is identical and the scan is vocabulary-
+    // sized instead of corpus-sized.
+    val chars = words.distinct()
+      .select(explode(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))).as("ch"))
       .distinct().collect().map(_.getString(0))
     (top ++ chars).distinct.toSeq
   }

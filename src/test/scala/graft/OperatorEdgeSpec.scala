@@ -243,12 +243,10 @@ class OperatorEdgeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got == want)
     // the filter itself must discard nearly everything: 4 keys of 1000
-    val packed = graft.operators.Sketches.packBits(
-      graft.operators.Sketches.bloomBuild(
-        small.select(col("sk").cast("string").as("sk")), "sk",
-        bits = 1 << 20, hashes = 4), 1 << 20)
-    val kept = big.filter(graft.operators.Sketches.mightContainInline(
-      col("k").cast("string"), packed, 1 << 20, 4)).count()
+    val bytes = graft.operators.SkewJoin.bloomFilterBytes(
+      small, "sk", expectedItems = 100L, bits = 1L << 16)
+    val kept = big.filter(
+      graft.operators.SkewJoin.bloomMightContain(bytes, col("k"))).count()
     assert(kept < 100, s"bloom kept $kept of 5000 rows")
     assert(intercept[IllegalArgumentException] {
       graft.operators.SkewJoin.bloomPrunedJoin(big, "k", small, "sk",
