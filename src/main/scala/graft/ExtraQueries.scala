@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Remaining reference-surface coverage: deterministic sampling/splits,
@@ -449,6 +449,101 @@ object ExtraQueries {
         .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"),
           (unix_seconds(max(col("ts"))) - unix_seconds(min(col("ts")))).as("duration_s"))
         .orderBy("user_id", "session_id")
+    }
+
+    // Per-session ordered-subsequence pattern match (MATCH_RECOGNIZE-
+    // lite, operators.Analytics.sessionPatternMatch): did the session
+    // contain view → click → purchase IN ORDER? Greedy left-to-right
+    // fold over the session-bounded event array; the oracle replays it
+    // as iterated earliest-occurrence list searches (equivalent).
+    q("q_session_pattern",
+      s"""WITH g AS (SELECT user_id, event_id, ts, event_type,
+         |    CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR
+         |              lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+         |  FROM ${Queries.EVENTS_SQL} WHERE user_id < 10
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, event_id, ts, event_type,
+         |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS session_id
+         |      FROM g),
+         |seq AS (SELECT user_id, session_id, count(*) AS n_events,
+         |    list(event_type ORDER BY ts, event_id) AS evs
+         |  FROM s GROUP BY 1, 2),
+         |p1 AS (SELECT *, coalesce(list_position(evs, 'view'), 0) AS i1
+         |  FROM seq),
+         |p2 AS (SELECT *, CASE WHEN i1 > 0 THEN
+         |    coalesce(list_position(evs[i1+1:], 'click'), 0) ELSE 0 END AS i2
+         |  FROM p1),
+         |p3 AS (SELECT *, CASE WHEN i1 > 0 AND i2 > 0 THEN
+         |    coalesce(list_position(evs[i1+i2+1:], 'purchase'), 0) ELSE 0 END
+         |    AS i3
+         |  FROM p2)
+         |SELECT user_id, session_id, n_events,
+         |  (i1 > 0 AND i2 > 0 AND i3 > 0) AS matched
+         |FROM p3 ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      graft.operators.Analytics.sessionPatternMatch(
+          Tables.events(s, dir).filter(col("user_id") < 10),
+          "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"), gapMinutes = 30)
+        .orderBy("user_id", "session_id")
+    }
+
+    // SCD-2 history build (operators.Analytics.scd2): three
+    // deterministic order snapshots → change-detected versions with
+    // validity intervals (valid_from / valid_to / is_current) — the
+    // lakehouse upsert-history primitive. Per-key windows bounded by
+    // the snapshot count.
+    q("q_scd2_merge",
+      """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+        |v AS (
+        |  SELECT o_orderkey AS key, o_orderstatus AS status,
+        |         o_totalprice AS price, TIMESTAMP '2024-01-01' AS snap_ts
+        |  FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |           THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |           ELSE o_totalprice END,
+        |         TIMESTAMP '2024-02-01'
+        |  FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END,
+        |         CASE WHEN o_orderkey % 3 = 0
+        |           THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |           ELSE o_totalprice END,
+        |         TIMESTAMP '2024-03-01'
+        |  FROM base),
+        |c AS (SELECT *,
+        |    (NOT (status IS NOT DISTINCT FROM lag(status) OVER w)) OR
+        |    (NOT (price IS NOT DISTINCT FROM lag(price) OVER w)) OR
+        |    lag(snap_ts) OVER w IS NULL AS chg
+        |  FROM v WINDOW w AS (PARTITION BY key ORDER BY snap_ts)),
+        |k AS (SELECT key, status, price, snap_ts FROM c WHERE chg),
+        |f AS (SELECT key, status, price, snap_ts AS valid_from,
+        |        lead(snap_ts) OVER (PARTITION BY key ORDER BY snap_ts)
+        |          AS valid_to
+        |      FROM k)
+        |SELECT key, status, price, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM f ORDER BY key, valid_from""".stripMargin) { (s, dir) =>
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") % 10 === 0)
+      def snap(ts: String, status: Column, price: Column) = base.select(
+        col("o_orderkey").as("key"), status.as("status"), price.as("price"),
+        lit(ts).cast("timestamp").as("snap_ts"))
+      val bumped = when(col("o_orderkey") % 3 === 0,
+        col("o_totalprice") * lit(1.1)).otherwise(col("o_totalprice"))
+      val v = snap("2024-01-01", col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(snap("2024-02-01", col("o_orderstatus"), bumped))
+        .unionByName(snap("2024-03-01",
+          when(col("o_orderkey") % 5 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")), bumped))
+      graft.operators.Analytics.scd2(v, Seq("key"), "snap_ts",
+          Seq("status", "price"))
+        .select("key", "status", "price", "valid_from", "valid_to",
+          "is_current")
+        .orderBy("key", "valid_from")
     }
 
     // Interval/range join (operators.RangeJoin): events matched to the
@@ -1148,6 +1243,27 @@ object ExtraQueries {
     // ~90-color vocabulary: ~150 true lev<=2 neighbors PER ROW at
     // sf0.1), so the demo runs on a deterministic 10% id slice — the
     // full corpus is the same plan with proportionally larger blocks.
+    // Jaro-Winkler similarity (functions.JaroWinkler — codegen'd
+    // kernel, canonical Winkler 1990 with DuckDB's empty-side → 0.0
+    // edge): the record-linkage scorer levenshtein can't replace (it
+    // rewards shared prefixes and tolerates transpositions). Adjacent
+    // part-name pairs, the ngram-jaccard protocol.
+    q("q_jaro_winkler",
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 9)
+        |    + CAST(0 AS DOUBLE) AS jw
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |ORDER BY key_a""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir)
+      val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("na"))
+      val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("nb"))
+      a.join(b, col("key_b") === col("key_a") + 1)
+        .select(col("key_a"), col("key_b"),
+          (round(graft.functions.JaroWinkler(col("na"), col("nb")), 9)
+            + lit(0.0)).as("jw"))
+        .orderBy("key_a")
+    }
+
     q("q_fuzzy_match",
       """WITH p AS (SELECT p_partkey, p_name,
         |    string_split(p_name, ' ')[1] || '|' || CAST(length(p_name) AS VARCHAR)

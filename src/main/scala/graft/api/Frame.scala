@@ -809,6 +809,21 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def psiReport(valueCol: String, refCond: Column, buckets: Int = 10): Frame =
     Frame(graft.operators.Analytics.psiReport(df, valueCol, refCond, buckets))
 
+  /** Per-session ordered-subsequence pattern match (MATCH_RECOGNIZE-
+    * lite): sessionize by inactivity gap, test whether each session
+    * contains `stages` in order
+    * (operators.Analytics.sessionPatternMatch). */
+  def sessionPattern(userCol: String, tsCol: String, tieCol: String,
+      typeCol: String, stages: Seq[String], gapMinutes: Int = 30): Frame =
+    Frame(graft.operators.Analytics.sessionPatternMatch(df, userCol, tsCol,
+      tieCol, typeCol, stages, gapMinutes))
+
+  /** SCD-2 history build: change-detected versions with validity
+    * intervals (valid_from / valid_to / is_current)
+    * (operators.Analytics.scd2). */
+  def scd2(keyCols: Seq[String], tsCol: String, attrCols: Seq[String]): Frame =
+    Frame(graft.operators.Analytics.scd2(df, keyCols, tsCol, attrCols))
+
   /** Full pairwise correlation matrix over `cols` in tidy long form
     * (col_a, col_b, corr), upper triangle, diagonal omitted — all
     * pairs in ONE aggregate pass over the data (pandas `df.corr()`). */

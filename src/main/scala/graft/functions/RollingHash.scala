@@ -229,6 +229,13 @@ object GraftFunctions {
           ShingleMd5s(args.head, n)
         }),
       (
+        FunctionIdentifier("jaro_winkler"),
+        new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "jaro_winkler(a, b)")
+          JaroWinkler(args.head, args(1))
+        }),
+      (
         FunctionIdentifier("cdc_chunks"),
         new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
         (args: Seq[Expression]) => {

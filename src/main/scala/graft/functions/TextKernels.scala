@@ -214,6 +214,59 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Jaro-Winkler similarity (Winkler 1990, p=0.1, max prefix 4) —
+    * the canonical definition, with DuckDB's edge convention (either
+    * side empty → 0.0, including both-empty) so oracles replay
+    * bit-for-bit: matches within ⌊max(l1,l2)/2⌋−1, transpositions as
+    * half the out-of-order matches, jaro = (m/l1 + m/l2 + (m−t)/m)/3,
+    * jw = jaro + ℓ·0.1·(1−jaro). Char-level (UTF-16 units) vs
+    * DuckDB's code points — identical on BMP text. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString; val s2 = b.toString
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val md = math.max(l1, l2) / 2 - 1
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - md)
+      val hi = math.min(l2, i + md + 1)
+      var j = lo
+      var matched = false
+      while (j < hi && !matched) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; matched = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3
+    // Winkler boost only above the standard 0.7 threshold (Winkler's
+    // original, and DuckDB's convention — verified empirically).
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxPre = math.min(4, math.min(l1, l2))
+    while (l < maxPre && s1.charAt(l) == s2.charAt(l)) l += 1
+    jaro + l * 0.1 * (1 - jaro)
+  }
+
   /** Rebuild a document with the words at the given 0-based positions
     * removed (single-space re-join — the same split/join convention as
     * every shingle consumer). Equals the SQL posexplode → anti-join →
@@ -506,6 +559,41 @@ object ShingleMd5s {
       .foreach(GraftFunctions.register)
     org.apache.spark.sql.functions.call_function("shingle_md5s",
       text, org.apache.spark.sql.functions.lit(n))
+  }
+}
+
+/** `jaro_winkler(a, b)`: Winkler-boosted Jaro similarity (see
+  * [[TextKernels.jaroWinkler]]). */
+case class JaroWinkler(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler requires string arguments, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.jaroWinkler($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("jaro_winkler", a, b)
   }
 }
 

@@ -83,6 +83,70 @@ object Analytics {
     agg.select(explode(array(rows: _*)).as("x")).select("x.*")
   }
 
+  /** Per-session ordered-subsequence pattern match (MATCH_RECOGNIZE-
+    * lite): sessionize by `gapMinutes` inactivity, then test whether
+    * each session's event-type sequence CONTAINS `stages` as an
+    * ordered subsequence (greedy left-to-right fold — equivalent to
+    * iterated earliest-occurrence search). The per-session event array
+    * is bounded by the session, the fold is a row-local expression,
+    * and the stage list rides the plan as a literal.
+    *
+    * Output: (userCol, session_id, n_events, matched). */
+  def sessionPatternMatch(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String],
+      gapMinutes: Int = 30): DataFrame = {
+    require(stages.nonEmpty, "sessionPatternMatch needs at least one stage")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = df
+      .withColumn("__brk",
+        when(lag(col(tsCol), 1).over(w).isNull ||
+          unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)) >
+            gapMinutes.toLong * 60L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__brk")).over(wRun))
+    val stagesLit = typedLit(stages)
+    val n = stages.length
+    sessioned
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(
+          struct(col(tsCol), col(tieCol), col(typeCol).as("__t")))).as("__evs"))
+      .select(col(userCol), col("session_id"), col("n_events"),
+        (aggregate(
+          transform(col("__evs"), e => e.getField("__t")),
+          lit(0),
+          (st, e) => when(st < n && e === element_at(stagesLit, st + 1), st + 1)
+            .otherwise(st)) === n).as("matched"))
+  }
+
+  /** SCD-2 history build: given versioned rows (one row per key per
+    * snapshot timestamp), keep only rows where any of `attrCols`
+    * CHANGED vs the key's previous version, and attach validity
+    * intervals — valid_from = the version's timestamp, valid_to = the
+    * next kept version's timestamp (NULL = current), is_current. The
+    * lakehouse upsert-history primitive.
+    *
+    * All windows are per key and bounded by the key's version count
+    * (snapshots, not corpus size). Null-safe attribute comparison via
+    * the null-safe equality operator. */
+  def scd2(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "scd2 needs keys and attrs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val changed = attrCols
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _) || lag(col(tsCol), 1).over(w).isNull
+    val kept = df.withColumn("__chg", changed).filter(col("__chg")).drop("__chg")
+    val w2 = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    kept
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(tsCol)
+  }
+
   /** Population Stability Index of `valueCol` between the rows where
     * `refCond` holds (reference population) and the rest (current):
     * the reference's exact deciles (distributed Quantiles operator —

@@ -48,6 +48,65 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(2).getDouble(4) - 1.0 / 3.0) < 1e-9) // prev conv
   }
 
+  test("sessionPatternMatch: ordered subsequence within session boundaries") {
+    import spark.implicits._
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ev = Seq(
+      // u1 session 1: view → x → click → purchase (matched)
+      ("u1", t(0), 1L, "view"), ("u1", t(1), 2L, "error"),
+      ("u1", t(2), 3L, "click"), ("u1", t(3), 4L, "purchase"),
+      // u2: click before view — wrong order, unmatched
+      ("u2", t(0), 5L, "click"), ("u2", t(1), 6L, "view"),
+      ("u2", t(2), 7L, "purchase"),
+      // u3: stages split ACROSS sessions (gap > 30 min) — neither matches
+      ("u3", t(0), 8L, "view"), ("u3", t(1), 9L, "click"),
+      ("u3", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 10L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.sessionPatternMatch(ev, "user_id", "ts", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(("u1", 1L)) == ((4L, true)))
+    assert(out(("u2", 1L)) == ((3L, false)))
+    assert(out(("u3", 1L)) == ((2L, false)))
+    assert(out(("u3", 2L)) == ((1L, false)))
+  }
+
+  test("scd2 keeps only changed versions and chains validity intervals") {
+    import spark.implicits._
+    def d(m: Int) = java.sql.Timestamp.valueOf(f"2024-$m%02d-01 00:00:00")
+    val v = Seq(
+      (1L, "A", 10.0, d(1)), (1L, "A", 10.0, d(2)), (1L, "B", 10.0, d(3)),
+      (2L, "A", 5.0, d(1)), (2L, "A", 6.0, d(2)), (2L, "A", 6.0, d(3)))
+      .toDF("key", "status", "price", "snap_ts")
+    val out = Analytics.scd2(v, Seq("key"), "snap_ts", Seq("status", "price"))
+      .orderBy("key", "valid_from").collect()
+    // key 1: v1 (A,10) valid [Jan, Mar), v2 dropped (unchanged), v3 (B,10) current
+    // key 2: v1 (A,5) [Jan, Feb), v2 (A,6) current, v3 dropped
+    assert(out.length == 4)
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1(0).getString(1) == "A" && k1(0).getTimestamp(4) == d(3)
+      && !k1(0).getBoolean(5))
+    assert(k1(1).getString(1) == "B" && k1(1).isNullAt(4)
+      && k1(1).getBoolean(5))
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2(0).getDouble(2) == 5.0 && k2(0).getTimestamp(4) == d(2))
+    assert(k2(1).getDouble(2) == 6.0 && k2(1).getBoolean(5))
+  }
+
+  test("jaroWinkler kernel: canonical values, boost threshold, edges") {
+    import graft.functions.TextKernels.jaroWinkler
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    assert(math.abs(jaroWinkler(u("martha"), u("marhta")) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jaroWinkler(u("dixon"), u("dicksonx")) - 0.8133333333333332) < 1e-14)
+    // sub-0.7 jaro: NO Winkler boost despite the 4-char common prefix
+    assert(math.abs(jaroWinkler(u("red bolt"), u("red ring")) - 2.0 / 3.0) < 1e-15)
+    assert(jaroWinkler(u("aaaa"), u("aaaa")) == 1.0)
+    assert(jaroWinkler(u(""), u("")) == 0.0) // DuckDB's empty-side edge
+    assert(jaroWinkler(u("x"), u("")) == 0.0)
+    assert(jaroWinkler(u("x"), u("y")) == 0.0)
+  }
+
   test("psiReport is zero on identical populations, positive under shift") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)

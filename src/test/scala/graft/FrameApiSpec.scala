@@ -810,6 +810,15 @@ class FrameApiSpec extends SparkSpec {
       .sortValues("bucket"))
   }
 
+  test("sessionPattern facade matches the registry query") {
+    val ev = fr("events")
+    same("q_session_pattern", ev
+      .filter(ev("user_id") < 10)
+      .sessionPattern("user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .sortValues("user_id", "session_id"))
+  }
+
   test("parseUrls / dedupConsecutiveLines / tokenizeBpe facades match the registry queries") {
     val d = Tables.documents(spark, sfDir)
     val synthUrl = concat(
