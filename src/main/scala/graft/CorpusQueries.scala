@@ -746,6 +746,50 @@ object CorpusQueries {
       }
     }
 
+    // ---- categorical association report --------------------------------
+
+    // χ² / Cramér's V / mutual information between source and lang
+    // (operators.Analytics.associationReport): the mix-design sanity
+    // check — is language balanced across sources, or does one source
+    // carry a language? Full contingency grid incl. structural zeros;
+    // margins broadcast; everything bounded by category cardinality.
+    q("q_cat_association",
+      """WITH c AS (SELECT source, lang, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+        |ca AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    (SELECT count(*) FROM ra) AS na,
+        |    (SELECT count(*) FROM ca) AS nb FROM c),
+        |grid AS (SELECT ra.rt, ca.ct, coalesce(c.o, CAST(0 AS BIGINT)) AS o
+        |  FROM ra CROSS JOIN ca
+        |  LEFT JOIN c ON c.source = ra.source AND c.lang = ca.lang),
+        |agg AS (SELECT
+        |    sum((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |        / CAST(n AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      AS chi2r,
+        |    sum(CASE WHEN o > 0 THEN
+        |      CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+        |      ELSE 0.0 END) AS mir,
+        |    min(n) AS n, min(na) AS na, min(nb) AS nb
+        |  FROM grid, tot)
+        |SELECT round(chi2r, 9) + CAST(0 AS DOUBLE) AS chi2,
+        |  CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+        |  round(sqrt(chi2r / (CAST(n AS DOUBLE)
+        |    * CAST(least(na - 1, nb - 1) AS DOUBLE))), 9)
+        |    + CAST(0 AS DOUBLE) AS cramers_v,
+        |  round(mir, 9) + CAST(0 AS DOUBLE) AS mi_nats,
+        |  CAST(n AS BIGINT) AS n_rows
+        |FROM agg""".stripMargin) { (s, dir) =>
+      graft.operators.Analytics.associationReport(
+        Tables.documents(s, dir), "source", "lang")
+    }
+
     // ---- prefix-filtered set-similarity join --------------------------
 
     // AllPairs/PPJoin prefix filter (TextDedup.prefixFilterJoin): exact

@@ -1444,6 +1444,79 @@ object ExtraQueries {
         .orderBy("event_id")
     }
 
+    // Time-aware EWM over irregular gaps (pandas ewm(halflife, times),
+    // operators.Recurrence.ewmIrregular): decay = 0.5^(Δdays/halflife)
+    // per step. With halflife = 1 day and day-granular gaps every decay
+    // is an exact power of two, so the recursive-CTE replay is
+    // bit-for-bit (pow(0.5, k) is exact in any correctly-rounded pow).
+    q("q_ewm_time",
+      s"""WITH RECURSIVE s AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+         |  FROM ${Queries.EVENTS_SQL} WHERE user_id < 10),
+         |r AS (
+         |  SELECT user_id, i, event_id, ts, value AS num,
+         |    CAST(1 AS DOUBLE) AS den
+         |  FROM s WHERE i = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.i, s.event_id, s.ts,
+         |    s.value + pow(CAST(0.5 AS DOUBLE),
+         |      CAST(date_diff('day', CAST(r.ts AS DATE), CAST(s.ts AS DATE))
+         |        AS DOUBLE) / CAST(1 AS DOUBLE)) * r.num,
+         |    1 + pow(CAST(0.5 AS DOUBLE),
+         |      CAST(date_diff('day', CAST(r.ts AS DATE), CAST(s.ts AS DATE))
+         |        AS DOUBLE) / CAST(1 AS DOUBLE)) * r.den
+         |  FROM r JOIN s ON s.user_id = r.user_id AND s.i = r.i + 1)
+         |SELECT event_id, round(num / den, 9) AS ewm_t
+         |FROM r ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import graft.operators.Recurrence
+      Recurrence.ewmIrregular(
+          Tables.events(s, dir).filter(col("user_id") < 10)
+            .select("user_id", "ts", "event_id", "value"),
+          "user_id", Seq("ts", "event_id"), "value", "ts", halflifeDays = 1.0)
+        .select(col("event_id"), round(col("ewm_t"), 9).as("ewm_t"))
+        .orderBy("event_id")
+    }
+
+    // Last-touch conversion attribution: each purchase attributes to
+    // the user's most recent view/click within 7 days (the as-of
+    // backward join with tolerance — operators.AsOfJoin composed, the
+    // marketing-analytics shape); unmatched purchases report as
+    // 'unattributed'. Oracle uses DuckDB's native ASOF JOIN.
+    q("q_attribution",
+      s"""WITH ev AS (SELECT * FROM ${Queries.EVENTS_SQL}),
+         |p AS (SELECT user_id, ts, event_id FROM ev
+         |  WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, ts, event_type AS channel FROM ev
+         |  WHERE event_type IN ('view', 'click')),
+         |j AS (SELECT p.event_id,
+         |    CASE WHEN p.ts - t.ts <= INTERVAL 7 DAY THEN t.channel END
+         |      AS channel
+         |  FROM p ASOF LEFT JOIN t
+         |    ON p.user_id = t.user_id AND p.ts >= t.ts),
+         |tot AS (SELECT count(*) AS n FROM p)
+         |SELECT coalesce(channel, 'unattributed') AS channel,
+         |  count(*) AS n_conversions,
+         |  round(CAST(count(*) AS DOUBLE) / CAST(min(tot.n) AS DOUBLE), 9)
+         |    + CAST(0 AS DOUBLE) AS share
+         |FROM j, tot GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val t = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts"), col("event_type").as("channel"))
+      val j = graft.operators.AsOfJoin.mergeAsOf(p, t, on = "ts",
+        by = Seq("user_id"), tolerance = Some(7.0 * 24 * 3600 * 1000000))
+      val tot = p.agg(count(lit(1)).as("n"))
+      j.select(coalesce(col("channel"), lit("unattributed")).as("channel"))
+        .groupBy("channel").agg(count(lit(1)).as("n_conversions"))
+        .crossJoin(broadcast(tot))
+        .select(col("channel"), col("n_conversions"),
+          (round(col("n_conversions").cast("double") / col("n").cast("double"),
+            9) + lit(0.0)).as("share"))
+        .orderBy("channel")
+    }
+
     q("q_resample_extra",
       s"""SELECT date_trunc('day', ts) AS day,
          |  round(var_samp(value), 9) AS day_var,

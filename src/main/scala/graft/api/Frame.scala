@@ -777,6 +777,19 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.Recurrence.ewm(df, keyCol, orderCols, valueCol,
       alpha, out))
 
+  /** Time-aware EWM over irregular observations (pandas
+    * ewm(halflife, times)): decay = 0.5^(Δdays/halflife) per step
+    * (operators.Recurrence.ewmIrregular). */
+  def ewmIrregular(keyCol: String, orderCols: Seq[String], valueCol: String,
+      tsCol: String, halflifeDays: Double, out: String = "ewm_t"): Frame =
+    keep(graft.operators.Recurrence.ewmIrregular(df, keyCol, orderCols,
+      valueCol, tsCol, halflifeDays, out))
+
+  /** χ² / Cramér's V / mutual-information association between two
+    * categorical columns (operators.Analytics.associationReport). */
+  def associationReport(aCol: String, bCol: String): Frame =
+    Frame(graft.operators.Analytics.associationReport(df, aCol, bCol))
+
   /** Exponentially-weighted bias-corrected variance/std per `keyCol`
     * (pandas ewm(alpha).var()/.std(), adjust=True, bias=False) — same
     * one-shuffle streaming-fold shape as [[ewm]]

@@ -83,6 +83,46 @@ object Analytics {
     agg.select(explode(array(rows: _*)).as("x")).select("x.*")
   }
 
+  /** Categorical association report between two columns: the full
+    * contingency grid (observed cells INCLUDING structural zeros via a
+    * margin cross join), Pearson χ², degrees of freedom, Cramér's V,
+    * and mutual information in nats (MI summed over observed cells —
+    * 0·ln0 = 0). One cell aggregate + two margin aggregates, all
+    * bounded by the category-pair cardinality; margins broadcast.
+    *
+    * Output (one row): chi2, dof, cramers_v, mi_nats, n_rows. */
+  def associationReport(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col(aCol)).agg(sum("o").as("rt"))
+    val ca = cells.groupBy(col(bCol)).agg(sum("o").as("ct"))
+    val grid = ra.select(col(aCol), col("rt"))
+      .crossJoin(broadcast(ca.select(col(bCol), col("ct"))))
+      .join(cells, Seq(aCol, bCol), "left")
+      .select(col("rt"), col("ct"), coalesce(col("o"), lit(0L)).as("o"))
+    val totals = cells.agg(sum("o").as("n"),
+      countDistinct(col(aCol)).as("na"), countDistinct(col(bCol)).as("nb"))
+    val nD = col("n").cast("double")
+    val e = col("rt").cast("double") * col("ct").cast("double") / nD
+    val oD = col("o").cast("double")
+    grid.crossJoin(broadcast(totals))
+      .agg(
+        sum((oD - e) * (oD - e) / e).as("__chi2"),
+        sum(when(col("o") > 0,
+          oD / nD * log(oD * nD
+            / (col("rt").cast("double") * col("ct").cast("double"))))
+          .otherwise(0.0)).as("__mi"),
+        first(col("n")).as("__n"), first(col("na")).as("__na"),
+        first(col("nb")).as("__nb"))
+      .select(
+        (round(col("__chi2"), 9) + lit(0.0)).as("chi2"),
+        ((col("__na") - 1) * (col("__nb") - 1)).cast("long").as("dof"),
+        (round(sqrt(col("__chi2") / (col("__n").cast("double")
+          * least(col("__na") - 1, col("__nb") - 1).cast("double"))), 9)
+          + lit(0.0)).as("cramers_v"),
+        (round(col("__mi"), 9) + lit(0.0)).as("mi_nats"),
+        col("__n").cast("long").as("n_rows"))
+  }
+
   /** Per-session ordered-subsequence pattern match (MATCH_RECOGNIZE-
     * lite): sessionize by `gapMinutes` inactivity, then test whether
     * each session's event-type sequence CONTAINS `stages` as an

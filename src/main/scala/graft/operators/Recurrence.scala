@@ -67,6 +67,57 @@ object Recurrence {
     }
   }
 
+  /** Append `out` = time-aware EWM over IRREGULAR observations
+    * (pandas `ewm(halflife=..., times=...)`, adjust=True): each step's
+    * decay is 0.5^(Δdays / halflifeDays) where Δdays is the
+    * calendar-day gap (UTC epoch days) to the previous observation of
+    * the key — a burst of same-day events barely decays, a month gap
+    * nearly resets. Same one-shuffle streaming-fold shape as [[ewm]].
+    *
+    * Replayability note: with integer halflifeDays and day-granular
+    * gaps the decay is an exact power of two (any correctly-rounded
+    * pow gives exact 2^-k), so a recursive-CTE oracle replays the fold
+    * bit-for-bit. */
+  def ewmIrregular(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, tsCol: String, halflifeDays: Double,
+      out: String = "ewm_t"): DataFrame = {
+    require(halflifeDays > 0, s"halflifeDays > 0, got $halflifeDays")
+    val sorted = df.repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+    val schema = sorted.schema.add(StructField(out, DoubleType))
+    implicit val enc = Encoders.row(schema)
+    val keyIdx = sorted.schema.fieldIndex(keyCol)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val tIdx = sorted.schema.fieldIndex(tsCol)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var started = false
+      var num = 0.0; var den = 0.0; var prevDay = 0L
+      it.map { r =>
+        val k = r.get(keyIdx)
+        if (!started || k != curKey) {
+          num = 0.0; den = 0.0; prevDay = Long.MinValue
+          curKey = k; started = true
+        }
+        val y: Any =
+          if (r.isNullAt(vIdx) || r.isNullAt(tIdx)) null
+          else {
+            val x = r.getAs[Number](vIdx).doubleValue()
+            val day = Math.floorDiv(
+              r.getAs[java.sql.Timestamp](tIdx).getTime, 86400000L)
+            val decay =
+              if (prevDay == Long.MinValue) 0.0
+              else math.pow(0.5, (day - prevDay).toDouble / halflifeDays)
+            num = x + decay * num
+            den = 1.0 + decay * den
+            prevDay = day
+            num / den
+          }
+        Row.fromSeq(r.toSeq :+ y)
+      }
+    }
+  }
+
   /** Append `outVar`/`outStd` = EWM(alpha, adjust=True) bias-corrected
     * variance and std of `valueCol` per `keyCol` (pandas
     * `ewm(alpha).var()` / `.std()`, bias=False). Four accumulators

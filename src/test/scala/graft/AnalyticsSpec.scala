@@ -94,6 +94,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(k2(1).getDouble(2) == 6.0 && k2(1).getBoolean(5))
   }
 
+  test("associationReport: independence gives zero, determinism gives full V") {
+    import spark.implicits._
+    // perfectly independent 2x2: every cell 25
+    val ind = (for (a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 0 until 25)
+      yield (a, b)).toDF("a", "b")
+    val r1 = Analytics.associationReport(ind, "a", "b").collect()(0)
+    assert(r1.getDouble(0) == 0.0 && r1.getLong(1) == 1L &&
+      r1.getDouble(2) == 0.0 && r1.getDouble(3) == 0.0 &&
+      r1.getLong(4) == 100L)
+    // perfectly dependent: a determines b -> chi2 = n, V = 1, MI = ln 2
+    val dep = (Seq.fill(50)(("x", "u")) ++ Seq.fill(50)(("y", "v")))
+      .toDF("a", "b")
+    val r2 = Analytics.associationReport(dep, "a", "b").collect()(0)
+    assert(r2.getDouble(0) == 100.0)
+    assert(r2.getDouble(2) == 1.0)
+    assert(math.abs(r2.getDouble(3) - math.log(2)) < 1e-9)
+  }
+
   test("jaroWinkler kernel: canonical values, boost threshold, edges") {
     import graft.functions.TextKernels.jaroWinkler
     def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)

@@ -109,6 +109,27 @@ class RecurrenceSpec extends SparkSpec {
     assert(math.abs(out((1L, 1L)).get - e) < 1e-12)
   }
 
+  test("ewmIrregular decays by calendar-day gaps (closed-form check)") {
+    import spark.implicits._
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // gaps: 0 days (same day), 2 days, 1 day
+    val rows = Seq(
+      (1L, ts(1, 8), 1L, 10.0), (1L, ts(1, 20), 2L, 20.0),
+      (1L, ts(3, 8), 3L, 30.0), (1L, ts(4, 8), 4L, 40.0))
+    val out = Recurrence.ewmIrregular(rows.toDF("k", "t", "i", "v"),
+        "k", Seq("t", "i"), "v", "t", halflifeDays = 1.0)
+      .select("i", "ewm_t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // closed form with weights prod of per-step decays
+    // i=1: 10. i=2: decay 0.5^0=1 -> (20 + 10)/2 = 15
+    // i=3: decay 0.5^2=0.25 -> num = 30 + 0.25*30 = 37.5; den = 1 + 0.25*2 = 1.5 -> 25
+    // i=4: decay 0.5 -> num = 40 + 18.75 = 58.75; den = 1 + 0.75 = 1.75
+    assert(out(1L) == 10.0)
+    assert(out(2L) == 15.0)
+    assert(out(3L) == 25.0)
+    assert(math.abs(out(4L) - 58.75 / 1.75) < 1e-12)
+  }
+
   test("asFreqFfill fills gaps forward on a dense day grid") {
     import spark.implicits._
     import graft.operators.TimeGrid
