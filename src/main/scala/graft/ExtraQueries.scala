@@ -1287,6 +1287,40 @@ object ExtraQueries {
         .orderBy("dist")
     }
 
+    // Jaro-Winkler-scored blocked entity pairs
+    // (operators.EntityMatch.fuzzyPairsJaro): the prefix-weighted
+    // linkage scorer beside the edit-distance form; same blocking, same
+    // oversized-block drop. Per-threshold-band pair counts.
+    q("q_fuzzy_jw",
+      """WITH p AS (SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] || '|' || CAST(length(p_name) AS VARCHAR)
+        |      AS blk
+        |  FROM part WHERE p_partkey % 10 = 0),
+        |pairs AS (SELECT
+        |    jaro_winkler_similarity(a.p_name, b.p_name) AS jw,
+        |    a.p_partkey AS id_a
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= CAST(0.85 AS DOUBLE))
+        |SELECT CASE WHEN jw >= CAST(0.95 AS DOUBLE) THEN 'high'
+        |            WHEN jw >= CAST(0.9 AS DOUBLE) THEN 'mid'
+        |            ELSE 'low' END AS band,
+        |  count(*) AS n_pairs,
+        |  CAST(count(DISTINCT id_a) AS BIGINT) AS n_left,
+        |  round(min(jw), 9) + CAST(0 AS DOUBLE) AS min_jw
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.EntityMatch
+      EntityMatch.fuzzyPairsJaro(
+          Tables.part(s, dir).filter(col("p_partkey") % 10 === 0),
+          "p_partkey", "p_name",
+          EntityMatch.tokenLengthBlock("p_name"), minSim = 0.85)
+        .groupBy(when(col("jw") >= 0.95, "high")
+          .when(col("jw") >= 0.9, "mid").otherwise("low").as("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("id_a").as("n_left"),
+          (round(min(col("jw")), 9) + lit(0.0)).as("min_jw"))
+        .orderBy("band")
+    }
+
     // k-anonymity governance report (operators.EntityMatch.kAnonymity):
     // every quasi-identifier equivalence class with its size and flag.
     q("q_k_anonymity",
@@ -1367,6 +1401,92 @@ object ExtraQueries {
           Tables.events(s, dir).filter(col("user_id") < 6),
           "user_id", "ts", "value", "event_id", unit = "day")
         .orderBy("user_id", "bucket")
+    }
+
+    // Linear time interpolation on the dense day grid (pandas
+    // resample().interpolate('linear') — operators.TimeGrid
+    // .interpolateLinear): interior gaps interpolate by exact
+    // microsecond fractions, trailing gaps ffill, leading stay NULL.
+    q("q_interpolate",
+      s"""WITH ev AS (SELECT * FROM ${Queries.EVENTS_SQL} WHERE user_id < 6),
+         |b AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,
+         |        date_trunc('day', max(ts)) AS d1 FROM ev GROUP BY 1),
+         |grid AS (SELECT user_id,
+         |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS bucket FROM b),
+         |obs AS (SELECT user_id, date_trunc('day', ts) AS bucket,
+         |    arg_max(value, CAST(epoch_ns(ts) AS HUGEINT) * 10000000000
+         |      + event_id) AS v FROM ev GROUP BY 1, 2),
+         |j AS (SELECT g.user_id, g.bucket, o.v
+         |  FROM grid g LEFT JOIN obs o USING (user_id, bucket)),
+         |t AS (SELECT user_id, bucket, v,
+         |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER wb AS pb,
+         |    last_value(v IGNORE NULLS) OVER wb AS pv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER wf AS nb,
+         |    first_value(v IGNORE NULLS) OVER wf AS nv
+         |  FROM j WINDOW
+         |    wb AS (PARTITION BY user_id ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wf AS (PARTITION BY user_id ORDER BY bucket
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, bucket,
+         |  round(CASE WHEN v IS NOT NULL THEN v
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |      pv + (nv - pv)
+         |        * (CAST(epoch_ns(bucket)//1000 - epoch_ns(pb)//1000 AS DOUBLE)
+         |          / CAST(epoch_ns(nb)//1000 - epoch_ns(pb)//1000 AS DOUBLE))
+         |    WHEN pv IS NOT NULL THEN pv END, 9) + CAST(0 AS DOUBLE)
+         |    AS value_li,
+         |  v IS NOT NULL AS observed
+         |FROM t ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+      import graft.operators.TimeGrid
+      TimeGrid.interpolateLinear(
+          Tables.events(s, dir).filter(col("user_id") < 6),
+          "user_id", "ts", "value", "event_id", unit = "day")
+        .select(col("user_id"), col("bucket"),
+          (round(col("value_li"), 9) + lit(0.0)).as("value_li"),
+          col("observed"))
+        .orderBy("user_id", "bucket")
+    }
+
+    // pandas between_time: rows whose time-of-day falls in a window.
+    q("q_between_time",
+      s"""SELECT event_type, count(*) AS n
+         |FROM ${Queries.EVENTS_SQL}
+         |WHERE hour(ts) * 3600 + minute(ts) * 60 + CAST(second(ts) AS INTEGER)
+         |    >= 9 * 3600 + 15 * 60
+         |  AND hour(ts) * 3600 + minute(ts) * 60 + CAST(second(ts) AS INTEGER)
+         |    < 17 * 3600
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.api.Frame(Tables.events(s, dir))
+        .betweenTime("ts", "09:15", "17:00")
+        .toDF
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }
+
+    // pandas groupby.nth(2): the 3rd row of each group in key order —
+    // via the bounded graft_top_k aggregate (k = 3 smallest per group,
+    // take the last), NOT a rank window over a corpus-sized group (the
+    // round-12 funnel rule).
+    q("q_group_nth",
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus, o_orderkey, o_totalprice
+        |FROM r WHERE rn = 3 ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      functions.GraftFunctions.register(s)
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(expr("graft_top_k(struct(o_orderkey, o_totalprice), 3, true)")
+          .as("__top"))
+        .filter(size(col("__top")) >= 3)
+        .select(col("o_orderstatus"),
+          col("__top").getItem(2).getField("o_orderkey").as("o_orderkey"),
+          col("__top").getItem(2).getField("o_totalprice").as("o_totalprice"))
+        .orderBy("o_orderstatus")
     }
 
     // EWM (pandas ewm(alpha).mean(), adjust=True) — a keyed sequential

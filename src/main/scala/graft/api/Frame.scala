@@ -777,6 +777,28 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.Recurrence.ewm(df, keyCol, orderCols, valueCol,
       alpha, out))
 
+  /** pandas between_time: rows whose time-of-day lies in
+    * [`from`, `until`) — "HH:MM" or "HH:MM:SS" strings, second
+    * granularity. A map-only filter. */
+  def betweenTime(tsCol: String, from: String, until: String): Frame = {
+    def secs(s: String): Int = {
+      val p = s.split(":")
+      require(p.length >= 2 && p.length <= 3, s"time must be HH:MM[:SS], got $s")
+      p(0).toInt * 3600 + p(1).toInt * 60 + (if (p.length > 2) p(2).toInt else 0)
+    }
+    val tod = hour(col(tsCol)) * 3600 + minute(col(tsCol)) * 60 +
+      second(col(tsCol)).cast("int")
+    keep(df.filter(tod >= secs(from) && tod < secs(until)))
+  }
+
+  /** Linear interpolation on the dense `unit` grid per key (pandas
+    * resample(unit).interpolate('linear');
+    * operators.TimeGrid.interpolateLinear). */
+  def interpolate(keyCol: String, tsCol: String, valueCol: String,
+      tieCol: String, unit: String = "day"): Frame =
+    Frame(graft.operators.TimeGrid.interpolateLinear(df, keyCol, tsCol,
+      valueCol, tieCol, unit))
+
   /** Time-aware EWM over irregular observations (pandas
     * ewm(halflife, times)): decay = 0.5^(Δdays/halflife) per step
     * (operators.Recurrence.ewmIrregular). */

@@ -61,6 +61,36 @@ object EntityMatch {
       .drop("__blk")
   }
 
+  /** As [[fuzzyPairs]] but scored with Jaro-Winkler similarity ≥
+    * `minSim` (functions.JaroWinkler kernel) instead of edit distance —
+    * the record-linkage scorer of choice for short names, where shared
+    * prefixes matter more than raw edits. Same blocking, same
+    * oversized-block drop discipline. Output keeps the score as `jw`. */
+  def fuzzyPairsJaro(df: DataFrame, idCol: String, nameCol: String,
+      block: Column, minSim: Double, maxBlockSize: Long = 0L): DataFrame = {
+    require(minSim > 0 && minSim <= 1, s"minSim in (0,1], got $minSim")
+    val blocked = dropOversized(
+      df.select(col(idCol), col(nameCol), block.as("__blk")), maxBlockSize)
+    val a = blocked.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      col("__blk"))
+    val b = blocked.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      col("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", graft.functions.JaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("jw") >= minSim)
+      .drop("__blk")
+  }
+
+  private def dropOversized(blocked0: DataFrame, maxBlockSize: Long): DataFrame =
+    if (maxBlockSize <= 0) blocked0
+    else {
+      val oversized = blocked0.groupBy("__blk")
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBlockSize)
+      blocked0.join(broadcast(oversized.select("__blk")), Seq("__blk"),
+        "left_anti")
+    }
+
   /** First-token + exact-length blocking — the default for word-list
     * style names. */
   def tokenLengthBlock(nameCol: String): Column =

@@ -62,6 +62,49 @@ object TimeGrid {
       .drop("__test_start", "__embargo_start")
   }
 
+  /** Dense `unit` grid per key with LINEAR interpolation between
+    * observations (pandas `resample(unit).interpolate('linear')`
+    * semantics on the bucket grid): observed buckets keep their value,
+    * interior gaps interpolate between the straddling observations by
+    * bucket-time fraction, trailing gaps carry the last value forward,
+    * leading gaps are NULL. Same key-partitioned plan as
+    * [[asFreqFfill]] plus one backward window (first following
+    * observation); fractions are ratios of exact microsecond integers,
+    * so any engine replays them bit-for-bit.
+    *
+    * Output: keyCol, bucket, value_li, observed. */
+  def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String, unit: String = "day"): DataFrame = {
+    val step = expr(s"interval 1 $unit")
+    val bounds = df.groupBy(keyCol).agg(
+      date_trunc(unit, min(col(tsCol))).as("__d0"),
+      date_trunc(unit, max(col(tsCol))).as("__d1"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(col("__d0"), col("__d1"), step)).as("bucket"))
+    val obs = df.groupBy(col(keyCol), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(max_by(col(valueCol), struct(col(tsCol), col(tieCol))).as("__v"))
+    val wb = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .withColumn("__o",
+        when(col("__v").isNotNull, struct(col("bucket").as("b"), col("__v").as("v"))))
+      .withColumn("__p", last(col("__o"), ignoreNulls = true).over(wb))
+      .withColumn("__n", first(col("__o"), ignoreNulls = true).over(wf))
+    val pb = col("__p.b"); val pv = col("__p.v")
+    val nb = col("__n.b"); val nv = col("__n.v")
+    val frac = (unix_micros(col("bucket")) - unix_micros(pb)).cast("double") /
+      (unix_micros(nb) - unix_micros(pb)).cast("double")
+    tagged.select(col(keyCol), col("bucket"),
+      when(col("__v").isNotNull, col("__v"))
+        .when(col("__p").isNotNull && col("__n").isNotNull,
+          pv + (nv - pv) * frac)
+        .when(col("__p").isNotNull, pv)
+        .as("value_li"),
+      col("__v").isNotNull.as("observed"))
+  }
+
   def asFreqFfill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieCol: String, unit: String = "day"): DataFrame = {
     val step = expr(s"interval 1 $unit")

@@ -130,6 +130,30 @@ class RecurrenceSpec extends SparkSpec {
     assert(math.abs(out(4L) - 58.75 / 1.75) < 1e-12)
   }
 
+  test("interpolateLinear: interior linear, trailing ffill, leading NULL") {
+    import spark.implicits._
+    import graft.operators.TimeGrid
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // key 1 observes days 2, 5, 6; grid spans 2..6
+    val df = Seq((1L, ts(2), 10.0, 1L), (1L, ts(5), 40.0, 2L),
+      (1L, ts(6), 0.0, 3L)).toDF("k", "t", "v", "id")
+    val out = TimeGrid.interpolateLinear(df, "k", "t", "v", "id")
+      .orderBy("bucket").collect()
+      .map(r => r.getTimestamp(1).toString.take(10) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      "2024-01-02" -> (Some(10.0), true),
+      "2024-01-03" -> (Some(20.0), false),  // 10 + 30 * 1/3
+      "2024-01-04" -> (Some(30.0), false),  // 10 + 30 * 2/3
+      "2024-01-05" -> (Some(40.0), true),
+      "2024-01-06" -> (Some(0.0), true)))
+    // key with a single observation: the one bucket, observed
+    val one = TimeGrid.interpolateLinear(
+      Seq((9L, ts(4), 7.0, 1L)).toDF("k", "t", "v", "id"), "k", "t", "v", "id")
+      .collect()
+    assert(one.length == 1 && one(0).getDouble(2) == 7.0)
+  }
+
   test("asFreqFfill fills gaps forward on a dense day grid") {
     import spark.implicits._
     import graft.operators.TimeGrid
