@@ -1450,6 +1450,33 @@ object ExtraQueries {
         .orderBy("user_id", "bucket")
     }
 
+    // Per-group median imputation (Frame.fillnaByGroup — pandas
+    // groupby().transform fillna): nulls synthesized deterministically,
+    // filled with the group's exact median; one grouped stat join.
+    q("q_impute_group",
+      s"""WITH ev AS (SELECT event_type,
+         |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+         |  FROM ${Queries.EVENTS_SQL}),
+         |m AS (SELECT event_type, median(v) AS med FROM ev GROUP BY 1),
+         |f AS (SELECT e.event_type, coalesce(v, med) AS v2, v IS NULL AS imp
+         |  FROM ev e JOIN m USING (event_type))
+         |SELECT event_type, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN imp THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+         |  round(avg(v2), 9) + CAST(0 AS DOUBLE) AS mean_imputed
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))
+          .as("v"))
+        .withColumn("imp", col("v").isNull)
+      graft.api.Frame(ev).fillnaByGroup("v", "event_type", "median")
+        .toDF
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("imp"), 1).otherwise(0)).cast("long").as("n_imputed"),
+          (round(avg(col("v")), 9) + lit(0.0)).as("mean_imputed"))
+        .orderBy("event_type")
+    }
+
     // pandas between_time: rows whose time-of-day falls in a window.
     q("q_between_time",
       s"""SELECT event_type, count(*) AS n

@@ -777,6 +777,28 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     keep(graft.operators.Recurrence.ewm(df, keyCol, orderCols, valueCol,
       alpha, out))
 
+  /** Per-group null imputation (pandas
+    * `groupby(g)[v].transform(lambda s: s.fillna(s.mean()/median()))`):
+    * nulls in `valueCol` are replaced by the group's mean or exact
+    * median of the NON-null values. One grouped aggregate broadcast
+    * back — no per-group buffering, no window. */
+  def fillnaByGroup(valueCol: String, groupCol: String,
+      strategy: String = "mean"): Frame = {
+    val agg = strategy match {
+      case "mean" => F.avg(col(valueCol))
+      case "median" => F.median(col(valueCol))
+      case other => throw new IllegalArgumentException(
+        s"fillnaByGroup strategy must be mean|median, got $other")
+    }
+    // plain join: the stat table is one row per group but group
+    // cardinality isn't bounded by construction — AQE broadcasts when
+    // it measures small
+    val stats = df.groupBy(col(groupCol)).agg(agg.as("__fill"))
+    keep(df.join(stats, Seq(groupCol), "left")
+      .withColumn(valueCol, coalesce(col(valueCol), col("__fill")))
+      .drop("__fill"))
+  }
+
   /** pandas between_time: rows whose time-of-day lies in
     * [`from`, `until`) — "HH:MM" or "HH:MM:SS" strings, second
     * granularity. A map-only filter. */

@@ -389,6 +389,33 @@ object StreamOps {
       }
   }
 
+  /** Streaming latest-state upsert view (the CDC "materialized latest
+    * row per key" pattern): each micro-batch emits, for every key WITH
+    * new data, the current latest (version ts, value) after folding the
+    * batch — later-ts wins, ties broken by the larger tie id (the
+    * deterministic max_by(struct) convention). One (ts, tie, value)
+    * triple of state per key; keys absent from a batch emit nothing
+    * (Append-mode contract, same as streamingDomainCap).
+    * Output: (key, ts, tie, value, n_versions_seen). */
+  def streamingLatestState(
+      rows: Dataset[(String, Long, Long, Double)], // (key, tsMicros, tie, value)
+      ): Dataset[(String, Long, Long, Double, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double, Long),
+          (String, Long, Long, Double, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (key, it, state: GroupState[(Long, Long, Double, Long)]) =>
+          var (ts, tie, v, n) = state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0.0, 0L))
+          it.foreach { case (_, t2, i2, v2) =>
+            n += 1
+            if (t2 > ts || (t2 == ts && i2 > tie)) { ts = t2; tie = i2; v = v2 }
+          }
+          state.update((ts, tie, v, n))
+          Iterator.single((key, ts, tie, v, n))
+      }
+  }
+
   /** Streaming vector search: incoming query vectors probe a static
     * IVF-celled corpus — the online form of
     * [[graft.operators.Clustering.ivfTopK]]. Cell assignment for each

@@ -780,4 +780,33 @@ class StreamingSpec extends SparkSpec {
       assert(bCandSet == gotCands, s"batch $bCandSet vs stream $gotCands")
     } finally { qa.stop(); qc.stop(); index.unpersist() }
   }
+
+  test("streamingLatestState: latest row per key survives batches, idle keys silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long, Double)]
+    val out = StreamOps.streamingLatestState(in.toDS())
+    val q = out.toDF().toDF("key", "ts", "tie", "value", "n")
+      .writeStream.format("memory").queryName("latest_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("k1", 100L, 1L, 1.0), ("k1", 200L, 2L, 2.0),
+        ("k2", 50L, 3L, 9.0))
+      q.processAllAvailable()
+      // batch 2: k1 gets an OLDER row (must not win) and a same-ts row
+      // with a larger tie (must win); k2 is idle
+      in.addData(("k1", 150L, 4L, 7.0), ("k1", 200L, 5L, 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("latest_stream").collect()
+        .map(r => (r.getString(0), r.getLong(4)) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(rows(("k1", 2L)) == ((200L, 2L, 2.0)))  // after batch 1
+      assert(rows(("k2", 1L)) == ((50L, 3L, 9.0)))
+      assert(rows(("k1", 4L)) == ((200L, 5L, 8.0)))  // tie id 5 wins
+      // k2 emitted exactly once (idle in batch 2)
+      assert(spark.table("latest_stream")
+        .filter(col("key") === "k2").count() == 1L)
+    } finally q.stop()
+  }
 }
