@@ -1477,19 +1477,29 @@ object ExtraQueries {
         .orderBy("event_type")
     }
 
-    // pandas between_time: rows whose time-of-day falls in a window.
+    // pandas between_time: rows whose time-of-day falls in a window —
+    // inclusive-both endpoints (the pandas default) plus the overnight
+    // wrap-around form ("22:00"→"04:00") in one result.
     q("q_between_time",
-      s"""SELECT event_type, count(*) AS n
-         |FROM ${Queries.EVENTS_SQL}
-         |WHERE hour(ts) * 3600 + minute(ts) * 60 + CAST(second(ts) AS INTEGER)
-         |    >= 9 * 3600 + 15 * 60
-         |  AND hour(ts) * 3600 + minute(ts) * 60 + CAST(second(ts) AS INTEGER)
-         |    < 17 * 3600
-         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      graft.api.Frame(Tables.events(s, dir))
-        .betweenTime("ts", "09:15", "17:00")
-        .toDF
-        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      s"""WITH e AS (SELECT event_type,
+         |    hour(ts) * 3600 + minute(ts) * 60 + CAST(second(ts) AS INTEGER)
+         |      AS tod
+         |  FROM ${Queries.EVENTS_SQL})
+         |SELECT event_type,
+         |  CAST(sum(CASE WHEN tod >= 9 * 3600 + 15 * 60 AND tod <= 17 * 3600
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_day,
+         |  CAST(sum(CASE WHEN tod >= 22 * 3600 OR tod <= 4 * 3600
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_overnight
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val day = graft.api.Frame(ev).betweenTime("ts", "09:15", "17:00")
+        .toDF.groupBy("event_type").agg(count(lit(1)).as("n_day"))
+      val night = graft.api.Frame(ev).betweenTime("ts", "22:00", "04:00")
+        .toDF.groupBy("event_type").agg(count(lit(1)).as("n_overnight"))
+      day.join(night, Seq("event_type"), "full")
+        .select(col("event_type"),
+          coalesce(col("n_day"), lit(0L)).as("n_day"),
+          coalesce(col("n_overnight"), lit(0L)).as("n_overnight"))
         .orderBy("event_type")
     }
 

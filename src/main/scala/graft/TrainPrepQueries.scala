@@ -1041,8 +1041,10 @@ object TrainPrepQueries {
         .select(explode(graft.functions.ShingleHashes(
           col("text"), 8, 15, dedup = true)).as("h"))
         .distinct().collect().map(_.getLong(0)).toSet
-      val contaminated = udf((hs: Seq[Long]) =>
-        hs != null && hs.exists(benchGrams.contains))
+      // codegen'd set probe (same pattern as bandRecall / decontam
+      // union) — no serialized closure, the tiny gram set rides as an
+      // array literal
+      val benchGramsLit = typedLit(benchGrams.toSeq.sorted)
       val wClique = Window.partitionBy(md5(col("text")))
       val wBudget = Window.partitionBy("source").orderBy("__pr", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1051,8 +1053,9 @@ object TrainPrepQueries {
         .withColumn("__dup", coalesce(col("__qr").isNull &&
           col("doc_id") =!= min(when(col("__qr").isNull, col("doc_id")))
             .over(wClique), lit(false)))
-        .withColumn("__cont", contaminated(graft.functions.ShingleHashes(
-          col("text"), 8, 15, dedup = true)))
+        .withColumn("__cont", coalesce(arrays_overlap(
+          graft.functions.ShingleHashes(col("text"), 8, 15, dedup = true),
+          benchGramsLit), lit(false)))
         .withColumn("__pr", md5(col("doc_id").cast("string").cast("binary")))
         .withColumn("__cum", sum(
           when(col("__qr").isNull && !col("__dup") && !col("__cont"),

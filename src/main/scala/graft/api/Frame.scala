@@ -734,9 +734,11 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * length blocking default). `maxBlockSize` is the quadratic-verify
     * guard every blocked operator ships with: blocks above the cap are
     * dropped before pairing (one skewed block otherwise owns a
-    * quadratic share of the work at scale). Pass 0 to disable. */
+    * quadratic share of the work at scale). Default 0 = disabled
+    * (complete results, same as `fuzzyPairsJaro` and the operator
+    * default) — set a cap explicitly on skew-prone corpora. */
   def fuzzyPairs(nameCol: String, maxDist: Int,
-      maxBlockSize: Long = 10000L): Frame =
+      maxBlockSize: Long = 0L): Frame =
     Frame(graft.operators.EntityMatch.fuzzyPairs(df, idx, nameCol,
       graft.operators.EntityMatch.tokenLengthBlock(nameCol), maxDist,
       maxBlockSize))
@@ -799,18 +801,33 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       .drop("__fill"))
   }
 
-  /** pandas between_time: rows whose time-of-day lies in
-    * [`from`, `until`) — "HH:MM" or "HH:MM:SS" strings, second
-    * granularity. A map-only filter. */
-  def betweenTime(tsCol: String, from: String, until: String): Frame = {
+  /** pandas between_time: rows whose time-of-day lies in the window —
+    * "HH:MM" or "HH:MM:SS" strings, second granularity. Matches pandas
+    * semantics: `inclusive` is one of both|left|right|neither (pandas
+    * default "both"), and `from` > `until` wraps around midnight (e.g.
+    * "22:00"→"04:00" keeps the overnight window). A map-only filter. */
+  def betweenTime(tsCol: String, from: String, until: String,
+      inclusive: String = "both"): Frame = {
     def secs(s: String): Int = {
       val p = s.split(":")
       require(p.length >= 2 && p.length <= 3, s"time must be HH:MM[:SS], got $s")
       p(0).toInt * 3600 + p(1).toInt * 60 + (if (p.length > 2) p(2).toInt else 0)
     }
+    val (incL, incR) = inclusive match {
+      case "both"    => (true, true)
+      case "left"    => (true, false)
+      case "right"   => (false, true)
+      case "neither" => (false, false)
+      case other => throw new IllegalArgumentException(
+        s"inclusive must be both|left|right|neither, got $other")
+    }
     val tod = hour(col(tsCol)) * 3600 + minute(col(tsCol)) * 60 +
       second(col(tsCol)).cast("int")
-    keep(df.filter(tod >= secs(from) && tod < secs(until)))
+    val f = secs(from); val u = secs(until)
+    val lo = if (incL) tod >= f else tod > f
+    val hi = if (incR) tod <= u else tod < u
+    // from > until = the pandas overnight wrap: OR instead of AND
+    keep(df.filter(if (f <= u) lo && hi else lo || hi))
   }
 
   /** Linear interpolation on the dense `unit` grid per key (pandas

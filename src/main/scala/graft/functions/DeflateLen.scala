@@ -51,19 +51,26 @@ case class DeflateLen(child: Expression, level: Int) extends UnaryExpression {
 
 object DeflateLen {
 
+  // one reusable native Deflater per (thread, level) — reset() between
+  // rows instead of alloc/end churn on every document (bounded native
+  // state: ≤9 deflaters per executor thread, freed with the thread)
+  private val perThread = new ThreadLocal[Array[Deflater]] {
+    override def initialValue(): Array[Deflater] = new Array[Deflater](10)
+  }
+
   /** Compressed length of the UTF-8 bytes at the given level (raw
     * DEFLATE stream incl. the zlib header/trailer the JDK emits). */
   def compute(s: UTF8String, level: Int): Long = {
-    val bytes = s.getBytes
-    val d = new Deflater(level)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val pool = perThread.get()
+    var d = pool(level)
+    if (d == null) { d = new Deflater(level); pool(level) = d }
+    else d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 
   /** Column surface; registers the SQL function on the active session

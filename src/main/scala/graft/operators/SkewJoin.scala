@@ -82,7 +82,10 @@ object SkewJoin {
     require(Set("inner", "left_semi", "leftsemi", "semi").contains(joinType),
       s"bloomPrunedJoin supports inner/left_semi, got $joinType")
     val bytes = bloomFilterBytes(small, smallKey, expectedItems, bits)
-    val pruned = big.filter(bloomMightContain(bytes, col(bigKey)))
-    pruned.join(small, col(bigKey) === col(smallKey), joinType)
+    // alias both sides so the predicate resolves even when bigKey and
+    // smallKey share a name (the common natural-key case)
+    val pruned = big.filter(bloomMightContain(bytes, col(bigKey))).as("__bp_b")
+    pruned.join(small.as("__bp_s"),
+      col(s"__bp_b.$bigKey") === col(s"__bp_s.$smallKey"), joinType)
   }
 }

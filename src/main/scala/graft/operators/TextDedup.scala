@@ -1212,9 +1212,11 @@ object TextDedup {
     // array — it serves BOTH the prefix stream and the verify sets, so
     // the shingle explode + df join run once, not three times (measured
     // 6.1 s → ~2 s at sf0.1), and there is no per-doc window at all.
-    // Arrays are bounded by the doc's element count; the lazy local
-    // checkpoint pins the 1-row-per-doc frame so the self-join's two
-    // sides and the verify joins all read the materialized form.
+    // Arrays are bounded by the doc's element count. The 1-row-per-doc
+    // frame is recomputed per consumer by design: pinning it via
+    // localCheckpoint measured SLOWER than recompute for array-heavy
+    // frames (round-12 A/B), so the subtree is left to Spark's own
+    // ReusedExchange where plans allow.
     val perDoc = toks.join(dfreq, "tok")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("dl"))

@@ -253,4 +253,47 @@ class OperatorEdgeSpec extends SparkSpec {
         joinType = "left_outer")
     }.getMessage.contains("inner/left_semi"))
   }
+
+  test("bloomPrunedJoin resolves when both sides share the key name") {
+    import spark.implicits._
+    val big = (0L until 100L).map(k => (k, k * 2)).toDF("k", "payload")
+    val small = Seq((3L, "x"), (7L, "y")).toDF("k", "tag")
+    val got = graft.operators.SkewJoin.bloomPrunedJoin(big, "k", small, "k")
+      .select("payload", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((6L, "x"), (14L, "y")))
+    // semi form too: only big-side columns survive
+    val semi = graft.operators.SkewJoin
+      .bloomPrunedJoin(big, "k", small, "k", joinType = "left_semi")
+    assert(semi.columns.toSeq == Seq("k", "payload"))
+    assert(semi.select("k").as[Long].collect().toSet == Set(3L, 7L))
+  }
+
+  test("betweenTime matches pandas inclusive-both and wraps overnight") {
+    import spark.implicits._
+    val rows = Seq(
+      ("2024-01-01 09:14:59", "pre"),
+      ("2024-01-01 09:15:00", "lo_edge"),
+      ("2024-01-01 12:00:00", "mid"),
+      ("2024-01-01 17:00:00", "hi_edge"),
+      ("2024-01-01 17:00:01", "post"),
+      ("2024-01-01 23:30:00", "night"),
+      ("2024-01-01 04:00:00", "dawn_edge"),
+      ("2024-01-01 04:00:01", "after_dawn"))
+      .toDF("s", "tag").withColumn("ts", to_timestamp(col("s")))
+    def tags(from: String, until: String, inc: String = "both") =
+      graft.api.Frame(rows).betweenTime("ts", from, until, inc)
+        .toDF.select("tag").as[String].collect().toSet
+    // pandas default: inclusive on both endpoints
+    assert(tags("09:15", "17:00") == Set("lo_edge", "mid", "hi_edge"))
+    assert(tags("09:15", "17:00", "left") == Set("lo_edge", "mid"))
+    assert(tags("09:15", "17:00", "right") == Set("mid", "hi_edge"))
+    assert(tags("09:15", "17:00", "neither") == Set("mid"))
+    // from > until wraps around midnight, pandas between_time style
+    assert(tags("22:00", "04:00") == Set("night", "dawn_edge"))
+    assert(tags("22:00", "04:00", "left") == Set("night"))
+    assert(intercept[IllegalArgumentException] {
+      tags("09:00", "10:00", "nope")
+    }.getMessage.contains("inclusive"))
+  }
 }
