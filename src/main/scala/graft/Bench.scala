@@ -75,21 +75,64 @@ object Bench {
       sys.exit(2)
     }
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
+
+    // Contention sentinel: a fixed constant-cost probe (one scheduled
+    // stage over a synthesized range — no IO, no cache, ~60 ms clean)
+    // interleaved through the timed phase. Its spread is a box-noise
+    // index that travels WITH the capture: three rounds running the
+    // official BENCH was contention-poisoned with no in-band way to
+    // tell (r12: five queries 3-14x their clean cost in every rep).
+    def runProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 20).selectExpr("sum(id) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+
     val cold = names.map(runOnce).sum
     spark.catalog.clearCache()
+    runProbe() // JIT the probe plan itself before sampling it
     // reps back-to-back per query, not reps full passes: a contention
     // burst lasting seconds would distort one whole pass; here it can
     // only hit one or two reps of a few queries, and the median drops it.
-    val samples: Seq[(String, Seq[Double])] = names.map { name =>
-      val ts = (1 to reps).map { _ =>
+    def sampleOne(name: String): Seq[Double] =
+      (1 to reps).map { _ =>
         val t = runOnce(name); spark.catalog.clearCache(); t
-      }
-      name -> ts.sorted
+      }.sorted
+    val firstPass: Seq[(String, Seq[Double])] = names.zipWithIndex.map {
+      case (name, i) =>
+        if (i % 8 == 0) probeTimes += runProbe()
+        name -> sampleOne(name)
     }
+    // A rep spread far above the query's own floor means the capture of
+    // THAT query was contended. Re-run it once (the burst has usually
+    // passed by the end of the sweep), keep the better (lower-median)
+    // sample set, and flag it `contended` if even the re-run is noisy —
+    // so driver/builder/judge captures become comparable.
+    def noisy(ts: Seq[Double]): Boolean =
+      ts.last - ts.head > 0.25 && ts.last > ts.head * 1.5
+    val samples: Seq[(String, Seq[Double], Boolean)] = firstPass.map {
+      case (name, ts) =>
+        if (!noisy(ts)) (name, ts, false)
+        else {
+          val retry = sampleOne(name)
+          val best = if (retry(retry.size / 2) < ts(ts.size / 2)) retry else ts
+          (name, best, noisy(best))
+        }
+    }
+    probeTimes += runProbe()
     def median(ts: Seq[Double]): Double = ts(ts.size / 2) // ts sorted, odd reps exact
-    val results = samples.map { case (n, ts) => n -> median(ts) }
-    val mins = samples.map { case (_, ts) => ts.head }
-    val spread = samples.map { case (_, ts) => ts.last - ts.head }
+    val results = samples.map { case (n, ts, _) => n -> median(ts) }
+    val mins = samples.map { case (_, ts, _) => ts.head }
+    val spread = samples.map { case (_, ts, _) => ts.last - ts.head }
+    val contended = samples.collect { case (n, _, true) => n }
+    val pSorted = probeTimes.toSeq.sorted
+    // normalized probe spread: 0 on a quiet box; >1 means the probe
+    // itself doubled under load somewhere in the sweep
+    val noiseIndex =
+      if (pSorted.isEmpty || pSorted.head <= 0) 0.0
+      else (pSorted.last - pSorted.head) / median(pSorted)
 
     // The round driver captures only a bounded (~4 KB) tail of stdout; a
     // full per-query map over 140+ queries is ~3.5 KB and, together with
@@ -107,10 +150,12 @@ object Bench {
     val disp = spread.sum
     def jmapN(rs: Seq[(String, Seq[Double])], pick: Seq[Double] => Double): String =
       jmap(rs.map { case (k, ts) => k -> pick(ts) })
+    def jlist(ns: Seq[String]): String =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stats =
-      s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size}"""
+      s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size},"noise_index":${f(noiseIndex)},"probe_sec":${jmap(Seq("min" -> pSorted.head, "median" -> median(pSorted), "max" -> pSorted.last))},"n_contended":${contended.size}"""
     val full =
-      s"""{"metric":"total",$stats,"queries":${jmap(results)},"queries_min":${jmapN(samples, _.head)},"queries_max":${jmapN(samples, _.last)},"sf":"$sfDir"}"""
+      s"""{"metric":"total",$stats,"contended":${jlist(contended)},"queries":${jmap(results)},"queries_min":${jmapN(samples.map(s => (s._1, s._2)), _.head)},"queries_max":${jmapN(samples.map(s => (s._1, s._2)), _.last)},"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
     println(full) // early line: full detail for anyone reading the whole log
@@ -130,8 +175,10 @@ object Bench {
       "q_video_meta", "q_pii_redact", "q_categorical_ops", "q_bigram_lm")
     val byName = results.toMap
     val head = headline.flatMap(n => byName.get(n).map(n -> _))
+    // headline (driver-parsed, bounded) line: cap the contended list so
+    // a fully-poisoned capture can't overflow the driver's stdout tail
     println(
-      s"""{"metric":"total",$stats,"full":"${fullPath}","queries":${jmap(head)},"sf":"$sfDir"}""")
+      s"""{"metric":"total",$stats,"contended":${jlist(contended.take(12))},"full":"${fullPath}","queries":${jmap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
