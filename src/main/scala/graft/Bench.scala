@@ -112,10 +112,12 @@ object Bench {
     // so driver/builder/judge captures become comparable.
     def noisy(ts: Seq[Double]): Boolean =
       ts.last - ts.head > 0.25 && ts.last > ts.head * 1.5
+    var nRetried = 0
     val samples: Seq[(String, Seq[Double], Boolean)] = firstPass.map {
       case (name, ts) =>
         if (!noisy(ts)) (name, ts, false)
         else {
+          nRetried += 1
           val retry = sampleOne(name)
           val best = if (retry(retry.size / 2) < ts(ts.size / 2)) retry else ts
           (name, best, noisy(best))
@@ -153,7 +155,7 @@ object Bench {
     def jlist(ns: Seq[String]): String =
       ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stats =
-      s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size},"noise_index":${f(noiseIndex)},"probe_sec":${jmap(Seq("min" -> pSorted.head, "median" -> median(pSorted), "max" -> pSorted.last))},"n_contended":${contended.size}"""
+      s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size},"noise_index":${f(noiseIndex)},"probe_sec":${jmap(Seq("min" -> pSorted.head, "median" -> median(pSorted), "max" -> pSorted.last))},"n_contended":${contended.size},"n_retried":$nRetried"""
     val full =
       s"""{"metric":"total",$stats,"contended":${jlist(contended)},"queries":${jmap(results)},"queries_min":${jmapN(samples.map(s => (s._1, s._2)), _.head)},"queries_max":${jmapN(samples.map(s => (s._1, s._2)), _.last)},"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath

@@ -1496,7 +1496,11 @@ object ExtraQueries {
         .toDF.groupBy("event_type").agg(count(lit(1)).as("n_day"))
       val night = graft.api.Frame(ev).betweenTime("ts", "22:00", "04:00")
         .toDF.groupBy("event_type").agg(count(lit(1)).as("n_overnight"))
-      day.join(night, Seq("event_type"), "full")
+      // anchor on ALL event types (the oracle groups the whole table, so
+      // a type with zero rows in both windows must still appear as (0,0))
+      ev.select(col("event_type")).distinct()
+        .join(day, Seq("event_type"), "left")
+        .join(night, Seq("event_type"), "left")
         .select(col("event_type"),
           coalesce(col("n_day"), lit(0L)).as("n_day"),
           coalesce(col("n_overnight"), lit(0L)).as("n_overnight"))

@@ -736,7 +736,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * dropped before pairing (one skewed block otherwise owns a
     * quadratic share of the work at scale). Default 0 = disabled
     * (complete results, same as `fuzzyPairsJaro` and the operator
-    * default) — set a cap explicitly on skew-prone corpora. */
+    * default) — set a cap explicitly on skew-prone corpora.
+    *
+    * CHANGED (r13): the default was 10000; it is now 0 so default
+    * results are complete. Existing callers relying on the implicit
+    * guard must now pass it. If an uncapped run is slow, diagnose with
+    * `skewReport` on the blocking key (first-token + length here) —
+    * a top block owning ≫1/n_blocks of the rows is the signature. */
   def fuzzyPairs(nameCol: String, maxDist: Int,
       maxBlockSize: Long = 0L): Frame =
     Frame(graft.operators.EntityMatch.fuzzyPairs(df, idx, nameCol,

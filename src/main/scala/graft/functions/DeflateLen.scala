@@ -64,12 +64,15 @@ object DeflateLen {
     val pool = perThread.get()
     var d = pool(level)
     if (d == null) { d = new Deflater(level); pool(level) = d }
-    else d.reset()
     d.setInput(s.getBytes)
     d.finish()
     val buf = new Array[Byte](8192)
     var total = 0L
     while (!d.finished()) total += d.deflate(buf)
+    // reset NOW (not lazily on the next row) so the deflater drops its
+    // reference to this row's input bytes — otherwise each thread pins
+    // the largest recent document until its next call at this level
+    d.reset()
     total
   }
 
