@@ -62,35 +62,45 @@ object QualityModel {
     * first iteration's σ(0) = 0.5 exactly, replayable anywhere). */
   def trainLogReg(spark: SparkSession, feats: DataFrame, labels: DataFrame,
       buckets: Int, iters: Int = 3, lr: Double = 1.0): Model = {
-    val pinned = feats.localCheckpoint(false)
     val lab = labels.select(col("doc_id"), col("y").cast("double").as("y"))
-      .localCheckpoint(false)
     val n = lab.count().toDouble
-    // Virtual bias bucket −1 with x = 1 for every labeled doc: its
-    // gradient Σ_d 1·δ_d IS the bias gradient, so weights and bias come
-    // back in ONE (B+1)-row collect per iteration — no separate bias
-    // aggregation and, with delta consumed exactly once, no per-
-    // iteration checkpoint (scores flow straight through the gradient
-    // join). Same arithmetic, one Spark job per GD step.
-    val pinnedAug = pinned.unionByName(
-      lab.select(col("doc_id"), lit(-1L).as("b"), lit(1.0).as("x")))
+    // Fused GD step (r14): the feature matrix is grouped into per-doc
+    // (b, x) arrays ONCE (bounded: ≤ min(B, |d|) entries per doc) and
+    // labels joined once; each iteration is then a SINGLE scan — the
+    // per-doc score is a fold over the array against the weight vector
+    // riding as an O(B) dense plan literal (the k-means-centroid /
+    // PQ-codebook pattern), delta multiplies the exploded (b, x) rows
+    // in the same Project, and one bucket-keyed exchange returns the
+    // (B+1)-row gradient (bias as virtual bucket −1 with x = 1). The
+    // r13 shape paid two feature-matrix scans and three exchanges per
+    // iteration (doc-keyed score agg, label join, bucket agg); this
+    // pays zero doc-keyed exchanges after the one-off grouping.
+    // Same arithmetic, same 9-decimal quantization firewall: the score
+    // fold reassociates the Σ x·w sum, which rounding absorbs exactly
+    // as it does the hash-aggregation order the old shape relied on.
+    val pinned = feats.groupBy("doc_id")
+      .agg(collect_list(struct(col("b"), col("x"))).as("fx"))
+      .join(lab, Seq("doc_id"))
+      .localCheckpoint(false)
     var w = Map.empty[Long, Double]
     var bias = 0.0
     for (_ <- 0 until iters) {
-      // delta_d = sigma(score_d) - y_d; zero-weight first pass keeps the
-      // join shape identical (scores are all-bias).
-      val wDf =
-        if (w.isEmpty) spark.createDataFrame(Seq((0L, 0.0))).toDF("b", "w").limit(0)
-        else spark.createDataFrame(w.toSeq).toDF("b", "w")
-      val scores = pinned.join(broadcast(wDf), Seq("b"), "left")
-        .groupBy("doc_id")
-        .agg(round(sum(col("x") * coalesce(col("w"), lit(0.0))) + lit(bias), 9)
-          .as("s"))
-      val delta = scores.join(lab, Seq("doc_id"))
-        .select(col("doc_id"),
-          (lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("d"))
-      val grads = pinnedAug.join(delta, Seq("doc_id"))
-        .groupBy("b").agg(sum(col("x") * col("d")).as("g"))
+      // typedLit, NOT array(lit…): array() is a CreateArray re-evaluated
+      // on every fold element (512 allocs per token — the SQ8 trap);
+      // typedLit is one Literal with O(1) element_at.
+      val warr = typedLit((0 until buckets).map(b =>
+        w.getOrElse(b.toLong, 0.0)))
+      val s = round(
+        aggregate(col("fx"), lit(0.0), (acc, e) =>
+          acc + e.getField("x") *
+            element_at(warr, (e.getField("b") + 1).cast("int"))) +
+          lit(bias), 9)
+      val grads = pinned
+        .select((lit(1.0) / (lit(1.0) + exp(-s)) - col("y")).as("d"),
+          explode(concat(col("fx"),
+            array(struct(lit(-1L).as("b"), lit(1.0).as("x"))))).as("e"))
+        .groupBy(col("e.b").as("b"))
+        .agg(sum(col("e.x") * col("d")).as("g"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       w = (grads - (-1L)).map { case (b, g) =>
         b -> BigDecimal(w.getOrElse(b, 0.0) - lr * g / n)

@@ -1133,13 +1133,20 @@ object TextDedup {
       w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowFingerprints needs k,w >= 1: k=$k w=$w")
     val hs = graft.functions.ShingleHashes(col(textCol), k, 7, dedup = false)
+    // No Filter node on size(__hs): predicate pushdown substitutes the
+    // alias and re-evaluates the shingle kernel BELOW the Project (the
+    // r13 plan ran the kernel twice per row per consumer). Sub-k-word
+    // docs instead flow through as empty streams — their single window
+    // is array_min(slice(__hs, 1, 0)) = null, dropped by the null
+    // filter inside the explode — so the contract (no fingerprints for
+    // short docs) holds with the kernel evaluated exactly once.
     docs.select(col(idCol), hs.as("__hs"))
-      .filter(size(col("__hs")) > 0)
       .select(col(idCol), size(col("__hs")).as("__n"),
         least(lit(w), size(col("__hs"))).as("__w"), col("__hs"))
-      .select(col(idCol), explode(array_distinct(
+      .select(col(idCol), explode(filter(array_distinct(
         transform(sequence(lit(1), col("__n") - col("__w") + 1),
-          i => array_min(slice(col("__hs"), i, col("__w")))))).as("fp"))
+          i => array_min(slice(col("__hs"), i, col("__w"))))),
+        x => x.isNotNull)).as("fp"))
   }
 
   /** MOSS-style overlap candidates: document pairs sharing at least
@@ -1157,7 +1164,14 @@ object TextDedup {
       k: Int = 3,
       w: Int = 4,
       minShared: Long = 3L): DataFrame = {
+    // Materialize the fingerprint stream ONCE: repartitioning on fp
+    // plants one hash Exchange that BOTH self-join sides canonicalize
+    // to, so Spark's ReuseExchange computes the kernel+explode subtree
+    // a single time and the second side reads the shuffle files (the
+    // same shape prefixFilterJoin gets from its perDoc aggregate). The
+    // r13 plan evaluated the stream independently per side.
     val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .repartition(col("fp"))
     fps.select(col(idCol).as("doc_a"), col("fp"))
       .join(fps.select(col(idCol).as("doc_b"), col("fp")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
