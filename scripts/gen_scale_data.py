@@ -130,17 +130,25 @@ def gen_sf1(con: duckdb.DuckDBPyConnection) -> None:
          "  AS FLOAT)) END AS embedding, label")
 
 
-def gen_zipf(con: duckdb.DuckDBPyConnection) -> None:
-    out = OUT / "zipf0.1"
+def gen_zipf(con: duckdb.DuckDBPyConnection, factor: int = 1,
+             name: str = "zipf0.1") -> None:
+    """Zipf-vocabulary documents at `factor`× sf0.1 doc count; other
+    tables copied from sf0.1 (factor 1) or sf1 (factor 10) so the dir
+    is a drop-in SPARK_GRAFT_SF_DIR."""
+    out = OUT / name
     out.mkdir(parents=True, exist_ok=True)
+    tsrc = SRC if factor == 1 else OUT / "sf1"
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "embeddings"]:
-        shutil.copy(SRC / f"{t}.parquet", out / f"{t}.parquet")
+        shutil.copy(tsrc / f"{t}.parquet", out / f"{t}.parquet")
 
-    # word-count distribution of the stock corpus, per doc
-    rows = con.execute(
+    # word-count distribution of the stock corpus, per doc, tiled factor×
+    base = con.execute(
         f"SELECT doc_id, len(split(text,' ')), lang, source "
         f"FROM read_parquet('{SRC}/documents.parquet') ORDER BY doc_id").fetchall()
+    nb = len(base)
+    rows = [(r[0] + c * nb, r[1], r[2], r[3])
+            for c in range(factor) for r in base]
     rng = np.random.RandomState(SEED)
     ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
     probs = ranks ** (-ZIPF_S)
@@ -150,7 +158,7 @@ def gen_zipf(con: duckdb.DuckDBPyConnection) -> None:
     texts: list[str] = []
     n_docs = len(rows)
     for doc_id, n_words, lang, source in rows:
-        if doc_id >= n_docs * 0.95 and texts:
+        if doc_id % nb >= nb * 0.95 and texts:
             # planted near-dup: clone an earlier doc, replace ~10% of words
             src_doc = int(rng.randint(0, len(texts)))
             words = texts[src_doc].split(" ")
@@ -173,7 +181,7 @@ def gen_zipf(con: duckdb.DuckDBPyConnection) -> None:
     })
     pq.write_table(tbl, out / "documents.parquet")
     n_vocab_used = len({w for t in texts for w in t.split(" ")})
-    print(f"  zipf0.1/documents.parquet ({len(texts)} docs, "
+    print(f"  {name}/documents.parquet ({len(texts)} docs, "
           f"{n_vocab_used} distinct words)", flush=True)
 
 
@@ -184,6 +192,8 @@ def main() -> None:
     gen_sf1(con)
     print("generating zipf0.1 ...", flush=True)
     gen_zipf(con)
+    print("generating zipf1 ...", flush=True)
+    gen_zipf(con, factor=10, name="zipf1")
     print("done", flush=True)
 
 

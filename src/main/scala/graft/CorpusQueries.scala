@@ -71,6 +71,43 @@ object CorpusQueries {
         .orderBy("doc_id")
     }
 
+    // Multi-length sweep (Lee et al. 2022 sweep substring lengths) with
+    // per-level support thresholds: long runs are strong duplication
+    // evidence (w=8 purges at count >= 2) while short phrases repeat by
+    // chance and only go at higher support (w=4 needs count >= 5);
+    // covered positions merge before a single rebuild. A single global
+    // >= 2 threshold would be degenerate (the smallest window subsumes
+    // every larger one) — the thresholds are what make the sweep real.
+    q("q_substring_dedup_multi",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wins AS (SELECT doc_id, w, mc, i - 1 AS start,
+        |           md5(array_to_string(ws[i:i+w-1], ' ')) AS h
+        |         FROM (SELECT doc_id, ws, w, mc,
+        |                 unnest(generate_series(1, len(ws) - w + 1)) AS i
+        |               FROM d, (VALUES (4, 5), (8, 2)) lv(w, mc))),
+        |rk AS (SELECT doc_id, w, mc, start,
+        |         count(*) OVER (PARTITION BY h) AS c,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+        |       FROM wins),
+        |cov AS (SELECT DISTINCT doc_id, start + j AS pos
+        |        FROM (SELECT doc_id, start, unnest(generate_series(0, w - 1)) AS j
+        |              FROM rk WHERE c >= mc AND rn > 1)),
+        |wrd AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+        |        FROM (SELECT doc_id, ws,
+        |                unnest(generate_series(1, len(ws))) AS i FROM d)),
+        |kept AS (SELECT w.doc_id, count(*) AS n_kept,
+        |           string_agg(word, ' ' ORDER BY w.pos) AS text_clean
+        |         FROM wrd w LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.pos = w.pos
+        |         WHERE cov.doc_id IS NULL GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(ws) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(text_clean, '') AS text_clean
+        |FROM d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      TextDedup.purgeDuplicateSubstringsMulti(Tables.documents(s, dir),
+          "doc_id", "text", windows = Seq((4, 5L), (8, 2L)), keepFirst = true)
+        .orderBy("doc_id")
+    }
+
     // Scrub-all policy (keepFirst = false): EVERY occurrence of a
     // duplicated window goes — the boilerplate-destruction variant.
     q("q_substring_scrub",

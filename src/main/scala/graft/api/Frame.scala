@@ -642,6 +642,19 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextDedup.purgeDuplicateSubstrings(df, idx, textCol,
       windowWords, keepFirst), index)
 
+  /** Multi-length duplicated-substring purge: the Lee et al. sweep —
+    * duplicated runs detected at every (windowWords, minCount) level
+    * in `windows` (long runs purge at low support, short phrases only
+    * at high support — see the operator doc for why per-level
+    * thresholds are what keep the sweep non-degenerate), positions
+    * merged before one rebuild; one source scan, the same exchange
+    * count as the single-length form
+    * (operators.TextDedup.purgeDuplicateSubstringsMulti). */
+  def purgeDuplicateSubstringsMulti(textCol: String,
+      windows: Seq[(Int, Long)], keepFirst: Boolean = true): Frame =
+    Frame(graft.operators.TextDedup.purgeDuplicateSubstringsMulti(df, idx,
+      textCol, windows, keepFirst), index)
+
   /** Per-row share of n-gram instances whose content also occurs in
     * another row — the cheap cross-corpus duplication score
     * (operators.TextDedup.dupGramFraction). */

@@ -112,6 +112,71 @@ object QualityModel {
     Model(w, bias, buckets)
   }
 
+  /** One-vs-rest multiclass logistic regression, all classes fused
+    * into the SAME per-iteration pass as [[trainLogReg]]: the per-doc
+    * feature arrays are grouped and checkpointed ONCE, and each GD
+    * iteration is one map-only scan computing K score folds + K deltas
+    * in a single Project, then ONE bucket-keyed exchange carrying K
+    * gradient sums per bucket — cost per iteration is independent of K
+    * in exchanges and scans (the fastText/GPT-3-style lang-ID or
+    * domain-classifier layout, where K is small and the corpus is the
+    * 100 TB object). `labels` is (doc_id, label: String); one binary
+    * model per entry of `classes` (label == c). Same 9-decimal
+    * quantization firewall per class as the binary trainer. */
+  def trainLogRegMulti(spark: SparkSession, feats: DataFrame,
+      labels: DataFrame, classes: Seq[String], buckets: Int,
+      iters: Int = 3, lr: Double = 1.0): Map[String, Model] = {
+    require(classes.nonEmpty && classes.distinct.size == classes.size,
+      s"classes must be distinct and non-empty: $classes")
+    val lab = labels.select(col("doc_id"), col("label"))
+    val n = lab.count().toDouble
+    val k = classes.size
+    val pinned = feats.groupBy("doc_id")
+      .agg(collect_list(struct(col("b"), col("x"))).as("fx"))
+      .join(lab, Seq("doc_id"))
+      .localCheckpoint(false)
+    val ws = Array.fill(k)(Map.empty[Long, Double])
+    val biases = Array.fill(k)(0.0)
+    for (_ <- 0 until iters) {
+      // K deltas in one Project; the exploded (b, x) rows then feed K
+      // gradient sums in one aggregate — one scan, one exchange total
+      val deltaCols = classes.zipWithIndex.map { case (c, ci) =>
+        val warr = typedLit((0 until buckets).map(b =>
+          ws(ci).getOrElse(b.toLong, 0.0)))
+        val s = round(
+          aggregate(col("fx"), lit(0.0), (acc, e) =>
+            acc + e.getField("x") *
+              element_at(warr, (e.getField("b") + 1).cast("int"))) +
+            lit(biases(ci)), 9)
+        (lit(1.0) / (lit(1.0) + exp(-s)) -
+          (col("label") === c).cast("double")).as(s"__d$ci")
+      }
+      val grads = pinned
+        .select((deltaCols :+
+          explode(concat(col("fx"),
+            array(struct(lit(-1L).as("b"), lit(1.0).as("x"))))).as("e")): _*)
+        .groupBy(col("e.b").as("b"))
+        .agg(classes.indices.map(ci =>
+          sum(col("e.x") * col(s"__d$ci")).as(s"__g$ci")).head,
+          classes.indices.tail.map(ci =>
+            sum(col("e.x") * col(s"__d$ci")).as(s"__g$ci")): _*)
+        .collect()
+        .map(r => r.getLong(0) -> classes.indices.map(ci =>
+          r.getDouble(1 + ci)).toArray).toMap
+      classes.indices.foreach { ci =>
+        ws(ci) = (grads - (-1L)).map { case (b, g) =>
+          b -> BigDecimal(ws(ci).getOrElse(b, 0.0) - lr * g(ci) / n)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        biases(ci) = BigDecimal(biases(ci) - lr * grads(-1L)(ci) / n)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    classes.zipWithIndex.map { case (c, ci) =>
+      c -> Model(ws(ci), biases(ci), buckets)
+    }.toMap
+  }
+
   /** Map-only scoring: (doc_id, quality = sigma(w·x + bias)). */
   def classify(spark: SparkSession, feats: DataFrame, model: Model): DataFrame = {
     val wDf = spark.createDataFrame(model.weights.toSeq).toDF("b", "w")

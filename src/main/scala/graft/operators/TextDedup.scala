@@ -965,38 +965,100 @@ object TextDedup {
       if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
         docs.repartition(spark.sparkContext.defaultParallelism)
       else docs
-    // (id, start, h): full md5 of each stride-1 w-word window from ONE
-    // native kernel call per document (graft.functions.ShingleMd5s —
+    // (id, w, start, h): full md5 of each stride-1 w-word window from
+    // ONE native kernel call per document (graft.functions.ShingleMd5s —
     // an interpreted transform() lambda re-concatenates and re-hashes
     // per element at ~2× the cost, and the stream is consumed twice);
     // the window text itself never leaves the kernel.
     val wins = src
-      .select(col(idCol),
+      .select(col(idCol), lit(w).as("w"), lit(2L).as("__mc"),
         posexplode(graft.functions.ShingleMd5s(col(textCol), w))
           .as(Seq("start", "__h")))
-    // Per-window-content occurrence stats riding ONE pass over the
-    // window stream: count + spared-first-occurrence as unordered
-    // full-frame aggregates over a window PARTITIONED BY the hash —
-    // one exchange and a partition-local sort, where an aggregate+join
-    // formulation exchanges (and kernel-recomputes) the hot stream
-    // twice (measured slower at sf0.1). Partitioning is by the window
-    // hash — groups are occurrence counts (tiny), never corpus-wide.
+    purgeFromWindows(docs, idCol, textCol, wins, keepFirst)
+  }
+
+  /** Multi-length variant of [[purgeDuplicateSubstrings]] (the Lee et
+    * al. 2022 pipeline sweeps substring lengths): duplicated runs are
+    * detected at every (windowWords, minCount) level in `windows` and
+    * the covered word positions merged before ONE rebuild.
+    *
+    * The per-level `minCount` is what makes the sweep non-degenerate:
+    * with a single global ≥2 threshold the smallest window subsumes
+    * every larger one (each w₄-subwindow of a duplicated w₈-run is
+    * itself duplicated at a strictly earlier position, so the w₈ level
+    * would remove nothing new). Real sweeps therefore pair lengths
+    * with support thresholds — a LONG run is strong duplication
+    * evidence at count 2, while a SHORT phrase repeats by chance and
+    * should only go at higher support (e.g. (8, 2) beside (4, 5)).
+    * Keep-first sparing applies per window content (per level).
+    *
+    * Cost shape: the per-level window streams are tagged and flattened
+    * row-locally in ONE source scan and ONE Generate, so the multi-
+    * length form pays exactly the single-length form's exchanges (one
+    * window-hash exchange, one doc-keyed rebuild aggregate, one join
+    * back) — the stream is just Σ levels rows longer. */
+  def purgeDuplicateSubstringsMulti(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windows: Seq[(Int, Long)],
+      keepFirst: Boolean = true): DataFrame = {
+    require(windows.nonEmpty &&
+      windows.forall { case (w, mc) => w >= 1 && mc >= 2 } &&
+      windows.map(_._1).distinct.size == windows.size,
+      s"windows must be distinct (length >= 1, minCount >= 2) levels: $windows")
+    val spark = docs.sparkSession
+    val nFiles = docs.inputFiles.length
+    val src =
+      if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
+        docs.repartition(spark.sparkContext.defaultParallelism)
+      else docs
+    // one kernel call per (doc, level), tagged (w, mc, start, h)
+    // row-locally and flattened into a single window stream — one scan,
+    // one Generate
+    val levels = array(windows.map { case (w, mc) =>
+      transform(graft.functions.ShingleMd5s(col(textCol), w),
+        (h, i) => struct(lit(w).as("w"), lit(mc).as("__mc"),
+          i.as("start"), h.as("__h")))
+    }: _*)
+    val wins = src
+      .select(col(idCol), explode(flatten(levels)).as("e"))
+      .select(col(idCol), col("e.w").as("w"), col("e.__mc").as("__mc"),
+        col("e.start").as("start"), col("e.__h").as("__h"))
+    purgeFromWindows(docs, idCol, textCol, wins, keepFirst)
+  }
+
+  /** Shared tail of the substring purges: occurrence stats over the
+    * (id, w, __mc, start, __h) window stream, covered-position merge,
+    * doc rebuild. Per-window-content occurrence stats ride ONE pass
+    * over the window stream as aggregates over a window PARTITIONED BY
+    * the hash — one exchange and a partition-local sort, where an
+    * aggregate+join formulation exchanges (and kernel-recomputes) the
+    * hot stream twice (measured slower at sf0.1). Partitioning is by
+    * the window hash — groups are occurrence counts (tiny), never
+    * corpus-wide. Window strings of different lengths are distinct
+    * content, so a single hash key serves all levels; `__mc` is the
+    * level's support threshold (constant 2 for the single-length
+    * form). */
+  private def purgeFromWindows(docs: DataFrame, idCol: String,
+      textCol: String, wins: DataFrame, keepFirst: Boolean): DataFrame = {
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy("__h")
     val removed = wins
       .withColumn("__c", count(lit(1)).over(byHash))
       .withColumn("__first",
         min(struct(col(idCol).as("d"), col("start").as("p"))).over(byHash))
-      .filter(col("__c") >= 2)
+      .filter(col("__c") >= col("__mc"))
       .filter(if (keepFirst)
         !(col(idCol) === col("__first.d") && col("start") === col("__first.p"))
       else lit(true))
-    // Word positions covered by any removed window; duplicates collapse
-    // into a per-doc position ARRAY (bounded by doc length), and the
-    // rebuild is one native kernel call per document
+    // Word positions covered by any removed window at any level;
+    // duplicates collapse into a per-doc position ARRAY (bounded by doc
+    // length), and the rebuild is one native kernel call per document
     // (graft.functions.RemoveWordPositions) — the corpus word stream is
     // never exploded. Only docs that lose something join back.
     val covered = removed
-      .select(col(idCol), explode(sequence(col("start"), col("start") + w - 1)).as("pos"))
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + col("w") - 1)).as("pos"))
       .groupBy(idCol)
       .agg(array_distinct(collect_list(col("pos"))).as("__rmv"))
     docs.select(col(idCol), col(textCol),

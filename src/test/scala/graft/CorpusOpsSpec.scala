@@ -73,6 +73,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2L) == ((4L, 4L, "")))
   }
 
+  test("multi-length purge: thresholds make levels independent") {
+    import spark.implicits._
+    // "p q r s" repeats twice → BELOW the w=4 support threshold (5), so
+    // it survives; the 8-word run repeats twice → AT the w=8 threshold
+    // (2), so doc 4's copy goes. A single w=4 purge at count>=2 would
+    // have stripped doc 2's phrase — the differential the per-level
+    // thresholds exist for.
+    val docs = Seq(
+      (1L, "p q r s a1 a2 a3 a4"),
+      (2L, "b1 p q r s b2 b3 b4"),
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 tail3"),
+      (4L, "head4 m1 m2 m3 m4 m5 m6 m7 m8")).toDF("doc_id", "text")
+    val got = TextDedup.purgeDuplicateSubstringsMulti(docs, "doc_id", "text",
+        windows = Seq((4, 5L), (8, 2L)), keepFirst = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(2L) == ((8L, 0L, "b1 p q r s b2 b3 b4")), s"${got(2L)}")
+    assert(got(3L) == ((9L, 0L, "m1 m2 m3 m4 m5 m6 m7 m8 tail3")))
+    assert(got(4L) == ((9L, 8L, "head4")), s"${got(4L)}")
+    // and the single-w baseline WOULD strip doc 2's phrase
+    val single = TextDedup.purgeDuplicateSubstrings(docs, "doc_id", "text",
+        windowWords = 4, keepFirst = true)
+      .filter(col("doc_id") === 2L).collect().head.getLong(2)
+    assert(single == 4L)
+  }
+
+  test("multi-length purge: one scan, same exchange count as single-length") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val single = plan(TextDedup.purgeDuplicateSubstrings(docs, "doc_id",
+      "text", windowWords = 4))
+    val multi = plan(TextDedup.purgeDuplicateSubstringsMulti(docs, "doc_id",
+      "text", windows = Seq((4, 5L), (8, 2L), (12, 2L))))
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).length
+    assert(exchanges(multi) <= exchanges(single),
+      s"multi=${exchanges(multi)} single=${exchanges(single)}")
+    // the three levels flatten into ONE Generate over one window stream
+    assert("Generate".r.findAllIn(multi).length ==
+      "Generate".r.findAllIn(single).length)
+  }
+
   test("bloom filter has no false negatives and unions by plain UNION") {
     import spark.implicits._
     val a = Seq("k1", "k2", "k3").toDF("k")

@@ -1078,8 +1078,10 @@ class FrameApiSpec extends SparkSpec {
       .bandPrecision("text")
       .transform(_.select(col("n_candidates"), col("n_verified"),
         col("precision").as("band_precision"))))
-    same("q_lsh_recall", Frame(Tables.documents(spark, sfDir),
-        Some("doc_id"))
+    // the registry query measures recall on its documented bounded
+    // slice (doc_id % 5 = 0) — pin the facade to the same slice
+    same("q_lsh_recall", Frame(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 5 === 0), Some("doc_id"))
       .bandRecall("text"))
   }
 
