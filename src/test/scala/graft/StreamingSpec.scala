@@ -809,4 +809,116 @@ class StreamingSpec extends SparkSpec {
         .filter(col("key") === "k2").count() == 1L)
     } finally q.stop()
   }
+
+  test("c4FilterLines: streaming output equals the batch operator row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // lines firing all three rules: short line, no terminal punctuation,
+    // blocked substring — the operator is a stateless projection, so the
+    // SAME batch function runs on the stream and must agree exactly
+    val docs = Seq(
+      (1L, "This line has plenty of words and ends well.\nshort line\nA second good line with enough words to survive here!"),
+      (2L, "Contains javascript so it goes even with many words in it.\nAnother fine sentence with more than five words?"),
+      (3L, "no terminal punctuation on this long enough line at all"))
+    val in = MemoryStream[(Long, String)]
+    val out = graft.operators.TextExtract.c4FilterLines(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("c4_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      val batch = graft.operators.TextExtract.c4FilterLines(
+          docs.toDF("doc_id", "text"), "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+      assert(got === batch, s"stream $got vs batch $batch")
+      assert(batch.find(_._1 == 1L).get._3 == 2L)  // the rules actually fired
+    } finally q.stop()
+  }
+
+  test("gopherLineRules: streaming output equals the batch operator row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "- bullet one\n- bullet two\n- bullet three"),        // bullet-heavy
+      (2L, "a trailing thought...\nanother one...\nmore dots..."), // ellipsis-heavy
+      (3L, "### # # ## hashes everywhere # #"),                    // symbol-heavy
+      (4L, "A perfectly ordinary paragraph of clean readable text here."))
+    val in = MemoryStream[(Long, String)]
+    val out = graft.operators.TextQuality.gopherLineRules(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8), r.getBoolean(9))
+      val got = spark.table("gopher_stream").collect().map(key).toSet
+      val batch = graft.operators.TextQuality.gopherLineRules(
+        docs.toDF("doc_id", "text"), "doc_id", "text").collect().map(key).toSet
+      assert(got === batch, s"stream $got vs batch $batch")
+      // each rule fired on its designed doc; the clean doc keeps
+      val keepById = batch.map(t => t._1 -> t._10).toMap
+      assert(keepById == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
+    } finally q.stop()
+  }
+
+  test("domain cap: stream first-come == batch best-first when arrival follows score") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch capPerDomain admits the best `cap` BY SCORE; the streaming
+    // gate admits the first `cap` BY ARRIVAL. Feed docs in descending
+    // score order per domain — the two contracts must then agree.
+    val in = MemoryStream[(String, Long)]
+    val capped = StreamOps.streamingDomainCap(in.toDS(), cap = 2)
+    val q = capped.writeStream.format("memory").queryName("cap_agree")
+      .outputMode("append").start()
+    try {
+      in.addData(("a.com", 1L), ("a.com", 2L), ("a.com", 3L),
+        ("b.org", 10L), ("b.org", 11L))
+      q.processAllAvailable()
+      val admitted = spark.table("cap_agree").filter(col("_3"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // scores decrease with arrival: id 1 scores 3.0, id 2 scores 2.0, ...
+      val batch = graft.operators.TextExtract.capPerDomain(
+          Seq(("a.com", 1L, 3.0), ("a.com", 2L, 2.0), ("a.com", 3L, 1.0),
+            ("b.org", 10L, 2.0), ("b.org", 11L, 1.0))
+            .toDF("domain", "doc_id", "score"),
+          "doc_id", "domain", "score", cap = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(admitted === batch, s"stream $admitted vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("domain cap: stream first-come DIFFERS from batch best-first under inversion") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the documented contract difference: a late high-scorer loses its
+    // slot in the stream (first-come) but wins it in the batch ranking
+    val in = MemoryStream[(String, Long)]
+    val capped = StreamOps.streamingDomainCap(in.toDS(), cap = 1)
+    val q = capped.writeStream.format("memory").queryName("cap_differ")
+      .outputMode("append").start()
+    try {
+      in.addData(("a.com", 1L))   // arrives first, low score
+      q.processAllAvailable()
+      in.addData(("a.com", 2L))   // arrives second, HIGH score
+      q.processAllAvailable()
+      val admitted = spark.table("cap_differ").filter(col("_3"))
+        .collect().map(r => r.getLong(1)).toSet
+      val batch = graft.operators.TextExtract.capPerDomain(
+          Seq(("a.com", 1L, 1.0), ("a.com", 2L, 9.0)).toDF("domain", "doc_id", "score"),
+          "doc_id", "domain", "score", cap = 1)
+        .collect().map(r => r.getLong(1)).toSet
+      assert(admitted === Set(1L))  // stream kept the first arrival
+      assert(batch === Set(2L))     // batch kept the best score
+      // per-domain admitted COUNT is the invariant both contracts share
+      assert(admitted.size == batch.size)
+    } finally q.stop()
+  }
 }
