@@ -12,19 +12,24 @@ import org.apache.spark.sql.functions._
   * describe filtering CommonCrawl with exactly such a classifier) —
   * an engine extension beyond the reference's operator list.
   *
-  * Scale shape:
+  * Scale shape (r14 fused form):
   *  - the hashed feature matrix (doc, bucket, x = n_b/|d|) is built in
-  *    ONE corpus pass and pinned with a lazy localCheckpoint so the
-  *    per-iteration passes reuse the materialized columnar form (at a
-  *    real 100 TB run you would persist it to storage once — the
-  *    training loop's per-iteration cost is then two bounded shuffles);
+  *    ONE corpus pass, grouped into per-doc (b, x) arrays (bounded by
+  *    min(B, |d|) entries), label-joined, and pinned ONCE (at a real
+  *    100 TB run you would persist that grouped form to storage once);
   *  - model state is O(B) (B = hash buckets, a constant like 512): the
-  *    weight vector lives on the driver and is BROADCAST-joined back
-  *    each iteration — the classic "parameters small, data huge"
-  *    distributed-GD layout; per iteration one doc-keyed aggregate
-  *    (scores) and one bucket-keyed aggregate (gradient, B rows out);
+  *    weight vector lives on the driver and rides back into each
+  *    iteration as an O(B) dense plan LITERAL — the classic
+  *    "parameters small, data huge" distributed-GD layout; each
+  *    iteration is one MAP-ONLY scan (score fold + delta + exploded
+  *    gradient terms in one Project) plus one bucket-keyed aggregate
+  *    returning B+1 rows — zero doc-keyed shuffles per iteration
+  *    (the broadcast-join/delta-join shape this replaces degrades to a
+  *    full feature-matrix shuffle per iteration once delta outgrows
+  *    the broadcast limit; A/B in BASELINE.md);
   *  - inference is feature-build + one broadcast join + one doc-keyed
-  *    sum: no corpus-sized state anywhere.
+  *    sum (classify), or zero joins via the scoreInline map-only
+  *    column: no corpus-sized state anywhere.
   *
   * Determinism firewall: per-doc scores and updated weights are rounded
   * to 9 decimals EVERY iteration, so an external engine replaying the

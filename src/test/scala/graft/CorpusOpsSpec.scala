@@ -84,7 +84,8 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, "p q r s a1 a2 a3 a4"),
       (2L, "b1 p q r s b2 b3 b4"),
       (3L, "m1 m2 m3 m4 m5 m6 m7 m8 tail3"),
-      (4L, "head4 m1 m2 m3 m4 m5 m6 m7 m8")).toDF("doc_id", "text")
+      (4L, "head4 m1 m2 m3 m4 m5 m6 m7 m8"),
+      (5L, "five words only in here")).toDF("doc_id", "text")
     val got = TextDedup.purgeDuplicateSubstringsMulti(docs, "doc_id", "text",
         windows = Seq((4, 5L), (8, 2L)), keepFirst = true)
       .collect().map(r => r.getLong(0) ->
@@ -92,6 +93,8 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2L) == ((8L, 0L, "b1 p q r s b2 b3 b4")), s"${got(2L)}")
     assert(got(3L) == ((9L, 0L, "m1 m2 m3 m4 m5 m6 m7 m8 tail3")))
     assert(got(4L) == ((9L, 8L, "head4")), s"${got(4L)}")
+    // shorter than the w=8 level: only the w=4 level sees it, untouched
+    assert(got(5L) == ((5L, 0L, "five words only in here")))
     // and the single-w baseline WOULD strip doc 2's phrase
     val single = TextDedup.purgeDuplicateSubstrings(docs, "doc_id", "text",
         windowWords = 4, keepFirst = true)
