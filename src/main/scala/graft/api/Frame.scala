@@ -617,11 +617,13 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
 
   /** MOSS-style overlap candidates: pairs sharing ≥ minShared winnow
     * fingerprints (operators.TextDedup.winnowOverlap — shared-postings
-    * join over the winnowed ≈2/(w+1)-density set). */
+    * join over the winnowed ≈2/(w+1)-density set). `maxPostings > 0`
+    * drops fingerprints shared by more than that many docs first (the
+    * MOSS "too many documents" boilerplate guard); 0 = exact. */
   def winnowOverlap(textCol: String, k: Int = 3, w: Int = 4,
-      minShared: Long = 3L): Frame =
+      minShared: Long = 3L, maxPostings: Long = 0L): Frame =
     Frame(graft.operators.TextDedup.winnowOverlap(df, idx, textCol, k, w,
-      minShared))
+      minShared, maxPostings))
 
   /** PageRank over this frame as an edge list (operators.GraphOps
     * .pageRank — iterative src-keyed join + dst-keyed sum, dangling

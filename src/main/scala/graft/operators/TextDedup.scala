@@ -1218,6 +1218,16 @@ object TextDedup {
     * guarantee, a fraction of the join postings. Cost ∝ shared
     * fingerprint postings; never all-pairs.
     *
+    * `maxPostings > 0` drops fingerprints occurring in more than that
+    * many documents before the pair join — the MOSS paper's own
+    * discipline ("ignore fingerprints in too many documents":
+    * boilerplate/license text otherwise owns a quadratic share of the
+    * pairs at scale, exactly the LSH maxBucketSize rule). One
+    * vocabulary-sized aggregate over the already-shuffled stream, and
+    * the dropped set is tiny by construction (≤ n/maxPostings
+    * fingerprints). 0 = exact (default; the oracle's form) — set a cap
+    * on boilerplate-prone corpora.
+    *
     * Output: (doc_a, doc_b, n_shared), doc_a < doc_b. */
   def winnowOverlap(
       docs: DataFrame,
@@ -1225,15 +1235,26 @@ object TextDedup {
       textCol: String,
       k: Int = 3,
       w: Int = 4,
-      minShared: Long = 3L): DataFrame = {
+      minShared: Long = 3L,
+      maxPostings: Long = 0L): DataFrame = {
     // Materialize the fingerprint stream ONCE: repartitioning on fp
     // plants one hash Exchange that BOTH self-join sides canonicalize
     // to, so Spark's ReuseExchange computes the kernel+explode subtree
     // a single time and the second side reads the shuffle files (the
     // same shape prefixFilterJoin gets from its perDoc aggregate). The
-    // r13 plan evaluated the stream independently per side.
-    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    // r13 plan evaluated the stream independently per side. The
+    // hot-fingerprint drop (window count over the same fp partitioning
+    // — no extra exchange) happens AFTER that materialization point so
+    // capped and exact runs share the expensive subtree shape.
+    val fps0 = winnowFingerprints(docs, idCol, textCol, k, w)
       .repartition(col("fp"))
+    val fps =
+      if (maxPostings <= 0) fps0
+      else fps0
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .filter(col("__n") <= maxPostings)
+        .drop("__n")
     fps.select(col(idCol).as("doc_a"), col("fp"))
       .join(fps.select(col(idCol).as("doc_b"), col("fp")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))

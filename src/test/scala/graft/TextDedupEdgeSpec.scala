@@ -65,6 +65,38 @@ class TextDedupEdgeSpec extends SparkSpec {
       minShared = pairs.head._3 + 1).count() == 0)
   }
 
+  test("winnowOverlap maxPostings drops boilerplate fingerprints only") {
+    import spark.implicits._
+    // every doc shares the same boilerplate run (its fingerprints occur
+    // in all 6 docs); docs 1 and 2 ALSO share a genuine long run
+    val boiler = (0 until 12).map(i => s"lic$i").mkString(" ")
+    val run = (0 until 12).map(i => s"dup$i").mkString(" ")
+    val docs = ((1L, s"$boiler $run") +: (2L, s"$run $boiler") +:
+      (3L to 6L).map(i => (i, s"$boiler " +
+        (0 until 12).map(j => s"u${i}_$j").mkString(" ")))).toDF("doc_id", "text")
+    // exact: every pair shares the boilerplate fingerprints → 15 pairs
+    val exact = TextDedup.winnowOverlap(docs, "doc_id", "text",
+      minShared = 1L).count()
+    assert(exact == 15L, s"exact $exact")
+    val capped = TextDedup.winnowOverlap(docs, "doc_id", "text",
+        minShared = 1L, maxPostings = 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // differential against the cap's defined semantics: identical to
+    // re-running the pair join over fingerprints with ≤5 postings
+    val fps = TextDedup.winnowFingerprints(docs, "doc_id", "text")
+    val hot = fps.groupBy("fp").count().filter(col("count") > 5)
+      .select("fp")
+    val cold = fps.join(hot, Seq("fp"), "left_anti")
+    val expected = cold.select(col("doc_id").as("a"), col("fp"))
+      .join(cold.select(col("doc_id").as("b"), col("fp")), Seq("fp"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == expected, s"capped $capped vs $expected")
+    // the genuine (1,2) run survives; the all-6 boilerplate pairs drop
+    assert(capped.contains((1L, 2L)))
+    assert(capped.size < exact, s"cap removed nothing: $capped")
+  }
+
   test("near-dup on an empty corpus returns no pairs") {
     import spark.implicits._
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
