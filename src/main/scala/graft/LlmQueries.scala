@@ -1118,6 +1118,39 @@ object LlmQueries {
         .orderBy("doc_a", "doc_b")
     }
 
+    // The capped form (maxPostings = 3): fingerprints shared by more
+    // than 3 docs — boilerplate, in MOSS's own "too many documents"
+    // sense — drop BEFORE the pair join, bounding the quadratic term.
+    // The cap is deliberately low so the drop path genuinely fires at
+    // every gate SF (148 hot fingerprints at sf0.001, max posting 9;
+    // a production run would set it orders of magnitude higher).
+    q("q_winnow_overlap_capped",
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |hs AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(ws) - 2),
+        |      i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
+        |             AS BIGINT)) AS h
+        |  FROM words WHERE len(ws) >= 3),
+        |win AS (SELECT doc_id, least(4, len(h)) AS weff, h FROM hs),
+        |fp0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(h) - weff + 1),
+        |      i -> list_min(h[i:i+weff-1]))) AS fp
+        |  FROM win),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM fp0),
+        |cold AS (SELECT doc_id, fp FROM
+        |  (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n FROM fps)
+        |  WHERE n <= 3),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_shared
+        |  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      TextDedup.winnowOverlap(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, w = 4, minShared = 3L, maxPostings = 3L)
+        .orderBy("doc_a", "doc_b")
+    }
+
     // Multimodal metadata: each doc carries a REAL container byte stream
     // (PNG IHDR / JPEG SOF behind an APP0 segment / GIF screen
     // descriptor, dims derived from doc_id) with the text bytes as
