@@ -328,6 +328,19 @@ object GraftFunctions {
           TDigestQuantile(args.head, dblLit(args(1), "q"), comp)
         }),
       (
+        FunctionIdentifier("collect_capped"),
+        new ExpressionInfo(classOf[CollectCapped].getName, "collect_capped"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "collect_capped(col, maxSize)")
+          val maxSize = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"collect_capped maxSize must be an int literal, got $other")
+          }
+          CollectCapped(args.head, maxSize)
+        }),
+      (
         FunctionIdentifier("deflate_len"),
         new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
         (args: Seq[Expression]) => {

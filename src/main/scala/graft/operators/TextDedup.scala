@@ -221,9 +221,11 @@ object TextDedup {
     * `maxBucketSize`: a degenerate bucket with m members yields m²/2
     * pairs — boilerplate-heavy corpora can produce such buckets even
     * after exact dedup. With a cap set, buckets larger than the cap are
-    * dropped (left-semi against the under-cap bucket list) so the pair
-    * fan-out is bounded by cap²/2 per bucket; near-dups inside a dropped
-    * bucket typically still surface through one of the other k/r bands.
+    * dropped — detected by a memory-bounded collect_capped aggregate
+    * (cap+1 members = over-cap marker), so no buffer anywhere holds
+    * more than cap+1 ids — and the pair fan-out is bounded by cap²/2
+    * per bucket; near-dups inside a dropped bucket typically still
+    * surface through one of the other k/r bands.
     * Default None preserves exact LSH semantics (the oracle-checked
     * configuration).
     */
@@ -239,12 +241,20 @@ object TextDedup {
     // shape did (streamed quadratic output), not worse. sort_array
     // fixes collect_list's nondeterministic order and gives
     // doc_a < doc_b by construction.
-    val sized = sig.groupBy("band", "sig")
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")) >= 2)
+    // With a cap, the aggregate itself is the enforcement: a bounded
+    // collect_capped(id, cap+1) buffer means a degenerate bucket is
+    // truncated at cap+1 members in every partial, in the shuffle, and
+    // at the reducer — where collect_list would buffer the whole
+    // bucket before the size filter dropped it (and its postings would
+    // all land on one task). Length cap+1 = over-cap marker → dropped.
     val capped = maxBucketSize match {
-      case Some(cap) => sized.filter(size(col("__ids")) <= cap)
-      case None => sized
+      case Some(cap) => sig.groupBy("band", "sig")
+        .agg(sort_array(graft.functions.CollectCapped(col(idCol), cap + 1))
+          .as("__ids"))
+        .filter(size(col("__ids")).between(lit(2), lit(cap)))
+      case None => sig.groupBy("band", "sig")
+        .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+        .filter(size(col("__ids")) >= 2)
     }
     capped
       .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "doc_a")))
@@ -1222,11 +1232,12 @@ object TextDedup {
     * many documents before the pair join — the MOSS paper's own
     * discipline ("ignore fingerprints in too many documents":
     * boilerplate/license text otherwise owns a quadratic share of the
-    * pairs at scale, exactly the LSH maxBucketSize rule). One
-    * vocabulary-sized aggregate over the already-shuffled stream, and
-    * the dropped set is tiny by construction (≤ n/maxPostings
-    * fingerprints). 0 = exact (default; the oracle's form) — set a cap
-    * on boilerplate-prone corpora.
+    * pairs at scale, exactly the LSH maxBucketSize rule). Enforcement
+    * is skew-safe: a bounded collect_capped aggregate truncates hot
+    * fingerprints' posting buffers at cap+1 ids map-side, so no task
+    * ever buffers — or even receives — a hot key's full posting list.
+    * 0 = exact (default; the oracle's form) — set a cap on
+    * boilerplate-prone corpora.
     *
     * Output: (doc_a, doc_b, n_shared), doc_a < doc_b. */
   def winnowOverlap(
@@ -1237,30 +1248,54 @@ object TextDedup {
       w: Int = 4,
       minShared: Long = 3L,
       maxPostings: Long = 0L): DataFrame = {
-    // Materialize the fingerprint stream ONCE: repartitioning on fp
-    // plants one hash Exchange that BOTH self-join sides canonicalize
-    // to, so Spark's ReuseExchange computes the kernel+explode subtree
-    // a single time and the second side reads the shuffle files (the
-    // same shape prefixFilterJoin gets from its perDoc aggregate). The
-    // r13 plan evaluated the stream independently per side. The
-    // hot-fingerprint drop (window count over the same fp partitioning
-    // — no extra exchange) happens AFTER that materialization point so
-    // capped and exact runs share the expensive subtree shape.
-    val fps0 = winnowFingerprints(docs, idCol, textCol, k, w)
-      .repartition(col("fp"))
-    val fps =
-      if (maxPostings <= 0) fps0
-      else fps0
-        .withColumn("__n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-        .filter(col("__n") <= maxPostings)
-        .drop("__n")
-    fps.select(col(idCol).as("doc_a"), col("fp"))
-      .join(fps.select(col(idCol).as("doc_b"), col("fp")), Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    if (maxPostings <= 0) {
+      // Exact path: materialize the fingerprint stream ONCE —
+      // repartitioning on fp plants one hash Exchange that BOTH
+      // self-join sides canonicalize to, so Spark's ReuseExchange
+      // computes the kernel+explode subtree a single time and the
+      // second side reads the shuffle files (the same shape
+      // prefixFilterJoin gets from its perDoc aggregate). The r13 plan
+      // evaluated the stream independently per side.
+      val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+        .repartition(col("fp"))
+      fps.select(col(idCol).as("doc_a"), col("fp"))
+        .join(fps.select(col(idCol).as("doc_b"), col("fp")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    } else {
+      // Capped path: ONE fp exchange whose partial aggregation is
+      // bounded BY CONSTRUCTION — collect_capped(id, cap+1) stops
+      // buffering at cap+1 ids in every map-side partial, every
+      // shuffled buffer, and the reduce-side merge, so a boilerplate
+      // fingerprint with a million postings costs O(cap) memory
+      // everywhere and its postings are truncated map-side instead of
+      // concentrating on one reducer. (The r14 shape counted postings
+      // with a window over the fp partitioning, which ships EVERY
+      // posting of the hot key to one task and buffers the whole
+      // group before the filter drops it — the exact skew the cap
+      // exists to prevent.) A length-(cap+1) array means "> cap
+      // postings, truncated" → dropped; ≤ cap is the exact posting
+      // list. Pair expansion then streams through posexplode + slice
+      // over the sorted (≤ cap)-element array — doc_a < doc_b by
+      // construction, the candidatePairs discipline — replacing the
+      // self-join entirely: one exchange, no window, no second pass.
+      require(maxPostings < Int.MaxValue,
+        s"winnowOverlap: maxPostings must fit in Int, got $maxPostings")
+      winnowFingerprints(docs, idCol, textCol, k, w)
+        .groupBy("fp")
+        .agg(sort_array(graft.functions.CollectCapped(col(idCol),
+          (maxPostings + 1).toInt)).as("__ids"))
+        .filter(size(col("__ids")).between(lit(2), lit(maxPostings)))
+        .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "doc_a")))
+        .select(col("doc_a"),
+          explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids"))))
+            .as("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    }
   }
 
   /** Prefix-filtered set-similarity self-join (the AllPairs/PPJoin

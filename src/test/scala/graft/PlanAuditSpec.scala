@@ -481,4 +481,34 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.toSeq.sorted}")
   }
+
+  test("cap enforcement is a bounded partial aggregate, not a concentration") {
+    // Round-14 weak mark: dropping over-cap groups must never first
+    // concentrate the hot key (window count over fp ships every posting
+    // of a boilerplate fingerprint to one task; collect_list buffers a
+    // degenerate LSH bucket before the size filter drops it). Both cap
+    // sites must enforce through collect_capped — buffers bounded at
+    // cap+1 map-side — with map-side partial aggregation and no Window.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val capped = graft.operators.TextDedup.winnowOverlap(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      k = 3, w = 4, minShared = 3L, maxPostings = 3L).queryExecution
+    assert(capped.executedPlan.collect { case w: WindowExec => w }.isEmpty,
+      "winnowOverlap cap rides a window — hot-fp concentration at scale")
+    val cp = capped.executedPlan.toString
+    assert(cp.contains("partial_collect_capped"),
+      s"winnowOverlap cap lacks map-side partial collect_capped:\n$cp")
+    assert(!cp.contains("collect_list"),
+      "winnowOverlap capped path buffers unbounded posting lists")
+
+    val sigs = graft.operators.TextDedup.bandSignaturesProjected(
+      Tables.documents(spark, sfDir), "doc_id", "text", n = 3, k = 16, r = 4)
+    val bp = graft.operators.TextDedup
+      .candidatePairs(sigs, "doc_id", maxBucketSize = Some(10))
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("partial_collect_capped"),
+      s"candidatePairs cap lacks map-side partial collect_capped:\n$bp")
+    assert(!bp.contains("collect_list"),
+      "candidatePairs capped path buffers unbounded buckets")
+  }
 }
