@@ -800,7 +800,9 @@ object LlmQueries {
     // TRAINED language-ID: one-vs-rest logistic regression over hashed
     // bag-of-words features (operators.QualityModel.trainLogRegMulti —
     // all 4 classes fused into ONE scan + ONE bucket exchange per GD
-    // iteration), scored map-only via scoreInline. The stock corpus
+    // iteration), scored map-only from the shared feature pin
+    // (scoreMultiPinned; scoreInline remains the streaming/corpus
+    // inference column). The stock corpus
     // text carries no language signal (its lang column is independent
     // of its 31 shared words), so the classifier trains and predicts on
     // a deterministic md5-synthesized multilingual corpus (8
@@ -881,14 +883,19 @@ object LlmQueries {
             .as("lang"),
           array_join(transform(sequence(lit(0), lit(23)), wordAt), " ")
             .as("text"))
+        // ONE grouped+checkpointed feature pin serves the label count,
+        // all GD iterations, AND inference (r15: the count job and the
+        // 4 per-language scoreInline kernel re-runs over re-synthesized
+        // text are gone — scoring is one map over the 1-row-per-doc pin
+        // with the weight vectors as plan literals).
         val feats = QualityModel.hashedFeatures(syn, "doc_id", "text", B)
-        val models = QualityModel.trainLogRegMulti(s, feats,
-          syn.select(col("doc_id"), col("lang").as("label")), langs, B,
-          iters = 2, lr = 1.0)
-        val scored = syn.select((col("doc_id") +:
-          col("lang").as("actual_lang") +:
-          langs.map(l => round(QualityModel.scoreInline(col("text"),
-            models(l)), 6).as(s"s_$l"))): _*)
+        val pinned = QualityModel.pinLabeledFeatures(feats,
+          syn.select(col("doc_id"), col("lang").as("label")))
+        val models = QualityModel.trainLogRegMultiPinned(pinned,
+          pinned.count().toDouble, langs, B, iters = 2, lr = 1.0)
+        val scored = QualityModel.scoreMultiPinned(pinned,
+          langs.map(l => l -> models(l)))
+          .withColumnRenamed("label", "actual_lang")
         scored.withColumn("pred_lang",
           when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
             && col("s_en") >= col("s_fr"), "en")

@@ -64,16 +64,22 @@ object DeflateLen {
     val pool = perThread.get()
     var d = pool(level)
     if (d == null) { d = new Deflater(level); pool(level) = d }
-    d.setInput(s.getBytes)
-    d.finish()
-    val buf = new Array[Byte](8192)
-    var total = 0L
-    while (!d.finished()) total += d.deflate(buf)
-    // reset NOW (not lazily on the next row) so the deflater drops its
-    // reference to this row's input bytes — otherwise each thread pins
-    // the largest recent document until its next call at this level
-    d.reset()
-    total
+    try {
+      d.setInput(s.getBytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally {
+      // reset in finally (not lazily on the next row): drops the
+      // deflater's reference to this row's input bytes — otherwise each
+      // thread pins the largest recent document until its next call at
+      // this level — AND guarantees a clean deflater even if deflate()
+      // throws or the task is killed mid-document, where dirty state
+      // would corrupt the NEXT row's compressed length at this level
+      d.reset()
+    }
   }
 
   /** Column surface; registers the SQL function on the active session

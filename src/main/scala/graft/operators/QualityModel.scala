@@ -61,6 +61,26 @@ object QualityModel {
   /** Trained model: sparse weights over hash buckets + bias. */
   final case class Model(weights: Map[Long, Double], bias: Double, buckets: Int)
 
+  /** Per-doc SORTED (b, x) feature arrays, label-joined (LEFT, so every
+    * label row survives) and pinned via a lazy local checkpoint — the
+    * one grouped frame that serves BOTH training and scoring, so the
+    * expensive group-by-doc runs once per pipeline instead of once per
+    * consumer. One `count()` on the result both materializes the
+    * checkpoint and returns the exact label count (the trainers' N) —
+    * folding the r14 separate labels-count job into the pin. Docs with
+    * no feature rows carry a null `fx`: the gradient scans filter them
+    * (preserving the inner-join gradient semantics the oracle
+    * replays), while scorers can still see them and emit null.
+    * sort_array canonicalizes the score-fold summation order (r14
+    * advice: reassociation was previously only *rounded* away; now the
+    * order itself is deterministic across runs and partitionings). */
+  def pinLabeledFeatures(feats: DataFrame, labels: DataFrame): DataFrame =
+    labels.join(
+      feats.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("b"), col("x")))).as("fx")),
+      Seq("doc_id"), "left")
+      .localCheckpoint(false)
+
   /** Full-batch gradient descent for logistic regression:
     * w ← round(w − lr·∇, 9) per iteration, ∇_b = Σ_d (σ(s_d) − y_d)·x_db / N.
     * `labels` is (doc_id, y ∈ {0,1}). Weights start at zero (so the
@@ -68,7 +88,6 @@ object QualityModel {
   def trainLogReg(spark: SparkSession, feats: DataFrame, labels: DataFrame,
       buckets: Int, iters: Int = 3, lr: Double = 1.0): Model = {
     val lab = labels.select(col("doc_id"), col("y").cast("double").as("y"))
-    val n = lab.count().toDouble
     // Fused GD step (r14): the feature matrix is grouped into per-doc
     // (b, x) arrays ONCE (bounded: ≤ min(B, |d|) entries per doc) and
     // labels joined once; each iteration is then a SINGLE scan — the
@@ -80,13 +99,12 @@ object QualityModel {
     // r13 shape paid two feature-matrix scans and three exchanges per
     // iteration (doc-keyed score agg, label join, bucket agg); this
     // pays zero doc-keyed exchanges after the one-off grouping.
-    // Same arithmetic, same 9-decimal quantization firewall: the score
-    // fold reassociates the Σ x·w sum, which rounding absorbs exactly
-    // as it does the hash-aggregation order the old shape relied on.
-    val pinned = feats.groupBy("doc_id")
-      .agg(collect_list(struct(col("b"), col("x"))).as("fx"))
-      .join(lab, Seq("doc_id"))
-      .localCheckpoint(false)
+    // Sorted arrays make the score-fold summation order canonical; the
+    // 9-decimal quantization remains the cross-engine firewall for the
+    // oracle's own (hash-aggregated, orderless) replay of the same sum.
+    val pinned0 = pinLabeledFeatures(feats, lab)
+    val n = pinned0.count().toDouble
+    val pinned = pinned0.filter(col("fx").isNotNull)
     var w = Map.empty[Long, Double]
     var bias = 0.0
     for (_ <- 0 until iters) {
@@ -131,15 +149,24 @@ object QualityModel {
   def trainLogRegMulti(spark: SparkSession, feats: DataFrame,
       labels: DataFrame, classes: Seq[String], buckets: Int,
       iters: Int = 3, lr: Double = 1.0): Map[String, Model] = {
+    val pinned = pinLabeledFeatures(feats,
+      labels.select(col("doc_id"), col("label")))
+    trainLogRegMultiPinned(pinned, pinned.count().toDouble, classes,
+      buckets, iters, lr)
+  }
+
+  /** [[trainLogRegMulti]] over a pre-built [[pinLabeledFeatures]] pin
+    * whose count the caller already took: lets one grouped checkpoint
+    * serve training AND [[scoreMultiPinned]] scoring (the
+    * q_lang_id_trained shape — at 100 TB the grouped feature form is
+    * written to storage once and every consumer reads it). */
+  def trainLogRegMultiPinned(pinned0: DataFrame, n: Double,
+      classes: Seq[String], buckets: Int,
+      iters: Int = 3, lr: Double = 1.0): Map[String, Model] = {
     require(classes.nonEmpty && classes.distinct.size == classes.size,
       s"classes must be distinct and non-empty: $classes")
-    val lab = labels.select(col("doc_id"), col("label"))
-    val n = lab.count().toDouble
     val k = classes.size
-    val pinned = feats.groupBy("doc_id")
-      .agg(collect_list(struct(col("b"), col("x"))).as("fx"))
-      .join(lab, Seq("doc_id"))
-      .localCheckpoint(false)
+    val pinned = pinned0.filter(col("fx").isNotNull)
     val ws = Array.fill(k)(Map.empty[Long, Double])
     val biases = Array.fill(k)(0.0)
     for (_ <- 0 until iters) {
@@ -180,6 +207,31 @@ object QualityModel {
     classes.zipWithIndex.map { case (c, ci) =>
       c -> Model(ws(ci), biases(ci), buckets)
     }.toMap
+  }
+
+  /** Map-only multi-model scoring over a [[pinLabeledFeatures]] pin:
+    * one score fold per model against the already-grouped (and
+    * checkpointed) feature arrays — no feature rebuild, no tokenizer
+    * kernel re-run, no joins, no shuffle. Each class c contributes
+    * `s_c = round(sigma(round(Σ x·w + bias, 9)), scale)`, the same
+    * expression (and the same sorted fold order) the trainer scores
+    * with. Docs with null fx (no features) score null — [[classify]]
+    * emits no row for them, so the paths agree on "no score". Output:
+    * every non-fx pinned column + one s_<class> per model. */
+  def scoreMultiPinned(pinned: DataFrame, models: Seq[(String, Model)],
+      scale: Int = 6): DataFrame = {
+    val scoreCols = models.map { case (name, m) =>
+      val warr = typedLit((0 until m.buckets).map(b =>
+        m.weights.getOrElse(b.toLong, 0.0)))
+      val s = round(
+        aggregate(col("fx"), lit(0.0), (acc, e) =>
+          acc + e.getField("x") *
+            element_at(warr, (e.getField("b") + 1).cast("int"))) +
+          lit(m.bias), 9)
+      round(lit(1.0) / (lit(1.0) + exp(-s)), scale).as(s"s_$name")
+    }
+    pinned.select(pinned.columns.filterNot(_ == "fx").map(col).toSeq
+      ++ scoreCols: _*)
   }
 
   /** Map-only scoring: (doc_id, quality = sigma(w·x + bias)). */
@@ -240,6 +292,11 @@ object QualityModel {
       aggregate(hs, lit(0.0), (acc, h) =>
         acc + coalesce(element_at(wLit, h % model.buckets), lit(0.0))) /
         size(hs).cast("double") + lit(model.bias), 9)
-    lit(1.0) / (lit(1.0) + exp(-s))
+    // zero-token doc → 0.0/0 = NaN score; surface it as null (classify
+    // emits no row for a feature-less doc, so the paths agree on "no
+    // score"). nanvl keeps this to the existing two kernel references —
+    // a when(size(hs) > 0, …) guard would evaluate the interpreted-HOF
+    // kernel a third time (the r14 re-evaluation trap).
+    nanvl(lit(1.0) / (lit(1.0) + exp(-s)), lit(null).cast("double"))
   }
 }
