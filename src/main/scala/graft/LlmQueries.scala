@@ -1095,6 +1095,102 @@ object LlmQueries {
         .orderBy("source")
     }
 
+    // Unigram-LM tokenizer trainer (Kudo 2018 / SentencePiece unigram,
+    // operators.UnigramLm — the third subword family beside BPE and
+    // WordPiece): seed = top-60 frequency-weighted substrings (len<=4)
+    // + all chars; 2 hard-EM rounds of in-plan Viterbi over the
+    // distinct-word memo with the log-prob table as a map literal. The
+    // oracle replays the EM exactly: the forward DP and backtrace run
+    // as recursive CTEs carrying the dp/backpointer LISTS and the
+    // round-6 log-prob MAP per row (list_max over (score, -start)
+    // structs = max score, longest-piece tie-break, same as Spark's
+    // array_max); counts are exact integers, probs add-one-smoothed
+    // over the fixed vocabulary, rounded at 9.
+    q("q_unigram_lm_vocab",
+      s"""WITH RECURSIVE
+        |uwords AS (
+        |  SELECT w, count(*) AS f FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '${Bpe.PreTokenPattern}')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |ucands AS (
+        |  SELECT piece, sum(f) AS n FROM (
+        |    SELECT w.f, substr(w.w, s.s, l.l) AS piece
+        |    FROM uwords w,
+        |         LATERAL (SELECT unnest(generate_series(1, length(w.w))) AS s) s,
+        |         LATERAL (SELECT unnest(generate_series(1, least(4, length(w.w) - s.s + 1))) AS l) l)
+        |  GROUP BY piece),
+        |useeds AS (SELECT piece, n FROM ucands ORDER BY n DESC, piece LIMIT 60),
+        |uvocab AS (
+        |  SELECT DISTINCT piece, n FROM (
+        |    SELECT * FROM useeds UNION ALL SELECT piece, n FROM ucands WHERE length(piece) = 1)),
+        |uvs AS (SELECT count(*) AS v, sum(n) AS t FROM uvocab),
+        |upm0 AS (SELECT map(list(piece ORDER BY piece),
+        |                   list(round(ln((n + 1) / CAST(t + v AS DOUBLE)), 6) ORDER BY piece)) AS m
+        |        FROM uvocab, uvs),
+        |uvit1 AS (
+        |  SELECT w.w, w.f, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS dp, [0] AS bp, upm0.m AS m
+        |  FROM uwords w, upm0
+        |  UNION ALL
+        |  SELECT w, f, pos + 1,
+        |    list_append(dp, best.s), list_append(bp, -best.nj), m
+        |  FROM (
+        |    SELECT w, f, pos, dp, bp, m,
+        |      list_max(list_transform(generate_series(greatest(0, pos + 1 - 4), pos), j ->
+        |        {'s': dp[j + 1] + coalesce(map_extract(m, substr(w, j + 1, pos + 1 - j))[1], -1e9),
+        |         'nj': -j})) AS best
+        |    FROM uvit1 WHERE pos < length(w)) ),
+        |uvd1 AS (SELECT w, f, bp FROM uvit1 WHERE pos = length(w)),
+        |ubt1 AS (
+        |  SELECT w, f, bp, length(w) AS pos, CAST([] AS VARCHAR[]) AS ps FROM uvd1
+        |  UNION ALL
+        |  SELECT w, f, bp, bp[pos + 1] AS pos,
+        |    list_prepend(substr(w, bp[pos + 1] + 1, pos - bp[pos + 1]), ps)
+        |  FROM ubt1 WHERE pos > 0),
+        |ucounts1 AS (
+        |  SELECT piece, sum(f) AS c FROM (
+        |    SELECT f, unnest(ps) AS piece FROM ubt1 WHERE pos = 0)
+        |  GROUP BY piece),
+        |un1 AS (SELECT v.piece, coalesce(c.c, 0) AS n FROM uvocab v LEFT JOIN ucounts1 c ON v.piece = c.piece),
+        |ut1 AS (SELECT sum(n) AS t FROM un1),
+        |upm1 AS (SELECT map(list(piece ORDER BY piece),
+        |                   list(round(ln((n + 1) / CAST(t.t + v.v AS DOUBLE)), 6) ORDER BY piece)) AS m
+        |        FROM un1, ut1 t, uvs v),
+        |uvit2 AS (
+        |  SELECT w.w, w.f, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS dp, [0] AS bp, upm1.m AS m
+        |  FROM uwords w, upm1
+        |  UNION ALL
+        |  SELECT w, f, pos + 1,
+        |    list_append(dp, best.s), list_append(bp, -best.nj), m
+        |  FROM (
+        |    SELECT w, f, pos, dp, bp, m,
+        |      list_max(list_transform(generate_series(greatest(0, pos + 1 - 4), pos), j ->
+        |        {'s': dp[j + 1] + coalesce(map_extract(m, substr(w, j + 1, pos + 1 - j))[1], -1e9),
+        |         'nj': -j})) AS best
+        |    FROM uvit2 WHERE pos < length(w)) ),
+        |uvd2 AS (SELECT w, f, bp FROM uvit2 WHERE pos = length(w)),
+        |ubt2 AS (
+        |  SELECT w, f, bp, length(w) AS pos, CAST([] AS VARCHAR[]) AS ps FROM uvd2
+        |  UNION ALL
+        |  SELECT w, f, bp, bp[pos + 1] AS pos,
+        |    list_prepend(substr(w, bp[pos + 1] + 1, pos - bp[pos + 1]), ps)
+        |  FROM ubt2 WHERE pos > 0),
+        |ucounts2 AS (
+        |  SELECT piece, sum(f) AS c FROM (
+        |    SELECT f, unnest(ps) AS piece FROM ubt2 WHERE pos = 0)
+        |  GROUP BY piece),
+        |un2 AS (SELECT v.piece, coalesce(c.c, 0) AS n FROM uvocab v LEFT JOIN ucounts2 c ON v.piece = c.piece),
+        |ut2 AS (SELECT sum(n) AS t FROM un2)
+        |SELECT un2.piece, CAST(un2.n AS BIGINT) AS n,
+        |  round((un2.n + 1) / CAST(ut2.t + v.v AS DOUBLE), 9) AS p
+        |FROM un2, ut2, uvs v
+        |ORDER BY n DESC, piece""".stripMargin) { (s, dir) =>
+      val m = graft.operators.UnigramLm.train(Tables.documents(s, dir),
+        "text", maxLen = 4, seedSize = 60, iters = 2)
+      graft.operators.UnigramLm.vocabDF(s, m)
+        .orderBy(col("n").desc, col("piece"))
+    }
+
     // Winnowing (Schleimer 2003, the MOSS primitive): distinct minima
     // of 4-wide windows over the ordered word-trigram hash stream, then
     // pairs sharing >= 3 fingerprints — local edit-robust overlap
