@@ -904,6 +904,80 @@ object LlmQueries {
             .otherwise("fr"))
           .orderBy("doc_id")
       }
+
+      // Char-n-gram variant (fastText's actual representation —
+      // Bojanowski 2017 boundary-marked char 3-grams): word-unigram
+      // features carry zero signal on unseen vocabulary and on
+      // no-whitespace scripts; char grams generalize through shared
+      // morphology (LangIdTrainedSpec differential: char model stays
+      // accurate on suffix-extended off-list words where the word
+      // model degenerates to the bias). Same synthesized corpus, same
+      // fused 4-class GD, only the feats CTE changes: boundary-marked
+      // char 3-grams, md5-fold hashed, gram-count-normalized.
+      q("q_lang_id_chargram",
+        s"""WITH syn AS (SELECT doc_id,
+           |    ${sqlList(langs)}[1 + CAST(doc_id % 4 AS INT)] AS lang,
+           |    array_to_string(list_transform(generate_series(0, 23), j ->
+           |      CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 7) AS BIGINT) % 3 = 0
+           |        THEN ${sqlList(shared)}[1 + CAST((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 7) AS BIGINT) % 24) // 3 AS INT)]
+           |        ELSE ${sqlList(all32)}[1 + CAST(doc_id % 4 AS INT) * 8 + CAST((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 7) AS BIGINT) % 24) // 3 AS INT)]
+           |      END), ' ') AS text
+           |  FROM documents),
+           |marked AS (SELECT doc_id, '<' || w || '>' AS m FROM
+           |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM syn)
+           |  WHERE length(w) > 0),
+           |grams AS (SELECT doc_id, substr(m, gs, 3) AS g
+           |  FROM marked, LATERAL (SELECT unnest(generate_series(1,
+           |    greatest(length(m) - 2, 1))) AS gs) t),
+           |gl AS (SELECT doc_id, count(*) AS dl FROM grams GROUP BY doc_id),
+           |feats AS (SELECT doc_id,
+           |            CAST('0x' || substr(md5(g), 1, 7) AS BIGINT) % $B AS b,
+           |            count(*) / CAST(min(dl) AS DOUBLE) AS x
+           |          FROM grams JOIN gl USING (doc_id) GROUP BY doc_id, b),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM syn),
+           |$perLang
+           |SELECT s.doc_id, s.lang AS actual_lang,
+           |  p_en.p AS s_en, p_de.p AS s_de, p_es.p AS s_es, p_fr.p AS s_fr,
+           |  CASE WHEN p_en.p >= p_de.p AND p_en.p >= p_es.p AND p_en.p >= p_fr.p THEN 'en'
+           |       WHEN p_de.p >= p_es.p AND p_de.p >= p_fr.p THEN 'de'
+           |       WHEN p_es.p >= p_fr.p THEN 'es'
+           |       ELSE 'fr' END AS pred_lang
+           |FROM syn s
+           |JOIN p_en ON p_en.doc_id = s.doc_id
+           |JOIN p_de ON p_de.doc_id = s.doc_id
+           |JOIN p_es ON p_es.doc_id = s.doc_id
+           |JOIN p_fr ON p_fr.doc_id = s.doc_id
+           |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+        def hj(j: Column) = conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit(":"), j.cast("string"))), 1, 7),
+          16, 10).cast("long")
+        def widx(j: Column) = ((hj(j) % 24) / lit(3)).cast("int")
+        val wordAt = (j: Column) =>
+          when(hj(j) % 3 === 0, element_at(typedLit(shared), widx(j) + 1))
+            .otherwise(element_at(typedLit(all32),
+              (col("doc_id") % 4).cast("int") * 8 + widx(j) + 1))
+        val syn = Tables.documents(s, dir).select(col("doc_id"),
+          element_at(typedLit(langs), (col("doc_id") % 4).cast("int") + 1)
+            .as("lang"),
+          array_join(transform(sequence(lit(0), lit(23)), wordAt), " ")
+            .as("text"))
+        val feats = QualityModel.hashedCharFeatures(syn, "doc_id", "text",
+          B, n = 3)
+        val pinned = QualityModel.pinLabeledFeatures(feats,
+          syn.select(col("doc_id"), col("lang").as("label")))
+        val models = QualityModel.trainLogRegMultiPinned(pinned,
+          pinned.count().toDouble, langs, B, iters = 2, lr = 1.0)
+        val scored = QualityModel.scoreMultiPinned(pinned,
+          langs.map(l => l -> models(l)))
+          .withColumnRenamed("label", "actual_lang")
+        scored.withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
+            && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+          .orderBy("doc_id")
+      }
     }
 
     // Token counting: whitespace tokens, regex word/punct tokens, and the

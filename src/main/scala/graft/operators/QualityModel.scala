@@ -58,6 +58,38 @@ object QualityModel {
       .agg(count(lit(1)).as("__n"))
       .select(col("doc_id"), col("b"), (col("__n") / col("__dl")).as("x"))
 
+  /** Hashed normalized bag of CHARACTER n-grams: (doc_id, b, x) with
+    * x = count(grams in bucket b) / total grams in the doc — fastText's
+    * actual subword representation (Joulin et al. 2016; Bojanowski et
+    * al. 2017 §3.2 use boundary-marked char n-grams exactly like the
+    * `<w>` marking here). Word-unigram features carry zero signal on
+    * vocabulary unseen in training and none at all for scripts without
+    * whitespace; char n-grams generalize through shared morphology.
+    * One corpus scan, map-only until the (doc, bucket) aggregate; gram
+    * hashing is the same md5 7-hex fold the oracle replays. */
+  def hashedCharFeatures(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, n: Int = 3): DataFrame = {
+    require(n >= 2, s"hashedCharFeatures: n must be >= 2, got $n")
+    val grams = flatten(transform(
+      filter(split(col(textCol), " "), w => length(w) > 0), w => {
+        val m = concat(lit("<"), w, lit(">"))
+        // |m| >= 3 for a non-empty word, so the sequence never
+        // descends for n = 3; shorter marked words at larger n yield
+        // their single truncated window via the greatest() guard
+        transform(sequence(lit(1), greatest(length(m) - (n - 1), lit(1))),
+          i => m.substr(i, lit(n)))
+      }))
+    docs
+      .select(col(idCol).as("doc_id"), grams.as("__gs"))
+      .select(col("doc_id"), size(col("__gs")).cast("double").as("__dl"),
+        explode(col("__gs")).as("__g"))
+      .select(col("doc_id"), col("__dl"),
+        (fold(col("__g")) % buckets).as("b"))
+      .groupBy("doc_id", "__dl", "b")
+      .agg(count(lit(1)).as("__n"))
+      .select(col("doc_id"), col("b"), (col("__n") / col("__dl")).as("x"))
+  }
+
   /** Trained model: sparse weights over hash buckets + bias. */
   final case class Model(weights: Map[Long, Double], bias: Double, buckets: Int)
 

@@ -68,6 +68,48 @@ class LangIdTrainedSpec extends SparkSpec {
     assert(heurAcc == 0.25, s"heuristic accuracy $heurAcc")
   }
 
+  test("char-n-gram features generalize to unseen vocabulary where word features cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // each language = one characteristic syllable; train on words of
+    // 2-4 repetitions, evaluate on 5-7 repetitions — every TEST word is
+    // out-of-vocabulary, but its boundary-marked char 3-grams are all
+    // seen in training (fastText's generalization argument)
+    val syll = Map("aa" -> "ka", "bb" -> "bo", "cc" -> "mi", "dd" -> "tu")
+    def mk(ids: Range, lo: Int): DataFrame = ids.map { i =>
+      val l = langs(i % 4)
+      (i.toLong, l,
+        (0 until 8).map(j => syll(l) * (lo + (i + j) % 3)).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val trainDf = mk(0 until 160, lo = 2)
+    val testDf = mk(1000 until 1080, lo = 5)
+    def accuracy(featsOf: DataFrame => DataFrame): Double = {
+      val pinned = QualityModel.pinLabeledFeatures(featsOf(trainDf),
+        trainDf.select(col("doc_id"), col("lang").as("label")))
+      val models = QualityModel.trainLogRegMultiPinned(pinned,
+        pinned.count().toDouble, langs, 128, iters = 2, lr = 1.0)
+      val scored = QualityModel.scoreMultiPinned(
+        QualityModel.pinLabeledFeatures(featsOf(testDf),
+          testDf.select(col("doc_id"), col("lang").as("label"))),
+        langs.map(l => l -> models(l)))
+        .withColumn("pred",
+          when(col("s_aa") >= col("s_bb") && col("s_aa") >= col("s_cc")
+            && col("s_aa") >= col("s_dd"), "aa")
+            .when(col("s_bb") >= col("s_cc") && col("s_bb") >= col("s_dd"), "bb")
+            .when(col("s_cc") >= col("s_dd"), "cc")
+            .otherwise("dd"))
+      scored.filter(col("pred") === col("label")).count().toDouble /
+        testDf.count()
+    }
+    val wordAcc = accuracy(d =>
+      QualityModel.hashedFeatures(d, "doc_id", "text", 128))
+    val charAcc = accuracy(d =>
+      QualityModel.hashedCharFeatures(d, "doc_id", "text", 128, n = 3))
+    assert(charAcc == 1.0, s"char-gram accuracy $charAcc off-list")
+    assert(charAcc > wordAcc,
+      s"char $charAcc must beat word $wordAcc on unseen vocabulary")
+  }
+
   test("fused multiclass trainer at K=1 reproduces the binary trainer") {
     val syn = corpus
     val feats = QualityModel.hashedFeatures(syn, "doc_id", "text", 64)
