@@ -957,6 +957,108 @@ object TrainPrepQueries {
         .orderBy("stage")
     }
 
+    // Hygiene funnel: the round-14/15 production levers COMPOSED into
+    // one declarative plan — capped winnow near-dup drop (skew-safe
+    // collect_capped enforcement, MOSS "too many documents" cap) →
+    // multi-length duplicated-substring purge (per-level support
+    // thresholds) → per-domain cap on the post-purge token count (the
+    // C4/RefinedWeb rule, bounded graft_top_k per source — no rank
+    // window). Each stage is individually oracle-checked
+    // (q_winnow_overlap_capped, q_substring_dedup_multi, q_domain_cap);
+    // this query pins their COMPOSITION, reporting (docs, tokens)
+    // surviving each stage. Keep-first pair policy: a doc drops if it
+    // near-dup-pairs with any smaller doc_id (doc_a < doc_b by
+    // construction, so the drop set is exactly the distinct doc_b's).
+    q("q_hygiene_funnel",
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |hs AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(ws) - 2),
+        |      i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
+        |             AS BIGINT)) AS h
+        |  FROM words WHERE len(ws) >= 3),
+        |win AS (SELECT doc_id, least(4, len(h)) AS weff, h FROM hs),
+        |fp0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(h) - weff + 1),
+        |      i -> list_min(h[i:i+weff-1]))) AS fp
+        |  FROM win),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM fp0),
+        |cold AS (SELECT doc_id, fp FROM
+        |  (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n FROM fps)
+        |  WHERE n <= 3),
+        |ndpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS n_shared
+        |  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dropb AS (SELECT DISTINCT doc_b AS doc_id FROM ndpairs WHERE n_shared >= 3),
+        |s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+        |       ANTI JOIN dropb USING (doc_id)),
+        |d1 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s1),
+        |pwins AS (SELECT doc_id, w, mc, i - 1 AS start,
+        |           md5(array_to_string(ws[i:i+w-1], ' ')) AS h
+        |         FROM (SELECT doc_id, ws, w, mc,
+        |                 unnest(generate_series(1, len(ws) - w + 1)) AS i
+        |               FROM d1, (VALUES (4, 5), (8, 2)) lv(w, mc))),
+        |prk AS (SELECT doc_id, w, mc, start,
+        |         count(*) OVER (PARTITION BY h) AS c,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+        |       FROM pwins),
+        |pcov AS (SELECT DISTINCT doc_id, start + j AS pos
+        |        FROM (SELECT doc_id, start, unnest(generate_series(0, w - 1)) AS j
+        |              FROM prk WHERE c >= mc AND rn > 1)),
+        |nrm AS (SELECT doc_id, count(*) AS n_removed FROM pcov GROUP BY doc_id),
+        |s2 AS (SELECT d1.doc_id, s1.source,
+        |         len(d1.ws) - coalesce(nrm.n_removed, 0) AS nt
+        |       FROM d1 JOIN s1 USING (doc_id) LEFT JOIN nrm USING (doc_id)),
+        |r AS (SELECT source, doc_id, nt,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY nt DESC, doc_id) AS rn
+        |      FROM s2),
+        |s3 AS (SELECT source, doc_id, nt FROM r WHERE rn <= 15)
+        |SELECT * FROM (
+        |  SELECT 's0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM words
+        |  UNION ALL SELECT 's1_neardup', CAST(count(*) AS BIGINT),
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 's2_purged', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 's3_domain_capped', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT) FROM s3
+        |) ORDER BY stage""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.winnowOverlap(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 3L, maxPostings = 3L)
+      val dropB = pairs.select(col("doc_b").as("doc_id")).distinct()
+      // Stage boundaries are PINNED: each stage has several consumers
+      // (the next stage's multi-pass operator + its own stage-count
+      // row), and recomputing s1 re-runs the whole winnow join per
+      // consumer (15 corpus scans unpinned, 4 pinned — plan-audited).
+      // At 100 TB these pins are the inter-stage parquet writes a
+      // production funnel would do anyway; localCheckpoint is the
+      // local-mode analogue.
+      val s1 = docs.select("doc_id", "source", "text")
+        .join(dropB, Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
+      val purged = TextDedup.purgeDuplicateSubstringsMulti(s1,
+        "doc_id", "text", windows = Seq((4, 5L), (8, 2L)), keepFirst = true)
+      val s2 = purged
+        .select(col("doc_id"),
+          (col("n_words") - col("n_removed")).as("nt"))
+        .join(s1.select("doc_id", "source"), Seq("doc_id"))
+        .localCheckpoint(false)
+      val s3 = operators.TextExtract.capPerDomain(
+        s2, "doc_id", "source", "nt", cap = 15)
+      def stage(name: String, d: DataFrame,
+          tok: org.apache.spark.sql.Column): DataFrame =
+        d.agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("s0_raw", docs, size(split(col("text"), " ")).cast("long"))
+        .unionByName(stage("s1_neardup", s1,
+          size(split(col("text"), " ")).cast("long")))
+        .unionByName(stage("s2_purged", s2, col("nt")))
+        .unionByName(stage("s3_domain_capped", s3, col("nt")))
+        .orderBy("stage")
+    }
+
     // Funnel rejects: the audit side of q_prep_funnel — every dropped
     // doc with the stage that dropped it and the specific reason, from
     // ONE corpus scan. Instead of chaining filters (each stage a new

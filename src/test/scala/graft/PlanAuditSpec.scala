@@ -482,6 +482,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.toSeq.sorted}")
   }
 
+  test("hygiene funnel composes the bounded levers") {
+    // The registry form pins each stage boundary (localCheckpoint = the
+    // inter-stage storage write a 100 TB funnel does anyway), so its
+    // FINAL plan must touch the corpus only for the raw stage count;
+    // the lever shapes are audited on the same composition UNPINNED
+    // (the q_mmr_rerank audit discipline).
+    val pinned = SparkEntry.queries("q_hygiene_funnel")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val pinnedScans = "FileScan".r.findAllIn(pinned).length
+    assert(pinnedScans <= 4,
+      s"pinned funnel scans the corpus $pinnedScans times")
+
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val dropB = graft.operators.TextDedup.winnowOverlap(docs, "doc_id",
+        "text", k = 3, w = 4, minShared = 3L, maxPostings = 3L)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s1 = docs.select("doc_id", "source", "text")
+      .join(dropB, Seq("doc_id"), "left_anti")
+    val purged = graft.operators.TextDedup.purgeDuplicateSubstringsMulti(
+      s1, "doc_id", "text", windows = Seq((4, 5L), (8, 2L)),
+      keepFirst = true)
+    val s2 = purged.select(col("doc_id"),
+        (col("n_words") - col("n_removed")).as("nt"))
+      .join(s1.select("doc_id", "source"), Seq("doc_id"))
+    val s3 = graft.operators.TextExtract.capPerDomain(
+      s2, "doc_id", "source", "nt", cap = 15)
+    val qe = s3.queryExecution
+    assert(qe.executedPlan.toString.contains("partial_collect_capped"),
+      "capped winnow stage lost its bounded aggregate")
+    assert(qe.analyzed.toString.contains("graft_top_k") ||
+      qe.analyzed.toString.contains("collect_top_k"),
+      "domain cap is not the bounded partial top-k aggregate")
+    // the only windows allowed are the purge's occurrence stats,
+    // partitioned by window-content hash (groups = occurrence counts,
+    // bounded) — never by source or corpus-wide keys
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = qe.executedPlan.collect { case w: WindowExec => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "funnel plans an unpartitioned window")
+    assert(wins.forall(_.partitionSpec.exists(_.toString.contains("__h"))),
+      s"window not hash-partitioned: ${wins.map(_.partitionSpec.mkString(","))}")
+  }
+
   test("cap enforcement is a bounded partial aggregate, not a concentration") {
     // Round-14 weak mark: dropping over-cap groups must never first
     // concentrate the hot key (window count over fp ships every posting
