@@ -1071,6 +1071,20 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
   def tokenizeBpe(textCol: String): Frame =
     keep(graft.operators.Bpe.tokenPieces(df, textCol))
 
+  /** Train a unigram-LM (SentencePiece/Kudo) subword vocabulary on
+    * `textCol` — hard-EM with in-plan Viterbi over the distinct-word
+    * memo, O(seed vocabulary) driver state (operators.UnigramLm). */
+  def trainUnigramLm(textCol: String, maxLen: Int = 4, seedSize: Int = 60,
+      iters: Int = 2): graft.operators.UnigramLm.UnigramModel =
+    graft.operators.UnigramLm.train(df, textCol, maxLen, seedSize, iters)
+
+  /** Append `unigram_pieces` — the document's unigram-LM subword
+    * sequence under a trained model (operators.UnigramLm.segment;
+    * partition-batched map with a distinct-word memo, no shuffle). */
+  def tokenizeUnigram(textCol: String,
+      model: graft.operators.UnigramLm.UnigramModel): Frame =
+    keep(graft.operators.UnigramLm.segment(df, textCol, model))
+
   /** Repair UTF-8-as-cp1252 mojibake in `textCol` via the canonical
     * artifact table (operators.TextQuality.fixMojibake — map-only
     * codegen'd replace chain). */

@@ -918,6 +918,14 @@ class FrameApiSpec extends SparkSpec {
     same("q_winnow_overlap", Frame(d, Some("doc_id"))
       .winnowOverlap("text", k = 3, w = 4, minShared = 3L)
       .transform(_.orderBy("doc_a", "doc_b")))
+    // unigram-LM facade: train + segment line up with the operator
+    val ulm = Frame(d, Some("doc_id"))
+      .trainUnigramLm("text", maxLen = 4, seedSize = 20, iters = 1)
+    assert(ulm.pieces ==
+      graft.operators.UnigramLm.train(d, "text", 4, 20, 1).pieces)
+    val segged = Frame(d, Some("doc_id")).tokenizeUnigram("text", ulm).df
+    assert(segged.columns.contains("unigram_pieces") &&
+      segged.count() == d.count())
   }
 
   test("skewReport / profileNulls facades match the registry queries") {
