@@ -328,6 +328,22 @@ object GraftFunctions {
           TDigestQuantile(args.head, dblLit(args(1), "q"), comp)
         }),
       (
+        FunctionIdentifier("graft_feature_dot"),
+        new ExpressionInfo(classOf[FeatureDot].getName, "graft_feature_dot"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_feature_dot(fx, weights_literal)")
+          val ws = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(
+                a: org.apache.spark.sql.catalyst.util.ArrayData,
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.DoubleType, _)) =>
+              a.toDoubleArray()
+            case other => throw new IllegalArgumentException(
+              s"graft_feature_dot weights must be an array<double> literal, got $other")
+          }
+          FeatureDot(args.head, ws)
+        }),
+      (
         FunctionIdentifier("collect_capped"),
         new ExpressionInfo(classOf[CollectCapped].getName, "collect_capped"),
         (args: Seq[Expression]) => {

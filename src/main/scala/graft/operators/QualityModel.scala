@@ -140,15 +140,14 @@ object QualityModel {
     var w = Map.empty[Long, Double]
     var bias = 0.0
     for (_ <- 0 until iters) {
-      // typedLit, NOT array(lit…): array() is a CreateArray re-evaluated
-      // on every fold element (512 allocs per token — the SQ8 trap);
-      // typedLit is one Literal with O(1) element_at.
-      val warr = typedLit((0 until buckets).map(b =>
-        w.getOrElse(b.toLong, 0.0)))
+      // graft_feature_dot: the codegen'd sparse·dense inner product —
+      // same elements, same left-to-right order as the interpreted
+      // aggregate() fold it replaces (bit-identical sum; r15 A/B in
+      // BASELINE), weights baked into the generated code as one
+      // double[] reference.
       val s = round(
-        aggregate(col("fx"), lit(0.0), (acc, e) =>
-          acc + e.getField("x") *
-            element_at(warr, (e.getField("b") + 1).cast("int"))) +
+        graft.functions.FeatureDot(col("fx"),
+          (0 until buckets).map(b => w.getOrElse(b.toLong, 0.0))) +
           lit(bias), 9)
       val grads = pinned
         .select((lit(1.0) / (lit(1.0) + exp(-s)) - col("y")).as("d"),
@@ -205,12 +204,9 @@ object QualityModel {
       // K deltas in one Project; the exploded (b, x) rows then feed K
       // gradient sums in one aggregate — one scan, one exchange total
       val deltaCols = classes.zipWithIndex.map { case (c, ci) =>
-        val warr = typedLit((0 until buckets).map(b =>
-          ws(ci).getOrElse(b.toLong, 0.0)))
         val s = round(
-          aggregate(col("fx"), lit(0.0), (acc, e) =>
-            acc + e.getField("x") *
-              element_at(warr, (e.getField("b") + 1).cast("int"))) +
+          graft.functions.FeatureDot(col("fx"),
+            (0 until buckets).map(b => ws(ci).getOrElse(b.toLong, 0.0))) +
             lit(biases(ci)), 9)
         (lit(1.0) / (lit(1.0) + exp(-s)) -
           (col("label") === c).cast("double")).as(s"__d$ci")
@@ -253,12 +249,9 @@ object QualityModel {
   def scoreMultiPinned(pinned: DataFrame, models: Seq[(String, Model)],
       scale: Int = 6): DataFrame = {
     val scoreCols = models.map { case (name, m) =>
-      val warr = typedLit((0 until m.buckets).map(b =>
-        m.weights.getOrElse(b.toLong, 0.0)))
       val s = round(
-        aggregate(col("fx"), lit(0.0), (acc, e) =>
-          acc + e.getField("x") *
-            element_at(warr, (e.getField("b") + 1).cast("int"))) +
+        graft.functions.FeatureDot(col("fx"),
+          (0 until m.buckets).map(b => m.weights.getOrElse(b.toLong, 0.0))) +
           lit(m.bias), 9)
       round(lit(1.0) / (lit(1.0) + exp(-s)), scale).as(s"s_$name")
     }
