@@ -344,6 +344,22 @@ object GraftFunctions {
           FeatureDot(args.head, ws)
         }),
       (
+        FunctionIdentifier("graft_hash_dot"),
+        new ExpressionInfo(classOf[HashBucketDot].getName, "graft_hash_dot"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_hash_dot(hs, weights_literal)")
+          val ws = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(
+                a: org.apache.spark.sql.catalyst.util.ArrayData,
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.DoubleType, _)) =>
+              a.toDoubleArray()
+            case other => throw new IllegalArgumentException(
+              s"graft_hash_dot weights must be an array<double> literal, got $other")
+          }
+          HashBucketDot(args.head, ws)
+        }),
+      (
         FunctionIdentifier("collect_capped"),
         new ExpressionInfo(classOf[CollectCapped].getName, "collect_capped"),
         (args: Seq[Expression]) => {

@@ -300,22 +300,21 @@ object QualityModel {
       .withColumn("gap", abs(col("frac_pos") - col("midpoint")))
   }
 
-  /** Map-only scoring COLUMN: the weight vector rides along as a map
-    * literal (O(B), plan-time) and the score is one fold over the
-    * token array — no explode, no shuffle, no state. This is the
+  /** Map-only scoring COLUMN: the weight vector rides along as a dense
+    * plan literal (O(B)) and the score is one codegen'd
+    * [[graft.functions.HashBucketDot]] pass over the token-hash
+    * array — no explode, no shuffle, no state. This is the
     * streaming-safe form (stateless per-row projection) and the
     * cheapest batch form; it equals [[classify]] up to float
     * association order (Σ_t w[b(t)]/|d| vs Σ_b n_b·w_b/|d|), which the
-    * same 9-decimal quantization absorbs. */
+    * same 9-decimal quantization absorbs. (r15: the kernel replaced an
+    * interpreted fold over a sparse map literal — same element order,
+    * bit-identical sums; A/B in BASELINE.) */
   def scoreInline(textCol: Column, model: Model): Column = {
-    val wLit = typedLit(model.weights)
     val hs = graft.functions.ShingleHashes(textCol, 1, 7, dedup = false)
-    // fold the raw weight sum, divide by |d| ONCE outside the lambda —
-    // a per-element `size(hs)` reference would inline (and re-run) the
-    // kernel per token
     val s = round(
-      aggregate(hs, lit(0.0), (acc, h) =>
-        acc + coalesce(element_at(wLit, h % model.buckets), lit(0.0))) /
+      graft.functions.HashBucketDot(hs, (0 until model.buckets).map(b =>
+        model.weights.getOrElse(b.toLong, 0.0))) /
         size(hs).cast("double") + lit(model.bias), 9)
     // zero-token doc → 0.0/0 = NaN score; surface it as null (classify
     // emits no row for a feature-less doc, so the paths agree on "no
