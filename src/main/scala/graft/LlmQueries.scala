@@ -1180,9 +1180,13 @@ object LlmQueries {
     // structs = max score, longest-piece tie-break, same as Spark's
     // array_max); counts are exact integers, probs add-one-smoothed
     // over the fixed vocabulary, rounded at 9.
-    q("q_unigram_lm_vocab",
-      s"""WITH RECURSIVE
-        |uwords AS (
+    // Shared oracle CTE stack for the unigram-LM family: seed vocab,
+    // 2 hard-EM rounds of recursive-CTE Viterbi + backtrace, final
+    // counts (un2) + totals (ut2). q_unigram_lm_vocab reads the vocab;
+    // q_unigram_fertility runs ONE more Viterbi pass under the final
+    // probabilities to oracle-check the ENCODE path (segment()).
+    val unigramEmCtes =
+      s"""uwords AS (
         |  SELECT w, count(*) AS f FROM (
         |    SELECT unnest(regexp_extract_all(lower(text), '${Bpe.PreTokenPattern}')) AS w
         |    FROM documents)
@@ -1254,7 +1258,11 @@ object LlmQueries {
         |    SELECT f, unnest(ps) AS piece FROM ubt2 WHERE pos = 0)
         |  GROUP BY piece),
         |un2 AS (SELECT v.piece, coalesce(c.c, 0) AS n FROM uvocab v LEFT JOIN ucounts2 c ON v.piece = c.piece),
-        |ut2 AS (SELECT sum(n) AS t FROM un2)
+        |ut2 AS (SELECT sum(n) AS t FROM un2)""".stripMargin
+
+    q("q_unigram_lm_vocab",
+      s"""WITH RECURSIVE
+        |$unigramEmCtes
         |SELECT un2.piece, CAST(un2.n AS BIGINT) AS n,
         |  round((un2.n + 1) / CAST(ut2.t + v.v AS DOUBLE), 9) AS p
         |FROM un2, ut2, uvs v
@@ -1263,6 +1271,65 @@ object LlmQueries {
         "text", maxLen = 4, seedSize = 60, iters = 2)
       graft.operators.UnigramLm.vocabDF(s, m)
         .orderBy(col("n").desc, col("piece"))
+    }
+
+    // Unigram-LM fertility: pieces-per-word per source under the
+    // TRAINED model — the oracle gate for the ENCODE path
+    // (operators.UnigramLm.segment, the partition-memo Viterbi a
+    // dataloader-facing pipeline runs at corpus scale). The oracle
+    // runs a third recursive-CTE Viterbi under the final smoothed
+    // probabilities (upm2 = the model segment() scores with), walks
+    // the backtrace to per-word piece counts, and weights them by the
+    // corpus word stream.
+    q("q_unigram_fertility",
+      s"""WITH RECURSIVE
+        |$unigramEmCtes,
+        |upm2 AS (SELECT map(list(piece ORDER BY piece),
+        |                   list(round(ln((n + 1) / CAST(t.t + v.v AS DOUBLE)), 6) ORDER BY piece)) AS m
+        |        FROM un2, ut2 t, uvs v),
+        |uvit3 AS (
+        |  SELECT w.w, w.f, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS dp, [0] AS bp, upm2.m AS m
+        |  FROM uwords w, upm2
+        |  UNION ALL
+        |  SELECT w, f, pos + 1,
+        |    list_append(dp, best.s), list_append(bp, -best.nj), m
+        |  FROM (
+        |    SELECT w, f, pos, dp, bp, m,
+        |      list_max(list_transform(generate_series(greatest(0, pos + 1 - 4), pos), j ->
+        |        {'s': dp[j + 1] + coalesce(map_extract(m, substr(w, j + 1, pos + 1 - j))[1], -1e9),
+        |         'nj': -j})) AS best
+        |    FROM uvit3 WHERE pos < length(w)) ),
+        |uvd3 AS (SELECT w, f, bp FROM uvit3 WHERE pos = length(w)),
+        |ubt3 AS (
+        |  SELECT w, f, bp, length(w) AS pos, CAST([] AS VARCHAR[]) AS ps FROM uvd3
+        |  UNION ALL
+        |  SELECT w, f, bp, bp[pos + 1] AS pos,
+        |    list_prepend(substr(w, bp[pos + 1] + 1, pos - bp[pos + 1]), ps)
+        |  FROM ubt3 WHERE pos > 0),
+        |uwp AS (SELECT w, len(ps) AS np FROM ubt3 WHERE pos = 0),
+        |dtok AS (SELECT source,
+        |    unnest(regexp_extract_all(lower(text), '${Bpe.PreTokenPattern}')) AS w
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(np) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS fertility
+        |FROM dtok JOIN uwp ON dtok.w = uwp.w
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val m = graft.operators.UnigramLm.train(docs, "text",
+        maxLen = 4, seedSize = 60, iters = 2)
+      graft.operators.UnigramLm.segment(
+          docs.select(col("doc_id"), col("source"), col("text")), "text", m)
+        .select(col("source"),
+          size(regexp_extract_all(lower(col("text")),
+            lit(graft.operators.Bpe.PreTokenPattern), lit(0)))
+            .cast("long").as("nw"),
+          size(col("unigram_pieces")).cast("long").as("np"))
+        .groupBy("source")
+        .agg(sum("nw").as("n_words"), sum("np").as("n_tokens"),
+          round(sum("np").cast("double") / sum("nw").cast("double"), 9)
+            .as("fertility"))
+        .orderBy("source")
     }
 
     // Winnowing (Schleimer 2003, the MOSS primitive): distinct minima
