@@ -562,6 +562,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("unigram segment runs unchanged on a stream and equals the batch encode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train offline; the encode is a stateless partition map, so it
+    // applies to a stream as-is — the dataloader-facing backfill shape
+    val batch = spark.createDataFrame(Seq(
+      (0L, "the cat sat on the mat"), (1L, "concatenate the catalogue"),
+      (2L, "rats and cats cohabitate"))).toDF("doc_id", "text")
+    val model = graft.operators.UnigramLm.train(batch, "text",
+      maxLen = 4, seedSize = 20, iters = 1)
+    val in = MemoryStream[(Long, String)]
+    val seg = graft.operators.UnigramLm.segment(
+      in.toDF().toDF("doc_id", "text"), "text", model)
+    val q = seg.writeStream.format("memory").queryName("useg")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, "the cat catalogue"), (11L, "cats cohabitate"))
+      q.processAllAvailable()
+      val streamed = spark.table("useg").collect()
+        .map(r => r.getLong(0) -> r.getAs[Seq[String]]("unigram_pieces")).toMap
+      val batched = graft.operators.UnigramLm.segment(
+        spark.createDataFrame(Seq((10L, "the cat catalogue"),
+          (11L, "cats cohabitate"))).toDF("doc_id", "text"), "text", model)
+        .collect().map(r => r.getLong(0) -> r.getAs[Seq[String]]("unigram_pieces")).toMap
+      assert(streamed == batched, s"stream $streamed != batch $batched")
+    } finally q.stop()
+  }
+
   test("streaming bloom dedup gates arrivals against an offline filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
