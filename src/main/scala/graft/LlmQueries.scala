@@ -1185,6 +1185,31 @@ object LlmQueries {
     // counts (un2) + totals (ut2). q_unigram_lm_vocab reads the vocab;
     // q_unigram_fertility runs ONE more Viterbi pass under the final
     // probabilities to oracle-check the ENCODE path (segment()).
+    // One Viterbi + backtrace round of the oracle's recursive-CTE DP,
+    // emitted per EM round (and once more for the fertility encode
+    // gate) so the copies cannot drift: uvit$i runs the forward DP
+    // under the prob map CTE $pm, ubt$i walks the backpointers.
+    def vitCtes(i: Int, pm: String): String =
+      s"""uvit$i AS (
+        |  SELECT w.w, w.f, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS dp, [0] AS bp, $pm.m AS m
+        |  FROM uwords w, $pm
+        |  UNION ALL
+        |  SELECT w, f, pos + 1,
+        |    list_append(dp, best.s), list_append(bp, -best.nj), m
+        |  FROM (
+        |    SELECT w, f, pos, dp, bp, m,
+        |      list_max(list_transform(generate_series(greatest(0, pos + 1 - 4), pos), j ->
+        |        {'s': dp[j + 1] + coalesce(map_extract(m, substr(w, j + 1, pos + 1 - j))[1], -1e9),
+        |         'nj': -j})) AS best
+        |    FROM uvit$i WHERE pos < length(w)) ),
+        |uvd$i AS (SELECT w, f, bp FROM uvit$i WHERE pos = length(w)),
+        |ubt$i AS (
+        |  SELECT w, f, bp, length(w) AS pos, CAST([] AS VARCHAR[]) AS ps FROM uvd$i
+        |  UNION ALL
+        |  SELECT w, f, bp, bp[pos + 1] AS pos,
+        |    list_prepend(substr(w, bp[pos + 1] + 1, pos - bp[pos + 1]), ps)
+        |  FROM ubt$i WHERE pos > 0)""".stripMargin
+
     val unigramEmCtes =
       s"""uwords AS (
         |  SELECT w, count(*) AS f FROM (
@@ -1206,25 +1231,7 @@ object LlmQueries {
         |upm0 AS (SELECT map(list(piece ORDER BY piece),
         |                   list(round(ln((n + 1) / CAST(t + v AS DOUBLE)), 6) ORDER BY piece)) AS m
         |        FROM uvocab, uvs),
-        |uvit1 AS (
-        |  SELECT w.w, w.f, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS dp, [0] AS bp, upm0.m AS m
-        |  FROM uwords w, upm0
-        |  UNION ALL
-        |  SELECT w, f, pos + 1,
-        |    list_append(dp, best.s), list_append(bp, -best.nj), m
-        |  FROM (
-        |    SELECT w, f, pos, dp, bp, m,
-        |      list_max(list_transform(generate_series(greatest(0, pos + 1 - 4), pos), j ->
-        |        {'s': dp[j + 1] + coalesce(map_extract(m, substr(w, j + 1, pos + 1 - j))[1], -1e9),
-        |         'nj': -j})) AS best
-        |    FROM uvit1 WHERE pos < length(w)) ),
-        |uvd1 AS (SELECT w, f, bp FROM uvit1 WHERE pos = length(w)),
-        |ubt1 AS (
-        |  SELECT w, f, bp, length(w) AS pos, CAST([] AS VARCHAR[]) AS ps FROM uvd1
-        |  UNION ALL
-        |  SELECT w, f, bp, bp[pos + 1] AS pos,
-        |    list_prepend(substr(w, bp[pos + 1] + 1, pos - bp[pos + 1]), ps)
-        |  FROM ubt1 WHERE pos > 0),
+        |${vitCtes(1, "upm0")},
         |ucounts1 AS (
         |  SELECT piece, sum(f) AS c FROM (
         |    SELECT f, unnest(ps) AS piece FROM ubt1 WHERE pos = 0)
@@ -1234,25 +1241,7 @@ object LlmQueries {
         |upm1 AS (SELECT map(list(piece ORDER BY piece),
         |                   list(round(ln((n + 1) / CAST(t.t + v.v AS DOUBLE)), 6) ORDER BY piece)) AS m
         |        FROM un1, ut1 t, uvs v),
-        |uvit2 AS (
-        |  SELECT w.w, w.f, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS dp, [0] AS bp, upm1.m AS m
-        |  FROM uwords w, upm1
-        |  UNION ALL
-        |  SELECT w, f, pos + 1,
-        |    list_append(dp, best.s), list_append(bp, -best.nj), m
-        |  FROM (
-        |    SELECT w, f, pos, dp, bp, m,
-        |      list_max(list_transform(generate_series(greatest(0, pos + 1 - 4), pos), j ->
-        |        {'s': dp[j + 1] + coalesce(map_extract(m, substr(w, j + 1, pos + 1 - j))[1], -1e9),
-        |         'nj': -j})) AS best
-        |    FROM uvit2 WHERE pos < length(w)) ),
-        |uvd2 AS (SELECT w, f, bp FROM uvit2 WHERE pos = length(w)),
-        |ubt2 AS (
-        |  SELECT w, f, bp, length(w) AS pos, CAST([] AS VARCHAR[]) AS ps FROM uvd2
-        |  UNION ALL
-        |  SELECT w, f, bp, bp[pos + 1] AS pos,
-        |    list_prepend(substr(w, bp[pos + 1] + 1, pos - bp[pos + 1]), ps)
-        |  FROM ubt2 WHERE pos > 0),
+        |${vitCtes(2, "upm1")},
         |ucounts2 AS (
         |  SELECT piece, sum(f) AS c FROM (
         |    SELECT f, unnest(ps) AS piece FROM ubt2 WHERE pos = 0)
@@ -1287,25 +1276,7 @@ object LlmQueries {
         |upm2 AS (SELECT map(list(piece ORDER BY piece),
         |                   list(round(ln((n + 1) / CAST(t.t + v.v AS DOUBLE)), 6) ORDER BY piece)) AS m
         |        FROM un2, ut2 t, uvs v),
-        |uvit3 AS (
-        |  SELECT w.w, w.f, 0 AS pos, [CAST(0.0 AS DOUBLE)] AS dp, [0] AS bp, upm2.m AS m
-        |  FROM uwords w, upm2
-        |  UNION ALL
-        |  SELECT w, f, pos + 1,
-        |    list_append(dp, best.s), list_append(bp, -best.nj), m
-        |  FROM (
-        |    SELECT w, f, pos, dp, bp, m,
-        |      list_max(list_transform(generate_series(greatest(0, pos + 1 - 4), pos), j ->
-        |        {'s': dp[j + 1] + coalesce(map_extract(m, substr(w, j + 1, pos + 1 - j))[1], -1e9),
-        |         'nj': -j})) AS best
-        |    FROM uvit3 WHERE pos < length(w)) ),
-        |uvd3 AS (SELECT w, f, bp FROM uvit3 WHERE pos = length(w)),
-        |ubt3 AS (
-        |  SELECT w, f, bp, length(w) AS pos, CAST([] AS VARCHAR[]) AS ps FROM uvd3
-        |  UNION ALL
-        |  SELECT w, f, bp, bp[pos + 1] AS pos,
-        |    list_prepend(substr(w, bp[pos + 1] + 1, pos - bp[pos + 1]), ps)
-        |  FROM ubt3 WHERE pos > 0),
+        |${vitCtes(3, "upm2")},
         |uwp AS (SELECT w, len(ps) AS np FROM ubt3 WHERE pos = 0),
         |dtok AS (SELECT source,
         |    unnest(regexp_extract_all(lower(text), '${Bpe.PreTokenPattern}')) AS w
@@ -1325,6 +1296,11 @@ object LlmQueries {
             lit(graft.operators.Bpe.PreTokenPattern), lit(0)))
             .cast("long").as("nw"),
           size(col("unigram_pieces")).cast("long").as("np"))
+        // zero-word docs contribute nothing to either sum; dropping
+        // them also drops an all-empty SOURCE entirely, matching the
+        // oracle's word-stream join (which would emit no row for it
+        // where a groupBy would emit (source, 0, 0, NaN))
+        .filter(col("nw") > 0)
         .groupBy("source")
         .agg(sum("nw").as("n_words"), sum("np").as("n_tokens"),
           round(sum("np").cast("double") / sum("nw").cast("double"), 9)

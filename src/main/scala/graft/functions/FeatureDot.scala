@@ -22,8 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * form never sees one by construction; the guard makes the kernel
   * total). Null array → null; null elements/fields are skipped.
   */
-case class FeatureDot(child: Expression, weights: Array[Double])
+case class FeatureDot(child: Expression, weights: Seq[Double])
   extends UnaryExpression {
+
+  // Seq gives the case class VALUE equality, so identical kernels (e.g.
+  // the K all-zero score dots of GD iteration 1) canonicalize and
+  // common-subexpression-eliminate; the primitive array the loops index
+  // is derived once.
+  @transient private lazy val wArr: Array[Double] = weights.toArray
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_feature_dot"
@@ -50,7 +56,7 @@ case class FeatureDot(child: Expression, weights: Array[Double])
         val r = arr.getStruct(i, 2)
         if (!r.isNullAt(0) && !r.isNullAt(1)) {
           val b = r.getLong(0)
-          if (b >= 0 && b < weights.length) s += r.getDouble(1) * weights(b.toInt)
+          if (b >= 0 && b < wArr.length) s += r.getDouble(1) * wArr(b.toInt)
         }
       }
       i += 1
@@ -59,7 +65,7 @@ case class FeatureDot(child: Expression, weights: Array[Double])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wRef = ctx.addReferenceObj("weights", weights, "double[]")
+    val wRef = ctx.addReferenceObj("weights", wArr, "double[]")
     nullSafeCodeGen(ctx, ev, c => {
       val arr = ctx.freshName("arr")
       val i = ctx.freshName("i")

@@ -22,8 +22,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * come from BigDecimal rounding, which never yields −0.0). Negative
   * remainders (impossible for the md5-fold hashes, which are
   * non-negative) skip, matching the sparse map's missing-key → 0. */
-case class HashBucketDot(child: Expression, weights: Array[Double])
+case class HashBucketDot(child: Expression, weights: Seq[Double])
   extends UnaryExpression {
+
+  // Seq for value equality (canonicalization/CSE); primitive array for
+  // the loops. An EMPTY weight vector returns 0.0 (the sparse map's
+  // every-key-missing behavior) instead of a modulo-by-zero crash.
+  @transient private lazy val wArr: Array[Double] = weights.toArray
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_hash_dot"
@@ -40,13 +45,14 @@ case class HashBucketDot(child: Expression, weights: Array[Double])
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    if (wArr.length == 0) return 0.0
     var s = 0.0
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val idx = arr.getLong(i) % weights.length
-        if (idx >= 0) s += weights(idx.toInt)
+        val idx = arr.getLong(i) % wArr.length
+        if (idx >= 0) s += wArr(idx.toInt)
       }
       i += 1
     }
@@ -54,7 +60,7 @@ case class HashBucketDot(child: Expression, weights: Array[Double])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wRef = ctx.addReferenceObj("weights", weights, "double[]")
+    val wRef = ctx.addReferenceObj("weights", wArr, "double[]")
     nullSafeCodeGen(ctx, ev, c => {
       val arr = ctx.freshName("arr")
       val i = ctx.freshName("i")
@@ -65,9 +71,9 @@ case class HashBucketDot(child: Expression, weights: Array[Double])
         |org.apache.spark.sql.catalyst.util.ArrayData $arr = $c;
         |double $s = 0.0;
         |int $n = $arr.numElements();
-        |for (int $i = 0; $i < $n; $i++) {
+        |for (int $i = 0; ${wArr.length} > 0 && $i < $n; $i++) {
         |  if (!$arr.isNullAt($i)) {
-        |    long $idx = $arr.getLong($i) % ${weights.length}L;
+        |    long $idx = $arr.getLong($i) % ${wArr.length}L;
         |    if ($idx >= 0) $s += $wRef[(int) $idx];
         |  }
         |}

@@ -180,6 +180,8 @@ object QualityModel {
   def trainLogRegMulti(spark: SparkSession, feats: DataFrame,
       labels: DataFrame, classes: Seq[String], buckets: Int,
       iters: Int = 3, lr: Double = 1.0): Map[String, Model] = {
+    require(classes.nonEmpty && classes.distinct.size == classes.size,
+      s"classes must be distinct and non-empty: $classes") // before any job runs
     val pinned = pinLabeledFeatures(feats,
       labels.select(col("doc_id"), col("label")))
     trainLogRegMultiPinned(pinned, pinned.count().toDouble, classes,

@@ -47,13 +47,13 @@ object UnigramLm {
       pieces: Seq[(String, Long)],
       logProbs: Map[String, Double],
       maxLen: Int) {
+    @transient private lazy val countByPiece: Map[String, Long] = pieces.toMap
+    @transient private lazy val total: Long = pieces.iterator.map(_._2).sum
     /** Smoothed probability of a vocabulary piece (add-one over the
       * fixed vocabulary, the same formula the trainer normalizes
       * with). */
-    def prob(piece: String): Double = {
-      val t = pieces.iterator.map(_._2).sum
-      (pieces.toMap.getOrElse(piece, 0L) + 1).toDouble / (t + pieces.size)
-    }
+    def prob(piece: String): Double =
+      (countByPiece.getOrElse(piece, 0L) + 1).toDouble / (total + pieces.size)
   }
 
   /** Distinct-word table (w, f): the Zipf-bounded memo every EM pass
@@ -139,7 +139,10 @@ object UnigramLm {
     require(maxLen >= 1 && seedSize >= 1 && iters >= 0,
       s"unigram-lm: bad params maxLen=$maxLen seedSize=$seedSize iters=$iters")
     val words = wordTable(docs, textCol).localCheckpoint(false)
-    val cands = seedCandidates(words, maxLen)
+    // pinned: the top-seedSize sort and the single-char coverage filter
+    // are two consumers — unpinned they re-run the substring-explosion
+    // aggregate twice
+    val cands = seedCandidates(words, maxLen).localCheckpoint(false)
     val seeds = cands.orderBy(col("n").desc, col("piece")).limit(seedSize)
     // fixed vocabulary: top seeds ∪ all single characters (same piece →
     // same count, so distinct collapses the overlap)
