@@ -1210,7 +1210,9 @@ object LlmQueries {
         |    list_prepend(substr(w, bp[pos + 1] + 1, pos - bp[pos + 1]), ps)
         |  FROM ubt$i WHERE pos > 0)""".stripMargin
 
-    val unigramEmCtes =
+    // Seed-vocabulary head of the unigram oracle stacks, parameterized
+    // by seed size (the pruned query seeds larger, then prunes).
+    def unigramHead(seedSize: Int): String =
       s"""uwords AS (
         |  SELECT w, count(*) AS f FROM (
         |    SELECT unnest(regexp_extract_all(lower(text), '${Bpe.PreTokenPattern}')) AS w
@@ -1223,14 +1225,17 @@ object LlmQueries {
         |         LATERAL (SELECT unnest(generate_series(1, length(w.w))) AS s) s,
         |         LATERAL (SELECT unnest(generate_series(1, least(4, length(w.w) - s.s + 1))) AS l) l)
         |  GROUP BY piece),
-        |useeds AS (SELECT piece, n FROM ucands ORDER BY n DESC, piece LIMIT 60),
+        |useeds AS (SELECT piece, n FROM ucands ORDER BY n DESC, piece LIMIT $seedSize),
         |uvocab AS (
         |  SELECT DISTINCT piece, n FROM (
         |    SELECT * FROM useeds UNION ALL SELECT piece, n FROM ucands WHERE length(piece) = 1)),
         |uvs AS (SELECT count(*) AS v, sum(n) AS t FROM uvocab),
         |upm0 AS (SELECT map(list(piece ORDER BY piece),
         |                   list(round(ln((n + 1) / CAST(t + v AS DOUBLE)), 6) ORDER BY piece)) AS m
-        |        FROM uvocab, uvs),
+        |        FROM uvocab, uvs)""".stripMargin
+
+    val unigramEmCtes =
+      s"""${unigramHead(60)},
         |${vitCtes(1, "upm0")},
         |ucounts1 AS (
         |  SELECT piece, sum(f) AS c FROM (
@@ -1258,6 +1263,52 @@ object LlmQueries {
         |ORDER BY n DESC, piece""".stripMargin) { (s, dir) =>
       val m = graft.operators.UnigramLm.train(Tables.documents(s, dir),
         "text", maxLen = 4, seedSize = 60, iters = 2)
+      graft.operators.UnigramLm.vocabDF(s, m)
+        .orderBy(col("n").desc, col("piece"))
+    }
+
+    // Unigram-LM with Kudo's vocabulary-size control: seed LARGE
+    // (top-120 substrings + chars), then after each EM round keep only
+    // the 40 best pieces by Viterbi count (plus all single chars, the
+    // coverage floor) — the production SentencePiece discipline, where
+    // the final vocabulary is a pruning target rather than the seed
+    // size. The oracle replays both pruning rounds: top-40 ∪ chars
+    // between the Viterbi passes, re-normalizing over the shrunken
+    // vocabulary each time.
+    q("q_unigram_lm_pruned",
+      s"""WITH RECURSIVE
+        |${unigramHead(120)},
+        |${vitCtes(1, "upm0")},
+        |ucounts1 AS (
+        |  SELECT piece, sum(f) AS c FROM (
+        |    SELECT f, unnest(ps) AS piece FROM ubt1 WHERE pos = 0)
+        |  GROUP BY piece),
+        |un1 AS (SELECT v.piece, coalesce(c.c, 0) AS n FROM uvocab v LEFT JOIN ucounts1 c ON v.piece = c.piece),
+        |uvocab1 AS (
+        |  SELECT DISTINCT piece, n FROM (
+        |    SELECT piece, n FROM (SELECT piece, n FROM un1 ORDER BY n DESC, piece LIMIT 40)
+        |    UNION ALL SELECT piece, n FROM un1 WHERE length(piece) = 1)),
+        |uvs1 AS (SELECT count(*) AS v, sum(n) AS t FROM uvocab1),
+        |upm1 AS (SELECT map(list(piece ORDER BY piece),
+        |                   list(round(ln((n + 1) / CAST(t.t + v.v AS DOUBLE)), 6) ORDER BY piece)) AS m
+        |        FROM uvocab1, uvs1 t, uvs1 v),
+        |${vitCtes(2, "upm1")},
+        |ucounts2 AS (
+        |  SELECT piece, sum(f) AS c FROM (
+        |    SELECT f, unnest(ps) AS piece FROM ubt2 WHERE pos = 0)
+        |  GROUP BY piece),
+        |un2 AS (SELECT v.piece, coalesce(c.c, 0) AS n FROM uvocab1 v LEFT JOIN ucounts2 c ON v.piece = c.piece),
+        |uvocab2 AS (
+        |  SELECT DISTINCT piece, n FROM (
+        |    SELECT piece, n FROM (SELECT piece, n FROM un2 ORDER BY n DESC, piece LIMIT 40)
+        |    UNION ALL SELECT piece, n FROM un2 WHERE length(piece) = 1)),
+        |uvs2 AS (SELECT count(*) AS v, sum(n) AS t FROM uvocab2)
+        |SELECT uvocab2.piece, CAST(uvocab2.n AS BIGINT) AS n,
+        |  round((uvocab2.n + 1) / CAST(uvs2.t + uvs2.v AS DOUBLE), 9) AS p
+        |FROM uvocab2, uvs2
+        |ORDER BY n DESC, piece""".stripMargin) { (s, dir) =>
+      val m = graft.operators.UnigramLm.train(Tables.documents(s, dir),
+        "text", maxLen = 4, seedSize = 120, iters = 2, pruneTo = 40)
       graft.operators.UnigramLm.vocabDF(s, m)
         .orderBy(col("n").desc, col("piece"))
     }

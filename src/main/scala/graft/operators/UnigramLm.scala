@@ -135,38 +135,51 @@ object UnigramLm {
     * word memo plus one vocab-sized aggregate (collected — the same
     * bounded driver sync as [[QualityModel.trainLogReg]]'s gradient). */
   def train(docs: DataFrame, textCol: String, maxLen: Int = 4,
-      seedSize: Int = 60, iters: Int = 2): UnigramModel = {
-    require(maxLen >= 1 && seedSize >= 1 && iters >= 0,
-      s"unigram-lm: bad params maxLen=$maxLen seedSize=$seedSize iters=$iters")
+      seedSize: Int = 60, iters: Int = 2, pruneTo: Int = 0): UnigramModel = {
+    require(maxLen >= 1 && seedSize >= 1 && iters >= 0 && pruneTo >= 0,
+      s"unigram-lm: bad params maxLen=$maxLen seedSize=$seedSize " +
+        s"iters=$iters pruneTo=$pruneTo")
     val words = wordTable(docs, textCol).localCheckpoint(false)
     // pinned: the top-seedSize sort and the single-char coverage filter
     // are two consumers — unpinned they re-run the substring-explosion
     // aggregate twice
     val cands = seedCandidates(words, maxLen).localCheckpoint(false)
     val seeds = cands.orderBy(col("n").desc, col("piece")).limit(seedSize)
-    // fixed vocabulary: top seeds ∪ all single characters (same piece →
-    // same count, so distinct collapses the overlap)
-    val vocab: Seq[(String, Long)] = seeds
+    // initial vocabulary: top seeds ∪ all single characters (same piece
+    // → same count, so distinct collapses the overlap)
+    val vocab0: Seq[(String, Long)] = seeds
       .union(cands.filter(length(col("piece")) === 1))
       .distinct().collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
       .sortBy { case (p, n) => (-n, p) }
-    val v = vocab.size
-    def lpOf(counts: Map[String, Long]): Map[String, Double] = {
-      val t = vocab.iterator.map { case (p, _) => counts.getOrElse(p, 0L) }.sum
-      vocab.map { case (p, _) =>
+    var vocab: Seq[String] = vocab0.map(_._1)
+    var counts: Map[String, Long] = vocab0.toMap
+    def lpOf(): Map[String, Double] = {
+      val t = vocab.iterator.map(counts.getOrElse(_, 0L)).sum
+      val v = vocab.size
+      vocab.map { p =>
         p -> round6(math.log((counts.getOrElse(p, 0L) + 1).toDouble /
           (t + v).toDouble))
       }.toMap
     }
-    var counts: Map[String, Long] = vocab.toMap
     for (_ <- 0 until iters) {
-      val seg = viterbiCounts(words, lpOf(counts), maxLen).collect()
+      val seg = viterbiCounts(words, lpOf(), maxLen).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      counts = vocab.map { case (p, _) => p -> seg.getOrElse(p, 0L) }.toMap
+      counts = vocab.map(p => p -> seg.getOrElse(p, 0L)).toMap
+      // Kudo 2018 §3.2's vocabulary-size control, in the hard-EM
+      // setting: after each round, keep the pruneTo best pieces by
+      // (Viterbi count desc, piece) plus ALL single characters (the
+      // coverage floor Kudo also never prunes). With pruneTo = 0 the
+      // vocabulary is fixed (the oracle-checked default). Seed large,
+      // prune to the target — the production SentencePiece discipline.
+      if (pruneTo > 0 && vocab.size > pruneTo) {
+        val ranked = vocab.sortBy(p => (-counts(p), p))
+        vocab = (ranked.take(pruneTo) ++ vocab.filter(_.length == 1))
+          .distinct
+      }
     }
-    val pieces = vocab.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
-    UnigramModel(pieces, lpOf(counts), maxLen)
+    val pieces = vocab.map(p => (p, counts.getOrElse(p, 0L)))
+    UnigramModel(pieces, lpOf(), maxLen)
   }
 
   /** The trained vocabulary as a frame: (piece, n, p) with the same

@@ -92,6 +92,53 @@ class UnigramLmSpec extends SparkSpec {
       vocab.map(_._1), "vocabulary order must be (count desc, piece)")
   }
 
+  test("pruning keeps the pruneTo best pieces plus all chars, per round") {
+    val pruned = UnigramLm.train(corpus, "text", maxLen = 4, seedSize = 30,
+      iters = 2, pruneTo = 8)
+    val full = UnigramLm.train(corpus, "text", maxLen = 4, seedSize = 30,
+      iters = 2)
+    val chars = full.pieces.map(_._1).filter(_.length == 1).toSet
+    val prunedSet = pruned.pieces.map(_._1).toSet
+    // coverage floor: every single char survives both pruning rounds
+    assert(chars.subsetOf(prunedSet), s"chars dropped: ${chars -- prunedSet}")
+    // size: at most pruneTo multi-char pieces beyond the char floor
+    assert(prunedSet.count(_.length > 1) <= 8)
+    assert(prunedSet.size < full.pieces.size, "pruning did not shrink vocab")
+    // driver reference replay of the pruned EM (same arithmetic)
+    val words = UnigramLm.wordTable(corpus, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cands = words.flatMap { case (w, f) =>
+      for (s <- 0 until w.length; l <- 1 to math.min(4, w.length - s))
+        yield (w.substring(s, s + l), f)
+    }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }.toSeq
+    val seeds = cands.sortBy { case (p, n) => (-n, p) }.take(30)
+    val vocab0 = (seeds ++ cands.filter(_._1.length == 1)).distinct
+      .sortBy { case (p, n) => (-n, p) }
+    var vocab = vocab0.map(_._1)
+    var counts = vocab0.toMap
+    def lpOf(): Map[String, Double] = {
+      val t = vocab.map(counts.getOrElse(_, 0L)).sum
+      vocab.map { p =>
+        p -> BigDecimal(math.log((counts.getOrElse(p, 0L) + 1).toDouble /
+          (t + vocab.size).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    for (_ <- 0 until 2) {
+      val lp = lpOf()
+      val seg = words.flatMap { case (w, f) =>
+        UnigramLm.viterbiLocal(w, lp, 4).map(_ -> f)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+      counts = vocab.map(p => p -> seg.getOrElse(p, 0L)).toMap
+      if (vocab.size > 8) {
+        val ranked = vocab.sortBy(p => (-counts(p), p))
+        vocab = (ranked.take(8) ++ vocab.filter(_.length == 1)).distinct
+      }
+    }
+    assert(pruned.pieces.toMap == vocab.map(p => p -> counts(p)).toMap,
+      s"engine=${pruned.pieces.toMap}\nreference=${vocab.map(p => p -> counts(p)).toMap}")
+  }
+
   test("segment covers every word: pieces concatenate back to the word") {
     val model = UnigramLm.train(corpus, "text", maxLen = 4, seedSize = 20,
       iters = 1)
