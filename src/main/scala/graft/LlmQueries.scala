@@ -1210,6 +1210,26 @@ object LlmQueries {
         |    list_prepend(substr(w, bp[pos + 1] + 1, pos - bp[pos + 1]), ps)
         |  FROM ubt$i WHERE pos > 0)""".stripMargin
 
+    // Per-round count/prune CTE generators (same no-drift discipline
+    // as vitCtes): unigramCounts emits round $i's Viterbi-count join
+    // over $vocabCte; prunePmCtes emits the top-$k ∪ single-chars
+    // prune, its stats, and the next prob map.
+    def unigramCounts(i: Int, vocabCte: String): String =
+      s"""ucounts$i AS (
+        |  SELECT piece, sum(f) AS c FROM (
+        |    SELECT f, unnest(ps) AS piece FROM ubt$i WHERE pos = 0)
+        |  GROUP BY piece),
+        |un$i AS (SELECT v.piece, coalesce(c.c, 0) AS n FROM $vocabCte v LEFT JOIN ucounts$i c ON v.piece = c.piece)""".stripMargin
+    def prunePmCtes(i: Int, k: Int): String =
+      s"""uvocab$i AS (
+        |  SELECT DISTINCT piece, n FROM (
+        |    SELECT piece, n FROM (SELECT piece, n FROM un$i ORDER BY n DESC, piece LIMIT $k)
+        |    UNION ALL SELECT piece, n FROM un$i WHERE length(piece) = 1)),
+        |uvs$i AS (SELECT count(*) AS v, sum(n) AS t FROM uvocab$i),
+        |upm$i AS (SELECT map(list(piece ORDER BY piece),
+        |                   list(round(ln((n + 1) / CAST(t + v AS DOUBLE)), 6) ORDER BY piece)) AS m
+        |        FROM uvocab$i, uvs$i)""".stripMargin
+
     // Seed-vocabulary head of the unigram oracle stacks, parameterized
     // by seed size (the pruned query seeds larger, then prunes).
     def unigramHead(seedSize: Int): String =
@@ -1237,21 +1257,13 @@ object LlmQueries {
     val unigramEmCtes =
       s"""${unigramHead(60)},
         |${vitCtes(1, "upm0")},
-        |ucounts1 AS (
-        |  SELECT piece, sum(f) AS c FROM (
-        |    SELECT f, unnest(ps) AS piece FROM ubt1 WHERE pos = 0)
-        |  GROUP BY piece),
-        |un1 AS (SELECT v.piece, coalesce(c.c, 0) AS n FROM uvocab v LEFT JOIN ucounts1 c ON v.piece = c.piece),
+        |${unigramCounts(1, "uvocab")},
         |ut1 AS (SELECT sum(n) AS t FROM un1),
         |upm1 AS (SELECT map(list(piece ORDER BY piece),
         |                   list(round(ln((n + 1) / CAST(t.t + v.v AS DOUBLE)), 6) ORDER BY piece)) AS m
         |        FROM un1, ut1 t, uvs v),
         |${vitCtes(2, "upm1")},
-        |ucounts2 AS (
-        |  SELECT piece, sum(f) AS c FROM (
-        |    SELECT f, unnest(ps) AS piece FROM ubt2 WHERE pos = 0)
-        |  GROUP BY piece),
-        |un2 AS (SELECT v.piece, coalesce(c.c, 0) AS n FROM uvocab v LEFT JOIN ucounts2 c ON v.piece = c.piece),
+        |${unigramCounts(2, "uvocab")},
         |ut2 AS (SELECT sum(n) AS t FROM un2)""".stripMargin
 
     q("q_unigram_lm_vocab",
@@ -1279,30 +1291,11 @@ object LlmQueries {
       s"""WITH RECURSIVE
         |${unigramHead(120)},
         |${vitCtes(1, "upm0")},
-        |ucounts1 AS (
-        |  SELECT piece, sum(f) AS c FROM (
-        |    SELECT f, unnest(ps) AS piece FROM ubt1 WHERE pos = 0)
-        |  GROUP BY piece),
-        |un1 AS (SELECT v.piece, coalesce(c.c, 0) AS n FROM uvocab v LEFT JOIN ucounts1 c ON v.piece = c.piece),
-        |uvocab1 AS (
-        |  SELECT DISTINCT piece, n FROM (
-        |    SELECT piece, n FROM (SELECT piece, n FROM un1 ORDER BY n DESC, piece LIMIT 40)
-        |    UNION ALL SELECT piece, n FROM un1 WHERE length(piece) = 1)),
-        |uvs1 AS (SELECT count(*) AS v, sum(n) AS t FROM uvocab1),
-        |upm1 AS (SELECT map(list(piece ORDER BY piece),
-        |                   list(round(ln((n + 1) / CAST(t.t + v.v AS DOUBLE)), 6) ORDER BY piece)) AS m
-        |        FROM uvocab1, uvs1 t, uvs1 v),
+        |${unigramCounts(1, "uvocab")},
+        |${prunePmCtes(1, 40)},
         |${vitCtes(2, "upm1")},
-        |ucounts2 AS (
-        |  SELECT piece, sum(f) AS c FROM (
-        |    SELECT f, unnest(ps) AS piece FROM ubt2 WHERE pos = 0)
-        |  GROUP BY piece),
-        |un2 AS (SELECT v.piece, coalesce(c.c, 0) AS n FROM uvocab1 v LEFT JOIN ucounts2 c ON v.piece = c.piece),
-        |uvocab2 AS (
-        |  SELECT DISTINCT piece, n FROM (
-        |    SELECT piece, n FROM (SELECT piece, n FROM un2 ORDER BY n DESC, piece LIMIT 40)
-        |    UNION ALL SELECT piece, n FROM un2 WHERE length(piece) = 1)),
-        |uvs2 AS (SELECT count(*) AS v, sum(n) AS t FROM uvocab2)
+        |${unigramCounts(2, "uvocab1")},
+        |${prunePmCtes(2, 40)}
         |SELECT uvocab2.piece, CAST(uvocab2.n AS BIGINT) AS n,
         |  round((uvocab2.n + 1) / CAST(uvs2.t + uvs2.v AS DOUBLE), 9) AS p
         |FROM uvocab2, uvs2

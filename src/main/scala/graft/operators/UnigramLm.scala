@@ -28,11 +28,12 @@ import org.apache.spark.sql.types._
   *    vector), re-normalized with add-one smoothing over the FIXED
   *    seed vocabulary.
   *
-  * Documented deviations from Kudo 2018 (both chosen for exact
+  * Documented deviations from Kudo 2018 (chosen for exact
   * cross-engine replayability, oracle-checked): hard EM (Viterbi-best
-  * counts rather than full-lattice posteriors) and a fixed seed
-  * vocabulary with add-one smoothing rather than likelihood-loss
-  * pruning rounds. Determinism firewall: log-probs are rounded to 6
+  * counts rather than full-lattice posteriors), add-one smoothing, and
+  * count-ranked pruning (`pruneTo` keeps the best pieces + all single
+  * chars after each round) rather than likelihood-loss pruning; with
+  * pruneTo = 0 the seed vocabulary stays fixed. Determinism firewall: log-probs are rounded to 6
   * decimals before entering the DP (absorbing cross-engine ln() ulp
   * differences); the DP additions themselves are bit-identical IEEE
   * sums in a fixed left-to-right order, and DP ties prefer the longest
@@ -174,8 +175,11 @@ object UnigramLm {
       // prune to the target — the production SentencePiece discipline.
       if (pruneTo > 0 && vocab.size > pruneTo) {
         val ranked = vocab.sortBy(p => (-counts(p), p))
-        vocab = (ranked.take(pruneTo) ++ vocab.filter(_.length == 1))
-          .distinct
+        // char floor in CODEPOINTS: Spark's length() and DuckDB's
+        // length() both count codepoints, so a supplementary-plane
+        // single character must survive here too
+        vocab = (ranked.take(pruneTo) ++
+          vocab.filter(p => p.codePointCount(0, p.length) == 1)).distinct
       }
     }
     val pieces = vocab.map(p => (p, counts.getOrElse(p, 0L)))
