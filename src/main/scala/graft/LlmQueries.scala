@@ -896,12 +896,16 @@ object LlmQueries {
         val scored = QualityModel.scoreMultiPinned(pinned,
           langs.map(l => l -> models(l)))
           .withColumnRenamed("label", "actual_lang")
+        // No-feature docs come through pinLabeledFeatures' left join
+        // with null fx, so scoreMultiPinned emits null s_* — guard the
+        // argmax so they predict null, not the fall-through class.
         scored.withColumn("pred_lang",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
-            && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+          when(col("s_en").isNotNull,
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
+              && col("s_en") >= col("s_fr"), "en")
+              .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+              .when(col("s_es") >= col("s_fr"), "es")
+              .otherwise("fr")))
           .orderBy("doc_id")
       }
 
@@ -970,12 +974,16 @@ object LlmQueries {
         val scored = QualityModel.scoreMultiPinned(pinned,
           langs.map(l => l -> models(l)))
           .withColumnRenamed("label", "actual_lang")
+        // No-feature docs come through pinLabeledFeatures' left join
+        // with null fx, so scoreMultiPinned emits null s_* — guard the
+        // argmax so they predict null, not the fall-through class.
         scored.withColumn("pred_lang",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
-            && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+          when(col("s_en").isNotNull,
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
+              && col("s_en") >= col("s_fr"), "en")
+              .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+              .when(col("s_es") >= col("s_fr"), "es")
+              .otherwise("fr")))
           .orderBy("doc_id")
       }
     }

@@ -247,6 +247,8 @@ object TextDedup {
     // at the reducer — where collect_list would buffer the whole
     // bucket before the size filter dropped it (and its postings would
     // all land on one task). Length cap+1 = over-cap marker → dropped.
+    maxBucketSize.foreach(cap => require(cap >= 2 && cap < Int.MaxValue,
+      s"maxBucketSize must be in [2, Int.MaxValue): $cap (cap + 1 must not overflow)"))
     val capped = maxBucketSize match {
       case Some(cap) => sig.groupBy("band", "sig")
         .agg(sort_array(graft.functions.CollectCapped(col(idCol), cap + 1))
@@ -1040,23 +1042,33 @@ object TextDedup {
 
   /** Shared tail of the substring purges: occurrence stats over the
     * (id, w, __mc, start, __h) window stream, covered-position merge,
-    * doc rebuild. Per-window-content occurrence stats ride ONE pass
-    * over the window stream as aggregates over a window PARTITIONED BY
-    * the hash — one exchange and a partition-local sort, where an
-    * aggregate+join formulation exchanges (and kernel-recomputes) the
-    * hot stream twice (measured slower at sf0.1). Partitioning is by
-    * the window hash — groups are occurrence counts (tiny), never
-    * corpus-wide. Window strings of different lengths are distinct
-    * content, so a single hash key serves all levels; `__mc` is the
-    * level's support threshold (constant 2 for the single-length
-    * form). */
+    * doc rebuild. Per-window-content occurrence stats are a partial
+    * aggregate `groupBy(__h)` carrying the count and the bounded
+    * keep-first witness (the min (doc, start) struct — one struct per
+    * partial buffer, merged map-side), joined back onto the window
+    * stream. The earlier window-function formulation
+    * (`count over Window.partitionBy(__h)`) was one exchange cheaper
+    * but concentrated the FULL posting list of a hot window hash into
+    * a single task before counting — on a boilerplate-heavy corpus
+    * (every doc sharing a disclaimer paragraph) that one task holds a
+    * corpus-sized group. Here no posting list ever sits in one place:
+    * count and min-struct decompose into bounded partials, the stats
+    * table is filtered to count >= 2 BEFORE the join (singleton
+    * hashes — the overwhelming majority — never reach the exchange on
+    * the stats side can prune), and the join back is a plain shuffle
+    * hash join that AQE skew-splits if a hash is hot. Window strings
+    * of different lengths are distinct content, so a single hash key
+    * serves all levels; `__mc` is the level's support threshold
+    * (constant 2 for the single-length form). */
   private def purgeFromWindows(docs: DataFrame, idCol: String,
       textCol: String, wins: DataFrame, keepFirst: Boolean): DataFrame = {
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val stats = wins
+      .groupBy("__h")
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol).as("d"), col("start").as("p"))).as("__first"))
+      .filter(col("__c") >= lit(2L))
     val removed = wins
-      .withColumn("__c", count(lit(1)).over(byHash))
-      .withColumn("__first",
-        min(struct(col(idCol).as("d"), col("start").as("p"))).over(byHash))
+      .join(stats, Seq("__h"))
       .filter(col("__c") >= col("__mc"))
       .filter(if (keepFirst)
         !(col(idCol) === col("__first.d") && col("start") === col("__first.p"))

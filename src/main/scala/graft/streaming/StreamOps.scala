@@ -200,6 +200,13 @@ object StreamOps {
     * ([[graft.operators.QualityModel.scoreInline]]) — no shuffle, no
     * state, no watermark: the train-offline / filter-online split a
     * production ingest pipeline uses.
+    *
+    * Null contract: scoreInline maps a ZERO-TOKEN document to null
+    * (not NaN — Spark orders NaN above every number, so a NaN would
+    * silently PASS any `quality >= t` gate). Here that means
+    * `quality` is null and `keep` is null for empty documents —
+    * downstream consumers that want to admit or count them must
+    * handle the null explicitly (e.g. `coalesce(keep, false)`).
     */
   def streamingQualityGate(stream: DataFrame, idCol: String, textCol: String,
       model: graft.operators.QualityModel.Model,
@@ -453,7 +460,11 @@ object StreamOps {
     *   1. [[streamingBloomDedup]] form: exact-corpus dup gate — the
     *      offline Bloom filter rides as a plan literal, stateless;
     *   2. [[streamingQualityGate]] form: batch-trained hashed-LR score,
-    *      stateless (train offline / filter online);
+    *      stateless (train offline / filter online). scoreInline's
+    *      null-on-empty contract applies: a zero-token document scores
+    *      null, and `null >= threshold` is null, so the gate DROPS
+    *      empty documents (under the pre-r15 NaN scoring they passed —
+    *      NaN sorts above every number);
     *   3. [[streamingNearDupVerified]]: MinHash-band candidates against
     *      the static corpus index, Jaccard-verified inline — emitted as
     *      a SIDE OUTPUT (adjudication queue). Pairs cannot statelessly

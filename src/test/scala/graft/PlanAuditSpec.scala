@@ -328,21 +328,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "sketch join is not broadcast")
   }
 
-  test("substring purge stats ride ONE hash-partitioned window pass") {
-    // Occurrence count + spared-first-occurrence come from full-frame
-    // aggregates over a window partitioned by the window HASH (one
-    // exchange of the hot stream; an aggregate+join would exchange and
-    // kernel-recompute it twice) — never an unpartitioned window.
-    val analyzed = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
-      .queryExecution.analyzed.toString
-    val specs = "windowspecdefinition\\(([^,)]*)".r
-      .findAllMatchIn(analyzed).map(_.group(1)).toSeq
-    assert(specs.nonEmpty, "expected the hash-partitioned stats window")
-    assert(specs.forall(_.contains("__h")),
-      s"substring purge rides an unpartitioned window: $specs")
+  test("substring purge stats are skew-safe: no window, partial agg + join") {
+    // r16: occurrence count + spared-first-occurrence come from a
+    // groupBy(__h) partial aggregate (count + min (doc,start) witness
+    // — both decompose into bounded map-side partials) joined back.
+    // The r15 window form (count over Window.partitionBy(__h))
+    // concentrated a hot hash's full posting list in one task.
+    val qe = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
+      .queryExecution
+    val analyzed = qe.analyzed.toString
+    assert(!analyzed.contains("windowspecdefinition"),
+      "substring purge still rides a window")
     // and the window-hash kernel feeds it (no interpreted re-hash)
     assert(analyzed.contains("shingle_md5s"),
       "window hashing does not use the native kernel")
+    assert(qe.executedPlan.toString.contains("partial_min"),
+      "keep-first witness is not a partial aggregate")
   }
 
   test("dup-gram counts share one hash-partitioned exchange") {
@@ -515,15 +516,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(qe.analyzed.toString.contains("graft_top_k") ||
       qe.analyzed.toString.contains("collect_top_k"),
       "domain cap is not the bounded partial top-k aggregate")
-    // the only windows allowed are the purge's occurrence stats,
-    // partitioned by window-content hash (groups = occurrence counts,
-    // bounded) — never by source or corpus-wide keys
+    // r16: NO windows anywhere in the funnel — the purge's occurrence
+    // stats are now a partial-agg groupBy(__h) + join (a window over
+    // __h concentrated a hot hash's full posting list in one task; the
+    // aggregate decomposes into bounded partials and the join back is
+    // AQE-skew-splittable)
     import org.apache.spark.sql.execution.window.WindowExec
     val wins = qe.executedPlan.collect { case w: WindowExec => w }
-    assert(wins.forall(_.partitionSpec.nonEmpty),
-      "funnel plans an unpartitioned window")
-    assert(wins.forall(_.partitionSpec.exists(_.toString.contains("__h"))),
-      s"window not hash-partitioned: ${wins.map(_.partitionSpec.mkString(","))}")
+    assert(wins.isEmpty,
+      s"funnel plans a window: ${wins.map(_.partitionSpec.mkString(","))}")
+  }
+
+  test("substring purge occurrence stats are a partial aggregate, not a window") {
+    // Round-15 weak mark: count-over-Window.partitionBy(__h) shipped
+    // every posting of a hot window hash (corpus-wide boilerplate) to
+    // one task. The stats must be a groupBy(__h) partial aggregate
+    // (count + bounded min-struct keep-first witness) joined back.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = Tables.documents(spark, sfDir)
+    for (df <- Seq(
+        graft.operators.TextDedup.purgeDuplicateSubstrings(
+          docs, "doc_id", "text", windowWords = 8),
+        graft.operators.TextDedup.purgeDuplicateSubstringsMulti(
+          docs, "doc_id", "text", windows = Seq((4, 5L), (8, 2L))))) {
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "substring purge plans a WindowExec on the __h stream")
+      // the stats decompose into map-side partials (count + the
+      // bounded min-struct keep-first witness)
+      val s = plan.toString
+      assert(s.contains("partial_min") || s.contains("partial min"),
+        "keep-first witness is not a partial aggregate")
+    }
   }
 
   test("cap enforcement is a bounded partial aggregate, not a concentration") {
