@@ -965,10 +965,13 @@ object LlmQueries {
             .as("lang"),
           array_join(transform(sequence(lit(0), lit(23)), wordAt), " ")
             .as("text"))
-        val feats = QualityModel.hashedCharFeatures(syn, "doc_id", "text",
+        // Direct kernel pin: char_gram_features emits each doc's sorted
+        // (b, x) array in one digest pass — no exploded gram stream, no
+        // doc-keyed group-by exchange (bit-identical to the exploded
+        // path; CharGramFeaturesSpec).
+        val pinned = QualityModel.pinLabeledCharFeatures(syn, "doc_id",
+          "text", syn.select(col("doc_id"), col("lang").as("label")),
           B, n = 3)
-        val pinned = QualityModel.pinLabeledFeatures(feats,
-          syn.select(col("doc_id"), col("lang").as("label")))
         val models = QualityModel.trainLogRegMultiPinned(pinned,
           pinned.count().toDouble, langs, B, iters = 2, lr = 1.0)
         val scored = QualityModel.scoreMultiPinned(pinned,
@@ -1421,6 +1424,42 @@ object LlmQueries {
       TextDedup.winnowOverlap(Tables.documents(s, dir), "doc_id", "text",
           k = 3, w = 4, minShared = 3L, maxPostings = 3L)
         .orderBy("doc_a", "doc_b")
+    }
+
+    // Incremental (snapshot-N+1) winnow: the stored fingerprint index
+    // (doc_id % 10 < 8 — "yesterday's corpus", its (idx_id, fp) table
+    // materialized once) scores only the NEW batch (doc_id % 10 >= 8)
+    // via an asymmetric join — never index×index. The oracle replays
+    // the same split over the shared fingerprint CTE stack; the
+    // batch==full differential (restricted winnowOverlap equality) is
+    // pinned in TextDedupEdgeSpec.
+    q("q_incremental_winnow",
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |hs AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(ws) - 2),
+        |      i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
+        |             AS BIGINT)) AS h
+        |  FROM words WHERE len(ws) >= 3),
+        |win AS (SELECT doc_id, least(4, len(h)) AS weff, h FROM hs),
+        |fp0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(h) - weff + 1),
+        |      i -> list_min(h[i:i+weff-1]))) AS fp
+        |  FROM win),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM fp0),
+        |pairs AS (SELECT b.doc_id AS new_id, a.doc_id AS idx_id,
+        |    count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp
+        |  WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+        |  GROUP BY 1, 2)
+        |SELECT new_id, idx_id, n_shared FROM pairs WHERE n_shared >= 3
+        |ORDER BY new_id, idx_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val fpIndex = TextDedup.winnowFingerprints(
+          docs.filter(col("doc_id") % 10 < 8), "doc_id", "text", k = 3, w = 4)
+        .select(col("doc_id").as("idx_id"), col("fp"))
+      TextDedup.winnowAgainstIndex(docs.filter(col("doc_id") % 10 >= 8),
+          fpIndex, "doc_id", "text", k = 3, w = 4, minShared = 3L)
+        .orderBy("new_id", "idx_id")
     }
 
     // Multimodal metadata: each doc carries a REAL container byte stream

@@ -1024,39 +1024,13 @@ object TrainPrepQueries {
         |  UNION ALL SELECT 's3_domain_capped', CAST(count(*) AS BIGINT),
         |    CAST(sum(nt) AS BIGINT) FROM s3
         |) ORDER BY stage""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val pairs = TextDedup.winnowOverlap(docs, "doc_id", "text",
-        k = 3, w = 4, minShared = 3L, maxPostings = 3L)
-      val dropB = pairs.select(col("doc_b").as("doc_id")).distinct()
-      // Stage boundaries are PINNED: each stage has several consumers
-      // (the next stage's multi-pass operator + its own stage-count
-      // row), and recomputing s1 re-runs the whole winnow join per
-      // consumer (15 corpus scans unpinned, 4 pinned — plan-audited).
-      // At 100 TB these pins are the inter-stage parquet writes a
-      // production funnel would do anyway; localCheckpoint is the
-      // local-mode analogue.
-      val s1 = docs.select("doc_id", "source", "text")
-        .join(dropB, Seq("doc_id"), "left_anti")
-        .localCheckpoint(false)
-      val purged = TextDedup.purgeDuplicateSubstringsMulti(s1,
-        "doc_id", "text", windows = Seq((4, 5L), (8, 2L)), keepFirst = true)
-      val s2 = purged
-        .select(col("doc_id"),
-          (col("n_words") - col("n_removed")).as("nt"))
-        .join(s1.select("doc_id", "source"), Seq("doc_id"))
-        .localCheckpoint(false)
-      val s3 = operators.TextExtract.capPerDomain(
-        s2, "doc_id", "source", "nt", cap = 15)
-      def stage(name: String, d: DataFrame,
-          tok: org.apache.spark.sql.Column): DataFrame =
-        d.agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
-          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-      stage("s0_raw", docs, size(split(col("text"), " ")).cast("long"))
-        .unionByName(stage("s1_neardup", s1,
-          size(split(col("text"), " ")).cast("long")))
-        .unionByName(stage("s2_purged", s2, col("nt")))
-        .unionByName(stage("s3_domain_capped", s3, col("nt")))
-        .orderBy("stage")
+      // Delegates to the production entry point (stage pins, ≤4 corpus
+      // scans, composition contract — see TextDedup.hygieneFunnel);
+      // Frame.hygieneFunnel is the facade over the same operator.
+      TextDedup.hygieneFunnel(Tables.documents(s, dir),
+        "doc_id", "source", "text",
+        k = 3, w = 4, minShared = 3L, maxPostings = 3L,
+        windows = Seq((4, 5L), (8, 2L)), domainCap = 15)
     }
 
     // Funnel rejects: the audit side of q_prep_funnel — every dropped

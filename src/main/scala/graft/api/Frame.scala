@@ -1085,6 +1085,21 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       model: graft.operators.UnigramLm.UnigramModel): Frame =
     keep(graft.operators.UnigramLm.segment(df, textCol, model))
 
+  /** Composed training-data hygiene funnel — capped winnow near-dup
+    * drop → multi-length duplicated-substring purge → per-domain token
+    * cap — returning the stage report (stage, n_docs, n_tokens) as the
+    * contract (operators.TextDedup.hygieneFunnel). The frame's index is
+    * the document id. Stage boundaries are pinned (localCheckpoint):
+    * at 100 TB those pins are the inter-stage parquet writes a
+    * production funnel does anyway — each stage's survivors become an
+    * auditable, resumable checkpoint with several consumers. */
+  def hygieneFunnel(sourceCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 3L, maxPostings: Long = 3L,
+      windows: Seq[(Int, Long)] = Seq((4, 5L), (8, 2L)),
+      domainCap: Int = 15): Frame =
+    Frame(graft.operators.TextDedup.hygieneFunnel(df, idx, sourceCol,
+      textCol, k, w, minShared, maxPostings, windows, domainCap))
+
   /** Repair UTF-8-as-cp1252 mojibake in `textCol` via the canonical
     * artifact table (operators.TextQuality.fixMojibake — map-only
     * codegen'd replace chain). */

@@ -373,6 +373,43 @@ object GraftFunctions {
           CollectCapped(args.head, maxSize)
         }),
       (
+        FunctionIdentifier("graft_viterbi"),
+        new ExpressionInfo(classOf[ViterbiPieces].getName, "graft_viterbi"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_viterbi(word, logprob_map_literal, maxLen)")
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          import org.apache.spark.sql.catalyst.util.MapData
+          import org.apache.spark.sql.types.{DoubleType, MapType, StringType}
+          val lp = args(1) match {
+            case Literal(m: MapData, MapType(StringType, DoubleType, _)) =>
+              val ks = m.keyArray()
+              val vs = m.valueArray()
+              (0 until m.numElements()).map(i =>
+                ks.getUTF8String(i).toString -> vs.getDouble(i)).toMap
+            case other => throw new IllegalArgumentException(
+              s"graft_viterbi log-prob table must be a map<string,double> literal, got $other")
+          }
+          val ml = args(2) match {
+            case Literal(v, _) if v != null => v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_viterbi maxLen must be an int literal, got $other")
+          }
+          ViterbiPieces(args.head, lp, ml)
+        }),
+      (
+        FunctionIdentifier("char_gram_features"),
+        new ExpressionInfo(classOf[CharGramFeatures].getName, "char_gram_features"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "char_gram_features(text, n, buckets)")
+          def intLit(e: Expression, name: String): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"char_gram_features $name must be an int literal, got $other")
+          }
+          CharGramFeatures(args.head, intLit(args(1), "n"), intLit(args(2), "buckets"))
+        }),
+      (
         FunctionIdentifier("deflate_len"),
         new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
         (args: Seq[Expression]) => {

@@ -402,6 +402,73 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Per-document hashed char-n-gram feature vector: boundary-marked
+    * char n-grams of every word (Bojanowski 2017 §3.2 — each word `w`
+    * becomes `<w>` before windowing; a word shorter than n yields its
+    * single truncated window), md5-7-hex-folded into `buckets`, counts
+    * normalized by the document's total gram count. Returns the sparse
+    * (b, x = n_b / total) pairs SORTED by bucket — exactly the rows the
+    * `explode(grams) → groupBy(doc, b)` pipeline produced (the division
+    * is the same count-as-double / total-as-double IEEE op), but counted
+    * row-locally in one digest pass: no exploded gram stream, no
+    * per-doc hash-aggregate exchange. Sorted output doubles as the
+    * `sort_array(collect_list(struct(b, x)))` feature array the GD
+    * trainers pin (b is unique per doc, so b-order == struct order).
+    * Gram substrings window over CODE POINTS (the SQL `substr`
+    * semantics both engines replay). Documents with no non-empty words
+    * return an empty array. */
+  def charGramFeatures(text: UTF8String, n: Int, buckets: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val counts = new Array[Int](buckets)
+    val md = digests.get()
+    var total = 0L
+    var w = 0
+    while (w < words.length) {
+      if (words(w).nonEmpty) {
+        val m = new java.lang.StringBuilder(words(w).length + 2)
+          .append('<').append(words(w)).append('>').toString
+        // code-point start offsets (grams must window over code points,
+        // not UTF-16 units, to match substr semantics on non-BMP text)
+        val nc = m.codePointCount(0, m.length)
+        val starts = new Array[Int](nc + 1)
+        var ci = 0
+        var off = 0
+        while (off < m.length) {
+          starts(ci) = off; ci += 1
+          off += Character.charCount(m.codePointAt(off))
+        }
+        starts(nc) = m.length
+        val wins = math.max(nc - (n - 1), 1)
+        var i = 0
+        while (i < wins) {
+          val end = math.min(i + n, nc)
+          md.reset()
+          val d = md.digest(
+            m.substring(starts(i), starts(end)).getBytes(StandardCharsets.UTF_8))
+          val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+            ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4)
+          counts((h % buckets).toInt) += 1
+          total += 1L
+          i += 1
+        }
+      }
+      w += 1
+    }
+    if (total == 0L) return new GenericArrayData(Array.empty[Any])
+    val dl = total.toDouble
+    var nb = 0
+    var b = 0
+    while (b < buckets) { if (counts(b) > 0) nb += 1; b += 1 }
+    val out = new Array[Any](nb)
+    var p = 0
+    b = 0
+    while (b < buckets) {
+      if (counts(b) > 0) { out(p) = InternalRow(b.toLong, counts(b) / dl); p += 1 }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `shingle_min_hashes(text, n, k)`: array of the k minhash values of
@@ -750,5 +817,47 @@ object BigramPairCounts {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(GraftFunctions.register)
     org.apache.spark.sql.functions.call_function("bigram_pair_counts", text)
+  }
+}
+
+/** `char_gram_features(text, n, buckets)`: per-document hashed
+  * char-n-gram feature pairs, sorted by bucket (see
+  * [[TextKernels.charGramFeatures]]). */
+case class CharGramFeatures(child: Expression, n: Int, buckets: Int)
+  extends UnaryExpression {
+
+  require(n >= 2, s"char_gram_features: n must be >= 2, got $n")
+  require(buckets >= 1 && buckets <= (1 << 24),
+    s"char_gram_features: buckets must be in [1, 2^24], got $buckets")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_gram_features requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", LongType, nullable = false),
+    StructField("x", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "char_gram_features"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charGramFeatures(input.asInstanceOf[UTF8String], n, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.charGramFeatures($c, $n, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramFeatures =
+    copy(child = newChild)
+}
+
+object CharGramFeatures {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column, n: Int, buckets: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("char_gram_features",
+      text, org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(buckets))
   }
 }

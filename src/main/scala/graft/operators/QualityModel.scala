@@ -70,6 +70,23 @@ object QualityModel {
   def hashedCharFeatures(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int, n: Int = 3): DataFrame = {
     require(n >= 2, s"hashedCharFeatures: n must be >= 2, got $n")
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.CharGramFeatures(col(textCol), n, buckets))
+          .as("e"))
+      .select(col("doc_id"), col("e.b").as("b"), col("e.x").as("x"))
+  }
+
+  /** The pre-kernel expression formulation of [[hashedCharFeatures]]
+    * (explode the marked-gram stream, fold each gram's md5, aggregate
+    * per (doc, bucket)) — kept ONLY as the differential reference the
+    * kernel is pinned against (CharGramFeaturesSpec: bit-identical
+    * (b, x) rows on real + adversarial text). The kernel replaces the
+    * (doc, gram) explode AND its per-doc hash-aggregate exchange with
+    * one row-local digest pass. */
+  private[graft] def hashedCharFeaturesExpr(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int, n: Int = 3): DataFrame = {
+    require(n >= 2, s"hashedCharFeaturesExpr: n must be >= 2, got $n")
     val grams = flatten(transform(
       filter(split(col(textCol), " "), w => length(w) > 0), w => {
         val m = concat(lit("<"), w, lit(">"))
@@ -110,6 +127,28 @@ object QualityModel {
     labels.join(
       feats.groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("b"), col("x")))).as("fx")),
+      Seq("doc_id"), "left")
+      .localCheckpoint(false)
+
+  /** [[pinLabeledFeatures]] for char-n-gram features built DIRECTLY from
+    * the [[graft.functions.CharGramFeatures]] kernel: the kernel already
+    * emits each document's sparse (b, x) pairs sorted by bucket — which
+    * IS the `sort_array(collect_list(struct(b, x)))` array the grouped
+    * pin produces (b is unique per doc, so b-order equals struct order)
+    * — so the per-doc feature array costs one map-only projection
+    * instead of an exploded gram stream plus a doc-keyed group-by
+    * exchange. Empty feature arrays (no non-empty words) map to null fx,
+    * preserving the left-join contract: gradient scans filter them,
+    * scorers emit null. Bit-identical to
+    * `pinLabeledFeatures(hashedCharFeatures(..), labels)`
+    * (CharGramFeaturesSpec pins the equality). */
+  def pinLabeledCharFeatures(docs: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, buckets: Int, n: Int = 3): DataFrame =
+    labels.join(
+      docs.select(col(idCol).as("doc_id"),
+        graft.functions.CharGramFeatures(col(textCol), n, buckets).as("__fx"))
+        .select(col("doc_id"),
+          when(size(col("__fx")) > 0, col("__fx")).as("fx")),
       Seq("doc_id"), "left")
       .localCheckpoint(false)
 

@@ -1062,6 +1062,19 @@ object TextDedup {
     * (constant 2 for the single-length form). */
   private def purgeFromWindows(docs: DataFrame, idCol: String,
       textCol: String, wins: DataFrame, keepFirst: Boolean): DataFrame = {
+    // Deliberately UNPINNED (no repartition/ReuseExchange on __h, even
+    // though it would compute the window kernel once): leaving the two
+    // consumers independent is what keeps the hot-key path fast AND
+    // bounded — the stats aggregate compresses hot hashes map-side
+    // (partials carry one row per distinct __h per task), and the join
+    // back gets a FRESH exchange that AQE may broadcast (stats is the
+    // duplicated-hash dictionary — small) or skew-split if a hash is
+    // hot. A planted shared exchange serializes every posting of a hot
+    // hash through one task and disables the skew split. Three-shape
+    // A/B in BASELINE (stock sf0.1 / sf1 dup-cloud / 400k-doc shared-
+    // boilerplate bed): this shape is ~1.5× the old window form on
+    // benign constants but the fastest AND the only memory-bounded one
+    // in the degenerate regime the purge exists for.
     val stats = wins
       .groupBy("__h")
       .agg(count(lit(1)).as("__c"),
@@ -1310,6 +1323,56 @@ object TextDedup {
     }
   }
 
+  /** Incremental (cross-snapshot) winnow overlap: NEW docs scored
+    * against a STORED fingerprint index — the snapshot-N+1 run of the
+    * hygiene funnel's near-dup stage, where yesterday's corpus already
+    * has its winnow fingerprints materialized ((idx_id, fp) — the
+    * [[winnowFingerprints]] output written once) and only the new batch
+    * pays the digest pass. The join is ASYMMETRIC — batch fps × index
+    * fps, never index×index (the [[dedupAgainstIndex]] discipline) — so
+    * per-batch cost tracks the batch's posting volume, not the corpus:
+    * at 100 TB the fp index is a stable table BUCKETED on fp, and only
+    * the (small) batch side exchanges. Same winnowing guarantee as
+    * [[winnowOverlap]]: any ≥ w+k−1-word run shared with an index doc
+    * contributes at least one shared fingerprint.
+    *
+    * `maxPostings > 0` applies the MOSS boilerplate cap to the INDEX
+    * side (a stored index keeps hot-fp posting counts precomputed; here
+    * the bounded collect_capped aggregate derives the drop set without
+    * concentrating any posting list).
+    *
+    * Output: (new_id, idx_id, n_shared) with n_shared ≥ minShared.
+    * Batch==full differential: restricted to (index, batch) pairs this
+    * equals the full-corpus [[winnowOverlap]] (TextDedupEdgeSpec). */
+  def winnowAgainstIndex(
+      newDocs: DataFrame,
+      fpIndex: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Long = 3L,
+      maxPostings: Long = 0L): DataFrame = {
+    val idx =
+      if (maxPostings <= 0) fpIndex.select(col("idx_id"), col("fp"))
+      else {
+        require(maxPostings < Int.MaxValue,
+          s"winnowAgainstIndex: maxPostings must fit in Int, got $maxPostings")
+        fpIndex
+          .groupBy("fp")
+          .agg(graft.functions.CollectCapped(col("idx_id"),
+            (maxPostings + 1).toInt).as("__ids"))
+          .filter(size(col("__ids")) <= maxPostings)
+          .select(col("fp"), explode(col("__ids")).as("idx_id"))
+      }
+    winnowFingerprints(newDocs, idCol, textCol, k, w)
+      .select(col(idCol).as("new_id"), col("fp"))
+      .join(idx, Seq("fp"))
+      .groupBy("new_id", "idx_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Prefix-filtered set-similarity self-join (the AllPairs/PPJoin
     * family — Chaudhuri et al. SSJoin 2006, Xiao et al. PPJoin 2008):
     * exact token-set Jaccard ≥ `threshold` pairs WITHOUT the all-pairs
@@ -1438,5 +1501,55 @@ object TextDedup {
             .otherwise(0)).cast("double")
           / sum(length(col("chunk"))).cast("double"), 9) + lit(0.0))
           .as("dup_char_frac"))
+  }
+
+  /** Composed training-data hygiene funnel — the production entry point
+    * for the flagship pipeline: capped winnow near-dup drop (skew-safe
+    * collect_capped enforcement; a doc drops if it pairs with any
+    * smaller id) → multi-length duplicated-substring purge (per-level
+    * support thresholds) → per-domain cap on the post-purge token count
+    * (the C4/RefinedWeb rule, bounded graft_top_k — no rank window).
+    * Returns the stage report: (stage, n_docs, n_tokens) for s0_raw /
+    * s1_neardup / s2_purged / s3_domain_capped, ordered by stage.
+    *
+    * Stage boundaries are PINNED (localCheckpoint): each stage feeds
+    * both the next stage's multi-pass operator and its own report row —
+    * unpinned, the winnow join re-runs per consumer (15 corpus scans vs
+    * ≤4 pinned, plan-audited in PlanAuditSpec). At 100 TB these pins
+    * ARE the inter-stage parquet writes a production funnel does
+    * anyway (each stage's survivors are a checkpoint you can audit,
+    * resume from, or feed to several consumers); localCheckpoint is the
+    * local-mode analogue. Every stage is individually oracle-checked
+    * (q_winnow_overlap_capped, q_substring_dedup_multi, q_domain_cap)
+    * and the composition by q_hygiene_funnel. */
+  def hygieneFunnel(docs0: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, k: Int = 3, w: Int = 4, minShared: Long = 3L,
+      maxPostings: Long = 3L,
+      windows: Seq[(Int, Long)] = Seq((4, 5L), (8, 2L)),
+      domainCap: Int = 15): DataFrame = {
+    val docs = docs0.select(col(idCol), col(sourceCol), col(textCol))
+    val pairs = winnowOverlap(docs, idCol, textCol,
+      k = k, w = w, minShared = minShared, maxPostings = maxPostings)
+    val dropB = pairs.select(col("doc_b").as(idCol)).distinct()
+    val s1 = docs
+      .join(dropB, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    val purged = purgeDuplicateSubstringsMulti(s1,
+      idCol, textCol, windows = windows, keepFirst = true)
+    val s2 = purged
+      .select(col(idCol), (col("n_words") - col("n_removed")).as("nt"))
+      .join(s1.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .localCheckpoint(false)
+    val s3 = TextExtract.capPerDomain(s2, idCol, sourceCol, "nt",
+      cap = domainCap)
+    def stage(name: String, d: DataFrame, tok: Column): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    stage("s0_raw", docs, size(split(col(textCol), " ")).cast("long"))
+      .unionByName(stage("s1_neardup", s1,
+        size(split(col(textCol), " ")).cast("long")))
+      .unionByName(stage("s2_purged", s2, col("nt")))
+      .unionByName(stage("s3_domain_capped", s3, col("nt")))
+      .orderBy("stage")
   }
 }

@@ -113,13 +113,28 @@ object UnigramLm {
       },
       s2 => s2.getField("ps"))
 
-  /** Per-word Viterbi piece counts under log-probs `lp`: map-only scan
-    * of the word memo (the DP in one Project, the backtrace in a
-    * SECOND Project so the O(|w|·maxLen) forward pass is computed once
-    * per word — Catalyst keeps the projections separate because the
-    * backtrace references the DP column more than once), then one
-    * vocab-sized aggregate. */
+  /** Per-word Viterbi piece counts under log-probs `lp`: ONE map-only
+    * scan of the word memo through the codegen'd
+    * [[graft.functions.ViterbiPieces]] kernel (log-prob table baked
+    * into the plan via addReferenceObj — the O(V) "parameters small,
+    * data huge" layout), then one vocab-sized aggregate. Replaces the
+    * two interpreted HOF-fold Projects (forward DP + backtrace) with a
+    * tight JVM loop; output is identical (kernel pinned to
+    * [[viterbiLocal]] AND to the fold path — UnigramLmSpec
+    * differentials). */
   def viterbiCounts(words: DataFrame, lp: Map[String, Double],
+      maxLen: Int): DataFrame =
+    words
+      .select(col("f"),
+        explode(graft.functions.ViterbiPieces(col("w"), lp, maxLen)).as("piece"))
+      .groupBy("piece").agg(sum("f").as("c"))
+
+  /** The pre-kernel in-plan formulation of [[viterbiCounts]] (forward
+    * DP fold + backtrace fold in separate Projects) — kept ONLY as the
+    * differential reference the kernel is pinned against
+    * (UnigramLmSpec: identical (piece, c) rows on every corpus the
+    * trainer sees). */
+  private[graft] def viterbiCountsExpr(words: DataFrame, lp: Map[String, Double],
       maxLen: Int): DataFrame = {
     val pm = typedLit(lp)
     words

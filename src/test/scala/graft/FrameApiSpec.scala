@@ -1050,6 +1050,12 @@ class FrameApiSpec extends SparkSpec {
         .orderBy("split")))
   }
 
+  test("hygieneFunnel facade matches the registered query") {
+    same("q_hygiene_funnel",
+      Frame(Tables.documents(spark, sfDir), index = Some("doc_id"))
+        .hygieneFunnel("source", "text"))
+  }
+
   test("corrMatrix facade matches the registered query") {
     same("q_corr_matrix", fr("lineitem")
       .corrMatrix("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -346,6 +346,44 @@ class PlanAuditSpec extends SparkSpec {
       "keep-first witness is not a partial aggregate")
   }
 
+  test("char-gram lang-ID features come from the one-pass kernel, no gram explode") {
+    // r16: char_gram_features emits each doc's sorted (b, x) array
+    // row-locally — the (doc, gram) explode and its per-doc
+    // hash-aggregate exchange are gone from the feature build. The
+    // query's own final plan sits on the localCheckpoint pin
+    // (LogicalRDD), so audit the feature-build plan itself.
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qe = graft.operators.QualityModel
+      .hashedCharFeatures(docs, "doc_id", "text", 512, n = 3)
+      .queryExecution
+    assert(qe.analyzed.toString.contains("char_gram_features"),
+      "char-gram features do not use the kernel")
+    val exec = qe.executedPlan.toString
+    assert(!exec.contains("Exchange"),
+      s"kernel feature build should be map-only, plan:\n$exec")
+    // the direct pin path is map-only up to the label join too
+    val qe2 = graft.operators.QualityModel.pinLabeledCharFeatures(
+      docs, "doc_id", "text",
+      docs.select(col("doc_id"), lit("en").as("label")), 512, n = 3)
+    assert(qe2.columns.toSeq == Seq("doc_id", "label", "fx"))
+  }
+
+  test("unigram-LM Viterbi is the codegen'd kernel, not interpreted folds") {
+    import graft.operators.UnigramLm
+    import spark.implicits._
+    val words = Seq(("abc", 2L), ("cab", 1L)).toDF("w", "f")
+    val qe = UnigramLm.viterbiCounts(words,
+      Map("a" -> -1.0, "b" -> -1.0, "c" -> -1.0, "ab" -> -1.5), 4)
+      .queryExecution
+    val analyzed = qe.analyzed.toString
+    assert(analyzed.contains("graft_viterbi"),
+      "viterbiCounts does not use the kernel")
+    assert(!analyzed.contains("aggregate(sequence"),
+      "interpreted DP fold still present")
+  }
+
   test("dup-gram counts share one hash-partitioned exchange") {
     // corpus total (partition by h) and per-doc count (partition by
     // h, doc) must ride the SAME exchange — the second window adds only

@@ -264,6 +264,58 @@ class TextDedupEdgeSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("incremental winnow equals the full-corpus run restricted to (index, batch) pairs") {
+    // batch==incremental differential: winnowAgainstIndex over a stored
+    // fingerprint table must reproduce EXACTLY the cross-subset of the
+    // full-corpus winnowOverlap — the snapshot-N+1 contract.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val isIdx = col("doc_id") % 10 < 8
+    val full = TextDedup.winnowOverlap(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // full pairs are (min, max); keep those with exactly one batch side,
+    // re-keyed as (new_id, idx_id)
+    def inBatch(id: Long) = id % 10 >= 8
+    val want = full.collect {
+      case (a, b, n) if inBatch(a) != inBatch(b) =>
+        if (inBatch(a)) (a, b, n) else (b, a, n)
+    }.sorted.toSeq
+    val fpIndex = TextDedup.winnowFingerprints(
+        docs.filter(isIdx), "doc_id", "text", k = 3, w = 4)
+      .select(col("doc_id").as("idx_id"), col("fp"))
+    val got = TextDedup.winnowAgainstIndex(docs.filter(!isIdx), fpIndex,
+        "doc_id", "text", k = 3, w = 4, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == want, s"got=${got.take(6)} want=${want.take(6)}")
+    assert(want.nonEmpty, "differential is vacuous: no cross pairs in the bed")
+  }
+
+  test("winnowAgainstIndex maxPostings drops hot index fingerprints before the join") {
+    import spark.implicits._
+    // fp shared by 3 index docs is hot at cap 2; the pair through the
+    // cold fp survives. Runs of 6 words (k=3, w=4) force fingerprints.
+    val hot = "h1 h2 h3 h4 h5 h6"
+    val cold = "c1 c2 c3 c4 c5 c6"
+    val idxDocs = Seq(
+      (1L, s"$hot x1 x2 x3"), (2L, s"$hot y1 y2 y3"),
+      (3L, s"$hot z1 z2 z3"), (4L, s"$cold w1 w2 w3"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq((10L, s"$hot $cold")).toDF("doc_id", "text")
+    val fpIndex = TextDedup.winnowFingerprints(idxDocs, "doc_id", "text", 3, 4)
+      .select(col("doc_id").as("idx_id"), col("fp"))
+    val capped = TextDedup.winnowAgainstIndex(newDocs, fpIndex,
+        "doc_id", "text", k = 3, w = 4, minShared = 1L, maxPostings = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet == Set((10L, 4L)),
+      s"hot-fp pairs should drop at cap 2: ${capped.mkString(", ")}")
+    val uncapped = TextDedup.winnowAgainstIndex(newDocs, fpIndex,
+        "doc_id", "text", k = 3, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.toSet == Set((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)))
+  }
+
   test("exact dedup keeps the smallest id per content") {
     import spark.implicits._
     val docs = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")

@@ -42,6 +42,24 @@ class UnigramLmSpec extends SparkSpec {
       s"plan=$planCounts\nlocal=$localCounts")
   }
 
+  test("graft_viterbi kernel equals the in-plan fold formulation on the word memo") {
+    val words = UnigramLm.wordTable(corpus, "text")
+    val cands = UnigramLm.seedCandidates(words, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val seeds = cands.sortBy { case (p, n) => (-n, p) }.take(20)
+    val vocab = (seeds ++ cands.filter(_._1.length == 1)).distinct
+    val t = vocab.map(_._2).sum
+    val lp = vocab.map { case (p, n) =>
+      p -> BigDecimal(math.log((n + 1).toDouble / (t + vocab.size).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val kernel = UnigramLm.viterbiCounts(words, lp, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val folds = UnigramLm.viterbiCountsExpr(words, lp, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kernel == folds, s"kernel=$kernel\nfolds=$folds")
+  }
+
   test("Viterbi ties prefer the longest piece in both implementations") {
     import spark.implicits._
     // p(ab)+p(c) == p(a)+p(bc) exactly; the rule (min start j at each
