@@ -34,7 +34,7 @@ object AbPurge {
     def wins0 = {
       val src = docs
       val levels = array(windows.map { case (w, mc) =>
-        transform(graft.functions.ShingleMd5s(col(textCol), w),
+        transform(graft.functions.ShingleMd5Bins(col(textCol), w),
           (h, i) => struct(lit(w).as("w"), lit(mc).as("__mc"),
             i.as("start"), h.as("__h")))
       }: _*)

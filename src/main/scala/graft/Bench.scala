@@ -88,8 +88,6 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
-
     val cold = names.map(runOnce).sum
     spark.catalog.clearCache()
     runProbe() // JIT the probe plan itself before sampling it
@@ -100,11 +98,6 @@ object Bench {
       (1 to reps).map { _ =>
         val t = runOnce(name); spark.catalog.clearCache(); t
       }.sorted
-    val firstPass: Seq[(String, Seq[Double])] = names.zipWithIndex.map {
-      case (name, i) =>
-        if (i % 8 == 0) probeTimes += runProbe()
-        name -> sampleOne(name)
-    }
     // A rep spread far above the query's own floor means the capture of
     // THAT query was contended. Re-run it once (the burst has usually
     // passed by the end of the sweep), keep the better (lower-median)
@@ -112,29 +105,61 @@ object Bench {
     // so driver/builder/judge captures become comparable.
     def noisy(ts: Seq[Double]): Boolean =
       ts.last - ts.head > 0.25 && ts.last > ts.head * 1.5
-    var nRetried = 0
-    val samples: Seq[(String, Seq[Double], Boolean)] = firstPass.map {
-      case (name, ts) =>
-        if (!noisy(ts)) (name, ts, false)
-        else {
-          nRetried += 1
-          val retry = sampleOne(name)
-          val best = if (retry(retry.size / 2) < ts(ts.size / 2)) retry else ts
-          (name, best, noisy(best))
-        }
-    }
-    probeTimes += runProbe()
     def median(ts: Seq[Double]): Double = ts(ts.size / 2) // ts sorted, odd reps exact
+    def noiseOf(pSorted: Seq[Double]): Double =
+      if (pSorted.isEmpty || pSorted.head <= 0) 0.0
+      else (pSorted.last - pSorted.head) / median(pSorted)
+    // One full timed sweep: interleaved probes + per-query reps + per-
+    // query contended retry. Returns (samples, sorted probe times,
+    // retry count).
+    def sweep(): (Seq[(String, Seq[Double], Boolean)], Seq[Double], Int) = {
+      val probeTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val firstPass: Seq[(String, Seq[Double])] = names.zipWithIndex.map {
+        case (name, i) =>
+          if (i % 8 == 0) probeTimes += runProbe()
+          name -> sampleOne(name)
+      }
+      var nRetried = 0
+      val samples: Seq[(String, Seq[Double], Boolean)] = firstPass.map {
+        case (name, ts) =>
+          if (!noisy(ts)) (name, ts, false)
+          else {
+            nRetried += 1
+            val retry = sampleOne(name)
+            val best = if (retry(retry.size / 2) < ts(ts.size / 2)) retry else ts
+            (name, best, noisy(best))
+          }
+      }
+      probeTimes += runProbe()
+      (samples, probeTimes.toSeq.sorted, nRetried)
+    }
+    // Round-close noise sentinel (r15 shipped its capture of record at
+    // noise_index 1.84 while BASELINE's quotable mid-round capture read
+    // 0.994): if the sweep's own probe says the box was contended
+    // (noise_index above the gate, default 1.2; SPARK_GRAFT_NOISE_GATE
+    // overrides, 0 disables), run ONE full re-sweep and keep the
+    // quieter capture — both indices are emitted so a two-capture round
+    // is visible in the artifact.
+    var (samples, pSorted, nRetried) = sweep()
+    var noiseIndex = noiseOf(pSorted)
+    val firstNoise = noiseIndex
+    val noiseGate = sys.env.get("SPARK_GRAFT_NOISE_GATE")
+      .map(_.toDouble).getOrElse(1.2)
+    var recaptured = false
+    if (noiseGate > 0 && noiseIndex > noiseGate) {
+      recaptured = true
+      System.err.println(f"[bench] noise_index $noiseIndex%.2f > gate " +
+        f"$noiseGate%.2f - recapturing once")
+      val (s2, p2, r2) = sweep()
+      val n2 = noiseOf(p2)
+      if (n2 < noiseIndex) {
+        samples = s2; pSorted = p2; nRetried = r2; noiseIndex = n2
+      }
+    }
     val results = samples.map { case (n, ts, _) => n -> median(ts) }
     val mins = samples.map { case (_, ts, _) => ts.head }
     val spread = samples.map { case (_, ts, _) => ts.last - ts.head }
     val contended = samples.collect { case (n, _, true) => n }
-    val pSorted = probeTimes.toSeq.sorted
-    // normalized probe spread: 0 on a quiet box; >1 means the probe
-    // itself doubled under load somewhere in the sweep
-    val noiseIndex =
-      if (pSorted.isEmpty || pSorted.head <= 0) 0.0
-      else (pSorted.last - pSorted.head) / median(pSorted)
 
     // The round driver captures only a bounded (~4 KB) tail of stdout; a
     // full per-query map over 140+ queries is ~3.5 KB and, together with
@@ -155,7 +180,7 @@ object Bench {
     def jlist(ns: Seq[String]): String =
       ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stats =
-      s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size},"noise_index":${f(noiseIndex)},"probe_sec":${jmap(Seq("min" -> pSorted.head, "median" -> median(pSorted), "max" -> pSorted.last))},"n_contended":${contended.size},"n_retried":$nRetried"""
+      s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size},"noise_index":${f(noiseIndex)},"noise_gate":${f(noiseGate)},"recaptured":$recaptured,"noise_index_first":${f(firstNoise)},"probe_sec":${jmap(Seq("min" -> pSorted.head, "median" -> median(pSorted), "max" -> pSorted.last))},"n_contended":${contended.size},"n_retried":$nRetried"""
     val full =
       s"""{"metric":"total",$stats,"contended":${jlist(contended)},"queries":${jmap(results)},"queries_min":${jmapN(samples.map(s => (s._1, s._2)), _.head)},"queries_max":${jmapN(samples.map(s => (s._1, s._2)), _.last)},"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath

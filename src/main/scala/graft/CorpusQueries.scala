@@ -262,6 +262,51 @@ object CorpusQueries {
         .orderBy("doc_id")
     }
 
+    // Bounded-slice twin of q_cluster_keep_best (sf1 strict-gate
+    // protocol): universe capped at doc_id < 5000 in both engines — a
+    // no-op at sf <= 0.1, tractable at sf1 where the unsliced oracle's
+    // closure + all-pairs verify costs 125 s.
+    q("q_cluster_keep_best_sliced",
+      s"""WITH RECURSIVE ${LlmQueries.minhashCtes(n = 3, k = 16, r = 4,
+            docWhere = "WHERE doc_id < 5000")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS ni
+         |          FROM cand
+         |          JOIN shd sa ON sa.doc_id = doc_a
+         |          JOIN shd sb ON sb.doc_id = doc_b AND sb.h0 = sa.h0
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sizes za ON za.doc_id = doc_a
+         |          JOIN sizes zb ON zb.doc_id = doc_b
+         |          WHERE ni / (za.nsh + zb.nsh - ni) >= 0.8),
+         |edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (SELECT n, m FROM edges
+         |                UNION
+         |                SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n),
+         |cl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+         |       FROM reach GROUP BY n),
+         |alldocs AS (SELECT d.doc_id, d.n_chars,
+         |              coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |            FROM (SELECT * FROM documents WHERE doc_id < 5000) d
+         |            LEFT JOIN cl USING (doc_id)),
+         |rk AS (SELECT doc_id, cluster_id,
+         |         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY n_chars DESC, doc_id) AS rn
+         |       FROM alldocs)
+         |SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |  rn = 1 AS kept
+         |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextDedup.collapseKeepBest(
+          Tables.documents(s, dir).filter(col("doc_id") < 5000),
+          "doc_id", "text", scoreCol = "n_chars", threshold = 0.8)
+        .orderBy("doc_id")
+    }
+
     // ---- snapshot content diff ----------------------------------------
 
     // Two simulated snapshots of one corpus: old = doc_id % 7 != 0
@@ -868,6 +913,45 @@ object CorpusQueries {
         |FROM v WHERE inter / (m_a + m_b - inter) >= CAST(0.6 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       TextDedup.prefixFilterJoin(Tables.documents(s, dir),
+          "doc_id", "text", threshold = 0.6, ngram = 3)
+        .orderBy("id_a", "id_b")
+    }
+
+    // Bounded-slice twin of q_prefix_filter_join (sf1 strict-gate
+    // protocol): universe capped at doc_id < 5000 in both engines — a
+    // no-op at sf <= 0.1, tractable at sf1 where the unsliced oracle's
+    // prefix-candidate verify costs 119 s.
+    q("q_prefix_filter_join_sliced",
+      """WITH words AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 5000),
+        |sh AS (SELECT DISTINCT id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM words, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+        |toks AS (SELECT DISTINCT id,
+        |    CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS tok FROM sh),
+        |dfq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+        |ranked AS (SELECT id, tok,
+        |    row_number() OVER (PARTITION BY id ORDER BY df, tok) AS p,
+        |    count(*) OVER (PARTITION BY id) AS m
+        |  FROM toks JOIN dfq USING (tok)),
+        |prefix AS (SELECT id, tok, m FROM ranked
+        |  WHERE p <= m - CAST(ceil(CAST(0.6 AS DOUBLE) * m) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.m AS m_a, b.m AS m_b
+        |  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+        |  WHERE CAST(0.6 AS DOUBLE) * CAST(greatest(a.m, b.m) AS DOUBLE)
+        |        <= CAST(least(a.m, b.m) AS DOUBLE)),
+        |sets AS (SELECT id, list(tok) AS ts FROM toks GROUP BY 1),
+        |v AS (SELECT id_a, id_b, m_a, m_b,
+        |    len(list_intersect(sa.ts, sb.ts)) AS inter
+        |  FROM cand
+        |  JOIN sets sa ON sa.id = id_a JOIN sets sb ON sb.id = id_b)
+        |SELECT id_a, id_b, m_a, m_b,
+        |  inter / (m_a + m_b - inter) AS jaccard
+        |FROM v WHERE inter / (m_a + m_b - inter) >= CAST(0.6 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      TextDedup.prefixFilterJoin(
+          Tables.documents(s, dir).filter(col("doc_id") < 5000),
           "doc_id", "text", threshold = 0.6, ngram = 3)
         .orderBy("id_a", "id_b")
     }

@@ -32,10 +32,11 @@ object LlmQueries {
     * one md5 per shingle folded to 28 bits, then k affine mixes mod P
     * (all arithmetic < 2^59 so DuckDB's checked BIGINT math never
     * overflows). */
-  private[graft] def minhashCtes(n: Int, k: Int, r: Int): String = {
+  private[graft] def minhashCtes(n: Int, k: Int, r: Int,
+      docWhere: String = ""): String = {
     val seedRows = TextDedup.mixConsts(k).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents $docWhere),
        |sh AS (SELECT DISTINCT doc_id,
        |         ${(0 until n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")} AS sh
        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-${n - 1})) AS i
@@ -157,6 +158,46 @@ object LlmQueries {
          |  n = least(n, min(m)) AS is_rep
          |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val pairs = TextDedup.nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bandRows = 4, threshold = 0.8)
+      TextDedup.dupClusters(pairs.select("doc_a", "doc_b"))
+        .orderBy("doc_id")
+    }
+
+    // Bounded-slice twin of q_dup_clusters (the sf1 strict-gate
+    // protocol): the universe is capped at doc_id < 5000 IN BOTH
+    // ENGINES — a no-op at sf <= 0.1 (all ids are below the cap, so the
+    // result is identical to q_dup_clusters there) that keeps the
+    // DuckDB replay's recursive closure + all-pairs verify tractable on
+    // the 50k-doc sf1 corpus, where the unsliced oracle costs 80 s.
+    // The full-corpus operator stays bench-measured at sf1; this query
+    // supplies the strict rows+schema+hash evidence on sf1 DATA.
+    q("q_dup_clusters_sliced",
+      s"""WITH RECURSIVE ${minhashCtes(n = 3, k = 16, r = 4,
+            docWhere = "WHERE doc_id < 5000")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS ni
+         |          FROM cand
+         |          JOIN shd sa ON sa.doc_id = doc_a
+         |          JOIN shd sb ON sb.doc_id = doc_b AND sb.h0 = sa.h0
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sizes za ON za.doc_id = doc_a
+         |          JOIN sizes zb ON zb.doc_id = doc_b
+         |          WHERE ni / (za.nsh + zb.nsh - ni) >= 0.8),
+         |edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (SELECT n, m FROM edges
+         |                UNION
+         |                SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n)
+         |SELECT n AS doc_id, least(n, min(m)) AS cluster_id,
+         |  n = least(n, min(m)) AS is_rep
+         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = TextDedup.nearDuplicates(
+        Tables.documents(s, dir).filter(col("doc_id") < 5000),
+        "doc_id", "text",
         shingleLen = 3, numHashes = 16, bandRows = 4, threshold = 0.8)
       TextDedup.dupClusters(pairs.select("doc_a", "doc_b"))
         .orderBy("doc_id")
@@ -295,6 +336,54 @@ object LlmQueries {
     }) { (s, dir) =>
       TextDedup.bandRecall(
         Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleLen = 3, numHashes = 16, bandRows = 4,
+        threshold = 0.8)
+    }
+
+    // Bounded-slice twin of q_lsh_recall (sf1 strict-gate protocol):
+    // the %5 ground-truth slice additionally capped at doc_id < 5000 in
+    // both engines — identical to q_lsh_recall at sf <= 0.1, tractable
+    // quadratic ground truth at sf1 (the unsliced oracle costs 68 s on
+    // the 10k-doc slice there).
+    q("q_lsh_recall_sliced", {
+      val seedRows = TextDedup.mixConsts(16).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 5000),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+         |             FROM words)),
+         |shd AS (SELECT DISTINCT doc_id,
+         |          CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS h0 FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS s FROM shd GROUP BY 1),
+         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |  FROM shd a JOIN shd b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM iv
+         |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE CAST(ni AS DOUBLE) / (sa.s + sb.s - ni) >= 0.8),
+         |seeds(i, a, b) AS (VALUES $seedRows),
+         |mh AS (SELECT doc_id, i, min((h0 * a + b) % ${TextDedup.P}) AS mh
+         |       FROM shd, seeds GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 4 AS band,
+         |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT count(*) AS n_true,
+         |  CAST(COALESCE(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_caught,
+         |  CASE WHEN count(*) = 0 THEN 0.0
+         |    ELSE CAST(COALESCE(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END),
+         |      0) AS DOUBLE) / CAST(count(*) AS DOUBLE) END AS recall
+         |FROM truth t LEFT JOIN cand c
+         |  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b""".stripMargin
+    }) { (s, dir) =>
+      TextDedup.bandRecall(
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 5 === 0 && col("doc_id") < 5000),
         "doc_id", "text", shingleLen = 3, numHashes = 16, bandRows = 4,
         threshold = 0.8)
     }
@@ -633,6 +722,49 @@ object LlmQueries {
             "doc_id", "n_chars", pairs)
           .orderBy("doc_id")
       }
+
+      // Bounded-slice twin of q_semantic_keep_best (sf1 strict-gate
+      // protocol): universe capped at vec_id < 2000 / doc_id < 5000 in
+      // both engines — a no-op at sf <= 0.1, tractable at sf1 where the
+      // unsliced oracle's within-bucket pair verify costs 727 s.
+      q("q_semantic_keep_best_sliced",
+        s"""WITH RECURSIVE planes AS (SELECT $planes),
+           |b AS (SELECT vec_id, embedding,
+           |        sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+           |        ${bucketOf("embedding")} AS bucket
+           |      FROM embeddings, planes WHERE vec_id < 2000),
+           |pr AS (SELECT a.vec_id AS doc_a, x.vec_id AS doc_b
+           |       FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+           |       WHERE ${dotSql("a.embedding", "x.embedding")} / (a.nrm * x.nrm)
+           |             >= 0.3),
+           |edges AS (SELECT doc_a AS n, doc_b AS m FROM pr
+           |          UNION SELECT doc_b, doc_a FROM pr),
+           |reach(n, m) AS (SELECT n, m FROM edges
+           |                UNION
+           |                SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n),
+           |cl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+           |       FROM reach GROUP BY n),
+           |alldocs AS (SELECT d.doc_id, d.n_chars,
+           |              coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+           |            FROM (SELECT * FROM documents WHERE doc_id < 5000) d
+           |            LEFT JOIN cl USING (doc_id)),
+           |rk AS (SELECT doc_id, cluster_id,
+           |         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+           |         row_number() OVER (PARTITION BY cluster_id
+           |                            ORDER BY n_chars DESC, doc_id) AS rn
+           |       FROM alldocs)
+           |SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members,
+           |  rn = 1 AS kept
+           |FROM rk ORDER BY doc_id""".stripMargin) { (s, dir) =>
+        val pairs = Similarity.cosineNearDup(
+            Tables.embeddings(s, dir).filter(col("vec_id") < 2000),
+            dim = 64, numPlanes = 4, threshold = 0.3)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        TextDedup.collapseKeepBestByPairs(
+            Tables.documents(s, dir).filter(col("doc_id") < 5000),
+            "doc_id", "n_chars", pairs)
+          .orderBy("doc_id")
+      }
     }
 
     // Semantic benchmark decontamination: max cosine of every corpus
@@ -887,10 +1019,12 @@ object LlmQueries {
         // all GD iterations, AND inference (r15: the count job and the
         // 4 per-language scoreInline kernel re-runs over re-synthesized
         // text are gone — scoring is one map over the 1-row-per-doc pin
-        // with the weight vectors as plan literals).
-        val feats = QualityModel.hashedFeatures(syn, "doc_id", "text", B)
-        val pinned = QualityModel.pinLabeledFeatures(feats,
-          syn.select(col("doc_id"), col("lang").as("label")))
+        // with the weight vectors as plan literals). r16: the pin is
+        // built DIRECTLY from the word_bag_features kernel — no token
+        // explode, no group-by-doc exchange (bit-identical features,
+        // CharGramFeaturesSpec word twin).
+        val pinned = QualityModel.pinLabeledWordFeatures(syn, "doc_id",
+          "text", syn.select(col("doc_id"), col("lang").as("label")), B)
         val models = QualityModel.trainLogRegMultiPinned(pinned,
           pinned.count().toDouble, langs, B, iters = 2, lr = 1.0)
         val scored = QualityModel.scoreMultiPinned(pinned,

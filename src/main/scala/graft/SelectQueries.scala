@@ -294,12 +294,17 @@ object SelectQueries {
          |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
          |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val feats = QualityModel.hashedFeatures(docs, "doc_id", "text", buckets = 512)
+      // ONE word_bag_features pin serves the label count, all GD
+      // iterations, AND inference (r16: the feature kernel runs once;
+      // the join-based classify re-ran it and paid a doc-keyed
+      // aggregate).
       val labels = docs.select(col("doc_id"),
         when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
-      val model = QualityModel.trainLogReg(s, feats, labels,
-        buckets = 512, iters = 2, lr = 1.0)
-      QualityModel.classify(s, feats, model)
+      val pinned = QualityModel.pinLabeledWordFeatures(docs, "doc_id",
+        "text", labels, buckets = 512)
+      val model = QualityModel.trainLogRegPinned(pinned,
+        pinned.count().toDouble, buckets = 512, iters = 2, lr = 1.0)
+      QualityModel.classifyPinned(pinned, model)
         .select(col("doc_id"), round(col("quality"), 6).as("quality"),
           when(col("quality") >= 0.5, lit(1)).otherwise(lit(0)).as("pred"))
         .orderBy("doc_id")
@@ -323,12 +328,14 @@ object SelectQueries {
          |    - (CAST(bucket AS DOUBLE) + 0.5) / 10) AS gap
          |FROM bk ORDER BY bucket""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val feats = QualityModel.hashedFeatures(docs, "doc_id", "text", buckets = 512)
+      // same one-pin discipline as q_quality_classifier
       val labels = docs.select(col("doc_id"),
         when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
-      val model = QualityModel.trainLogReg(s, feats, labels,
-        buckets = 512, iters = 2, lr = 1.0)
-      QualityModel.calibration(QualityModel.classify(s, feats, model),
+      val pinned = QualityModel.pinLabeledWordFeatures(docs, "doc_id",
+        "text", labels, buckets = 512)
+      val model = QualityModel.trainLogRegPinned(pinned,
+        pinned.count().toDouble, buckets = 512, iters = 2, lr = 1.0)
+      QualityModel.calibration(QualityModel.classifyPinned(pinned, model),
           labels, buckets = 10)
         .orderBy("bucket")
     }
@@ -550,6 +557,47 @@ object SelectQueries {
       graft.operators.TextDedup
         .leakageSafeSplit(Tables.documents(s, dir), "doc_id", "text",
           trainFrac = 0.8, threshold = 0.8)
+        .orderBy("doc_id")
+    }
+
+    // Bounded-slice twin of q_leakage_safe_split (sf1 strict-gate
+    // protocol): universe capped at doc_id < 5000 in both engines — a
+    // no-op at sf <= 0.1, tractable at sf1 where the unsliced oracle's
+    // closure costs 170 s.
+    q("q_leakage_safe_split_sliced",
+      s"""WITH RECURSIVE ${LlmQueries.minhashCtes(n = 3, k = 16, r = 4,
+            docWhere = "WHERE doc_id < 5000")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shd GROUP BY 1),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS ni
+         |          FROM cand
+         |          JOIN shd sa ON sa.doc_id = doc_a
+         |          JOIN shd sb ON sb.doc_id = doc_b AND sb.h0 = sa.h0
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b FROM inter
+         |          JOIN sizes za ON za.doc_id = doc_a
+         |          JOIN sizes zb ON zb.doc_id = doc_b
+         |          WHERE ni / (za.nsh + zb.nsh - ni) >= 0.8),
+         |edges AS (SELECT doc_a AS n, doc_b AS m FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(n, m) AS (SELECT n, m FROM edges
+         |                UNION
+         |                SELECT r.n, e.m FROM reach r JOIN edges e ON r.m = e.n),
+         |cl AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+         |       FROM reach GROUP BY n),
+         |alldocs AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |            FROM (SELECT * FROM documents WHERE doc_id < 5000) d
+         |            LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 7) AS BIGINT)
+         |         / 268435456.0 < 0.8 THEN 'train' ELSE 'valid' END AS split
+         |FROM alldocs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.TextDedup
+        .leakageSafeSplit(
+          Tables.documents(s, dir).filter(col("doc_id") < 5000),
+          "doc_id", "text", trainFrac = 0.8, threshold = 0.8)
         .orderBy("doc_id")
     }
 

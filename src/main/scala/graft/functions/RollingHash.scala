@@ -373,6 +373,32 @@ object GraftFunctions {
           CollectCapped(args.head, maxSize)
         }),
       (
+        FunctionIdentifier("word_bag_features"),
+        new ExpressionInfo(classOf[WordBagFeatures].getName, "word_bag_features"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "word_bag_features(text, buckets)")
+          val b = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"word_bag_features buckets must be an int literal, got $other")
+          }
+          WordBagFeatures(args.head, b)
+        }),
+      (
+        FunctionIdentifier("shingle_md5_bins"),
+        new ExpressionInfo(classOf[ShingleMd5Bins].getName, "shingle_md5_bins"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "shingle_md5_bins(text, n)")
+          val n = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"shingle_md5_bins n must be an int literal, got $other")
+          }
+          ShingleMd5Bins(args.head, n)
+        }),
+      (
         FunctionIdentifier("graft_viterbi"),
         new ExpressionInfo(classOf[ViterbiPieces].getName, "graft_viterbi"),
         (args: Seq[Expression]) => {

@@ -168,6 +168,75 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-document hashed bag-of-words feature vector: every space-split
+    * token (INCLUDING empty tokens from consecutive spaces — the
+    * shingle_hashes(n=1) stream this replaces hashes them too),
+    * md5-7-hex-folded into `buckets`, counts normalized by the
+    * document's token count. Same output contract as
+    * [[charGramFeatures]]: sparse (b, x = n_b / |d|) pairs SORTED by
+    * bucket, so the array doubles as the GD pin's
+    * sort_array(collect_list(struct(b, x))). One digest pass — no
+    * exploded token stream, no per-doc hash-aggregate exchange. */
+  def wordBagFeatures(text: UTF8String, buckets: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val counts = new Array[Int](buckets)
+    val md = digests.get()
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val d = md.digest(words(i).getBytes(StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4)
+      counts((h % buckets).toInt) += 1
+      i += 1
+    }
+    val dl = words.length.toDouble
+    var nb = 0
+    var b = 0
+    while (b < buckets) { if (counts(b) > 0) nb += 1; b += 1 }
+    val out = new Array[Any](nb)
+    var p = 0
+    b = 0
+    while (b < buckets) {
+      if (counts(b) > 0) { out(p) = InternalRow(b.toLong, counts(b) / dl); p += 1 }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Binary (16-byte) variant of [[shingleMd5s]]: the same full md5 of
+    * every stride-1 word n-gram window, as raw digest bytes instead of
+    * the 32-char hex string — identical collision-freeness, HALF the
+    * bytes on every exchange keyed by the window hash (the substring
+    * purge shuffles this stream twice; hex↔binary is a bijection so
+    * all counts/joins/keep-first decisions are identical, and the
+    * purge's oracle compares rebuilt TEXT, not the internal key). */
+  def shingleMd5Bins(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val wordBytes = new Array[Array[Byte]](words.length)
+    var w = 0
+    while (w < words.length) {
+      wordBytes(w) = words(w).getBytes(StandardCharsets.UTF_8); w += 1
+    }
+    val md = digests.get()
+    val m = words.length - n + 1
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(wordBytes(i + j))
+        j += 1
+      }
+      out(i) = md.digest() // digest() allocates a fresh 16-byte array
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Content-defined chunks of `text` (see TextDedup.cdcChunks): one
     * forward pass over the UTF-8 bytes maintaining the base-2 rolling
     * hash h = (2h + (codepoint·2654435761 mod 2³¹)) mod 2³¹; a chunk
@@ -817,6 +886,81 @@ object BigramPairCounts {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(GraftFunctions.register)
     org.apache.spark.sql.functions.call_function("bigram_pair_counts", text)
+  }
+}
+
+/** `word_bag_features(text, buckets)`: per-document hashed
+  * bag-of-words feature pairs, sorted by bucket (see
+  * [[TextKernels.wordBagFeatures]]). */
+case class WordBagFeatures(child: Expression, buckets: Int)
+  extends UnaryExpression {
+
+  require(buckets >= 1 && buckets <= (1 << 24),
+    s"word_bag_features: buckets must be in [1, 2^24], got $buckets")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_bag_features requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("b", LongType, nullable = false),
+    StructField("x", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "word_bag_features"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordBagFeatures(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.wordBagFeatures($c, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBagFeatures =
+    copy(child = newChild)
+}
+
+object WordBagFeatures {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column, buckets: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("word_bag_features",
+      text, org.apache.spark.sql.functions.lit(buckets))
+  }
+}
+
+/** `shingle_md5_bins(text, n)`: binary (16-byte) window md5s (see
+  * [[TextKernels.shingleMd5Bins]]). */
+case class ShingleMd5Bins(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle_md5_bins: n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_md5_bins requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "shingle_md5_bins"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleMd5Bins(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingleMd5Bins($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMd5Bins =
+    copy(child = newChild)
+}
+
+object ShingleMd5Bins {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column, n: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("shingle_md5_bins",
+      text, org.apache.spark.sql.functions.lit(n))
   }
 }
 

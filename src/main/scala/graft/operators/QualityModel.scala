@@ -43,11 +43,23 @@ object QualityModel {
     conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
   /** Hashed normalized bag-of-words: (doc_id, b, x) with
-    * x = count(tokens in bucket b) / |d|. One corpus scan; token hashes
-    * from the native [[graft.functions.ShingleHashes]] kernel (one
-    * codegen'd call per doc, same values as the md5 7-hex fold). */
+    * x = count(tokens in bucket b) / |d|. One corpus scan — the
+    * [[graft.functions.WordBagFeatures]] kernel counts buckets
+    * row-locally in a single digest pass (r16; the exploded
+    * shingle_hashes stream + per-doc hash-aggregate exchange it
+    * replaces is kept as [[hashedFeaturesExpr]] for the differential
+    * spec — bit-identical (b, x) rows, CharGramFeaturesSpec). */
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.WordBagFeatures(col(textCol), buckets)).as("e"))
+      .select(col("doc_id"), col("e.b").as("b"), col("e.x").as("x"))
+
+  /** Pre-kernel expression formulation of [[hashedFeatures]] — the
+    * differential reference only. */
+  private[graft] def hashedFeaturesExpr(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
         graft.functions.ShingleHashes(col(textCol), 1, 7, dedup = false).as("__hs"))
@@ -152,6 +164,21 @@ object QualityModel {
       Seq("doc_id"), "left")
       .localCheckpoint(false)
 
+  /** [[pinLabeledFeatures]] for bag-of-WORD features built directly
+    * from the [[graft.functions.WordBagFeatures]] kernel — the word
+    * twin of [[pinLabeledCharFeatures]], same contract (sorted fx,
+    * null on no features — unreachable for word features, which hash
+    * even the empty token, but kept for shape parity). */
+  def pinLabeledWordFeatures(docs: DataFrame, idCol: String, textCol: String,
+      labels: DataFrame, buckets: Int): DataFrame =
+    labels.join(
+      docs.select(col(idCol).as("doc_id"),
+        graft.functions.WordBagFeatures(col(textCol), buckets).as("__fx"))
+        .select(col("doc_id"),
+          when(size(col("__fx")) > 0, col("__fx")).as("fx")),
+      Seq("doc_id"), "left")
+      .localCheckpoint(false)
+
   /** Full-batch gradient descent for logistic regression:
     * w ← round(w − lr·∇, 9) per iteration, ∇_b = Σ_d (σ(s_d) − y_d)·x_db / N.
     * `labels` is (doc_id, y ∈ {0,1}). Weights start at zero (so the
@@ -159,6 +186,17 @@ object QualityModel {
   def trainLogReg(spark: SparkSession, feats: DataFrame, labels: DataFrame,
       buckets: Int, iters: Int = 3, lr: Double = 1.0): Model = {
     val lab = labels.select(col("doc_id"), col("y").cast("double").as("y"))
+    val pinned0 = pinLabeledFeatures(feats, lab)
+    trainLogRegPinned(pinned0, pinned0.count().toDouble, buckets, iters, lr)
+  }
+
+  /** [[trainLogReg]] over a pre-built (doc_id, y, fx) pin whose count
+    * the caller already took — the binary twin of
+    * [[trainLogRegMultiPinned]]: one grouped checkpoint serves
+    * training AND [[classifyPinned]] scoring, so the feature kernel
+    * runs once per pipeline instead of once per consumer. */
+  def trainLogRegPinned(pinned0: DataFrame, n: Double,
+      buckets: Int, iters: Int = 3, lr: Double = 1.0): Model = {
     // Fused GD step (r14): the feature matrix is grouped into per-doc
     // (b, x) arrays ONCE (bounded: ≤ min(B, |d|) entries per doc) and
     // labels joined once; each iteration is then a SINGLE scan — the
@@ -173,8 +211,6 @@ object QualityModel {
     // Sorted arrays make the score-fold summation order canonical; the
     // 9-decimal quantization remains the cross-engine firewall for the
     // oracle's own (hash-aggregated, orderless) replay of the same sum.
-    val pinned0 = pinLabeledFeatures(feats, lab)
-    val n = pinned0.count().toDouble
     val pinned = pinned0.filter(col("fx").isNotNull)
     var w = Map.empty[Long, Double]
     var bias = 0.0
@@ -298,6 +334,24 @@ object QualityModel {
     }
     pinned.select(pinned.columns.filterNot(_ == "fx").map(col).toSeq
       ++ scoreCols: _*)
+  }
+
+  /** [[classify]] over a pre-built (doc_id, …, fx) pin: one codegen'd
+    * graft_feature_dot pass per row, weights as plan literals — no
+    * join, no doc-keyed aggregate, and the feature kernel is never
+    * re-run (the pin was materialized once for training). Same score
+    * arithmetic as classify (s = round9(w·x + bias) — FeatureDot's
+    * sorted-array sum vs the join-form's orderless sum land on the same
+    * 9-decimal value, the standing GD firewall); feature-less (null fx)
+    * docs emit no row, matching classify's inner-join semantics. */
+  def classifyPinned(pinned: DataFrame, model: Model): DataFrame = {
+    val s = round(
+      graft.functions.FeatureDot(col("fx"),
+        (0 until model.buckets).map(b => model.weights.getOrElse(b.toLong, 0.0))) +
+        lit(model.bias), 9)
+    pinned.filter(col("fx").isNotNull)
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-s))).as("quality"))
   }
 
   /** Map-only scoring: (doc_id, quality = sigma(w·x + bias)). */

@@ -978,13 +978,16 @@ object TextDedup {
         docs.repartition(spark.sparkContext.defaultParallelism)
       else docs
     // (id, w, start, h): full md5 of each stride-1 w-word window from
-    // ONE native kernel call per document (graft.functions.ShingleMd5s —
-    // an interpreted transform() lambda re-concatenates and re-hashes
-    // per element at ~2× the cost, and the stream is consumed twice);
-    // the window text itself never leaves the kernel.
+    // ONE native kernel call per document (an interpreted transform()
+    // lambda re-concatenates and re-hashes per element at ~2× the cost,
+    // and the stream is consumed twice); the window text itself never
+    // leaves the kernel. BINARY digests (ShingleMd5Bins): identical
+    // collision-freeness at half the key bytes on the two exchanges
+    // keyed by __h (hex↔binary is a bijection; the oracle compares
+    // rebuilt text, never this internal key).
     val wins = src
       .select(col(idCol), lit(w).as("w"), lit(2L).as("__mc"),
-        posexplode(graft.functions.ShingleMd5s(col(textCol), w))
+        posexplode(graft.functions.ShingleMd5Bins(col(textCol), w))
           .as(Seq("start", "__h")))
     purgeFromWindows(docs, idCol, textCol, wins, keepFirst)
   }
@@ -1027,9 +1030,9 @@ object TextDedup {
       else docs
     // one kernel call per (doc, level), tagged (w, mc, start, h)
     // row-locally and flattened into a single window stream — one scan,
-    // one Generate
+    // one Generate; binary digests (see purgeDuplicateSubstrings)
     val levels = array(windows.map { case (w, mc) =>
-      transform(graft.functions.ShingleMd5s(col(textCol), w),
+      transform(graft.functions.ShingleMd5Bins(col(textCol), w),
         (h, i) => struct(lit(w).as("w"), lit(mc).as("__mc"),
           i.as("start"), h.as("__h")))
     }: _*)

@@ -95,6 +95,40 @@ class CharGramFeaturesSpec extends SparkSpec {
       s"not sorted/unique: $bs"))
   }
 
+  test("word twin: word_bag_features bit-identical to the exploded shingle_hashes pipeline") {
+    for (docs <- Seq(edgeDocs,
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")))) {
+      def key(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2))))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val k = key(QualityModel.hashedFeatures(docs, "doc_id", "text", 512))
+      val e = key(QualityModel.hashedFeaturesExpr(docs, "doc_id", "text", 512))
+      assert(k == e, s"word kernel/expr mismatch: ${k.take(5)} vs ${e.take(5)}")
+      assert(k.nonEmpty)
+    }
+  }
+
+  test("word twin: pinLabeledWordFeatures == grouped pin; empty doc still has a feature") {
+    val labels = edgeDocs.select(col("doc_id"),
+      (col("doc_id") % 2 === 0).cast("string").as("label"))
+    val direct = QualityModel.pinLabeledWordFeatures(
+      edgeDocs, "doc_id", "text", labels, 64)
+    val grouped = QualityModel.pinLabeledFeatures(
+      QualityModel.hashedFeatures(edgeDocs, "doc_id", "text", 64), labels)
+    def canon(df: DataFrame) = df.collect().map { r =>
+      val fx = if (r.isNullAt(2)) null
+      else r.getSeq[org.apache.spark.sql.Row](2)
+        .map(e => (e.getLong(0), java.lang.Double.doubleToLongBits(e.getDouble(1))))
+      (r.getLong(0), r.getString(1), fx)
+    }.sortBy(_._1)
+    assert(canon(direct).toSeq == canon(grouped).toSeq)
+    // unlike char grams, the word path hashes EVERY split token — even
+    // the empty token of an empty doc — so no doc has null fx
+    assert(canon(direct).forall(_._3 != null))
+  }
+
   test("SQL surface: char_gram_features callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val n = spark.sql(

@@ -304,9 +304,15 @@ class PlanAuditSpec extends SparkSpec {
       s"shard offsets ride an unpartitioned window: $specs")
   }
 
-  test("quality classifier scoring joins weights by broadcast") {
+  test("quality classifier scoring is a joinless kernel map over the pin") {
+    // r16 one-pin layout: scoring is one graft_feature_dot projection
+    // over the checkpointed feature pin — no weight-table join at all
+    // (the pre-r16 classify path broadcast-joined weights and paid a
+    // doc-keyed aggregate; the pin scan replaces both).
     val p = plan("q_quality_classifier")
-    assert(p.contains("BroadcastHashJoin"), "weight table join is not broadcast")
+    assert(p.contains("graft_feature_dot"),
+      "scoring does not use the feature-dot kernel")
+    assert(!p.contains("Join"), s"scoring still pays a join:\n$p")
   }
 
   test("stupid-backoff model joins are long-keyed kernel hashes") {
@@ -339,9 +345,10 @@ class PlanAuditSpec extends SparkSpec {
     val analyzed = qe.analyzed.toString
     assert(!analyzed.contains("windowspecdefinition"),
       "substring purge still rides a window")
-    // and the window-hash kernel feeds it (no interpreted re-hash)
-    assert(analyzed.contains("shingle_md5s"),
-      "window hashing does not use the native kernel")
+    // and the binary window-hash kernel feeds it (no interpreted
+    // re-hash, half the key bytes of the hex form on both exchanges)
+    assert(analyzed.contains("shingle_md5_bins"),
+      "window hashing does not use the native binary kernel")
     assert(qe.executedPlan.toString.contains("partial_min"),
       "keep-first witness is not a partial aggregate")
   }
