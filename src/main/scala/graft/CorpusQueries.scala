@@ -71,6 +71,45 @@ object CorpusQueries {
         .orderBy("doc_id")
     }
 
+    // Incremental (snapshot-N+1) substring purge: the stored window-hash
+    // index of "yesterday's corpus" (doc_id % 10 < 8) purges every
+    // already-indexed 4-word window from the NEW batch (doc_id % 10
+    // >= 8) — one asymmetric semi join, never index×index; composes
+    // with q_substring_dedup for within-batch duplication (the
+    // q_incremental_winnow discipline applied to the purge stage).
+    q("q_purge_against_index",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents WHERE doc_id % 10 >= 8),
+        |idx AS (SELECT DISTINCT md5(array_to_string(ws[i:i+3], ' ')) AS h
+        |        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i
+        |              FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        |                    WHERE doc_id % 10 < 8))),
+        |wins AS (SELECT doc_id, i - 1 AS start,
+        |           md5(array_to_string(ws[i:i+3], ' ')) AS h
+        |         FROM (SELECT doc_id, ws,
+        |                 unnest(generate_series(1, len(ws) - 3)) AS i FROM d)),
+        |cov AS (SELECT DISTINCT doc_id, start + j AS pos
+        |        FROM (SELECT doc_id, start, unnest(generate_series(0, 3)) AS j
+        |              FROM wins WHERE h IN (SELECT h FROM idx))),
+        |wrd AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+        |        FROM (SELECT doc_id, ws,
+        |                unnest(generate_series(1, len(ws))) AS i FROM d)),
+        |kept AS (SELECT w.doc_id, count(*) AS n_kept,
+        |           string_agg(word, ' ' ORDER BY w.pos) AS text_clean
+        |         FROM wrd w LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.pos = w.pos
+        |         WHERE cov.doc_id IS NULL GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(ws) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(text_clean, '') AS text_clean
+        |FROM d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val idx = TextDedup.windowHashIndex(
+        docs.filter(col("doc_id") % 10 < 8), "text", windowWords = 4)
+      TextDedup.purgeAgainstIndex(docs.filter(col("doc_id") % 10 >= 8),
+          idx, "doc_id", "text", windowWords = 4)
+        .orderBy("doc_id")
+    }
+
     // Multi-length sweep (Lee et al. 2022 sweep substring lengths) with
     // per-level support thresholds: long runs are strong duplication
     // evidence (w=8 purges at count >= 2) while short phrases repeat by

@@ -1089,11 +1089,17 @@ object TextDedup {
       .filter(if (keepFirst)
         !(col(idCol) === col("__first.d") && col("start") === col("__first.p"))
       else lit(true))
-    // Word positions covered by any removed window at any level;
-    // duplicates collapse into a per-doc position ARRAY (bounded by doc
-    // length), and the rebuild is one native kernel call per document
-    // (graft.functions.RemoveWordPositions) — the corpus word stream is
-    // never exploded. Only docs that lose something join back.
+    rebuildFromRemoved(docs, idCol, textCol, removed)
+  }
+
+  /** Shared rebuild tail of the substring purges: word positions
+    * covered by any removed (id, w, start) window collapse into a
+    * per-doc position ARRAY (bounded by doc length), and the rebuild
+    * is one native kernel call per document
+    * (graft.functions.RemoveWordPositions) — the corpus word stream is
+    * never exploded. Only docs that lose something join back. */
+  private def rebuildFromRemoved(docs: DataFrame, idCol: String,
+      textCol: String, removed: DataFrame): DataFrame = {
     val covered = removed
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + col("w") - 1)).as("pos"))
@@ -1107,6 +1113,46 @@ object TextDedup {
         when(col("__rmv").isNull, col(textCol))
           .otherwise(graft.functions.RemoveWordPositions(col(textCol), col("__rmv")))
           .as("text_clean"))
+  }
+
+  /** Distinct window-hash index of a corpus — the stored artifact the
+    * incremental substring purge ([[purgeAgainstIndex]]) joins new
+    * batches against: one binary-md5 window kernel pass + a distinct
+    * (at 100 TB: written once, bucketed on __h). */
+  def windowHashIndex(docs: DataFrame, textCol: String,
+      windowWords: Int): DataFrame =
+    docs.select(explode(
+        graft.functions.ShingleMd5Bins(col(textCol), windowWords)).as("__h"))
+      .distinct()
+
+  /** Incremental (snapshot-N+1) substring purge: every window of a NEW
+    * document whose CONTENT already exists in the stored
+    * [[windowHashIndex]] is purged — the cross-snapshot form of
+    * [[purgeDuplicateSubstrings]], where the index corpus owns every
+    * first occurrence (an indexed window in a new doc is by definition
+    * not first, so nothing in the batch is spared). Within-batch
+    * duplication is the standard purge's job — compose the two (this
+    * stage first), exactly as [[winnowAgainstIndex]] composes with
+    * [[winnowOverlap]]. Per-batch cost = the batch's window stream +
+    * one semi join against the index (asymmetric — the index is never
+    * self-joined, and at 100 TB it is bucketed on __h so only the
+    * batch side exchanges). Output matches purgeDuplicateSubstrings:
+    * (id, n_words, n_removed, text_clean). */
+  def purgeAgainstIndex(newDocs: DataFrame, winIndex: DataFrame,
+      idCol: String, textCol: String, windowWords: Int = 4): DataFrame = {
+    val w = windowWords
+    val spark = newDocs.sparkSession
+    val nFiles = newDocs.inputFiles.length
+    val src =
+      if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
+        newDocs.repartition(spark.sparkContext.defaultParallelism)
+      else newDocs
+    val removed = src
+      .select(col(idCol), lit(w).as("w"),
+        posexplode(graft.functions.ShingleMd5Bins(col(textCol), w))
+          .as(Seq("start", "__h")))
+      .join(winIndex.select(col("__h")), Seq("__h"), "left_semi")
+    rebuildFromRemoved(newDocs, idCol, textCol, removed)
   }
 
   /** Cross-document duplicated n-gram fraction per document: the share

@@ -316,6 +316,28 @@ class TextDedupEdgeSpec extends SparkSpec {
     assert(uncapped.toSet == Set((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)))
   }
 
+  test("purgeAgainstIndex removes only already-indexed windows, batch-local dups survive") {
+    import spark.implicits._
+    val idxDocs = Seq(
+      (1L, "the quick brown fox was here today ok")).toDF("doc_id", "text")
+    val batch = Seq(
+      // contains the indexed 4-gram run "the quick brown fox" → those
+      // positions (0..4: two overlapping indexed windows 0-3, 1-4) purge
+      (10L, "the quick brown fox was elsewhere entirely"),
+      // batch-internal duplicate phrase, NOT in the index → survives
+      (11L, "zz yy xx ww vv zz yy xx ww vv"),
+      (12L, "totally unrelated words in this one here")).toDF("doc_id", "text")
+    val idx = TextDedup.windowHashIndex(idxDocs, "text", windowWords = 4)
+    val out = TextDedup.purgeAgainstIndex(batch, idx, "doc_id", "text",
+        windowWords = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // doc 10: windows (0..3)="the quick brown fox", (1..4)="quick brown
+    // fox was" are indexed; (2..5) onward are not → positions 0..4 go
+    assert(out(10L) == (5L, "elsewhere entirely"), s"got ${out(10L)}")
+    assert(out(11L) == (0L, "zz yy xx ww vv zz yy xx ww vv"))
+    assert(out(12L) == (0L, "totally unrelated words in this one here"))
+  }
+
   test("exact dedup keeps the smallest id per content") {
     import spark.implicits._
     val docs = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
