@@ -1100,6 +1100,27 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextDedup.hygieneFunnel(df, idx, sourceCol,
       textCol, k, w, minShared, maxPostings, windows, domainCap))
 
+  /** Incremental near-dup: this frame is the NEW batch, scored against
+    * a stored winnow-fingerprint index ((idx_id, fp) — a prior
+    * snapshot's `winnowFingerprints` output) through an asymmetric
+    * join; (new_id, idx_id, n_shared) pairs
+    * (operators.TextDedup.winnowAgainstIndex). */
+  def winnowAgainstIndex(fpIndex: DataFrame, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 3L,
+      maxPostings: Long = 0L): Frame =
+    Frame(graft.operators.TextDedup.winnowAgainstIndex(df, fpIndex, idx,
+      textCol, k, w, minShared, maxPostings))
+
+  /** Incremental substring purge: every window of this frame's docs
+    * whose content exists in the stored window-hash index is removed —
+    * one asymmetric semi join + word rebuild
+    * (operators.TextDedup.purgeAgainstIndex; build the index once with
+    * TextDedup.windowHashIndex). */
+  def purgeAgainstIndex(winIndex: DataFrame, textCol: String,
+      windowWords: Int = 4): Frame =
+    Frame(graft.operators.TextDedup.purgeAgainstIndex(df, winIndex, idx,
+      textCol, windowWords))
+
   /** Repair UTF-8-as-cp1252 mojibake in `textCol` via the canonical
     * artifact table (operators.TextQuality.fixMojibake — map-only
     * codegen'd replace chain). */

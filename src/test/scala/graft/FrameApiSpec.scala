@@ -1056,6 +1056,29 @@ class FrameApiSpec extends SparkSpec {
         .hygieneFunnel("source", "text"))
   }
 
+  test("winnowAgainstIndex facade matches the registered query") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val fpIndex = graft.operators.TextDedup.winnowFingerprints(
+        docs.filter(col("doc_id") % 10 < 8), "doc_id", "text", 3, 4)
+      .select(col("doc_id").as("idx_id"), col("fp"))
+    same("q_incremental_winnow",
+      Frame(docs.filter(col("doc_id") % 10 >= 8), index = Some("doc_id"))
+        .winnowAgainstIndex(fpIndex, "text", k = 3, w = 4, minShared = 3L)
+        .sortValues("new_id", "idx_id"))
+  }
+
+  test("purgeAgainstIndex facade matches the registered query") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val idx = graft.operators.TextDedup.windowHashIndex(
+      docs.filter(col("doc_id") % 10 < 8), "text", windowWords = 4)
+    same("q_purge_against_index",
+      Frame(docs.filter(col("doc_id") % 10 >= 8), index = Some("doc_id"))
+        .purgeAgainstIndex(idx, "text", windowWords = 4)
+        .sortValues("doc_id"))
+  }
+
   test("corrMatrix facade matches the registered query") {
     same("q_corr_matrix", fr("lineitem")
       .corrMatrix("l_quantity", "l_extendedprice", "l_discount", "l_tax")
