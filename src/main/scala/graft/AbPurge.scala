@@ -3,8 +3,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 // A/B harness for the substring-purge occurrence-stats tail:
 //   window  = count/min over Window.partitionBy(__h)   (r15 shape — concentrates hot keys)
-//   agg     = groupBy(__h) stats + join back, unpinned  (probe recomputes kernel + 2nd exchange)
-//   pinned  = repartition(__h) reused by stats AND probe (shipped shape)
+//   agg     = groupBy(__h) stats + join back, unpinned  (r16 shape — recomputes kernel + 2nd exchange)
+//   pinned  = repartition(__h) reused by stats AND probe (rejected — re-concentrates hot keys)
+//   docpin  = localCheckpoint on the kernel's own doc-clustered output
+//             (r17 shipped shape — kernel once, both __h exchanges fresh)
 // Usage: runMain graft.AbPurge <documents.parquet> [reps]
 object AbPurge {
   def main(args: Array[String]): Unit = {
@@ -66,8 +68,12 @@ object AbPurge {
         .filter(col("__c") >= col("__mc"))
         .filter(!(col(idCol) === col("__first.d") && col("start") === col("__first.p"))))
     }
-    def aggShape(pin: Boolean): DataFrame = {
-      val w0 = if (pin) wins0.repartition(col("__h")) else wins0
+    def aggShape(mode: String): DataFrame = {
+      val w0 = mode match {
+        case "hashpin" => wins0.repartition(col("__h"))
+        case "docpin"  => wins0.localCheckpoint(false)
+        case _         => wins0
+      }
       val stats = w0.groupBy("__h")
         .agg(count(lit(1)).as("__c"),
           min(struct(col(idCol).as("d"), col("start").as("p"))).as("__first"))
@@ -76,21 +82,60 @@ object AbPurge {
         .filter(col("__c") >= col("__mc"))
         .filter(!(col(idCol) === col("__first.d") && col("start") === col("__first.p"))))
     }
+    // gated = the measured-gate tail: pin stream, materialize the
+    // skew-safe stats once (probe action reads max posting count +
+    // dict rows), then pick the join shape from the measurement —
+    // broadcast (dict tiny) / co-partitioned repartition (hot groups
+    // bounded) / fresh AQE-skew-split exchange (unbounded hot hash).
+    def gatedShape(pinStats: Boolean): DataFrame = {
+      val pinned = wins0.localCheckpoint(false)
+      def statsOf = pinned.groupBy("__h")
+        .agg(count(lit(1)).as("__c"),
+          min(struct(col(idCol).as("d"), col("start").as("p"))).as("__first"))
+        .filter(col("__c") >= lit(2L))
+      val statsPin = if (pinStats) statsOf.localCheckpoint(false) else statsOf
+      val probe = statsPin.agg(max(col("__c")), count(lit(1))).head
+      val maxC = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+      val nDict = probe.getLong(1)
+      println(s"[gate] maxC=$maxC nDict=$nDict")
+      val base =
+        if (nDict <= (1L << 19)) pinned
+        else if (maxC <= (1L << 22)) pinned.repartition(col("__h"))
+        else pinned
+      val statsSide =
+        if (nDict <= (1L << 19)) broadcast(statsPin) else statsPin
+      tail(base.join(statsSide, Seq("__h"))
+        .filter(col("__c") >= col("__mc"))
+        .filter(!(col(idCol) === col("__first.d") && col("start") === col("__first.p"))))
+    }
     def time(mk: => DataFrame): Double = {
       val t0 = System.nanoTime()
       mk.write.format("noop").mode("overwrite").save()
+      Pins.sweep(spark)
       (System.nanoTime() - t0) / 1e9
     }
-    time(windowShape); time(aggShape(false)); time(aggShape(true)) // warm-up
+    def shipped: DataFrame =
+      graft.operators.TextDedup.purgeDuplicateSubstringsMulti(
+        docs, idCol, textCol, windows, keepFirst = true)
+    time(windowShape); time(aggShape("plain")); time(aggShape("hashpin")); time(aggShape("docpin"))
+    time(gatedShape(true)); time(gatedShape(false)); time(shipped) // warm-up
     val w = collection.mutable.ArrayBuffer[Double]()
     val a = collection.mutable.ArrayBuffer[Double]()
     val p = collection.mutable.ArrayBuffer[Double]()
+    val d = collection.mutable.ArrayBuffer[Double]()
+    val gp = collection.mutable.ArrayBuffer[Double]()
+    val gr = collection.mutable.ArrayBuffer[Double]()
+    val sh = collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to reps) {
-      w += time(windowShape); a += time(aggShape(false)); p += time(aggShape(true))
+      w += time(windowShape); a += time(aggShape("plain"))
+      p += time(aggShape("hashpin")); d += time(aggShape("docpin"))
+      gp += time(gatedShape(true)); gr += time(gatedShape(false))
+      sh += time(shipped)
     }
     def rep(n: String, xs: collection.mutable.ArrayBuffer[Double]): Unit =
       println(f"$n med=${xs.sorted.apply(xs.size / 2)}%.2f min=${xs.min}%.2f all=${xs.map(x => f"$x%.2f").mkString(",")}")
-    rep("WINDOW", w); rep("AGG   ", a); rep("PINNED", p)
+    rep("WINDOW ", w); rep("AGG    ", a); rep("HASHPIN", p); rep("DOCPIN ", d)
+    rep("GATEDSP", gp); rep("GATEDRE", gr); rep("SHIPPED", sh)
     spark.stop()
   }
 }

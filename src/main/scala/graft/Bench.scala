@@ -88,7 +88,9 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val cold = names.map(runOnce).sum
+    val cold = names.map { n =>
+      val t = runOnce(n); Pins.sweep(spark); t
+    }.sum
     spark.catalog.clearCache()
     runProbe() // JIT the probe plan itself before sampling it
     // reps back-to-back per query, not reps full passes: a contention
@@ -96,7 +98,7 @@ object Bench {
     // only hit one or two reps of a few queries, and the median drops it.
     def sampleOne(name: String): Seq[Double] =
       (1 to reps).map { _ =>
-        val t = runOnce(name); spark.catalog.clearCache(); t
+        val t = runOnce(name); spark.catalog.clearCache(); Pins.sweep(spark); t
       }.sorted
     // A rep spread far above the query's own floor means the capture of
     // THAT query was contended. Re-run it once (the burst has usually
@@ -140,21 +142,34 @@ object Bench {
     // overrides, 0 disables), run ONE full re-sweep and keep the
     // quieter capture — both indices are emitted so a two-capture round
     // is visible in the artifact.
+    // Parse the gate BEFORE the timed sweep so a malformed value fails
+    // fast with a named error instead of a NumberFormatException after
+    // an hour of capture.
+    val noiseGate = sys.env.get("SPARK_GRAFT_NOISE_GATE").map { s =>
+      scala.util.Try(s.toDouble).getOrElse(
+        sys.error(s"SPARK_GRAFT_NOISE_GATE must be numeric, got '$s'"))
+    }.getOrElse(1.2)
     var (samples, pSorted, nRetried) = sweep()
     var noiseIndex = noiseOf(pSorted)
     val firstNoise = noiseIndex
-    val noiseGate = sys.env.get("SPARK_GRAFT_NOISE_GATE")
-      .map(_.toDouble).getOrElse(1.2)
     var recaptured = false
+    // Both captures of a recaptured round stay auditable: the NON-
+    // surviving sweep's full per-query medians are persisted in
+    // bench_full.json as discarded_queries (plus its total), so keeping
+    // the quieter capture never erases the other measurement.
+    var discarded: Option[(Double, Seq[(String, Double)])] = None
     if (noiseGate > 0 && noiseIndex > noiseGate) {
       recaptured = true
       System.err.println(f"[bench] noise_index $noiseIndex%.2f > gate " +
         f"$noiseGate%.2f - recapturing once")
       val (s2, p2, r2) = sweep()
       val n2 = noiseOf(p2)
+      def meds(ss: Seq[(String, Seq[Double], Boolean)]) =
+        ss.map { case (n, ts, _) => n -> median(ts) }
       if (n2 < noiseIndex) {
+        discarded = Some((noiseIndex, meds(samples)))
         samples = s2; pSorted = p2; nRetried = r2; noiseIndex = n2
-      }
+      } else discarded = Some((n2, meds(s2)))
     }
     val results = samples.map { case (n, ts, _) => n -> median(ts) }
     val mins = samples.map { case (_, ts, _) => ts.head }
@@ -181,10 +196,21 @@ object Bench {
       ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stats =
       s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size},"noise_index":${f(noiseIndex)},"noise_gate":${f(noiseGate)},"recaptured":$recaptured,"noise_index_first":${f(firstNoise)},"probe_sec":${jmap(Seq("min" -> pSorted.head, "median" -> median(pSorted), "max" -> pSorted.last))},"n_contended":${contended.size},"n_retried":$nRetried"""
+    val discardedJson = discarded.map { case (ni, qs) =>
+      s""","discarded_noise_index":${f(ni)},"discarded_total":${f(qs.map(_._2).sum)},"discarded_queries":${jmap(qs)}"""
+    }.getOrElse("")
     val full =
-      s"""{"metric":"total",$stats,"contended":${jlist(contended)},"queries":${jmap(results)},"queries_min":${jmapN(samples.map(s => (s._1, s._2)), _.head)},"queries_max":${jmapN(samples.map(s => (s._1, s._2)), _.last)},"sf":"$sfDir"}"""
+      s"""{"metric":"total",$stats,"contended":${jlist(contended)},"queries":${jmap(results)},"queries_min":${jmapN(samples.map(s => (s._1, s._2)), _.head)},"queries_max":${jmapN(samples.map(s => (s._1, s._2)), _.last)}$discardedJson,"sf":"$sfDir"}"""
     val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
     java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
+    // Round-over-round auditability: SPARK_GRAFT_BENCH_TAG=r17 also
+    // writes bench_full_r17.json so the per-query map of each round's
+    // capture of record survives the next capture's overwrite.
+    sys.env.get("SPARK_GRAFT_BENCH_TAG").foreach { tag =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"bench_full_$tag.json").toAbsolutePath,
+        full.getBytes("UTF-8"))
+    }
     println(full) // early line: full detail for anyone reading the whole log
 
     val headline = Seq(

@@ -1033,6 +1033,129 @@ object TrainPrepQueries {
         windows = Seq((4, 5L), (8, 2L)), domainCap = 15)
     }
 
+    // Incremental (snapshot-N+1) hygiene funnel: the composed refresh —
+    // the stored corpus indexes (winnow fingerprints + window hashes of
+    // doc_id % 10 < 8, "yesterday's corpus") first clean the NEW batch
+    // (doc_id % 10 >= 8) through two asymmetric joins (incremental
+    // winnow drop, incremental substring purge — the q_incremental_
+    // winnow / q_purge_against_index stages verbatim), and the
+    // survivors run the standard within-batch funnel on their REBUILT
+    // text (the q_hygiene_funnel stack). The oracle composes those
+    // three proven CTE stacks; the empty-index differential (report
+    // tail == hygieneFunnel(batch)) is pinned in TextDedupEdgeSpec.
+    q("q_incremental_funnel",
+      """WITH allw AS (SELECT doc_id, source, text,
+        |              string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, source, text, ws FROM allw WHERE doc_id % 10 >= 8),
+        |hs AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(ws) - 2),
+        |      i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
+        |             AS BIGINT)) AS h
+        |  FROM allw WHERE len(ws) >= 3),
+        |win AS (SELECT doc_id, least(4, len(h)) AS weff, h FROM hs),
+        |fp0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(h) - weff + 1),
+        |      i -> list_min(h[i:i+weff-1]))) AS fp
+        |  FROM win),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM fp0),
+        |ipairs AS (SELECT nb.doc_id AS new_id, a.doc_id AS idx_id,
+        |    count(*) AS n_shared
+        |  FROM fps a JOIN fps nb ON a.fp = nb.fp
+        |  WHERE a.doc_id % 10 < 8 AND nb.doc_id % 10 >= 8
+        |  GROUP BY 1, 2),
+        |dropi AS (SELECT DISTINCT new_id AS doc_id FROM ipairs WHERE n_shared >= 3),
+        |s1 AS (SELECT b.doc_id, b.source, b.ws FROM b ANTI JOIN dropi USING (doc_id)),
+        |idx AS (SELECT DISTINCT md5(array_to_string(ws[i:i+3], ' ')) AS h
+        |        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i
+        |              FROM allw WHERE doc_id % 10 < 8)),
+        |iwins AS (SELECT doc_id, i - 1 AS start,
+        |            md5(array_to_string(ws[i:i+3], ' ')) AS h
+        |          FROM (SELECT doc_id, ws,
+        |                  unnest(generate_series(1, len(ws) - 3)) AS i FROM s1)),
+        |icov AS (SELECT DISTINCT doc_id, start + j AS pos
+        |         FROM (SELECT doc_id, start, unnest(generate_series(0, 3)) AS j
+        |               FROM iwins WHERE h IN (SELECT h FROM idx))),
+        |iwrd AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+        |         FROM (SELECT doc_id, ws,
+        |                 unnest(generate_series(1, len(ws))) AS i FROM s1)),
+        |ikept AS (SELECT w.doc_id, count(*) AS n_kept,
+        |            string_agg(word, ' ' ORDER BY w.pos) AS text_clean
+        |          FROM iwrd w LEFT JOIN icov ON icov.doc_id = w.doc_id AND icov.pos = w.pos
+        |          WHERE icov.doc_id IS NULL GROUP BY 1),
+        |s2 AS (SELECT s1.doc_id, s1.source, coalesce(k.n_kept, 0) AS nt2,
+        |         coalesce(k.text_clean, '') AS text
+        |       FROM s1 LEFT JOIN ikept k USING (doc_id)),
+        |d2 AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM s2),
+        |hs2 AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(ws) - 2),
+        |      i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
+        |             AS BIGINT)) AS h
+        |  FROM d2 WHERE len(ws) >= 3),
+        |win2 AS (SELECT doc_id, least(4, len(h)) AS weff, h FROM hs2),
+        |fp02 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(h) - weff + 1),
+        |      i -> list_min(h[i:i+weff-1]))) AS fp
+        |  FROM win2),
+        |fps2 AS (SELECT DISTINCT doc_id, fp FROM fp02),
+        |cold2 AS (SELECT doc_id, fp FROM
+        |  (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n FROM fps2)
+        |  WHERE n <= 3),
+        |ndp AS (SELECT a.doc_id AS doc_a, nb.doc_id AS doc_b,
+        |    count(*) AS n_shared
+        |  FROM cold2 a JOIN cold2 nb ON a.fp = nb.fp AND a.doc_id < nb.doc_id
+        |  GROUP BY 1, 2),
+        |dropb AS (SELECT DISTINCT doc_b AS doc_id FROM ndp WHERE n_shared >= 3),
+        |s3 AS (SELECT d2.doc_id, d2.source, d2.ws FROM d2
+        |       ANTI JOIN dropb USING (doc_id)),
+        |pwins AS (SELECT doc_id, w, mc, i - 1 AS start,
+        |           md5(array_to_string(ws[i:i+w-1], ' ')) AS h
+        |         FROM (SELECT doc_id, ws, w, mc,
+        |                 unnest(generate_series(1, len(ws) - w + 1)) AS i
+        |               FROM s3, (VALUES (4, 5), (8, 2)) lv(w, mc))),
+        |prk AS (SELECT doc_id, w, mc, start,
+        |         count(*) OVER (PARTITION BY h) AS c,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+        |       FROM pwins),
+        |pcov AS (SELECT DISTINCT doc_id, start + j AS pos
+        |        FROM (SELECT doc_id, start, unnest(generate_series(0, w - 1)) AS j
+        |              FROM prk WHERE c >= mc AND rn > 1)),
+        |nrm AS (SELECT doc_id, count(*) AS n_removed FROM pcov GROUP BY doc_id),
+        |s4 AS (SELECT s3.doc_id, s3.source,
+        |         len(s3.ws) - coalesce(nrm.n_removed, 0) AS nt
+        |       FROM s3 LEFT JOIN nrm USING (doc_id)),
+        |r AS (SELECT source, doc_id, nt,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY nt DESC, doc_id) AS rn
+        |      FROM s4),
+        |s5 AS (SELECT source, doc_id, nt FROM r WHERE rn <= 15)
+        |SELECT * FROM (
+        |  SELECT 's0_batch_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM b
+        |  UNION ALL SELECT 's1_idx_neardup', CAST(count(*) AS BIGINT),
+        |    CAST(sum(len(ws)) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 's2_idx_purged', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt2) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 's3_neardup', CAST(count(*) AS BIGINT),
+        |    CAST(sum(len(ws)) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 's4_purged', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT) FROM s4
+        |  UNION ALL SELECT 's5_domain_capped', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT) FROM s5
+        |) ORDER BY stage""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 10 < 8)
+      val fpIndex = TextDedup.winnowFingerprints(old, "doc_id", "text",
+          k = 3, w = 4)
+        .select(col("doc_id").as("idx_id"), col("fp"))
+      val winIndex = TextDedup.windowHashIndex(old, "text", windowWords = 4)
+      TextDedup.hygieneFunnelAgainstIndex(
+        docs.filter(col("doc_id") % 10 >= 8), fpIndex, winIndex,
+        "doc_id", "source", "text",
+        k = 3, w = 4, minShared = 3L, maxPostings = 3L,
+        indexWindowWords = 4, windows = Seq((4, 5L), (8, 2L)),
+        domainCap = 15)
+    }
+
     // Funnel rejects: the audit side of q_prep_funnel — every dropped
     // doc with the stage that dropped it and the specific reason, from
     // ONE corpus scan. Instead of chaining filters (each stage a new

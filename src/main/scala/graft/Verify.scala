@@ -32,6 +32,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release operator pins (localCheckpoint blocks) between queries:
+      // clearCache() alone leaves them for the session's lifetime and a
+      // 289-query sweep accumulates corpus-sized dead blocks.
+      Pins.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

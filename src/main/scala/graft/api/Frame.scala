@@ -1107,9 +1107,18 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * (operators.TextDedup.winnowAgainstIndex). */
   def winnowAgainstIndex(fpIndex: DataFrame, textCol: String,
       k: Int = 3, w: Int = 4, minShared: Long = 3L,
-      maxPostings: Long = 0L): Frame =
+      maxPostings: Long = 0L): Frame = {
+    // Fail at the facade, not deep in analysis: the index contract is
+    // positional-by-name (winnowFingerprints output renamed to
+    // (idx_id, fp)); a mismatched frame otherwise errors with an
+    // unrelated unresolved-column message.
+    val cols = fpIndex.columns.toSet
+    require(cols.contains("idx_id") && cols.contains("fp"),
+      "winnowAgainstIndex: fpIndex must have columns (idx_id, fp) — " +
+        s"a prior snapshot's winnowFingerprints output; got ${fpIndex.columns.mkString("(", ", ", ")")}")
     Frame(graft.operators.TextDedup.winnowAgainstIndex(df, fpIndex, idx,
       textCol, k, w, minShared, maxPostings))
+  }
 
   /** Incremental substring purge: every window of this frame's docs
     * whose content exists in the stored window-hash index is removed —
@@ -1117,9 +1126,51 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * (operators.TextDedup.purgeAgainstIndex; build the index once with
     * TextDedup.windowHashIndex). */
   def purgeAgainstIndex(winIndex: DataFrame, textCol: String,
-      windowWords: Int = 4): Frame =
+      windowWords: Int = 4): Frame = {
+    // The index key is the BINARY 16-byte md5 (windowHashIndex /
+    // ShingleMd5Bins) — a hex-string __h would silently join to
+    // nothing and return a no-op purge, so the type is part of the
+    // contract, not just the column name.
+    require(winIndex.columns.contains("__h"),
+      "purgeAgainstIndex: winIndex must have column __h — " +
+        s"a prior snapshot's windowHashIndex output; got ${winIndex.columns.mkString("(", ", ", ")")}")
+    require(winIndex.schema("__h").dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      "purgeAgainstIndex: winIndex.__h must be BINARY (the 16-byte md5 " +
+        s"window digest from windowHashIndex); got ${winIndex.schema("__h").dataType.simpleString} " +
+        "— a hex-string key would match nothing and the purge would silently no-op")
     Frame(graft.operators.TextDedup.purgeAgainstIndex(df, winIndex, idx,
       textCol, windowWords))
+  }
+
+  /** Snapshot-N+1 hygiene funnel: this frame is the NEW batch, cleaned
+    * against the stored corpus indexes (fingerprint index for the
+    * cross-snapshot near-dup drop, window-hash index for the
+    * cross-snapshot substring purge) before the standard within-batch
+    * funnel; returns the six-row stage report
+    * (operators.TextDedup.hygieneFunnelAgainstIndex). Index schema
+    * contracts are validated up front exactly like
+    * [[winnowAgainstIndex]] / [[purgeAgainstIndex]]. */
+  def hygieneFunnelAgainstIndex(fpIndex: DataFrame, winIndex: DataFrame,
+      sourceCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 3L, maxPostings: Long = 3L,
+      indexWindowWords: Int = 4,
+      windows: Seq[(Int, Long)] = Seq((4, 5L), (8, 2L)),
+      domainCap: Int = 15): Frame = {
+    val cols = fpIndex.columns.toSet
+    require(cols.contains("idx_id") && cols.contains("fp"),
+      "hygieneFunnelAgainstIndex: fpIndex must have columns (idx_id, fp); " +
+        s"got ${fpIndex.columns.mkString("(", ", ", ")")}")
+    require(winIndex.columns.contains("__h") &&
+      winIndex.schema("__h").dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      "hygieneFunnelAgainstIndex: winIndex must have a BINARY __h column " +
+        "(windowHashIndex output); got " +
+        winIndex.columns.mkString("(", ", ", ")"))
+    Frame(graft.operators.TextDedup.hygieneFunnelAgainstIndex(df, fpIndex,
+      winIndex, idx, sourceCol, textCol, k, w, minShared, maxPostings,
+      indexWindowWords, windows, domainCap))
+  }
 
   /** Repair UTF-8-as-cp1252 mojibake in `textCol` via the canonical
     * artifact table (operators.TextQuality.fixMojibake — map-only

@@ -895,8 +895,12 @@ object BigramPairCounts {
 case class WordBagFeatures(child: Expression, buckets: Int)
   extends UnaryExpression {
 
-  require(buckets >= 1 && buckets <= (1 << 24),
-    s"word_bag_features: buckets must be in [1, 2^24], got $buckets")
+  // 2^16 cap: the kernel zeroes and scans a dense Int[buckets] PER ROW
+  // (256 KB at the cap — L2-resident), so the bound is what keeps the
+  // per-row cost independent of pathological configs; a wider feature
+  // space belongs in a sparse accumulator, not this kernel.
+  require(buckets >= 1 && buckets <= (1 << 16),
+    s"word_bag_features: buckets must be in [1, 2^16], got $buckets")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -971,8 +975,10 @@ case class CharGramFeatures(child: Expression, n: Int, buckets: Int)
   extends UnaryExpression {
 
   require(n >= 2, s"char_gram_features: n must be >= 2, got $n")
-  require(buckets >= 1 && buckets <= (1 << 24),
-    s"char_gram_features: buckets must be in [1, 2^24], got $buckets")
+  // Same dense-accumulator bound as word_bag_features: 2^16 keeps the
+  // per-row Int[buckets] zero+scan L2-resident.
+  require(buckets >= 1 && buckets <= (1 << 16),
+    s"char_gram_features: buckets must be in [1, 2^16], got $buckets")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

@@ -1043,52 +1043,139 @@ object TextDedup {
     purgeFromWindows(docs, idCol, textCol, wins, keepFirst)
   }
 
-  /** Shared tail of the substring purges: occurrence stats over the
-    * (id, w, __mc, start, __h) window stream, covered-position merge,
-    * doc rebuild. Per-window-content occurrence stats are a partial
-    * aggregate `groupBy(__h)` carrying the count and the bounded
-    * keep-first witness (the min (doc, start) struct — one struct per
-    * partial buffer, merged map-side), joined back onto the window
-    * stream. The earlier window-function formulation
-    * (`count over Window.partitionBy(__h)`) was one exchange cheaper
-    * but concentrated the FULL posting list of a hot window hash into
-    * a single task before counting — on a boilerplate-heavy corpus
-    * (every doc sharing a disclaimer paragraph) that one task holds a
-    * corpus-sized group. Here no posting list ever sits in one place:
-    * count and min-struct decompose into bounded partials, the stats
-    * table is filtered to count >= 2 BEFORE the join (singleton
-    * hashes — the overwhelming majority — never reach the exchange on
-    * the stats side can prune), and the join back is a plain shuffle
-    * hash join that AQE skew-splits if a hash is hot. Window strings
-    * of different lengths are distinct content, so a single hash key
-    * serves all levels; `__mc` is the level's support threshold
-    * (constant 2 for the single-length form). */
+  // ---- substring-purge shared tail (stats, gate, rebuild) ----------
+  // Window strings of different lengths are distinct content, so one
+  // hash key serves all levels; `__mc` is the level's support
+  // threshold (constant 2 for the single-length form). The r15 window
+  // formulation (count over Window.partitionBy(__h)) concentrated a
+  // hot hash's full posting list in one task; everything below keeps
+  // the stats a bounded partial aggregate and gates the join-back
+  // shape on MEASURED dictionary size — see purgeFromWindows.
+
+  /** The join-back dictionary is broadcastable up to this many rows
+    * (~32 MB of (16-byte hash, count, packed witness) payload): below
+    * it the window stream NEVER exchanges — the removal decision is a
+    * map-side broadcast join, inherently skew-proof (a hot hash's
+    * postings stay spread across their source partitions). */
+  private val BroadcastDictRows = 1L << 20
+
+  /** With a bigger dictionary, a single co-partitioning exchange on
+    * __h is safe as long as the MEASURED hottest posting list fits one
+    * task comfortably (2^16 rows sorts in milliseconds); past it, the
+    * join gets a fresh exchange AQE can skew-split, so no task ever
+    * owns an unbounded posting list. */
+  private val HotGroupRows = 1L << 16
+
+  /** Packed-long keep-first witness bounds: (id * 2^20 + start) is
+    * order-isomorphic to the (id, start) struct when starts stay below
+    * 2^20 (documents under ~1M words) and ids within ±2^42 — checked
+    * at runtime against the actual stream; out of range (or non-integer
+    * ids) falls back to the struct witness. The packed form matters:
+    * min(struct) partials compare interpreted and its broadcast rows
+    * carry nested structs — measured 7.0 s vs 2.4 s for the whole
+    * stats+probe pass on the sf1 dup-cloud bed. */
+  private val PackedStartLimit = 1L << 20
+  private val PackedIdLimit = Long.MaxValue >> 21
+
+  /** Occurrence stats of a window stream: one row per DUPLICATED
+    * window content (count >= 2) carrying the count and, for
+    * keep-first, the minimal (doc, start) witness — packed into one
+    * long when `packedWitness`, a struct otherwise. Always a partial
+    * aggregate (count and min decompose into bounded map-side
+    * partials; no posting list ever sits in one task), which is what
+    * makes the stats pass safe on any corpus — exposed package-private
+    * so PlanAuditSpec pins exactly that property. */
+  private[graft] def windowStats(wins: DataFrame, idCol: String,
+      keepFirst: Boolean, packedWitness: Boolean): DataFrame = {
+    val base = wins.groupBy("__h")
+    val agged =
+      if (!keepFirst) base.agg(count(lit(1)).as("__c"))
+      else if (packedWitness)
+        base.agg(count(lit(1)).as("__c"),
+          min(col(idCol).cast("long") * lit(PackedStartLimit) + col("start"))
+            .as("__first"))
+      else
+        base.agg(count(lit(1)).as("__c"),
+          min(struct(col(idCol).as("d"), col("start").as("p"))).as("__first"))
+    agged.filter(col("__c") >= lit(2L))
+  }
+
+  /** Shared gated tail of the substring purges.
+    *
+    * Shape (the r17 redesign; four-bed A/B in BASELINE):
+    *  1. The window stream is pinned ONCE with an EAGER localCheckpoint
+    *     on its own doc-clustered partitioning — the kernel runs once
+    *     for both consumers (unpinned, the r16 shape recomputed the
+    *     ShingleMd5Bins pass and paid a second stream-sized exchange:
+    *     the 1.9-2.6x dup-cloud constants floor). Eager matters: a
+    *     lazily-pinned stream first materializes under the stats
+    *     aggregate, fusing the partial agg onto live Generate output —
+    *     the interpreted-row path that measured 11 s where pin-then-agg
+    *     measures 4+2 s. Never pinned/repartitioned on __h here — that
+    *     would serialize a hot hash's postings through one task.
+    *  2. Occurrence stats ([[windowStats]]) are a skew-safe partial
+    *     aggregate over the pin, pinned themselves (they are read by a
+    *     probe, possibly a broadcast build, and the join).
+    *  3. The probe MEASURES the dictionary (rows, hottest posting
+    *     count) and picks the join-back shape — the dupClusters
+    *     measured-gate idiom:
+    *       dict <= 2^20 rows     -> broadcast join (stream never
+    *                               exchanges; hot postings stay spread)
+    *       hottest <= 2^16 rows  -> one co-partitioning exchange on __h
+    *                               (bounded single-task groups)
+    *       else                  -> fresh exchange, AQE skew-split (the
+    *                               100 TB shared-boilerplate regime)
+    *  4. Rebuild collects covered-position ARRAYS per doc (bounded by
+    *     doc length) without exploding per-position rows.
+    *
+    * Measured (med, 3 reps, local[32]): stock sf0.1 1.87 -> 1.56 s; sf1
+    * dup-cloud 22.4 -> 9.7 s (old concentration-unsafe window shape:
+    * 7.0); degenerate 400k-doc shared-boilerplate bed 5.3 -> 5.25 s —
+    * every bed equal or faster than both prior shapes, with the
+    * skew-safety guarantees intact. At 100 TB the pins are the
+    * inter-stage materialization a production purge does anyway;
+    * blocks are released by the session-level sweep (graft.Pins). */
   private def purgeFromWindows(docs: DataFrame, idCol: String,
       textCol: String, wins: DataFrame, keepFirst: Boolean): DataFrame = {
-    // Deliberately UNPINNED (no repartition/ReuseExchange on __h, even
-    // though it would compute the window kernel once): leaving the two
-    // consumers independent is what keeps the hot-key path fast AND
-    // bounded — the stats aggregate compresses hot hashes map-side
-    // (partials carry one row per distinct __h per task), and the join
-    // back gets a FRESH exchange that AQE may broadcast (stats is the
-    // duplicated-hash dictionary — small) or skew-split if a hash is
-    // hot. A planted shared exchange serializes every posting of a hot
-    // hash through one task and disables the skew split. Three-shape
-    // A/B in BASELINE (stock sf0.1 / sf1 dup-cloud / 400k-doc shared-
-    // boilerplate bed): this shape is ~1.5× the old window form on
-    // benign constants but the fastest AND the only memory-bounded one
-    // in the degenerate regime the purge exists for.
-    val stats = wins
-      .groupBy("__h")
-      .agg(count(lit(1)).as("__c"),
-        min(struct(col(idCol).as("d"), col("start").as("p"))).as("__first"))
-      .filter(col("__c") >= lit(2L))
-    val removed = wins
-      .join(stats, Seq("__h"))
+    val pinned = wins.localCheckpoint()
+    // Packed-witness eligibility is measured against the actual stream
+    // (integer id within +-2^42, starts under 2^20) — one cheap global
+    // aggregate over the pin; any violation falls back to the struct
+    // witness with identical keep-first decisions.
+    val idIsIntegral = pinned.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val packed = keepFirst && idIsIntegral && {
+      val b = pinned.agg(
+        max(col(idCol).cast("long")).as("xi"),
+        min(col(idCol).cast("long")).as("ni"),
+        max(col("start").cast("long")).as("xs")).head
+      b.isNullAt(0) || (b.getLong(0) < PackedIdLimit &&
+        b.getLong(1) > -PackedIdLimit && b.getLong(2) < PackedStartLimit)
+    }
+    val stats = windowStats(pinned, idCol, keepFirst, packed)
+      .localCheckpoint(false)
+    val probe = stats.agg(max(col("__c")), count(lit(1))).head
+    val maxC = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val nDict = probe.getLong(1)
+    val joined =
+      if (nDict <= BroadcastDictRows) pinned.join(broadcast(stats), Seq("__h"))
+      else if (maxC <= HotGroupRows)
+        pinned.repartition(col("__h")).join(stats, Seq("__h"))
+      else pinned.join(stats, Seq("__h"))
+    val removed = joined
       .filter(col("__c") >= col("__mc"))
-      .filter(if (keepFirst)
-        !(col(idCol) === col("__first.d") && col("start") === col("__first.p"))
-      else lit(true))
+      .filter(
+        if (!keepFirst) lit(true)
+        else if (packed)
+          !(col(idCol).cast("long") * lit(PackedStartLimit) + col("start") ===
+            col("__first"))
+        else
+          !(col(idCol) === col("__first.d") && col("start") === col("__first.p")))
     rebuildFromRemoved(docs, idCol, textCol, removed)
   }
 
@@ -1097,14 +1184,18 @@ object TextDedup {
     * per-doc position ARRAY (bounded by doc length), and the rebuild
     * is one native kernel call per document
     * (graft.functions.RemoveWordPositions) — the corpus word stream is
-    * never exploded. Only docs that lose something join back. */
+    * never exploded. Only docs that lose something join back. Each
+    * removed row contributes its w-int position run as a tiny array
+    * (no per-position row explode — the aggregate's input is one row
+    * per removed WINDOW, not per covered word; same distinct-position
+    * output either way). */
   private def rebuildFromRemoved(docs: DataFrame, idCol: String,
       textCol: String, removed: DataFrame): DataFrame = {
     val covered = removed
       .select(col(idCol),
-        explode(sequence(col("start"), col("start") + col("w") - 1)).as("pos"))
+        sequence(col("start"), col("start") + col("w") - 1).as("ps"))
       .groupBy(idCol)
-      .agg(array_distinct(collect_list(col("pos"))).as("__rmv"))
+      .agg(array_distinct(flatten(collect_list(col("ps")))).as("__rmv"))
     docs.select(col(idCol), col(textCol),
         size(split(col(textCol), " ")).cast("long").as("n_words"))
       .join(covered, Seq(idCol), "left")
@@ -1391,8 +1482,14 @@ object TextDedup {
     * concentrating any posting list).
     *
     * Output: (new_id, idx_id, n_shared) with n_shared ≥ minShared.
-    * Batch==full differential: restricted to (index, batch) pairs this
-    * equals the full-corpus [[winnowOverlap]] (TextDedupEdgeSpec). */
+    * Batch==full differential: for `maxPostings = 0`, restricted to
+    * (index, batch) pairs this equals the full-corpus [[winnowOverlap]]
+    * (TextDedupEdgeSpec pins exactly that equality). With a cap the
+    * two are NOT interchangeable by design: the cap here counts
+    * postings over the INDEX side only (what a stored index can know),
+    * while winnowOverlap counts over the whole corpus — a fingerprint
+    * hot only because of the batch survives here but is dropped there,
+    * and vice versa. */
   def winnowAgainstIndex(
       newDocs: DataFrame,
       fpIndex: DataFrame,
@@ -1599,6 +1696,84 @@ object TextDedup {
         size(split(col(textCol), " ")).cast("long")))
       .unionByName(stage("s2_purged", s2, col("nt")))
       .unionByName(stage("s3_domain_capped", s3, col("nt")))
+      .orderBy("stage")
+  }
+
+  /** Snapshot-N+1 form of [[hygieneFunnel]] — the composed incremental
+    * refresh: a NEW batch is first cleaned AGAINST the stored corpus
+    * indexes (cross-snapshot near-dup drop via [[winnowAgainstIndex]],
+    * then cross-snapshot substring purge via [[purgeAgainstIndex]]),
+    * and the survivors run the standard within-batch funnel (capped
+    * winnow drop → multi-length purge → per-domain cap). Every
+    * index-side join is ASYMMETRIC (batch × stored index, never
+    * index × index), so per-refresh cost tracks the batch, not the
+    * corpus — the 100 TB daily-refresh shape: the fp / window-hash
+    * indexes are stable bucketed tables; only the batch side moves.
+    *
+    * Returns the six-row stage report (stage, n_docs, n_tokens):
+    * s0_batch_raw / s1_idx_neardup / s2_idx_purged / s3_neardup /
+    * s4_purged / s5_domain_capped, ordered by stage. Token counts
+    * follow [[hygieneFunnel]]'s convention: purge stages report
+    * n_words − n_removed of that stage's purge; the others split the
+    * stage's (possibly rebuilt) text. With EMPTY indexes the report's
+    * within-batch half equals `hygieneFunnel(batch)` row for row
+    * (TextDedupEdgeSpec pins that differential).
+    *
+    * Stage boundaries are pinned (localCheckpoint) exactly like the
+    * full funnel — each feeds both the next multi-pass operator and
+    * its report row; release via [[graft.Pins]]. */
+  def hygieneFunnelAgainstIndex(batch0: DataFrame, fpIndex: DataFrame,
+      winIndex: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, k: Int = 3, w: Int = 4, minShared: Long = 3L,
+      maxPostings: Long = 3L, indexWindowWords: Int = 4,
+      windows: Seq[(Int, Long)] = Seq((4, 5L), (8, 2L)),
+      domainCap: Int = 15): DataFrame = {
+    val batch = batch0.select(col(idCol), col(sourceCol), col(textCol))
+    // cross-snapshot near-dup: any batch doc sharing >= minShared
+    // winnow fingerprints with an index doc drops (the index corpus
+    // owns every prior occurrence; uncapped by default — a stored
+    // index ships its own posting-count stats if a cap is wanted)
+    val idxHits = winnowAgainstIndex(batch, fpIndex, idCol, textCol,
+        k = k, w = w, minShared = minShared)
+      .select(col("new_id").as(idCol)).distinct()
+    val s1 = batch.join(idxHits, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    // cross-snapshot substring purge: windows already in the stored
+    // index vanish from the surviving batch docs
+    val ipurged = purgeAgainstIndex(s1, winIndex, idCol, textCol,
+      windowWords = indexWindowWords)
+    val s2 = ipurged
+      .join(s1.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .select(col(idCol), col(sourceCol),
+        (col("n_words") - col("n_removed")).as("nt2"),
+        col("text_clean").as(textCol))
+      .localCheckpoint(false)
+    // within-batch funnel on the rebuilt text — the standard stages
+    val pairs = winnowOverlap(s2.select(col(idCol), col(sourceCol),
+        col(textCol)), idCol, textCol,
+      k = k, w = w, minShared = minShared, maxPostings = maxPostings)
+    val dropB = pairs.select(col("doc_b").as(idCol)).distinct()
+    val s3 = s2.join(dropB, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    val purged = purgeDuplicateSubstringsMulti(
+      s3.select(col(idCol), col(textCol)), idCol, textCol,
+      windows = windows, keepFirst = true)
+    val s4 = purged
+      .select(col(idCol), (col("n_words") - col("n_removed")).as("nt"))
+      .join(s3.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .localCheckpoint(false)
+    val s5 = TextExtract.capPerDomain(s4, idCol, sourceCol, "nt",
+      cap = domainCap)
+    def stage(name: String, d: DataFrame, tok: Column): DataFrame =
+      d.agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val splitTok = size(split(col(textCol), " ")).cast("long")
+    stage("s0_batch_raw", batch, splitTok)
+      .unionByName(stage("s1_idx_neardup", s1, splitTok))
+      .unionByName(stage("s2_idx_purged", s2, col("nt2")))
+      .unionByName(stage("s3_neardup", s3, splitTok))
+      .unionByName(stage("s4_purged", s4, col("nt")))
+      .unionByName(stage("s5_domain_capped", s5, col("nt")))
       .orderBy("stage")
   }
 }

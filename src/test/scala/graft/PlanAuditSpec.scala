@@ -335,22 +335,50 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("substring purge stats are skew-safe: no window, partial agg + join") {
-    // r16: occurrence count + spared-first-occurrence come from a
-    // groupBy(__h) partial aggregate (count + min (doc,start) witness
-    // — both decompose into bounded map-side partials) joined back.
-    // The r15 window form (count over Window.partitionBy(__h))
-    // concentrated a hot hash's full posting list in one task.
+    // r17: the window stream is pinned ONCE (eager localCheckpoint —
+    // the kernel runs exactly once for both consumers) and the
+    // occurrence stats are a groupBy(__h) partial aggregate over the
+    // pin, joined back through a measured-gate shape (broadcast /
+    // co-partition / fresh+AQE-skew-split). The r15 window form
+    // (count over Window.partitionBy(__h)) concentrated a hot hash's
+    // full posting list in one task.
     val qe = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
       .queryExecution
     val analyzed = qe.analyzed.toString
     assert(!analyzed.contains("windowspecdefinition"),
       "substring purge still rides a window")
-    // and the binary window-hash kernel feeds it (no interpreted
-    // re-hash, half the key bytes of the hex form on both exchanges)
-    assert(analyzed.contains("shingle_md5_bins"),
+    // ONE kernel invocation: the final plan reads the checkpoint pin;
+    // a shingle_md5_bins occurrence here would mean the window stream
+    // is being recomputed for a second consumer (the r16 dup-cloud
+    // constants floor).
+    assert(!analyzed.contains("shingle_md5_bins"),
+      "window stream is recomputed instead of read from the pin")
+    assert(analyzed.contains("LogicalRDD") ||
+      qe.executedPlan.toString.contains("Scan ExistingRDD"),
+      "purge does not read the pinned window stream")
+    // The stats the pin feeds stay a bounded partial aggregate with
+    // the keep-first witness (packed-long form on integral ids; the
+    // struct fallback is covered by the windowStats spec below) — and
+    // the window-stream construction itself uses the binary md5
+    // kernel (audited on the stream builder, since the final plan
+    // sits on the pin).
+    import org.apache.spark.sql.functions.{col, lit, posexplode}
+    val docs = Tables.documents(spark, sfDir)
+    val wins = docs.select(col("doc_id"), lit(4).as("w"), lit(2L).as("__mc"),
+      posexplode(graft.functions.ShingleMd5Bins(col("text"), 4))
+        .as(Seq("start", "__h")))
+    assert(wins.queryExecution.analyzed.toString.contains("shingle_md5_bins"),
       "window hashing does not use the native binary kernel")
-    assert(qe.executedPlan.toString.contains("partial_min"),
-      "keep-first witness is not a partial aggregate")
+    for (packed <- Seq(true, false)) {
+      val st = graft.operators.TextDedup.windowStats(
+        wins, "doc_id", keepFirst = true, packedWitness = packed)
+      val p = st.queryExecution.executedPlan.toString
+      assert(p.contains("partial_min") || p.contains("partial min"),
+        s"keep-first witness (packed=$packed) is not a partial aggregate")
+      assert(st.queryExecution.analyzed.toString
+        .indexOf("windowspecdefinition") < 0,
+        "stats ride a window")
+    }
   }
 
   test("char-gram lang-ID features come from the one-pass kernel, no gram explode") {
@@ -587,11 +615,16 @@ class PlanAuditSpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan
       assert(plan.collect { case w: WindowExec => w }.isEmpty,
         "substring purge plans a WindowExec on the __h stream")
-      // the stats decompose into map-side partials (count + the
-      // bounded min-struct keep-first witness)
+      // r17: the stats subtree is pre-aggregated into a pinned
+      // dictionary (its partial-agg shape is pinned by the windowStats
+      // audit above); the final plan must read pins, not recompute the
+      // kernel, and must join the __c/__first dictionary back.
       val s = plan.toString
-      assert(s.contains("partial_min") || s.contains("partial min"),
-        "keep-first witness is not a partial aggregate")
+      assert(!s.contains("shingle_md5_bins"),
+        "window stream recomputed instead of read from the pin")
+      assert(s.contains("Scan ExistingRDD"),
+        "purge does not read the pinned window stream")
+      assert(s.contains("__c"), "occurrence-count join is gone")
     }
   }
 

@@ -338,6 +338,32 @@ class TextDedupEdgeSpec extends SparkSpec {
     assert(out(12L) == (0L, "totally unrelated words in this one here"))
   }
 
+  test("incremental funnel with empty indexes equals the within-batch funnel") {
+    // batch==full differential for the COMPOSED snapshot-N+1 funnel:
+    // with nothing indexed, the two cross-snapshot stages are identity
+    // (no fp hits, no indexed windows) and the report's within-batch
+    // tail must equal hygieneFunnel(batch) row for row.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val none = docs.limit(0)
+    val fpIndex = TextDedup.winnowFingerprints(none, "doc_id", "text",
+        k = 3, w = 4)
+      .select(col("doc_id").as("idx_id"), col("fp"))
+    val winIndex = TextDedup.windowHashIndex(none, "text", windowWords = 4)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val inc = toMap(TextDedup.hygieneFunnelAgainstIndex(docs, fpIndex,
+      winIndex, "doc_id", "source", "text").collect())
+    val full = toMap(TextDedup.hygieneFunnel(docs, "doc_id", "source",
+      "text").collect())
+    assert(inc("s0_batch_raw") == full("s0_raw"))
+    assert(inc("s1_idx_neardup") == full("s0_raw"), "empty fp index dropped docs")
+    assert(inc("s2_idx_purged") == full("s0_raw"), "empty window index purged words")
+    assert(inc("s3_neardup") == full("s1_neardup"))
+    assert(inc("s4_purged") == full("s2_purged"))
+    assert(inc("s5_domain_capped") == full("s3_domain_capped"))
+  }
+
   test("exact dedup keeps the smallest id per content") {
     import spark.implicits._
     val docs = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
