@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local indexed-window coverage: the word positions of `text`
+  * covered by any stride-1 `n`-word window whose md5 digest is in a
+  * plan-baked key set — the STATELESS form of the incremental
+  * substring purge's semi join, built for the streaming gate
+  * (StreamOps.windowPurgeGate) where a per-doc aggregation after a
+  * stream-static join would need unbounded state. One kernel pass per
+  * document (digests via [[TextKernels.shingleMd5Bins]] — byte-
+  * identical keys to the batch [[graft.operators.TextDedup
+  * .windowHashIndex]]), membership against a HashSet of 16-byte
+  * digests, coverage merged in a boolean run over the word count.
+  *
+  * The key set rides in the task closure (addReferenceObj — the
+  * "parameters small, data huge" layout of graft_viterbi), so this
+  * serves BOUNDED window sets: curated boilerplate banks, a domain's
+  * license paragraphs, the hot slice of a corpus index. Corpus-scale
+  * indexes stay on the batch path (purgeAgainstIndex's bucketed semi
+  * join); the gate's caller enforces the bound at collect time. */
+object IndexedWindowKernels {
+  def coveredPositions(text: UTF8String, n: Int,
+      idx: java.util.HashSet[java.nio.ByteBuffer]): ArrayData = {
+    val digests = TextKernels.shingleMd5Bins(text, n)
+    val m = digests.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val nWords = m + n - 1
+    val covered = new Array[Boolean](nWords)
+    var i = 0
+    var any = false
+    while (i < m) {
+      if (idx.contains(java.nio.ByteBuffer.wrap(digests.getBinary(i)))) {
+        any = true
+        var j = i
+        val end = i + n
+        while (j < end) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    if (!any) return new GenericArrayData(Array.empty[Any])
+    var c = 0
+    i = 0
+    while (i < nWords) { if (covered(i)) c += 1; i += 1 }
+    val out = new Array[Any](c)
+    var p = 0
+    i = 0
+    while (i < nWords) { if (covered(i)) { out(p) = i; p += 1 }; i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_indexed_positions(text, n, keys_array_literal)`: sorted
+  * distinct word positions of `text` covered by an indexed `n`-word
+  * window (see [[IndexedWindowKernels.coveredPositions]]). */
+case class IndexedCoveredPositions(child: Expression, n: Int,
+    keys: Seq[Array[Byte]]) extends UnaryExpression {
+
+  require(n >= 1, s"graft_indexed_positions: n must be >= 1, got $n")
+
+  // ByteBuffer is not java-serializable, so the SET stays transient
+  // (rebuilt lazily on each deserialized copy from the serializable
+  // byte-array keys) and codegen references THIS expression instance,
+  // not the set.
+  @transient private lazy val jset: java.util.HashSet[java.nio.ByteBuffer] = {
+    val s = new java.util.HashSet[java.nio.ByteBuffer](keys.size * 2)
+    keys.foreach(k => s.add(java.nio.ByteBuffer.wrap(k)))
+    s
+  }
+
+  /** Kernel entry used by both eval paths. */
+  def covered(text: UTF8String): ArrayData =
+    IndexedWindowKernels.coveredPositions(text, n, jset)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_indexed_positions requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_indexed_positions"
+
+  override protected def nullSafeEval(input: Any): Any =
+    covered(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val selfRef = ctx.addReferenceObj("indexedWindowExpr", this,
+      classOf[IndexedCoveredPositions].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $selfRef.covered($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IndexedCoveredPositions = copy(child = newChild)
+}
+
+object IndexedCoveredPositions {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ViterbiPieces]]. */
+  def apply(text: Column, n: Int, keys: Seq[Array[Byte]]): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("graft_indexed_positions",
+      text, org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.typedLit(keys))
+  }
+}

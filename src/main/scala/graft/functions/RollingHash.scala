@@ -423,6 +423,47 @@ object GraftFunctions {
           ViterbiPieces(args.head, lp, ml)
         }),
       (
+        FunctionIdentifier("graft_indexed_positions"),
+        new ExpressionInfo(classOf[IndexedCoveredPositions].getName,
+          "graft_indexed_positions"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3,
+            "graft_indexed_positions(text, n, keys_array_literal)")
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          import org.apache.spark.sql.catalyst.util.ArrayData
+          import org.apache.spark.sql.types.{ArrayType, BinaryType}
+          val n = args(1) match {
+            case Literal(v, _) if v != null => v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_indexed_positions n must be an int literal, got $other")
+          }
+          val keys = args(2) match {
+            case Literal(a: ArrayData, ArrayType(BinaryType, _)) =>
+              (0 until a.numElements()).map(a.getBinary)
+            case other => throw new IllegalArgumentException(
+              s"graft_indexed_positions keys must be an array<binary> literal, got $other")
+          }
+          IndexedCoveredPositions(args.head, n, keys)
+        }),
+      (
+        FunctionIdentifier("graft_wordpiece"),
+        new ExpressionInfo(classOf[WordPieceCount].getName, "graft_wordpiece"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_wordpiece(word, vocab_array_literal)")
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          import org.apache.spark.sql.catalyst.util.ArrayData
+          import org.apache.spark.sql.types.{ArrayType, StringType}
+          val vocab = args(1) match {
+            case Literal(a: ArrayData, ArrayType(StringType, _)) =>
+              a.toObjectArray(StringType)
+                .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+                .toSeq
+            case other => throw new IllegalArgumentException(
+              s"graft_wordpiece vocab must be an array<string> literal, got $other")
+          }
+          WordPieceCount(args.head, vocab)
+        }),
+      (
         FunctionIdentifier("char_gram_features"),
         new ExpressionInfo(classOf[CharGramFeatures].getName, "char_gram_features"),
         (args: Seq[Expression]) => {

@@ -232,6 +232,50 @@ object StreamOps {
         hashes).as("might_dup"))
       .withColumn("keep", !col("might_dup"))
 
+  /** Streaming window-hash purge gate: every stride-1 `windowWords`
+    * window of an incoming document whose CONTENT is in the stored
+    * window-hash index is removed and the text rebuilt — the ONLINE
+    * form of [[graft.operators.TextDedup.purgeAgainstIndex]], as a
+    * STATELESS projection (no stream-static join: a per-doc
+    * re-aggregation of joined window rows would need unbounded
+    * streaming state, so the whole decision runs row-locally inside
+    * one kernel call — `graft_indexed_positions` computes the covered
+    * positions against the plan-baked key set, byte-identical md5
+    * window keys to the batch index). Output schema matches
+    * purgeAgainstIndex: (id, n_words, n_removed, text_clean);
+    * StreamingSpec pins the MemoryStream run equal to the batch
+    * operator row for row.
+    *
+    * The key set ships in the task closure, so the gate serves
+    * BOUNDED window banks (curated boilerplate, a domain's license
+    * paragraphs, the hot slice of the corpus index) — `maxIndexRows`
+    * (default 2^20 ≈ 16 MB of digests) fails fast on an index that
+    * belongs on the batch path instead. */
+  def windowPurgeGate(stream: DataFrame, winIndex: DataFrame,
+      idCol: String, textCol: String, windowWords: Int = 4,
+      maxIndexRows: Int = 1 << 20): DataFrame = {
+    require(winIndex.columns.contains("__h") &&
+      winIndex.schema("__h").dataType == org.apache.spark.sql.types.BinaryType,
+      "windowPurgeGate: winIndex must have a BINARY __h column " +
+        s"(windowHashIndex output); got ${winIndex.columns.mkString("(", ", ", ")")}")
+    val keys = winIndex.select(col("__h")).limit(maxIndexRows + 1)
+      .collect().map(_.getAs[Array[Byte]](0)).toSeq
+    require(keys.size <= maxIndexRows,
+      s"windowPurgeGate: index exceeds $maxIndexRows windows — a " +
+        "corpus-scale index belongs on the batch path (purgeAgainstIndex)")
+    stream
+      .select(col(idCol), col(textCol),
+        graft.functions.IndexedCoveredPositions(col(textCol), windowWords,
+          keys).as("__rmv"))
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_words"),
+        size(col("__rmv")).cast("long").as("n_removed"),
+        when(size(col("__rmv")) === 0, col(textCol))
+          .otherwise(graft.functions.RemoveWordPositions(col(textCol),
+            col("__rmv")))
+          .as("text_clean"))
+  }
+
   /** Windowed approximate distinct counts: tumbling event-time windows
     * with `approx_count_distinct` (HLL++) — the streaming form of the
     * batch HLL sketches (q_hll_sketch). Sketch-sized state per window,

@@ -949,4 +949,60 @@ class StreamingSpec extends SparkSpec {
       assert(admitted.size == batch.size)
     } finally q.stop()
   }
+
+  test("streaming window-hash purge gate equals batch purgeAgainstIndex") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextDedup
+    // stored index: windows of an existing corpus doc
+    val idxDocs = Seq(
+      (1L, "the quick brown fox was here today ok")).toDF("doc_id", "text")
+    val winIndex = TextDedup.windowHashIndex(idxDocs, "text", windowWords = 4)
+    val batchRows = Seq(
+      (10L, "the quick brown fox was elsewhere entirely"), // indexed run purges
+      (11L, "zz yy xx ww vv zz yy xx ww vv"),              // batch-local dup survives
+      (12L, "the quick brown fox was here today ok"),      // fully indexed -> empty
+      (13L, ""))                                           // degenerate
+    val in = MemoryStream[(Long, String)]
+    val gate = StreamOps.windowPurgeGate(
+      in.toDF().toDF("doc_id", "text"), winIndex, "doc_id", "text",
+      windowWords = 4)
+    val q = gate.writeStream.format("memory").queryName("purge_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(batchRows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("purge_gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      // stream==batch differential: the stateless kernel gate must
+      // reproduce the batch semi-join operator row for row
+      val batch = TextDedup.purgeAgainstIndex(
+          batchRows.toDF("doc_id", "text"), winIndex, "doc_id", "text",
+          windowWords = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+      assert(stream == batch, s"stream=$stream batch=$batch")
+      // and the known-answer spot checks
+      val byId = stream.map(t => t._1 -> t).toMap
+      assert(byId(10L) == ((10L, 7L, 5L, "elsewhere entirely")))
+      assert(byId(11L)._3 == 0L)
+      assert(byId(12L)._4 == "")
+    } finally q.stop()
+  }
+
+  test("windowPurgeGate rejects an oversized or mis-typed index") {
+    import spark.implicits._
+    val good = graft.operators.TextDedup.windowHashIndex(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "text", 4)
+    intercept[IllegalArgumentException] {
+      StreamOps.windowPurgeGate(Seq((1L, "x")).toDF("doc_id", "text"),
+        good, "doc_id", "text", maxIndexRows = 0)
+    }
+    intercept[IllegalArgumentException] {
+      StreamOps.windowPurgeGate(Seq((1L, "x")).toDF("doc_id", "text"),
+        Seq("aa").toDF("__h"), "doc_id", "text") // hex string, not binary
+    }
+  }
 }
