@@ -1248,10 +1248,15 @@ object LlmQueries {
          |  coalesce(p.n_pieces, 0) AS n_pieces
          |FROM documents d LEFT JOIN doc_pieces p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      Bpe.tokenPieces(Tables.documents(s, dir), "text")
+      // one-pass fused encode (join + count inside the kernel — no
+      // per-row piece array, no second regex scan); Bpe.tokenPieces
+      // stays the piece-ARRAY API surface
+      Tables.documents(s, dir)
         .select(col("doc_id"),
-          array_join(col("bpe_pieces"), "|").as("pieces_str"),
-          size(col("bpe_pieces")).cast("long").as("n_pieces"))
+          graft.functions.BpeKernels.encode(col("text"),
+            Bpe.defaultMerges, "|").as("e"))
+        .select(col("doc_id"), col("e.pieces_str").as("pieces_str"),
+          col("e.n_pieces").as("n_pieces"))
         .orderBy("doc_id")
     }
 

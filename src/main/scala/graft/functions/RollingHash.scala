@@ -423,6 +423,34 @@ object GraftFunctions {
           ViterbiPieces(args.head, lp, ml)
         }),
       (
+        FunctionIdentifier("graft_bpe_pieces"),
+        new ExpressionInfo(classOf[BpePieces].getName, "graft_bpe_pieces"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_bpe_pieces(text, merges_array_literal)")
+          BpePieces(args.head, BpeKernels.decodeMerges(args(1)))
+        }),
+      (
+        FunctionIdentifier("graft_bpe_count"),
+        new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_bpe_count(text, merges_array_literal)")
+          BpeCount(args.head, BpeKernels.decodeMerges(args(1)))
+        }),
+      (
+        FunctionIdentifier("graft_bpe_encode"),
+        new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3,
+            "graft_bpe_encode(text, merges_array_literal, sep)")
+          val sep = args(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString
+            case other => throw new IllegalArgumentException(
+              s"graft_bpe_encode sep must be a string literal, got $other")
+          }
+          BpeEncode(args.head, BpeKernels.decodeMerges(args(1)), sep)
+        }),
+      (
         FunctionIdentifier("graft_indexed_positions"),
         new ExpressionInfo(classOf[IndexedCoveredPositions].getName,
           "graft_indexed_positions"),

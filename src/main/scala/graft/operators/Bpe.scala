@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Byte-pair-encoding tokenizer for real training-data token budgets
@@ -235,18 +236,14 @@ object Bpe {
     * without a corpus-sized join back. Pure partition-batched map — no
     * shuffle; the memo and rank map are per-partition locals. */
   def tokenCounts(df: DataFrame, textCol: String,
-      merges: Seq[(String, String)] = defaultMerges): DataFrame = {
-    val textIdx = df.schema.fieldIndex(textCol)
-    val out = StructType(df.schema.fields :+ StructField("n_tokens_bpe", LongType))
-    implicit val enc = Encoders.row(out)
-    val ranks = rankMap(merges)
-    df.mapPartitions { it =>
-      val memo = scala.collection.mutable.HashMap.empty[String, Int]
-      it.map { r =>
-        Row.fromSeq(r.toSeq :+ tokenCount(r.getString(textIdx), ranks, memo))
-      }
-    }
-  }
+      merges: Seq[(String, String)] = defaultMerges): DataFrame =
+    // r17: codegen'd kernel (functions/BpeKernels) — the old
+    // mapPartitions form re-encoded EVERY column through a Row encoder
+    // and fenced whole-stage codegen. coalesce keeps the null-text = 0
+    // contract (the kernel is null-propagating).
+    df.withColumn("n_tokens_bpe",
+      coalesce(graft.functions.BpeKernels.count(col(textCol), merges),
+        lit(0L)))
 
   /** Per-document subword TOKENIZATION: every input column plus an
     * appended `bpe_pieces` array<string> — the document's full BPE
@@ -255,26 +252,9 @@ object Bpe {
     * Same pure partition-batched map shape as [[tokenCounts]], with the
     * memo holding piece ARRAYS per distinct word (Zipf-bounded). */
   def tokenPieces(df: DataFrame, textCol: String,
-      merges: Seq[(String, String)] = defaultMerges): DataFrame = {
-    val textIdx = df.schema.fieldIndex(textCol)
-    val out = StructType(df.schema.fields :+
-      StructField("bpe_pieces", ArrayType(StringType, containsNull = false)))
-    implicit val enc = Encoders.row(out)
-    val ranks = rankMap(merges)
-    df.mapPartitions { it =>
-      val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
-      it.map { r =>
-        val text = r.getString(textIdx)
-        val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
-        if (text != null) {
-          val m = preTok.matcher(text.toLowerCase(java.util.Locale.ROOT))
-          while (m.find()) {
-            val w = m.group()
-            pieces ++= memo.getOrElseUpdate(w, encodePieces(w, ranks))
-          }
-        }
-        Row.fromSeq(r.toSeq :+ pieces.toSeq)
-      }
-    }
-  }
+      merges: Seq[(String, String)] = defaultMerges): DataFrame =
+    // r17: same kernel move as tokenCounts; null text → empty sequence
+    df.withColumn("bpe_pieces",
+      coalesce(graft.functions.BpeKernels.pieces(col(textCol), merges),
+        typedLit(Seq.empty[String])))
 }

@@ -120,6 +120,29 @@ class BpeSpec extends SparkSpec {
     assert(out(1L) == expect)
   }
 
+  test("fused graft_bpe_encode equals array_join(tokenPieces) + size, and null/empty behave") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, array_join, size}
+    val df = Seq((1L, "The training corpus, reads."), (2L, ""),
+      (3L, "aaa bbb"), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val fused = df.select(col("doc_id"),
+        graft.functions.BpeKernels.encode(col("text"), Bpe.defaultMerges, "|")
+          .as("e"))
+      .select(col("doc_id"), col("e.pieces_str"), col("e.n_pieces"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val viaArray = Bpe.tokenPieces(df, "text")
+      .select(col("doc_id"), array_join(col("bpe_pieces"), "|"),
+        size(col("bpe_pieces")).cast("long"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getLong(2))).toMap
+    for (id <- Seq(1L, 2L, 3L)) assert(fused(id) == viaArray(id), s"doc $id")
+    // kernel is null-propagating (struct null for null text); the
+    // tokenPieces operator coalesces to an empty sequence
+    assert(fused(4L) == ((None, -1L)))
+    assert(viaArray(4L) == ((Some(""), 0L)))
+  }
+
   test("WordPiece greedy segmentation: in-vocab words, greedy longest, char fallback") {
     import spark.implicits._
     import graft.operators.WordPiece
