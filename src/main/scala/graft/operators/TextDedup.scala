@@ -1128,6 +1128,11 @@ object TextDedup {
     *  4. Rebuild collects covered-position ARRAYS per doc (bounded by
     *     doc length) without exploding per-position rows.
     *
+    * Inputs under [[SmallCorpusBytes]] (optimizer-estimated) skip the
+    * pins and probes entirely and run the simple r16 shape — at small
+    * scale the three probe jobs cost more than the recomputation they
+    * avoid, and the simple shape is already the safest one.
+    *
     * Measured (med, 3 reps, local[32]): stock sf0.1 1.87 -> 1.56 s; sf1
     * dup-cloud 22.4 -> 9.7 s (old concentration-unsafe window shape:
     * 7.0); degenerate 400k-doc shared-boilerplate bed 5.3 -> 5.25 s —
@@ -1135,8 +1140,42 @@ object TextDedup {
     * skew-safety guarantees intact. At 100 TB the pins are the
     * inter-stage materialization a production purge does anyway;
     * blocks are released by the session-level sweep (graft.Pins). */
+  /** Inputs whose optimizer-estimated bytes stay under this take the
+    * SIMPLE lazy shape instead: no pins, no probe actions — at small
+    * scale the gated tail's three driver-synchronized jobs cost more
+    * than the double kernel pass they avoid (sf0.1 single-length
+    * purge: 0.93 s simple vs 1.34 gated), while the simple shape is
+    * the SAFEST of all (bounded partials + fresh AQE join) just with
+    * worse large-corpus constants. The threshold reads against
+    * parquet's COMPRESSED estimate, and duplicate-heavy text
+    * compresses brutally (the sf1 dup-cloud bed is 5.8 MB on disk for
+    * ~100 MB of window stream), so the bar sits at truly-tiny only —
+    * 1 MB, interactive scale: measured zipf0.1 (1.25 MB compressed)
+    * already prefers the gated shape by 1.8× on the funnel, while the
+    * 0.59 MB stock sf0.1 corpus prefers simple on single-length.
+    * Anything bigger pays the three probe jobs gladly. Overridable for
+    * tests/tuning via `spark.graft.purge.small.bytes` (0 forces the
+    * gated shape, Long.MaxValue forces simple). */
+  private val SmallCorpusBytes = 1L << 20
+
   private def purgeFromWindows(docs: DataFrame, idCol: String,
       textCol: String, wins: DataFrame, keepFirst: Boolean): DataFrame = {
+    val smallLimit = docs.sparkSession.conf
+      .getOption("spark.graft.purge.small.bytes").map(_.toLong)
+      .getOrElse(SmallCorpusBytes)
+    if (docs.queryExecution.optimizedPlan.stats.sizeInBytes <= smallLimit) {
+      // simple shape (the r16 design): lazy, two independent consumers
+      // of the window stream, struct witness, fresh join exchange AQE
+      // can broadcast or skew-split
+      val stats = windowStats(wins, idCol, keepFirst, packedWitness = false)
+      val removed = wins
+        .join(stats, Seq("__h"))
+        .filter(col("__c") >= col("__mc"))
+        .filter(if (keepFirst)
+          !(col(idCol) === col("__first.d") && col("start") === col("__first.p"))
+        else lit(true))
+      return rebuildFromRemoved(docs, idCol, textCol, removed)
+    }
     val pinned = wins.localCheckpoint()
     // Packed-witness eligibility is measured against the actual stream
     // (integer id within +-2^42, starts under 2^20) — one cheap global

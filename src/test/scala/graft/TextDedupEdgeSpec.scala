@@ -364,6 +364,24 @@ class TextDedupEdgeSpec extends SparkSpec {
     assert(inc("s5_domain_capped") == full("s3_domain_capped"))
   }
 
+  test("purge size-gate shapes are bit-identical (simple vs gated pin)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def run(): Seq[(Long, Long, Long, String)] =
+      TextDedup.purgeDuplicateSubstringsMulti(docs, "doc_id", "text",
+          windows = Seq((4, 5L), (8, 2L)))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    spark.conf.set("spark.graft.purge.small.bytes", Long.MaxValue.toString)
+    val simple = try run() finally spark.conf.unset("spark.graft.purge.small.bytes")
+    spark.conf.set("spark.graft.purge.small.bytes", "0")
+    val gated = try run() finally spark.conf.unset("spark.graft.purge.small.bytes")
+    assert(simple == gated)
+    assert(simple.nonEmpty)
+    Pins.sweep(spark)
+  }
+
   test("exact dedup keeps the smallest id per content") {
     import spark.implicits._
     val docs = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
