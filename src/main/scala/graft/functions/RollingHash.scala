@@ -148,6 +148,20 @@ object GraftFunctions {
             lit(args(3), "dedup").toString.toBoolean)
         }),
       (
+        FunctionIdentifier("winnow_fps"),
+        new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+        (args: Seq[Expression]) => {
+          require(args.length == 4, "winnow_fps(text, n, hexLen, w)")
+          def intLit(e: Expression, name: String): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+              v.toString.toInt
+            case other => throw new IllegalArgumentException(
+              s"winnow_fps $name must be an int literal, got $other")
+          }
+          WinnowFps(args.head, intLit(args(1), "n"), intLit(args(2), "hexLen"),
+            intLit(args(3), "w"))
+        }),
+      (
         FunctionIdentifier("pq_reconstruct"),
         new ExpressionInfo(classOf[PqReconstruct].getName, "pq_reconstruct"),
         (args: Seq[Expression]) => {

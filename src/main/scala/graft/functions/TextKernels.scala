@@ -125,6 +125,47 @@ object TextKernels {
     new GenericArrayData(if (p == m) out else java.util.Arrays.copyOf(out, p))
   }
 
+  /** Winnowing fingerprints (value-set variant, Schleimer/Wilkerson/
+    * Aiken 2003): the DISTINCT sliding-window minima (width `w`, first-
+    * occurrence order) of the word n-gram hash stream of `text` — the
+    * whole `transform(sequence)/array_min(slice)/array_distinct` HOF
+    * chain of the SQL formulation fused into one O(words) pass
+    * (monotonic-deque sliding minima). Hash = [[shingleHashes]] with
+    * the same (n, hexLen), so values are bit-identical to the HOF form
+    * and external engines replay them (WinnowKernelSpec pins the
+    * differential). Texts with fewer than n words return an empty
+    * array; docs with fewer than w n-grams use one window over all of
+    * them (weff = min(w, m) — the `least(w, size)` contract). */
+  def winnowFps(text: UTF8String, n: Int, hexLen: Int, w: Int): ArrayData = {
+    val hsData = shingleHashes(text, n, hexLen, dedup = false)
+    val m = hsData.numElements()
+    if (m == 0) return hsData
+    val hs = hsData.toLongArray()
+    val weff = if (w < m) w else m
+    val nw = m - weff + 1
+    val mins = new Array[Long](nw)
+    val dq = new Array[Int](m) // index deque, values non-decreasing
+    var head = 0
+    var tail = 0 // live range [head, tail)
+    var i = 0
+    while (i < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - weff) head += 1
+      if (i >= weff - 1) mins(i - weff + 1) = hs(dq(head))
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long](nw * 2)
+    val res = new Array[Long](nw)
+    var p = 0
+    var j = 0
+    while (j < nw) {
+      if (seen.add(mins(j))) { res(p) = mins(j); p += 1 }
+      j += 1
+    }
+    new GenericArrayData(if (p == nw) res else java.util.Arrays.copyOf(res, p))
+  }
+
   private val HexChars = "0123456789abcdef".getBytes(StandardCharsets.US_ASCII)
 
   /** Full 32-hex md5 of every stride-1 word n-gram window of `text`, in
@@ -965,6 +1006,47 @@ object ShingleMd5Bins {
       .foreach(GraftFunctions.register)
     org.apache.spark.sql.functions.call_function("shingle_md5_bins",
       text, org.apache.spark.sql.functions.lit(n))
+  }
+}
+
+/** `winnow_fps(text, n, hexLen, w)`: distinct width-`w` sliding-window
+  * minima of the word n-gram hash stream (see
+  * [[TextKernels.winnowFps]]) — the winnowing fingerprint set. */
+case class WinnowFps(child: Expression, n: Int, hexLen: Int, w: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, "winnow_fps: n must be >= 1")
+  require(hexLen >= 1 && hexLen <= 15, "winnow_fps: hexLen must be in [1,15]")
+  require(w >= 1, "winnow_fps: w must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.winnowFps(input.asInstanceOf[UTF8String], n, hexLen, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.winnowFps($c, $n, $hexLen, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column, n: Int, hexLen: Int, w: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("winnow_fps",
+      text, org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(hexLen),
+      org.apache.spark.sql.functions.lit(w))
   }
 }
 

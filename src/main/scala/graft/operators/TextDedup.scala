@@ -1408,21 +1408,29 @@ object TextDedup {
       k: Int = 3,
       w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowFingerprints needs k,w >= 1: k=$k w=$w")
-    val hs = graft.functions.ShingleHashes(col(textCol), k, 7, dedup = false)
-    // No Filter node on size(__hs): predicate pushdown substitutes the
-    // alias and re-evaluates the shingle kernel BELOW the Project (the
-    // r13 plan ran the kernel twice per row per consumer). Sub-k-word
-    // docs instead flow through as empty streams — their single window
-    // is array_min(slice(__hs, 1, 0)) = null, dropped by the null
-    // filter inside the explode — so the contract (no fingerprints for
-    // short docs) holds with the kernel evaluated exactly once.
-    docs.select(col(idCol), hs.as("__hs"))
-      .select(col(idCol), size(col("__hs")).as("__n"),
-        least(lit(w), size(col("__hs"))).as("__w"), col("__hs"))
-      .select(col(idCol), explode(filter(array_distinct(
-        transform(sequence(lit(1), col("__n") - col("__w") + 1),
-          i => array_min(slice(col("__hs"), i, col("__w"))))),
-        x => x.isNotNull)).as("fp"))
+    // Small-file spread (the shingles() discipline): a corpus read from
+    // fewer splits than cores would run the whole fingerprint kernel
+    // near-serially — one 0.6 MB parquet file is ONE partition, and the
+    // r17 funnel paid ~0.3 s of single-task digest time per winnow pass
+    // for it. No-op on a well-split source (the 100 TB case) and on
+    // non-file inputs (pinned stages spread before their pin instead).
+    val spark = docs.sparkSession
+    val nFiles = docs.inputFiles.length
+    val src =
+      if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
+        docs.repartition(spark.sparkContext.defaultParallelism)
+      else docs
+    // One fused kernel call per row (graft.functions.WinnowFps): shingle
+    // hashing, deque sliding minima and the distinct all run in one
+    // codegen'd O(words) pass — the r17 HOF formulation
+    // (transform(sequence)/array_min(slice)/array_distinct over a
+    // ShingleHashes array) evaluated every window's array_min
+    // interpreted, ~2x the whole funnel's fingerprint-stage cost
+    // (WinnowKernelSpec pins the bit-identical differential; A/B in
+    // BASELINE). Sub-k-word docs return empty arrays — explode drops
+    // them, so the contract (no fingerprints for short docs) holds.
+    src.select(col(idCol),
+      explode(graft.functions.WinnowFps(col(textCol), k, 7, w)).as("fp"))
   }
 
   /** MOSS-style overlap candidates: document pairs sharing at least
@@ -1712,7 +1720,20 @@ object TextDedup {
       maxPostings: Long = 3L,
       windows: Seq[(Int, Long)] = Seq((4, 5L), (8, 2L)),
       domainCap: Int = 15): DataFrame = {
-    val docs = docs0.select(col(idCol), col(sourceCol), col(textCol))
+    // Spread a few-split source ONCE at funnel entry: the stage pins
+    // inherit this partitioning (a broadcast anti-join preserves its
+    // stream side's partitions), so every downstream kernel pass runs
+    // parallel. Without it a one-file corpus pins s1 as ONE partition
+    // and the multi-length purge's whole digest pass runs on a single
+    // task (the r17 in-funnel purge measured ~2x its standalone cost
+    // for exactly this). No-op on a well-split source.
+    val spark = docs0.sparkSession
+    val nFiles = docs0.inputFiles.length
+    val docs0s =
+      if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
+        docs0.repartition(spark.sparkContext.defaultParallelism)
+      else docs0
+    val docs = docs0s.select(col(idCol), col(sourceCol), col(textCol))
     val pairs = winnowOverlap(docs, idCol, textCol,
       k = k, w = w, minShared = minShared, maxPostings = maxPostings)
     val dropB = pairs.select(col("doc_b").as(idCol)).distinct()
@@ -1767,7 +1788,16 @@ object TextDedup {
       maxPostings: Long = 3L, indexWindowWords: Int = 4,
       windows: Seq[(Int, Long)] = Seq((4, 5L), (8, 2L)),
       domainCap: Int = 15): DataFrame = {
-    val batch = batch0.select(col(idCol), col(sourceCol), col(textCol))
+    // Same entry spread as [[hygieneFunnel]]: the stage pins inherit
+    // the batch's partitioning, so a one-file batch must be spread
+    // here or every downstream kernel pass runs single-task.
+    val spark = batch0.sparkSession
+    val nFiles = batch0.inputFiles.length
+    val batch0s =
+      if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
+        batch0.repartition(spark.sparkContext.defaultParallelism)
+      else batch0
+    val batch = batch0s.select(col(idCol), col(sourceCol), col(textCol))
     // cross-snapshot near-dup: any batch doc sharing >= minShared
     // winnow fingerprints with an index doc drops (the index corpus
     // owns every prior occurrence; uncapped by default — a stored
