@@ -171,6 +171,57 @@ object Bench {
         samples = s2; pSorted = p2; nRetried = r2; noiseIndex = n2
       } else discarded = Some((n2, meds(s2)))
     }
+    // Cross-capture sanity (r17 verdict task #8): sustained box load
+    // inflates medians without tripping the burst sentinel (r17 shipped
+    // q_drop_duplicates at 2.13 s vs its 0.30 s isolated cost and
+    // neither flag fired). Compare each median against the most recent
+    // committed round artifact (bench_full_r{N}.json, same SF); any
+    // query k×+0.25 s above its prior value is re-sampled ONCE after
+    // the sweep (the load has usually moved on) and BOTH numbers ride
+    // the artifact as cross_flags, so an inflated row self-identifies.
+    val priorCapture: Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      val re = "bench_full_r(\\d+)\\.json".r
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case re(n) => Some((n.toInt, p)); case _ => None
+          }
+        }.toSeq
+      if (files.isEmpty) Map.empty
+      else try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(files.maxBy(_._1)._2), "UTF-8")
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val j = JsonMethods.parse(txt)
+        val sameSf = (j \ "sf") match {
+          case JString(s) => s == sfDir
+          case _ => false
+        }
+        if (!sameSf) Map.empty
+        else (j \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+    val crossFlags: Seq[(String, Double, Double, Double)] = samples
+      .flatMap { case (n, ts, _) =>
+        priorCapture.get(n).collect {
+          case prior if median(ts) > prior * 3 && median(ts) > prior + 0.25 =>
+            (n, prior, median(ts))
+        }
+      }
+      .take(10) // bound the tail work on a fully-poisoned capture
+      .map { case (n, prior, med) =>
+        val rerun = runOnce(n); spark.catalog.clearCache(); Pins.sweep(spark)
+        (n, prior, med, rerun)
+      }
+
     val results = samples.map { case (n, ts, _) => n -> median(ts) }
     val mins = samples.map { case (_, ts, _) => ts.head }
     val spread = samples.map { case (_, ts, _) => ts.last - ts.head }
@@ -195,21 +246,45 @@ object Bench {
     def jlist(ns: Seq[String]): String =
       ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stats =
-      s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size},"noise_index":${f(noiseIndex)},"noise_gate":${f(noiseGate)},"recaptured":$recaptured,"noise_index_first":${f(firstNoise)},"probe_sec":${jmap(Seq("min" -> pSorted.head, "median" -> median(pSorted), "max" -> pSorted.last))},"n_contended":${contended.size},"n_retried":$nRetried"""
+      s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size},"noise_index":${f(noiseIndex)},"noise_gate":${f(noiseGate)},"recaptured":$recaptured,"noise_index_first":${f(firstNoise)},"probe_sec":${jmap(Seq("min" -> pSorted.head, "median" -> median(pSorted), "max" -> pSorted.last))},"n_contended":${contended.size},"n_retried":$nRetried,"n_cross_flagged":${crossFlags.size}"""
     val discardedJson = discarded.map { case (ni, qs) =>
       s""","discarded_noise_index":${f(ni)},"discarded_total":${f(qs.map(_._2).sum)},"discarded_queries":${jmap(qs)}"""
     }.getOrElse("")
+    val crossJson =
+      if (crossFlags.isEmpty) ""
+      else ","+"\"cross_flags\":" + crossFlags.map { case (n, prior, med, rerun) =>
+        "\"" + n + "\":{\"prior\":" + f(prior) + ",\"median\":" + f(med) +
+          ",\"rerun\":" + f(rerun) + "}"
+      }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total",$stats,"contended":${jlist(contended)},"queries":${jmap(results)},"queries_min":${jmapN(samples.map(s => (s._1, s._2)), _.head)},"queries_max":${jmapN(samples.map(s => (s._1, s._2)), _.last)}$discardedJson,"sf":"$sfDir"}"""
-    val fullPath = java.nio.file.Paths.get("bench_full.json").toAbsolutePath
-    java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
-    // Round-over-round auditability: SPARK_GRAFT_BENCH_TAG=r17 also
-    // writes bench_full_r17.json so the per-query map of each round's
-    // capture of record survives the next capture's overwrite.
-    sys.env.get("SPARK_GRAFT_BENCH_TAG").foreach { tag =>
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"bench_full_$tag.json").toAbsolutePath,
-        full.getBytes("UTF-8"))
+      s"""{"metric":"total",$stats,"contended":${jlist(contended)},"queries":${jmap(results)},"queries_min":${jmapN(samples.map(s => (s._1, s._2)), _.head)},"queries_max":${jmapN(samples.map(s => (s._1, s._2)), _.last)}$discardedJson$crossJson,"sf":"$sfDir"}"""
+    // Durable-artifact protocol (r17 verdict task #2 — the round's final
+    // capture lived only in the transient bench_full.json and a judge
+    // re-bench clobbered it): every FULL sweep also writes a uniquely
+    // named bench_full_<tag>.json that is NEVER overwritten (tag =
+    // SPARK_GRAFT_BENCH_TAG if set, else a UTC timestamp; an existing
+    // file gets an epoch suffix instead of a clobber). Partial
+    // SPARK_GRAFT_ONLY dev runs write bench_partial.json and leave
+    // bench_full.json (the tooling copy of the latest full capture)
+    // alone — no more post-dev-loop `git checkout bench_full.json`.
+    val isFull = only.isEmpty
+    val livePath = java.nio.file.Paths
+      .get(if (isFull) "bench_full.json" else "bench_partial.json")
+      .toAbsolutePath
+    java.nio.file.Files.write(livePath, full.getBytes("UTF-8"))
+    if (isFull) {
+      val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG",
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.now()))
+      val base = java.nio.file.Paths.get(s"bench_full_$tag.json").toAbsolutePath
+      val durable =
+        if (!java.nio.file.Files.exists(base)) base
+        else java.nio.file.Paths
+          .get(s"bench_full_${tag}_${System.currentTimeMillis / 1000}.json")
+          .toAbsolutePath
+      java.nio.file.Files.write(durable, full.getBytes("UTF-8"))
+      System.err.println(s"[bench] durable capture: $durable")
     }
     println(full) // early line: full detail for anyone reading the whole log
 
@@ -231,7 +306,7 @@ object Bench {
     // headline (driver-parsed, bounded) line: cap the contended list so
     // a fully-poisoned capture can't overflow the driver's stdout tail
     println(
-      s"""{"metric":"total",$stats,"contended":${jlist(contended.take(12))},"full":"${fullPath}","queries":${jmap(head)},"sf":"$sfDir"}""")
+      s"""{"metric":"total",$stats,"contended":${jlist(contended.take(12))},"full":"${livePath}","queries":${jmap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
