@@ -29,48 +29,117 @@ object AbFunnel {
       }
       var t = System.nanoTime()
       val docs = docs0.select(col(idCol), col(sourceCol), col(textCol))
-      val pairs = TextDedup.winnowOverlap(docs, idCol, textCol,
-        k = k, w = w, minShared = minShared, maxPostings = maxPostings)
-      val dropB = pairs.select(col("doc_b").as(idCol)).distinct()
-      val s1 = docs.join(dropB, Seq(idCol), "left_anti")
+      // r18: exact-dup stage 0 (keep-first), mirroring the shipped
+      // composition — (md5, id) pairs shuffle, semi join back on id
+      val keepIds = docs.groupBy(md5(col(textCol)).as("__eh"))
+        .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+      val s1 = docs.join(keepIds, Seq(idCol), "left_semi")
         .localCheckpoint(false)
       noop(s1)
-      t = mark("winnow+s1", t)
-      val purged = TextDedup.purgeDuplicateSubstringsMulti(s1,
+      t = mark("exact+s1", t)
+      val pairs = TextDedup.winnowOverlap(s1, idCol, textCol,
+        k = k, w = w, minShared = minShared, maxPostings = maxPostings)
+      val dropB = pairs.select(col("doc_b").as(idCol)).distinct()
+      val s2 = s1.join(dropB, Seq(idCol), "left_anti")
+        .localCheckpoint(false)
+      noop(s2)
+      t = mark("winnow+s2", t)
+      val purged = TextDedup.purgeDuplicateSubstringsMulti(s2,
         idCol, textCol, windows = windows, keepFirst = true)
       noop(purged)
       t = mark("purge", t)
-      val s2 = purged
-        .select(col(idCol), (col("n_words") - col("n_removed")).as("nt"))
-        .join(s1.select(col(idCol), col(sourceCol)), Seq(idCol))
+      val s3 = purged
+        .select(col(idCol), (col("n_words") - col("n_removed")).as("nt"),
+          col("text_clean"))
+        .join(s2.select(col(idCol), col(sourceCol)), Seq(idCol))
         .localCheckpoint(false)
-      noop(s2)
-      t = mark("s2join", t)
-      val s3 = TextExtract.capPerDomain(s2, idCol, sourceCol, "nt",
-        cap = domainCap)
       noop(s3)
+      t = mark("s3join", t)
+      val s4 = TextExtract.capPerDomain(
+          s3.select(col(idCol), col(sourceCol), col("nt")),
+          idCol, sourceCol, "nt", cap = domainCap)
+        .join(s3.select(col(idCol), col("text_clean")), Seq(idCol))
+      noop(s4)
       t = mark("domaincap", t)
+      def h60(id: org.apache.spark.sql.Column,
+          text: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(id.cast("string"), lit("|"), text)),
+          1, 15), 16, 10).cast("long")
       def stage(name: String, d: DataFrame,
-          tok: org.apache.spark.sql.Column): DataFrame =
-        d.agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
-          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-      val rep = stage("s0_raw", docs, size(split(col(textCol), " ")).cast("long"))
-        .unionByName(stage("s1_neardup", s1,
-          size(split(col(textCol), " ")).cast("long")))
-        .unionByName(stage("s2_purged", s2, col("nt")))
-        .unionByName(stage("s3_domain_capped", s3, col("nt")))
+          tok: org.apache.spark.sql.Column,
+          text: org.apache.spark.sql.Column): DataFrame =
+        d.withColumn("__th", h60(col(idCol), text))
+          .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"),
+            expr("bit_xor(__th)").as("text_h"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+            col("text_h"))
+      val splitTok = size(split(col(textCol), " ")).cast("long")
+      val rep = stage("s0_raw", docs, splitTok, col(textCol))
+        .unionByName(stage("s1_exact", s1, splitTok, col(textCol)))
+        .unionByName(stage("s2_neardup", s2, splitTok, col(textCol)))
+        .unionByName(stage("s3_purged", s3, col("nt"), col("text_clean")))
+        .unionByName(stage("s4_domain_capped", s4, col("nt"),
+          col("text_clean")))
         .orderBy("stage")
       noop(rep)
       t = mark("report", t)
       Pins.sweep(spark)
     }
-    run(verbose = false) // warm-up
+    // r17 composition (no exact stage, 3-col report) vs the shipped
+    // r18 funnel — the task-7 A/B: on exact-dup beds s1 collapses the
+    // clouds before winnow/purge pay for them
+    def runOld(): Double = {
+      val t0 = System.nanoTime()
+      val docs = docs0.select(col(idCol), col(sourceCol), col(textCol))
+      val pairs = TextDedup.winnowOverlap(docs, idCol, textCol,
+        k = k, w = w, minShared = minShared, maxPostings = maxPostings)
+      val dropB = pairs.select(col("doc_b").as(idCol)).distinct()
+      val s1 = docs.join(dropB, Seq(idCol), "left_anti")
+        .localCheckpoint(false)
+      val purged = TextDedup.purgeDuplicateSubstringsMulti(s1,
+        idCol, textCol, windows = windows, keepFirst = true)
+      val s2 = purged
+        .select(col(idCol), (col("n_words") - col("n_removed")).as("nt"))
+        .join(s1.select(col(idCol), col(sourceCol)), Seq(idCol))
+        .localCheckpoint(false)
+      val s3 = TextExtract.capPerDomain(s2, idCol, sourceCol, "nt",
+        cap = domainCap)
+      def st(name: String, d: DataFrame,
+          tok: org.apache.spark.sql.Column): DataFrame =
+        d.agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      noop(st("s0_raw", docs, size(split(col(textCol), " ")).cast("long"))
+        .unionByName(st("s1_neardup", s1,
+          size(split(col(textCol), " ")).cast("long")))
+        .unionByName(st("s2_purged", s2, col("nt")))
+        .unionByName(st("s3_domain_capped", s3, col("nt")))
+        .orderBy("stage"))
+      Pins.sweep(spark)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def runNew(): Double = {
+      val t0 = System.nanoTime()
+      noop(TextDedup.hygieneFunnel(docs0, idCol, sourceCol, textCol,
+        k = k, w = w, minShared = minShared, maxPostings = maxPostings,
+        windows = windows, domainCap = domainCap))
+      Pins.sweep(spark)
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(verbose = false); runOld(); runNew() // warm-up
+    val olds = collection.mutable.ArrayBuffer[Double]()
+    val news = collection.mutable.ArrayBuffer[Double]()
     (1 to reps).foreach { i =>
       println(s"rep $i:")
       val t0 = System.nanoTime()
       run(verbose = true)
       println(f"  TOTAL          ${(System.nanoTime() - t0) / 1e9}%6.2f")
+      olds += runOld(); news += runNew()
+      println(f"  OLDSHAPE       ${olds.last}%6.2f   SHIPPED ${news.last}%6.2f")
     }
+    def med(xs: collection.mutable.ArrayBuffer[Double]) =
+      xs.sorted.apply(xs.size / 2)
+    println(f"OLDSHAPE med=${med(olds)}%.2f min=${olds.min}%.2f | " +
+      f"SHIPPED med=${med(news)}%.2f min=${news.min}%.2f")
     spark.stop()
   }
 }

@@ -98,12 +98,18 @@ object AbPurge {
       val maxC = if (probe.isNullAt(0)) 0L else probe.getLong(0)
       val nDict = probe.getLong(1)
       println(s"[gate] maxC=$maxC nDict=$nDict")
+      // probe the SHIPPED gate boundaries (TextDedup.BroadcastDictRows /
+      // HotGroupRows) so GATEDSP/GATEDRE measure the same break-points
+      // the production purgeFromWindows routes on
       val base =
-        if (nDict <= (1L << 19)) pinned
-        else if (maxC <= (1L << 22)) pinned.repartition(col("__h"))
+        if (nDict <= graft.operators.TextDedup.BroadcastDictRows) pinned
+        else if (maxC <= graft.operators.TextDedup.HotGroupRows)
+          pinned.repartition(col("__h"))
         else pinned
       val statsSide =
-        if (nDict <= (1L << 19)) broadcast(statsPin) else statsPin
+        if (nDict <= graft.operators.TextDedup.BroadcastDictRows)
+          broadcast(statsPin)
+        else statsPin
       tail(base.join(statsSide, Seq("__h"))
         .filter(col("__c") >= col("__mc"))
         .filter(!(col(idCol) === col("__first.d") && col("start") === col("__first.p"))))

@@ -970,12 +970,17 @@ object TrainPrepQueries {
     // near-dup-pairs with any smaller doc_id (doc_a < doc_b by
     // construction, so the drop set is exactly the distinct doc_b's).
     q("q_hygiene_funnel",
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH words AS (SELECT doc_id, source, text,
+        |               string_split(text, ' ') AS ws FROM documents),
+        |keep AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |         FROM documents GROUP BY 1),
+        |ex AS (SELECT w.doc_id, w.source, w.text, w.ws FROM words w
+        |       JOIN keep k ON md5(w.text) = k.h AND w.doc_id = k.keep_id),
         |hs AS (SELECT doc_id,
         |    list_transform(generate_series(1, len(ws) - 2),
         |      i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
         |             AS BIGINT)) AS h
-        |  FROM words WHERE len(ws) >= 3),
+        |  FROM ex WHERE len(ws) >= 3),
         |win AS (SELECT doc_id, least(4, len(h)) AS weff, h FROM hs),
         |fp0 AS (SELECT doc_id,
         |    unnest(list_transform(generate_series(1, len(h) - weff + 1),
@@ -990,14 +995,13 @@ object TrainPrepQueries {
         |  FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |dropb AS (SELECT DISTINCT doc_b AS doc_id FROM ndpairs WHERE n_shared >= 3),
-        |s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d
+        |s1 AS (SELECT e.doc_id, e.source, e.text, e.ws FROM ex e
         |       ANTI JOIN dropb USING (doc_id)),
-        |d1 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s1),
         |pwins AS (SELECT doc_id, w, mc, i - 1 AS start,
         |           md5(array_to_string(ws[i:i+w-1], ' ')) AS h
         |         FROM (SELECT doc_id, ws, w, mc,
         |                 unnest(generate_series(1, len(ws) - w + 1)) AS i
-        |               FROM d1, (VALUES (4, 5), (8, 2)) lv(w, mc))),
+        |               FROM s1, (VALUES (4, 5), (8, 2)) lv(w, mc))),
         |prk AS (SELECT doc_id, w, mc, start,
         |         count(*) OVER (PARTITION BY h) AS c,
         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
@@ -1005,24 +1009,39 @@ object TrainPrepQueries {
         |pcov AS (SELECT DISTINCT doc_id, start + j AS pos
         |        FROM (SELECT doc_id, start, unnest(generate_series(0, w - 1)) AS j
         |              FROM prk WHERE c >= mc AND rn > 1)),
-        |nrm AS (SELECT doc_id, count(*) AS n_removed FROM pcov GROUP BY doc_id),
-        |s2 AS (SELECT d1.doc_id, s1.source,
-        |         len(d1.ws) - coalesce(nrm.n_removed, 0) AS nt
-        |       FROM d1 JOIN s1 USING (doc_id) LEFT JOIN nrm USING (doc_id)),
-        |r AS (SELECT source, doc_id, nt,
+        |pw AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+        |       FROM (SELECT doc_id, ws,
+        |               unnest(generate_series(1, len(ws))) AS i FROM s1)),
+        |reb AS (SELECT w.doc_id, count(*) AS n_kept,
+        |          string_agg(word, ' ' ORDER BY w.pos) AS text_clean
+        |        FROM pw w LEFT JOIN pcov
+        |          ON pcov.doc_id = w.doc_id AND pcov.pos = w.pos
+        |        WHERE pcov.doc_id IS NULL GROUP BY 1),
+        |s2 AS (SELECT s1.doc_id, s1.source, coalesce(reb.n_kept, 0) AS nt,
+        |         coalesce(reb.text_clean, '') AS text
+        |       FROM s1 LEFT JOIN reb USING (doc_id)),
+        |r AS (SELECT source, doc_id, nt, text,
         |        row_number() OVER (PARTITION BY source
         |          ORDER BY nt DESC, doc_id) AS rn
         |      FROM s2),
-        |s3 AS (SELECT source, doc_id, nt FROM r WHERE rn <= 15)
+        |s3 AS (SELECT source, doc_id, nt, text FROM r WHERE rn <= 15)
         |SELECT * FROM (
         |  SELECT 's0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM words
-        |  UNION ALL SELECT 's1_neardup', CAST(count(*) AS BIGINT),
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM s1
-        |  UNION ALL SELECT 's2_purged', CAST(count(*) AS BIGINT),
-        |    CAST(sum(nt) AS BIGINT) FROM s2
-        |  UNION ALL SELECT 's3_domain_capped', CAST(count(*) AS BIGINT),
-        |    CAST(sum(nt) AS BIGINT) FROM s3
+        |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens,
+        |    CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) AS text_h
+        |  FROM words
+        |  UNION ALL SELECT 's1_exact', CAST(count(*) AS BIGINT),
+        |    CAST(sum(len(ws)) AS BIGINT),
+        |    CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM ex
+        |  UNION ALL SELECT 's2_neardup', CAST(count(*) AS BIGINT),
+        |    CAST(sum(len(ws)) AS BIGINT),
+        |    CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 's3_purged', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT),
+        |    CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 's4_domain_capped', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT),
+        |    CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM s3
         |) ORDER BY stage""".stripMargin) { (s, dir) =>
       // Delegates to the production entry point (stage pins, ≤4 corpus
       // scans, composition contract — see TextDedup.hygieneFunnel);
@@ -1047,6 +1066,10 @@ object TrainPrepQueries {
       """WITH allw AS (SELECT doc_id, source, text,
         |              string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT doc_id, source, text, ws FROM allw WHERE doc_id % 10 >= 8),
+        |keepb AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |          FROM b GROUP BY 1),
+        |ex AS (SELECT b.doc_id, b.source, b.text, b.ws FROM b
+        |       JOIN keepb k ON md5(b.text) = k.h AND b.doc_id = k.keep_id),
         |hs AS (SELECT doc_id,
         |    list_transform(generate_series(1, len(ws) - 2),
         |      i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
@@ -1064,7 +1087,8 @@ object TrainPrepQueries {
         |  WHERE a.doc_id % 10 < 8 AND nb.doc_id % 10 >= 8
         |  GROUP BY 1, 2),
         |dropi AS (SELECT DISTINCT new_id AS doc_id FROM ipairs WHERE n_shared >= 3),
-        |s1 AS (SELECT b.doc_id, b.source, b.ws FROM b ANTI JOIN dropi USING (doc_id)),
+        |s1 AS (SELECT e.doc_id, e.source, e.text, e.ws FROM ex e
+        |       ANTI JOIN dropi USING (doc_id)),
         |idx AS (SELECT DISTINCT md5(array_to_string(ws[i:i+3], ' ')) AS h
         |        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i
         |              FROM allw WHERE doc_id % 10 < 8)),
@@ -1085,7 +1109,8 @@ object TrainPrepQueries {
         |s2 AS (SELECT s1.doc_id, s1.source, coalesce(k.n_kept, 0) AS nt2,
         |         coalesce(k.text_clean, '') AS text
         |       FROM s1 LEFT JOIN ikept k USING (doc_id)),
-        |d2 AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM s2),
+        |d2 AS (SELECT doc_id, source, text,
+        |         string_split(text, ' ') AS ws FROM s2),
         |hs2 AS (SELECT doc_id,
         |    list_transform(generate_series(1, len(ws) - 2),
         |      i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
@@ -1105,7 +1130,7 @@ object TrainPrepQueries {
         |  FROM cold2 a JOIN cold2 nb ON a.fp = nb.fp AND a.doc_id < nb.doc_id
         |  GROUP BY 1, 2),
         |dropb AS (SELECT DISTINCT doc_b AS doc_id FROM ndp WHERE n_shared >= 3),
-        |s3 AS (SELECT d2.doc_id, d2.source, d2.ws FROM d2
+        |s3 AS (SELECT d2.doc_id, d2.source, d2.text, d2.ws FROM d2
         |       ANTI JOIN dropb USING (doc_id)),
         |pwins AS (SELECT doc_id, w, mc, i - 1 AS start,
         |           md5(array_to_string(ws[i:i+w-1], ' ')) AS h
@@ -1119,28 +1144,38 @@ object TrainPrepQueries {
         |pcov AS (SELECT DISTINCT doc_id, start + j AS pos
         |        FROM (SELECT doc_id, start, unnest(generate_series(0, w - 1)) AS j
         |              FROM prk WHERE c >= mc AND rn > 1)),
-        |nrm AS (SELECT doc_id, count(*) AS n_removed FROM pcov GROUP BY doc_id),
-        |s4 AS (SELECT s3.doc_id, s3.source,
-        |         len(s3.ws) - coalesce(nrm.n_removed, 0) AS nt
-        |       FROM s3 LEFT JOIN nrm USING (doc_id)),
-        |r AS (SELECT source, doc_id, nt,
+        |pw2 AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word
+        |        FROM (SELECT doc_id, ws,
+        |                unnest(generate_series(1, len(ws))) AS i FROM s3)),
+        |reb2 AS (SELECT w.doc_id, count(*) AS n_kept,
+        |           string_agg(word, ' ' ORDER BY w.pos) AS text_clean
+        |         FROM pw2 w LEFT JOIN pcov
+        |           ON pcov.doc_id = w.doc_id AND pcov.pos = w.pos
+        |         WHERE pcov.doc_id IS NULL GROUP BY 1),
+        |s4 AS (SELECT s3.doc_id, s3.source, coalesce(reb2.n_kept, 0) AS nt,
+        |         coalesce(reb2.text_clean, '') AS text
+        |       FROM s3 LEFT JOIN reb2 USING (doc_id)),
+        |r AS (SELECT source, doc_id, nt, text,
         |        row_number() OVER (PARTITION BY source
         |          ORDER BY nt DESC, doc_id) AS rn
         |      FROM s4),
-        |s5 AS (SELECT source, doc_id, nt FROM r WHERE rn <= 15)
+        |s5 AS (SELECT source, doc_id, nt, text FROM r WHERE rn <= 15)
         |SELECT * FROM (
         |  SELECT 's0_batch_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM b
-        |  UNION ALL SELECT 's1_idx_neardup', CAST(count(*) AS BIGINT),
-        |    CAST(sum(len(ws)) AS BIGINT) FROM s1
-        |  UNION ALL SELECT 's2_idx_purged', CAST(count(*) AS BIGINT),
-        |    CAST(sum(nt2) AS BIGINT) FROM s2
-        |  UNION ALL SELECT 's3_neardup', CAST(count(*) AS BIGINT),
-        |    CAST(sum(len(ws)) AS BIGINT) FROM s3
-        |  UNION ALL SELECT 's4_purged', CAST(count(*) AS BIGINT),
-        |    CAST(sum(nt) AS BIGINT) FROM s4
-        |  UNION ALL SELECT 's5_domain_capped', CAST(count(*) AS BIGINT),
-        |    CAST(sum(nt) AS BIGINT) FROM s5
+        |    CAST(sum(len(ws)) AS BIGINT) AS n_tokens,
+        |    CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) AS text_h FROM b
+        |  UNION ALL SELECT 's1_exact', CAST(count(*) AS BIGINT),
+        |    CAST(sum(len(ws)) AS BIGINT), CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM ex
+        |  UNION ALL SELECT 's2_idx_neardup', CAST(count(*) AS BIGINT),
+        |    CAST(sum(len(ws)) AS BIGINT), CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 's3_idx_purged', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt2) AS BIGINT), CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 's4_neardup', CAST(count(*) AS BIGINT),
+        |    CAST(sum(len(ws)) AS BIGINT), CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 's5_purged', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT), CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM s4
+        |  UNION ALL SELECT 's6_domain_capped', CAST(count(*) AS BIGINT),
+        |    CAST(sum(nt) AS BIGINT), CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM s5
         |) ORDER BY stage""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val old = docs.filter(col("doc_id") % 10 < 8)

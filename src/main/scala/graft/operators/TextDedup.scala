@@ -1057,14 +1057,14 @@ object TextDedup {
     * it the window stream NEVER exchanges — the removal decision is a
     * map-side broadcast join, inherently skew-proof (a hot hash's
     * postings stay spread across their source partitions). */
-  private val BroadcastDictRows = 1L << 20
+  private[graft] val BroadcastDictRows = 1L << 20
 
   /** With a bigger dictionary, a single co-partitioning exchange on
     * __h is safe as long as the MEASURED hottest posting list fits one
     * task comfortably (2^16 rows sorts in milliseconds); past it, the
     * join gets a fresh exchange AQE can skew-split, so no task ever
     * owns an unbounded posting list. */
-  private val HotGroupRows = 1L << 16
+  private[graft] val HotGroupRows = 1L << 16
 
   /** Packed-long keep-first witness bounds: (id * 2^20 + start) is
     * order-isomorphic to the (id, start) struct when starts stay below
@@ -1696,14 +1696,30 @@ object TextDedup {
           .as("dup_char_frac"))
   }
 
+  /** Order-independent corpus content digest: XOR over docs of a
+    * 60-bit md5 prefix of `id|text` — O(1) aggregation state (partial-
+    * aggregable, no global sort or string_agg), so a stage report can
+    * pin CONTENT equality, not just counts, at any scale. Oracle twin:
+    * `bit_xor(CAST('0x' || substr(md5(id || '|' || text), 1, 15) AS
+    * BIGINT))`. */
+  private def contentHash60(id: Column, text: Column): Column =
+    conv(substring(md5(concat(id.cast("string"), lit("|"), text)), 1, 15),
+      16, 10).cast("long")
+
   /** Composed training-data hygiene funnel — the production entry point
-    * for the flagship pipeline: capped winnow near-dup drop (skew-safe
-    * collect_capped enforcement; a doc drops if it pairs with any
-    * smaller id) → multi-length duplicated-substring purge (per-level
-    * support thresholds) → per-domain cap on the post-purge token count
-    * (the C4/RefinedWeb rule, bounded graft_top_k — no rank window).
-    * Returns the stage report: (stage, n_docs, n_tokens) for s0_raw /
-    * s1_neardup / s2_purged / s3_domain_capped, ordered by stage.
+    * for the flagship pipeline: exact-dup drop (keep-first on the
+    * content hash — the cheapest stage, run FIRST so every later stage
+    * shrinks; C4/RefinedWeb funnels all lead with it) → capped winnow
+    * near-dup drop (skew-safe collect_capped enforcement; a doc drops
+    * if it pairs with any smaller id) → multi-length duplicated-
+    * substring purge (per-level support thresholds) → per-domain cap on
+    * the post-purge token count (the C4/RefinedWeb rule, bounded
+    * graft_top_k — no rank window).
+    * Returns the stage report: (stage, n_docs, n_tokens, text_h) for
+    * s0_raw / s1_exact / s2_neardup / s3_purged / s4_domain_capped,
+    * ordered by stage — `text_h` is an order-independent 60-bit content
+    * XOR of each stage's surviving (id, text), so the report pins the
+    * REBUILT TEXT of the purge stages, not just their token counts.
     *
     * Stage boundaries are PINNED (localCheckpoint): each stage feeds
     * both the next stage's multi-pass operator and its own report row —
@@ -1734,28 +1750,48 @@ object TextDedup {
         docs0.repartition(spark.sparkContext.defaultParallelism)
       else docs0
     val docs = docs0s.select(col(idCol), col(sourceCol), col(textCol))
-    val pairs = winnowOverlap(docs, idCol, textCol,
+    // s1: exact dedup keep-first. Only (md5, id) PAIRS shuffle for the
+    // keep-set (groupBy(hash).min(id) decomposes into bounded partials —
+    // a billion-copy cloud aggregates map-side), and the semi join back
+    // keys on the unique id, so the text column never rides the dedup
+    // shuffle and a small keep-set broadcasts (AQE).
+    val keepIds = docs
+      .groupBy(md5(col(textCol)).as("__eh"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val s1 = docs.join(keepIds, Seq(idCol), "left_semi")
+      .localCheckpoint(false)
+    val pairs = winnowOverlap(s1, idCol, textCol,
       k = k, w = w, minShared = minShared, maxPostings = maxPostings)
     val dropB = pairs.select(col("doc_b").as(idCol)).distinct()
-    val s1 = docs
+    val s2 = s1
       .join(dropB, Seq(idCol), "left_anti")
       .localCheckpoint(false)
-    val purged = purgeDuplicateSubstringsMulti(s1,
+    val purged = purgeDuplicateSubstringsMulti(s2,
       idCol, textCol, windows = windows, keepFirst = true)
-    val s2 = purged
-      .select(col(idCol), (col("n_words") - col("n_removed")).as("nt"))
-      .join(s1.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val s3 = purged
+      .select(col(idCol), (col("n_words") - col("n_removed")).as("nt"),
+        col("text_clean"))
+      .join(s2.select(col(idCol), col(sourceCol)), Seq(idCol))
       .localCheckpoint(false)
-    val s3 = TextExtract.capPerDomain(s2, idCol, sourceCol, "nt",
-      cap = domainCap)
-    def stage(name: String, d: DataFrame, tok: Column): DataFrame =
-      d.agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-    stage("s0_raw", docs, size(split(col(textCol), " ")).cast("long"))
-      .unionByName(stage("s1_neardup", s1,
-        size(split(col(textCol), " ")).cast("long")))
-      .unionByName(stage("s2_purged", s2, col("nt")))
-      .unionByName(stage("s3_domain_capped", s3, col("nt")))
+    val s4 = TextExtract.capPerDomain(
+        s3.select(col(idCol), col(sourceCol), col("nt")),
+        idCol, sourceCol, "nt", cap = domainCap)
+      .join(s3.select(col(idCol), col("text_clean")), Seq(idCol))
+    def stage(name: String, d: DataFrame, tok: Column,
+        text: Column): DataFrame =
+      d.withColumn("__th", contentHash60(col(idCol), text))
+        .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"),
+          expr("bit_xor(__th)").as("text_h"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+          col("text_h"))
+    val splitTok = size(split(col(textCol), " ")).cast("long")
+    stage("s0_raw", docs, splitTok, col(textCol))
+      .unionByName(stage("s1_exact", s1, splitTok, col(textCol)))
+      .unionByName(stage("s2_neardup", s2, splitTok, col(textCol)))
+      .unionByName(stage("s3_purged", s3, col("nt"), col("text_clean")))
+      .unionByName(stage("s4_domain_capped", s4, col("nt"),
+        col("text_clean")))
       .orderBy("stage")
   }
 
@@ -1770,14 +1806,19 @@ object TextDedup {
     * corpus — the 100 TB daily-refresh shape: the fp / window-hash
     * indexes are stable bucketed tables; only the batch side moves.
     *
-    * Returns the six-row stage report (stage, n_docs, n_tokens):
-    * s0_batch_raw / s1_idx_neardup / s2_idx_purged / s3_neardup /
-    * s4_purged / s5_domain_capped, ordered by stage. Token counts
-    * follow [[hygieneFunnel]]'s convention: purge stages report
-    * n_words − n_removed of that stage's purge; the others split the
-    * stage's (possibly rebuilt) text. With EMPTY indexes the report's
-    * within-batch half equals `hygieneFunnel(batch)` row for row
-    * (TextDedupEdgeSpec pins that differential).
+    * Returns the seven-row stage report (stage, n_docs, n_tokens,
+    * text_h): s0_batch_raw / s1_exact / s2_idx_neardup / s3_idx_purged /
+    * s4_neardup / s5_purged / s6_domain_capped, ordered by stage — the
+    * within-batch exact-dup drop leads (cheapest stage first, exactly
+    * as in [[hygieneFunnel]]), then the two cross-snapshot index
+    * stages, then the standard within-batch tail. Token counts follow
+    * [[hygieneFunnel]]'s convention: purge stages report n_words −
+    * n_removed of that stage's purge; the others split the stage's
+    * (possibly rebuilt) text; `text_h` is the order-independent 60-bit
+    * content XOR of each stage's surviving (id, text). With EMPTY
+    * indexes the report's within-batch stages equal
+    * `hygieneFunnel(batch)` row for row (TextDedupEdgeSpec pins that
+    * differential).
     *
     * Stage boundaries are pinned (localCheckpoint) exactly like the
     * full funnel — each feeds both the next multi-pass operator and
@@ -1798,51 +1839,70 @@ object TextDedup {
         batch0.repartition(spark.sparkContext.defaultParallelism)
       else batch0
     val batch = batch0s.select(col(idCol), col(sourceCol), col(textCol))
+    // s1: within-batch exact dedup keep-first — the cheapest stage,
+    // led with so both index joins and every later stage shrink (same
+    // shape as hygieneFunnel's s1: only (md5, id) pairs shuffle, the
+    // semi join back keys on the unique id).
+    val keepIds = batch
+      .groupBy(md5(col(textCol)).as("__eh"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val s1 = batch.join(keepIds, Seq(idCol), "left_semi")
+      .localCheckpoint(false)
     // cross-snapshot near-dup: any batch doc sharing >= minShared
     // winnow fingerprints with an index doc drops (the index corpus
     // owns every prior occurrence; uncapped by default — a stored
     // index ships its own posting-count stats if a cap is wanted)
-    val idxHits = winnowAgainstIndex(batch, fpIndex, idCol, textCol,
+    val idxHits = winnowAgainstIndex(s1, fpIndex, idCol, textCol,
         k = k, w = w, minShared = minShared)
       .select(col("new_id").as(idCol)).distinct()
-    val s1 = batch.join(idxHits, Seq(idCol), "left_anti")
+    val s2 = s1.join(idxHits, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     // cross-snapshot substring purge: windows already in the stored
     // index vanish from the surviving batch docs
-    val ipurged = purgeAgainstIndex(s1, winIndex, idCol, textCol,
+    val ipurged = purgeAgainstIndex(s2, winIndex, idCol, textCol,
       windowWords = indexWindowWords)
-    val s2 = ipurged
-      .join(s1.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val s3 = ipurged
+      .join(s2.select(col(idCol), col(sourceCol)), Seq(idCol))
       .select(col(idCol), col(sourceCol),
         (col("n_words") - col("n_removed")).as("nt2"),
         col("text_clean").as(textCol))
       .localCheckpoint(false)
     // within-batch funnel on the rebuilt text — the standard stages
-    val pairs = winnowOverlap(s2.select(col(idCol), col(sourceCol),
+    val pairs = winnowOverlap(s3.select(col(idCol), col(sourceCol),
         col(textCol)), idCol, textCol,
       k = k, w = w, minShared = minShared, maxPostings = maxPostings)
     val dropB = pairs.select(col("doc_b").as(idCol)).distinct()
-    val s3 = s2.join(dropB, Seq(idCol), "left_anti")
+    val s4 = s3.join(dropB, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     val purged = purgeDuplicateSubstringsMulti(
-      s3.select(col(idCol), col(textCol)), idCol, textCol,
+      s4.select(col(idCol), col(textCol)), idCol, textCol,
       windows = windows, keepFirst = true)
-    val s4 = purged
-      .select(col(idCol), (col("n_words") - col("n_removed")).as("nt"))
-      .join(s3.select(col(idCol), col(sourceCol)), Seq(idCol))
+    val s5 = purged
+      .select(col(idCol), (col("n_words") - col("n_removed")).as("nt"),
+        col("text_clean"))
+      .join(s4.select(col(idCol), col(sourceCol)), Seq(idCol))
       .localCheckpoint(false)
-    val s5 = TextExtract.capPerDomain(s4, idCol, sourceCol, "nt",
-      cap = domainCap)
-    def stage(name: String, d: DataFrame, tok: Column): DataFrame =
-      d.agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    val s6 = TextExtract.capPerDomain(
+        s5.select(col(idCol), col(sourceCol), col("nt")),
+        idCol, sourceCol, "nt", cap = domainCap)
+      .join(s5.select(col(idCol), col("text_clean")), Seq(idCol))
+    def stage(name: String, d: DataFrame, tok: Column,
+        text: Column): DataFrame =
+      d.withColumn("__th", contentHash60(col(idCol), text))
+        .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"),
+          expr("bit_xor(__th)").as("text_h"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
+          col("text_h"))
     val splitTok = size(split(col(textCol), " ")).cast("long")
-    stage("s0_batch_raw", batch, splitTok)
-      .unionByName(stage("s1_idx_neardup", s1, splitTok))
-      .unionByName(stage("s2_idx_purged", s2, col("nt2")))
-      .unionByName(stage("s3_neardup", s3, splitTok))
-      .unionByName(stage("s4_purged", s4, col("nt")))
-      .unionByName(stage("s5_domain_capped", s5, col("nt")))
+    stage("s0_batch_raw", batch, splitTok, col(textCol))
+      .unionByName(stage("s1_exact", s1, splitTok, col(textCol)))
+      .unionByName(stage("s2_idx_neardup", s2, splitTok, col(textCol)))
+      .unionByName(stage("s3_idx_purged", s3, col("nt2"), col(textCol)))
+      .unionByName(stage("s4_neardup", s4, splitTok, col(textCol)))
+      .unionByName(stage("s5_purged", s5, col("nt"), col("text_clean")))
+      .unionByName(stage("s6_domain_capped", s6, col("nt"),
+        col("text_clean")))
       .orderBy("stage")
   }
 }

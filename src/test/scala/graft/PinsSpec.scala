@@ -60,9 +60,10 @@ class PinsSpec extends SparkSpec {
     // a fresh construction after the sweep must rebuild its own pins
     val report = graft.operators.TextDedup.hygieneFunnel(docs, "doc_id",
       "source", "text").collect()
-    assert(report.length == 4)
+    assert(report.length == 5)
     assert(report.map(_.getString(0)).toSeq ==
-      Seq("s0_raw", "s1_neardup", "s2_purged", "s3_domain_capped"))
+      Seq("s0_raw", "s1_exact", "s2_neardup", "s3_purged",
+        "s4_domain_capped"))
     Pins.sweep(spark)
   }
 }

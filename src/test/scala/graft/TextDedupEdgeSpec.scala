@@ -351,17 +351,21 @@ class TextDedupEdgeSpec extends SparkSpec {
       .select(col("doc_id").as("idx_id"), col("fp"))
     val winIndex = TextDedup.windowHashIndex(none, "text", windowWords = 4)
     def toMap(rows: Array[org.apache.spark.sql.Row]) =
-      rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      rows.map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     val inc = toMap(TextDedup.hygieneFunnelAgainstIndex(docs, fpIndex,
       winIndex, "doc_id", "source", "text").collect())
     val full = toMap(TextDedup.hygieneFunnel(docs, "doc_id", "source",
       "text").collect())
     assert(inc("s0_batch_raw") == full("s0_raw"))
-    assert(inc("s1_idx_neardup") == full("s0_raw"), "empty fp index dropped docs")
-    assert(inc("s2_idx_purged") == full("s0_raw"), "empty window index purged words")
-    assert(inc("s3_neardup") == full("s1_neardup"))
-    assert(inc("s4_purged") == full("s2_purged"))
-    assert(inc("s5_domain_capped") == full("s3_domain_capped"))
+    assert(inc("s1_exact") == full("s1_exact"))
+    assert(inc("s2_idx_neardup") == full("s1_exact"),
+      "empty fp index dropped docs")
+    assert(inc("s3_idx_purged") == full("s1_exact"),
+      "empty window index purged words")
+    assert(inc("s4_neardup") == full("s2_neardup"))
+    assert(inc("s5_purged") == full("s3_purged"))
+    assert(inc("s6_domain_capped") == full("s4_domain_capped"))
   }
 
   test("purge size-gate shapes are bit-identical (simple vs gated pin)") {
