@@ -1255,8 +1255,12 @@ object LlmQueries {
         .select(col("doc_id"),
           graft.functions.BpeKernels.encode(col("text"),
             Bpe.defaultMerges, "|").as("e"))
-        .select(col("doc_id"), col("e.pieces_str").as("pieces_str"),
-          col("e.n_pieces").as("n_pieces"))
+        // the kernel null-propagates; the oracle's LEFT JOIN + coalesce
+        // contract (and the old Bpe.tokenPieces path) emits ''/0 for a
+        // NULL text, so coalesce at the query surface
+        .select(col("doc_id"),
+          coalesce(col("e.pieces_str"), lit("")).as("pieces_str"),
+          coalesce(col("e.n_pieces"), lit(0L)).as("n_pieces"))
         .orderBy("doc_id")
     }
 

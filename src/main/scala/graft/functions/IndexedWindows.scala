@@ -56,11 +56,46 @@ object IndexedWindowKernels {
   }
 }
 
+/** Value-equality wrapper for a bank of binary window keys. A bare
+  * `Seq[Array[Byte]]` constructor parameter compares arrays by
+  * REFERENCE under case-class/canonicalized equality, so two
+  * semantically identical gate expressions never compare equal
+  * (blocking Catalyst common-subexpression reuse), and a 2^20-element
+  * binary seq drags megabytes into every plan/explain string.
+  * Equality and hashCode here run over an order-insensitive 128-bit
+  * combined digest (per-key 64-bit content hash folded by XOR and by
+  * sum, plus the count) — collision odds are negligible for key banks
+  * of real size — and toString stays O(1). */
+final class ByteKeySet(val keys: IndexedSeq[Array[Byte]])
+    extends Serializable {
+  private val (dXor, dSum) = {
+    var x = 0L; var s = 0L
+    keys.foreach { k =>
+      // 64-bit content hash: Arrays.hashCode widened through a
+      // splitmix finalizer so near-identical keys don't collide.
+      var h = java.util.Arrays.hashCode(k).toLong + (k.length.toLong << 32)
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      h ^= h >>> 31
+      x ^= h; s += h
+    }
+    (x, s)
+  }
+  def size: Int = keys.size
+  override def equals(o: Any): Boolean = o match {
+    case b: ByteKeySet => b.size == size && b.dXor == dXor && b.dSum == dSum
+    case _ => false
+  }
+  override def hashCode: Int = (dXor ^ dSum ^ size.toLong).toInt
+  override def toString: String =
+    f"ByteKeySet(n=$size%d, digest=${dXor ^ dSum}%016x)"
+}
+
 /** `graft_indexed_positions(text, n, keys_array_literal)`: sorted
   * distinct word positions of `text` covered by an indexed `n`-word
   * window (see [[IndexedWindowKernels.coveredPositions]]). */
 case class IndexedCoveredPositions(child: Expression, n: Int,
-    keys: Seq[Array[Byte]]) extends UnaryExpression {
+    keySet: ByteKeySet) extends UnaryExpression {
 
   require(n >= 1, s"graft_indexed_positions: n must be >= 1, got $n")
 
@@ -69,8 +104,8 @@ case class IndexedCoveredPositions(child: Expression, n: Int,
   // byte-array keys) and codegen references THIS expression instance,
   // not the set.
   @transient private lazy val jset: java.util.HashSet[java.nio.ByteBuffer] = {
-    val s = new java.util.HashSet[java.nio.ByteBuffer](keys.size * 2)
-    keys.foreach(k => s.add(java.nio.ByteBuffer.wrap(k)))
+    val s = new java.util.HashSet[java.nio.ByteBuffer](keySet.size * 2)
+    keySet.keys.foreach(k => s.add(java.nio.ByteBuffer.wrap(k)))
     s
   }
 
@@ -108,4 +143,7 @@ object IndexedCoveredPositions {
       text, org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.typedLit(keys))
   }
+
+  def apply(child: Expression, n: Int, keys: Seq[Array[Byte]]): IndexedCoveredPositions =
+    IndexedCoveredPositions(child, n, new ByteKeySet(keys.toIndexedSeq))
 }

@@ -485,7 +485,8 @@ object GraftFunctions {
             case other => throw new IllegalArgumentException(
               s"graft_indexed_positions keys must be an array<binary> literal, got $other")
           }
-          IndexedCoveredPositions(args.head, n, keys)
+          IndexedCoveredPositions(args.head, n,
+            new ByteKeySet(keys.toIndexedSeq))
         }),
       (
         FunctionIdentifier("graft_wordpiece"),
@@ -517,6 +518,14 @@ object GraftFunctions {
               s"char_gram_features $name must be an int literal, got $other")
           }
           CharGramFeatures(args.head, intLit(args(1), "n"), intLit(args(2), "buckets"))
+        }),
+      (
+        FunctionIdentifier("graft_script_counts"),
+        new ExpressionInfo(classOf[ScriptCounts].getName,
+          "graft_script_counts"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "graft_script_counts(text)")
+          ScriptCounts(args.head)
         }),
       (
         FunctionIdentifier("deflate_len"),

@@ -579,6 +579,27 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** One-pass Unicode-script class counts (see [[ScriptCounts]]):
+    * codepoint iteration, six counters, no string rebuilds. */
+  def scriptCounts(text: UTF8String): InternalRow = {
+    val s = text.toString
+    var latin = 0L; var digit = 0L; var cyr = 0L
+    var cjk = 0L; var ar = 0L; var total = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      total += 1L
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) latin += 1L
+      else if (cp >= '0' && cp <= '9') digit += 1L
+      else if (cp >= 0x0400 && cp <= 0x04FF) cyr += 1L
+      else if (cp >= 0x4E00 && cp <= 0x9FFF) cjk += 1L
+      else if (cp >= 0x0600 && cp <= 0x06FF) ar += 1L
+    }
+    InternalRow(latin, digit, cyr, cjk, ar,
+      total - latin - digit - cyr - cjk - ar)
+  }
 }
 
 /** `shingle_min_hashes(text, n, k)`: array of the k minhash values of
@@ -1091,5 +1112,49 @@ object CharGramFeatures {
     org.apache.spark.sql.functions.call_function("char_gram_features",
       text, org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(buckets))
+  }
+}
+
+/** `graft_script_counts(text)`: per-codepoint Unicode-script class
+  * counts in ONE pass — struct(n_latin, n_digit, n_cyrillic, n_cjk,
+  * n_arabic, n_other). Replaces the six regexp_replace scans of
+  * TextQuality.scriptProfile (each `length(t) - length(regexp_replace
+  * (t, cls, ''))` walked and REBUILT the whole string); the class
+  * ranges are the same BMP blocks ([A-Za-z], [0-9], U+0400–U+04FF,
+  * U+4E00–U+9FFF, U+0600–U+06FF), counted per CODEPOINT to match both
+  * engines' length() semantics on non-BMP text. */
+case class ScriptCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_script_counts requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_latin", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("n_cyrillic", LongType, nullable = false),
+    StructField("n_cjk", LongType, nullable = false),
+    StructField("n_arabic", LongType, nullable = false),
+    StructField("n_other", LongType, nullable = false)))
+  override def prettyName: String = "graft_script_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.scriptCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.scriptCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
+    copy(child = newChild)
+}
+
+object ScriptCounts {
+  /** Column surface; registers the SQL function on the active session
+    * (idempotent), same contract as [[ArrayDot]]. */
+  def apply(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    org.apache.spark.sql.functions.call_function("graft_script_counts", text)
   }
 }

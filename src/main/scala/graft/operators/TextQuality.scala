@@ -151,17 +151,20 @@ object TextQuality {
     * n_other, dominant). */
   def scriptProfile(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val t = col(textCol)
-    def cnt(cls: String) =
-      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
-    val latin = cnt("[A-Za-z]"); val digit = cnt("[0-9]")
-    val cyr = cnt("[\\u0400-\\u04FF]"); val cjk = cnt("[\\u4E00-\\u9FFF]")
-    val ar = cnt("[\\u0600-\\u06FF]")
-    val counted = docs.select(col(idCol),
-      latin.as("n_latin"), digit.as("n_digit"), cyr.as("n_cyrillic"),
-      cjk.as("n_cjk"), ar.as("n_arabic"),
-      (length(t) - latin - digit - cyr - cjk - ar).cast("long")
-        .as("n_other"))
+    // One codegen'd kernel pass (graft_script_counts) — the previous
+    // shape ran SIX regexp_replace passes per document (each one
+    // walked and rebuilt the whole string to count one class by length
+    // difference); bit-identical counts are pinned by a differential
+    // in TextKernelsSpec.
+    val counted = docs
+      .select(col(idCol),
+        graft.functions.ScriptCounts(col(textCol)).as("__sc"))
+      .select(col(idCol), col("__sc.n_latin").as("n_latin"),
+        col("__sc.n_digit").as("n_digit"),
+        col("__sc.n_cyrillic").as("n_cyrillic"),
+        col("__sc.n_cjk").as("n_cjk"),
+        col("__sc.n_arabic").as("n_arabic"),
+        col("__sc.n_other").as("n_other"))
     val top = greatest(col("n_latin"), col("n_digit"), col("n_cyrillic"),
       col("n_cjk"), col("n_arabic"), col("n_other"))
     counted.withColumn("dominant",
