@@ -1087,8 +1087,9 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
 
   /** Composed training-data hygiene funnel — capped winnow near-dup
     * drop → multi-length duplicated-substring purge → per-domain token
-    * cap — returning the stage report (stage, n_docs, n_tokens) as the
-    * contract (operators.TextDedup.hygieneFunnel). The frame's index is
+    * cap, led by an exact-dup keep-first stage — returning the stage
+    * report (stage, n_docs, n_tokens, text_h) as the contract
+    * (operators.TextDedup.hygieneFunnel). The frame's index is
     * the document id. Stage boundaries are pinned (localCheckpoint):
     * at 100 TB those pins are the inter-stage parquet writes a
     * production funnel does anyway — each stage's survivors become an
@@ -1147,7 +1148,7 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     * against the stored corpus indexes (fingerprint index for the
     * cross-snapshot near-dup drop, window-hash index for the
     * cross-snapshot substring purge) before the standard within-batch
-    * funnel; returns the six-row stage report
+    * funnel; returns the seven-row stage report
     * (operators.TextDedup.hygieneFunnelAgainstIndex). Index schema
     * contracts are validated up front exactly like
     * [[winnowAgainstIndex]] / [[purgeAgainstIndex]]. */
@@ -1171,6 +1172,19 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
       winIndex, idx, sourceCol, textCol, k, w, minShared, maxPostings,
       indexWindowWords, windows, domainCap))
   }
+
+  /** Write this frame's hygiene indexes as bucketed catalog tables —
+    * the winnow-fingerprint index bucketed on `fp` and the window-hash
+    * index bucketed on `__h` (sources.Layout.writeHygieneIndexes), so
+    * the incremental joins ([[winnowAgainstIndex]],
+    * [[purgeAgainstIndex]], [[hygieneFunnelAgainstIndex]]) read the
+    * stored side straight from its buckets with ZERO index-side
+    * exchange. The frame's index is the document id. */
+  def writeHygieneIndexes(textCol: String, fpTable: String,
+      winTable: String, numBuckets: Int, k: Int = 3, w: Int = 4,
+      indexWindowWords: Int = 4): Unit =
+    graft.sources.Layout.writeHygieneIndexes(df, idx, textCol, fpTable,
+      winTable, numBuckets, k, w, indexWindowWords)
 
   /** Repair UTF-8-as-cp1252 mojibake in `textCol` via the canonical
     * artifact table (operators.TextQuality.fixMojibake — map-only

@@ -102,4 +102,34 @@ object Layout {
       .sortBy(cols.head, cols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Write-path for the hygiene indexes — the operational half of the
+    * incremental (snapshot-N+1) funnel story. The cross-snapshot joins
+    * (`TextDedup.winnowAgainstIndex` on `fp`,
+    * `TextDedup.purgeAgainstIndex` on `__h`) are asymmetric
+    * batch × index by construction; their "only the batch side
+    * exchanges" property additionally needs the STORED index bucketed
+    * on its join key, which this writes: the winnow-fingerprint index
+    * `(idx_id, fp)` bucketed on `fp` and the window-hash index `(__h)`
+    * bucketed on `__h`, both as catalog tables ([[writeBucketed]]).
+    * Each daily refresh then reads the index straight from its buckets
+    * (ZERO index-side exchange — LayoutSpec audits both joins) while
+    * the much smaller batch shuffles into the same bucket count.
+    *
+    * Bucket count is the layout contract for the TARGET corpus scale
+    * (buckets ≈ index size / healthy task size), not the current one —
+    * at 100 TB a window-hash index is O(corpus tokens) 16-byte
+    * digests, so thousands of buckets; tests use single digits. */
+  def writeHygieneIndexes(corpus: DataFrame, idCol: String,
+      textCol: String, fpTable: String, winTable: String,
+      numBuckets: Int, k: Int = 3, w: Int = 4,
+      indexWindowWords: Int = 4): Unit = {
+    val fps = graft.operators.TextDedup
+      .winnowFingerprints(corpus, idCol, textCol, k = k, w = w)
+      .select(col(idCol).as("idx_id"), col("fp"))
+    writeBucketed(fps, fpTable, numBuckets, "fp")
+    val wins = graft.operators.TextDedup
+      .windowHashIndex(corpus, textCol, windowWords = indexWindowWords)
+    writeBucketed(wins, winTable, numBuckets, "__h")
+  }
 }

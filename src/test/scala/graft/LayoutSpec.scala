@@ -144,6 +144,62 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("written hygiene indexes serve the incremental joins with zero index-side exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import graft.operators.TextDedup
+      // yesterday's corpus -> both hygiene indexes, written bucketed on
+      // their join keys (the operational half of the incremental
+      // funnel: the stored side never re-exchanges; only the batch
+      // shuffles into the bucket count)
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 < 8)
+      Layout.writeHygieneIndexes(corpus, "doc_id", "text",
+        "hyg_fp_idx_lb", "hyg_win_idx_lb", numBuckets = 4)
+      val batch = docs.filter(col("doc_id") % 10 >= 8)
+      // plain twins: same rows, no bucket metadata — the differential
+      // that isolates what the bucketed layout saves
+      spark.table("hyg_fp_idx_lb").write.mode("overwrite")
+        .parquet(s"$dir/fp_plain")
+      spark.table("hyg_win_idx_lb").write.mode("overwrite")
+        .parquet(s"$dir/win_plain")
+      def nEx(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+      val purgeB = TextDedup.purgeAgainstIndex(batch,
+        spark.table("hyg_win_idx_lb"), "doc_id", "text", windowWords = 4)
+      val purgeP = TextDedup.purgeAgainstIndex(batch,
+        spark.read.parquet(s"$dir/win_plain"), "doc_id", "text",
+        windowWords = 4)
+      assert(nEx(purgeB) < nEx(purgeP),
+        s"bucketed window index still exchanges: ${nEx(purgeB)} vs plain ${nEx(purgeP)}:\n" +
+          purgeB.queryExecution.executedPlan.toString.take(2000))
+      val winnowB = TextDedup.winnowAgainstIndex(batch,
+        spark.table("hyg_fp_idx_lb"), "doc_id", "text")
+      val winnowP = TextDedup.winnowAgainstIndex(batch,
+        spark.read.parquet(s"$dir/fp_plain"), "doc_id", "text")
+      assert(nEx(winnowB) < nEx(winnowP),
+        s"bucketed fp index still exchanges: ${nEx(winnowB)} vs plain ${nEx(winnowP)}:\n" +
+          winnowB.queryExecution.executedPlan.toString.take(2000))
+      // layout must not change semantics: both variants bit-equal
+      def purgeRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+      assert(purgeRows(purgeB) == purgeRows(purgeP))
+      assert(purgeRows(purgeB).size == batch.count())
+      def winnowRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(p => (p._1, p._2)).toSeq
+      assert(winnowRows(winnowB) == winnowRows(winnowP))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS hyg_fp_idx_lb")
+      spark.sql("DROP TABLE IF EXISTS hyg_win_idx_lb")
+    }
+  }
+
   test("zValue interleaves bucket bits reversibly") {
     import spark.implicits._
     val df = (0 until 256).map(i => (i.toLong, (255 - i).toLong)).toDF("a", "b")
