@@ -251,9 +251,17 @@ object StreamOps {
     * paragraphs, the hot slice of the corpus index) — `maxIndexRows`
     * (default 2^20 ≈ 16 MB of digests) fails fast on an index that
     * belongs on the batch path instead. */
-  def windowPurgeGate(stream: DataFrame, winIndex: DataFrame,
-      idCol: String, textCol: String, windowWords: Int = 4,
-      maxIndexRows: Int = 1 << 20): DataFrame = {
+  /** Collect a BOUNDED window-hash index into the plan-baked key set
+    * the stateless purge gate ships in its task closure; fails fast on
+    * schema drift or an index that belongs on the batch path. */
+  private def purgeGateKeys(winIndex: DataFrame,
+      maxIndexRows: Int): Seq[Array[Byte]] = {
+    // limit(maxIndexRows + 1) below would overflow to a negative limit
+    // for Int.MaxValue and throw an unrelated AnalysisException instead
+    // of the intended fail-fast message.
+    require(maxIndexRows > 0 && maxIndexRows < Int.MaxValue,
+      s"windowPurgeGate: maxIndexRows must be in [1, ${Int.MaxValue - 1}], " +
+        s"got $maxIndexRows")
     require(winIndex.columns.contains("__h") &&
       winIndex.schema("__h").dataType == org.apache.spark.sql.types.BinaryType,
       "windowPurgeGate: winIndex must have a BINARY __h column " +
@@ -263,6 +271,13 @@ object StreamOps {
     require(keys.size <= maxIndexRows,
       s"windowPurgeGate: index exceeds $maxIndexRows windows — a " +
         "corpus-scale index belongs on the batch path (purgeAgainstIndex)")
+    keys
+  }
+
+  def windowPurgeGate(stream: DataFrame, winIndex: DataFrame,
+      idCol: String, textCol: String, windowWords: Int = 4,
+      maxIndexRows: Int = 1 << 20): DataFrame = {
+    val keys = purgeGateKeys(winIndex, maxIndexRows)
     stream
       .select(col(idCol), col(textCol),
         graft.functions.IndexedCoveredPositions(col(textCol), windowWords,
@@ -569,6 +584,87 @@ object StreamOps {
           out.iterator
       }
       .toDF(sourceCol, idCol, "tokens", "quality", "admitted")
+    (admitted, candidates)
+  }
+
+  /** [[ingestFrontDoor]] composed with the window-hash purge gate —
+    * the online path matching [[graft.operators.TextDedup
+    * .hygieneFunnelAgainstIndex]] semantics end-to-end: exact-dup gate
+    * (Bloom, the streaming stand-in for the funnel's s1 exact stage) →
+    * quality gate → near-dup candidates vs the stored index (side
+    * output) → window-hash purge against the stored window index (the
+    * funnel's idx-purge stage, as the stateless [[windowPurgeGate]]
+    * kernel: the covered-position decision runs row-locally against
+    * the plan-baked key set, byte-identical md5 keys to the batch
+    * index) → per-source token budget over the CLEANED token counts
+    * (n_words − n_removed, the funnel's nt2 convention).
+    *
+    * Returns (admitted, nearDupCandidates); `admitted` carries
+    * (source, id, tokens, n_removed, quality, text_clean, admitted) so
+    * the purged text itself flows to the sink. Same contracts as the
+    * parts: every stage is a DataFrame transform (the SAME call
+    * backfills a batch frame — StreamingSpec pins stream == batch and
+    * ties the purge stage to [[graft.operators.TextDedup
+    * .purgeAgainstIndex]] row for row), `maxIndexRows` bounds the
+    * plan-baked window bank exactly as in [[windowPurgeGate]]. */
+  def ingestFrontDoorV2(
+      stream: DataFrame,             // (idCol, sourceCol, textCol)
+      idCol: String, sourceCol: String, textCol: String,
+      bloomPacked: Array[Long], bloomBits: Int, bloomHashes: Int,
+      model: graft.operators.QualityModel.Model, qualityThreshold: Double,
+      index: DataFrame,              // from [[nearDupIndex]]
+      nearDupThreshold: Double,
+      winIndex: DataFrame,           // from [[TextDedup.windowHashIndex]]
+      budgetPerSource: Long,
+      windowWords: Int = 4,
+      maxIndexRows: Int = 1 << 20): (DataFrame, DataFrame) = {
+    import stream.sparkSession.implicits._
+    val keys = purgeGateKeys(winIndex, maxIndexRows)
+    // stages 1+2: stateless gates, one projection pass
+    val gated = stream
+      .withColumn("might_dup", graft.operators.Sketches.mightContainInline(
+        col(textCol), bloomPacked, bloomBits, bloomHashes))
+      .filter(!col("might_dup"))
+      .withColumn("quality",
+        graft.operators.QualityModel.scoreInline(col(textCol), model))
+      .filter(col("quality") >= qualityThreshold)
+    // stage 3 (side output): verified near-dup candidates vs the index
+    val candidates = streamingNearDupVerified(
+      gated.select(col(idCol), col(textCol)), index, idCol, textCol,
+      nearDupThreshold)
+    // stage 4: stateless window-hash purge against the stored index
+    val purged = gated
+      .withColumn("__rmv", graft.functions.IndexedCoveredPositions(
+        col(textCol), windowWords, keys))
+      .select(col(sourceCol), col(idCol), col("quality"),
+        size(split(col(textCol), " ")).cast("long").as("n_words"),
+        size(col("__rmv")).cast("long").as("n_removed"),
+        when(size(col("__rmv")) === 0, col(textCol))
+          .otherwise(graft.functions.RemoveWordPositions(col(textCol),
+            col("__rmv")))
+          .as("text_clean"))
+    // stage 5: per-source sequential token budget over cleaned counts
+    val admitted = purged
+      .select(col(sourceCol).cast("string"), col(idCol).cast("long"),
+        (col("n_words") - col("n_removed")).as("tokens"),
+        col("n_removed"), col("quality"), col("text_clean"))
+      .as[(String, Long, Long, Long, Double, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long,
+        (String, Long, Long, Long, Double, String, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (source, it, state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = it.map { case (_, id, tok, nrm, qual, txt) =>
+            val keep = used + tok <= budgetPerSource
+            if (keep) used += tok
+            (source, id, tok, nrm, qual, txt, keep)
+          }.toVector
+          state.update(used)
+          out.iterator
+      }
+      .toDF(sourceCol, idCol, "tokens", "n_removed", "quality",
+        "text_clean", "admitted")
     (admitted, candidates)
   }
 

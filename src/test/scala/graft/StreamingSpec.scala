@@ -809,6 +809,101 @@ class StreamingSpec extends SparkSpec {
     } finally { qa.stop(); qc.stop(); index.unpersist() }
   }
 
+  test("ingest front door v2: stream equals batch, purge stage equals purgeAgainstIndex") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{QualityModel, Sketches, TextDedup}
+    // --- offline artifacts: corpus bloom, near-dup index, model, and
+    // the stored window-hash index the purge gate bakes into the plan
+    val corpus = Seq(
+      (100L, "excellent clear precise prose alpha beta gamma delta epsilon zeta"),
+      (200L, "p q r s t u v w x y z aa")).toDF("doc_id", "text")
+    val bits = 1 << 16
+    val packed = Sketches.packBits(Sketches.bloomBuild(corpus, "text", bits, 4), bits)
+    val index = StreamOps.nearDupIndex(corpus, "doc_id", "text").cache()
+    val winIndex = TextDedup.windowHashIndex(corpus, "text", windowWords = 4)
+      .cache()
+    val train = spark.createDataFrame(Seq(
+      (0L, "excellent clear prose", 1.0), (1L, "wonderful precise text", 1.0),
+      (2L, "spam click buy now", 0.0), (3L, "cheap garbage spam", 0.0)))
+      .toDF("doc_id", "text", "y")
+    val model = QualityModel.trainLogReg(spark,
+      QualityModel.hashedFeatures(train, "doc_id", "text", 128),
+      train.select(col("doc_id"), col("y")), 128, iters = 5, lr = 2.0)
+    // --- arrivals: doc 4 shares indexed 4-windows with corpus 100 (its
+    // prefix windows purge); doc 2 shares none; doc 3 fails quality;
+    // doc 1 is an exact corpus dup (bloom drop); docs 5/6 drive the
+    // budget on CLEANED counts
+    val batch1 = Seq(
+      (1L, "a", "excellent clear precise prose alpha beta gamma delta epsilon zeta"),
+      (2L, "a", "excellent clear precise prose indeed"),
+      (3L, "a", "spam click buy cheap now"))
+    val batch2 = Seq(
+      (4L, "a", "excellent clear precise prose alpha beta gamma delta epsilon eta"),
+      (5L, "b", Seq.fill(30)("excellent clear precise prose").mkString(" ")),
+      (6L, "b", "excellent clear prose today friends yes"))
+    val in = MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "source", "text")
+    val (admitted, cands) = StreamOps.ingestFrontDoorV2(stream,
+      "doc_id", "source", "text", packed, bits, 4, model, 0.5,
+      index, nearDupThreshold = 0.5, winIndex = winIndex,
+      budgetPerSource = 100L)
+    val qa = admitted.writeStream.format("memory").queryName("fd2_admitted")
+      .outputMode("append").start()
+    val qc = cands.writeStream.format("memory").queryName("fd2_cands")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1: _*)
+      qa.processAllAvailable(); qc.processAllAvailable()
+      in.addData(batch2: _*)
+      qa.processAllAvailable(); qc.processAllAvailable()
+      def admRows(df: org.apache.spark.sql.DataFrame) = df
+        .select("source", "doc_id", "tokens", "n_removed", "text_clean",
+          "admitted").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getBoolean(5))).toSet
+      val gotAdm = admRows(spark.table("fd2_admitted"))
+      val gotCands = spark.table("fd2_cands")
+        .select("doc_id", "corpus_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // purge visibly fired: doc 4 shares its 7-window prefix with
+      // corpus 100 (all but the last word purges, 9 of 10); doc 5 is
+      // wall-to-wall indexed windows (fully purged, admitted at 0
+      // cleaned tokens); doc 6 shares no indexed window (kept whole)
+      assert(gotAdm.exists(t => t._2 == 4L && t._4 == 9L), s"got $gotAdm")
+      assert(gotAdm.exists(t => t._2 == 5L && t._4 == 120L && t._5 == "" &&
+        t._6), s"got $gotAdm")
+      assert(gotAdm.exists(t => t._2 == 6L && t._4 == 0L), s"got $gotAdm")
+      assert(gotCands == Set((4L, 100L)), s"got $gotCands")
+      // --- stream == batch backfill of the SAME composition
+      val batchDf = (batch1 ++ batch2).toDF("doc_id", "source", "text")
+      val (bAdm, bCands) = StreamOps.ingestFrontDoorV2(batchDf,
+        "doc_id", "source", "text", packed, bits, 4, model, 0.5,
+        index, nearDupThreshold = 0.5, winIndex = winIndex,
+        budgetPerSource = 100L)
+      assert(admRows(bAdm) == gotAdm)
+      assert(bCands.select("doc_id", "corpus_id").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == gotCands)
+      // --- the purge stage IS the batch operator: for the gate
+      // survivors, (n_removed, text_clean) must equal
+      // purgeAgainstIndex(survivors, winIndex) row for row
+      val survivors = batchDf
+        .withColumn("might_dup", Sketches.mightContainInline(
+          col("text"), packed, bits, 4))
+        .filter(!col("might_dup"))
+        .withColumn("quality", QualityModel.scoreInline(col("text"), model))
+        .filter(col("quality") >= 0.5)
+        .select("doc_id", "text")
+      val batchPurge = TextDedup.purgeAgainstIndex(survivors, winIndex,
+          "doc_id", "text", windowWords = 4)
+        .select("doc_id", "n_removed", "text_clean").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val gatePurge = gotAdm.map(t => (t._2, t._4, t._5))
+      assert(gatePurge == batchPurge,
+        s"gate $gatePurge vs batch operator $batchPurge")
+    } finally { qa.stop(); qc.stop(); index.unpersist(); winIndex.unpersist() }
+  }
+
   test("streamingLatestState: latest row per key survives batches, idle keys silent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
