@@ -1186,6 +1186,17 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     graft.sources.Layout.writeHygieneIndexes(df, idx, textCol, fpTable,
       winTable, numBuckets, k, w, indexWindowWords)
 
+  /** Refresh step of the snapshot cycle: append THIS frame (an
+    * admitted batch) to the stored hygiene indexes, preserving their
+    * bucket layout (sources.Layout.appendHygieneIndexes) so
+    * tomorrow's [[hygieneFunnelAgainstIndex]] still reads the index
+    * side straight from its buckets. */
+  def appendHygieneIndexes(textCol: String, fpTable: String,
+      winTable: String, k: Int = 3, w: Int = 4,
+      indexWindowWords: Int = 4): Unit =
+    graft.sources.Layout.appendHygieneIndexes(df, idx, textCol, fpTable,
+      winTable, k, w, indexWindowWords)
+
   /** Repair UTF-8-as-cp1252 mojibake in `textCol` via the canonical
     * artifact table (operators.TextQuality.fixMojibake — map-only
     * codegen'd replace chain). */

@@ -132,4 +132,48 @@ object Layout {
       .windowHashIndex(corpus, textCol, windowWords = indexWindowWords)
     writeBucketed(wins, winTable, numBuckets, "__h")
   }
+
+  /** Refresh step of the snapshot cycle: append an ADMITTED batch's
+    * fingerprints and window hashes to the stored hygiene indexes, so
+    * tomorrow's [[graft.operators.TextDedup.hygieneFunnelAgainstIndex]]
+    * sees today's survivors. `insertInto` respects the tables'
+    * recorded bucket spec (rows hash into the existing bucket files'
+    * scheme), so the zero-index-side-exchange property of the
+    * incremental joins SURVIVES every refresh — LayoutSpec drives the
+    * full two-day cycle and re-audits the join plans after the append.
+    *
+    * The window-hash append dedups the batch's windows against the
+    * STORED table (one asymmetric anti join — batch × index, never
+    * index × index) so the table stays a distinct set without ever
+    * rewriting it; the fingerprint index is per-(doc, fp) and appends
+    * as-is. Per-refresh cost tracks the batch, not the corpus. */
+  def appendHygieneIndexes(admitted: DataFrame, idCol: String,
+      textCol: String, fpTable: String, winTable: String,
+      k: Int = 3, w: Int = 4, indexWindowWords: Int = 4): Unit = {
+    val spark = admitted.sparkSession
+    // Append-mode saveAsTable with the table's OWN bucket spec (read
+    // from the catalog so a mismatch is impossible): new files land in
+    // the existing bucket scheme; insertInto would silently ignore it.
+    def appendBucketed(df: DataFrame, table: String, keyCol: String): Unit = {
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .bucketSpec
+        .getOrElse(throw new IllegalArgumentException(
+          s"appendHygieneIndexes: $table is not bucketed — write it " +
+            "with writeHygieneIndexes first"))
+      df.write.mode(SaveMode.Append)
+        .bucketBy(spec.numBuckets, keyCol)
+        .sortBy(keyCol)
+        .format("parquet")
+        .saveAsTable(table)
+    }
+    appendBucketed(graft.operators.TextDedup
+      .winnowFingerprints(admitted, idCol, textCol, k = k, w = w)
+      .select(col(idCol).as("idx_id"), col("fp")), fpTable, "fp")
+    appendBucketed(graft.operators.TextDedup
+      .windowHashIndex(admitted, textCol, windowWords = indexWindowWords)
+      .join(spark.table(winTable), Seq("__h"), "left_anti"),
+      winTable, "__h")
+  }
 }

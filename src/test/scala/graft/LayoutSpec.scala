@@ -200,6 +200,74 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("two-day snapshot cycle: write, funnel against tables, append, re-audit") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import graft.operators.TextDedup
+      // day 0: corpus -> stored indexes; day 1: batch cleaned AGAINST
+      // the tables; refresh: day-1 batch appended; day 2: next batch
+      // against the refreshed tables — the full production loop.
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val day0 = docs.filter(col("doc_id") % 10 < 6)
+      val day1 = docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8)
+      val day2 = docs.filter(col("doc_id") % 10 >= 8)
+      Layout.writeHygieneIndexes(day0, "doc_id", "text",
+        "cyc_fp_lb", "cyc_win_lb", numBuckets = 4)
+      // day-1 funnel against the TABLES == against ad-hoc index frames
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val viaTables = rows(TextDedup.hygieneFunnelAgainstIndex(day1,
+        spark.table("cyc_fp_lb"), spark.table("cyc_win_lb"),
+        "doc_id", "source", "text"))
+      val fpAdhoc = TextDedup.winnowFingerprints(day0, "doc_id", "text",
+        k = 3, w = 4).select(col("doc_id").as("idx_id"), col("fp"))
+      val winAdhoc = TextDedup.windowHashIndex(day0, "text", windowWords = 4)
+      val viaAdhoc = rows(TextDedup.hygieneFunnelAgainstIndex(day1,
+        fpAdhoc, winAdhoc, "doc_id", "source", "text"))
+      assert(viaTables == viaAdhoc)
+      // refresh: append day-1 to both indexes
+      Layout.appendHygieneIndexes(day1, "doc_id", "text",
+        "cyc_fp_lb", "cyc_win_lb")
+      // appended table contents == an index recomputed from day0+day1
+      val wantWin = TextDedup.windowHashIndex(day0.unionByName(day1),
+          "text", windowWords = 4)
+        .collect().map(r => r.getAs[Array[Byte]](0).toSeq).toSet
+      val gotWin = spark.table("cyc_win_lb")
+        .collect().map(r => r.getAs[Array[Byte]](0).toSeq).toSet
+      assert(gotWin == wantWin, s"win index drifted after append: " +
+        s"${gotWin.size} vs ${wantWin.size}")
+      val wantFp = TextDedup.winnowFingerprints(day0.unionByName(day1),
+          "doc_id", "text", k = 3, w = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotFp = spark.table("cyc_fp_lb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotFp == wantFp)
+      // day-2 joins still read the refreshed index from its buckets
+      spark.table("cyc_win_lb").write.mode("overwrite")
+        .parquet(s"$dir/cyc_win_plain")
+      def nEx(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      val purgeB = TextDedup.purgeAgainstIndex(day2,
+        spark.table("cyc_win_lb"), "doc_id", "text", windowWords = 4)
+      val purgeP = TextDedup.purgeAgainstIndex(day2,
+        spark.read.parquet(s"$dir/cyc_win_plain"), "doc_id", "text",
+        windowWords = 4)
+      assert(nEx(purgeB) < nEx(purgeP),
+        s"refreshed window index re-exchanges: ${nEx(purgeB)} vs ${nEx(purgeP)}")
+      assert(purgeB.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getString(3))).sortBy(_._1).toSeq ==
+        purgeP.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getString(3))).sortBy(_._1).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS cyc_fp_lb")
+      spark.sql("DROP TABLE IF EXISTS cyc_win_lb")
+    }
+  }
+
   test("zValue interleaves bucket bits reversibly") {
     import spark.implicits._
     val df = (0 until 256).map(i => (i.toLong, (255 - i).toLong)).toDF("a", "b")
