@@ -23,6 +23,12 @@ Two outputs (both OUTSIDE the repo, regenerable at will):
           hold in. Other tables are copied from sf0.1 so the dir is a
           drop-in SPARK_GRAFT_SF_DIR.
 
+  xdup01 — an EXACT-duplicate bed: sf0.1 documents replicated 10x
+          VERBATIM under shifted doc_ids (10-copy exact clouds). The
+          r18 hygiene-funnel A/B bed: the funnel's exact-dup stage 0
+          must make the pipeline FASTER here (clouds collapse before
+          winnow/purge pay for them). documents.parquet only.
+
 Usage: python3 scripts/gen_scale_data.py [outroot]   (default /tmp/graft_scale)
 Seed is fixed; output is byte-stable across runs.
 """
@@ -185,6 +191,20 @@ def gen_zipf(con: duckdb.DuckDBPyConnection, factor: int = 1,
           f"{n_vocab_used} distinct words)", flush=True)
 
 
+def gen_xdup(con: duckdb.DuckDBPyConnection) -> None:
+    out = OUT / "xdup01"
+    out.mkdir(parents=True, exist_ok=True)
+    nd = con.execute(
+        f"SELECT max(doc_id)+1 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    con.execute(
+        f"COPY (SELECT doc_id + i*{nd} AS doc_id, text, lang, source, n_chars "
+        f"FROM read_parquet('{SRC}/documents.parquet'), "
+        f"(SELECT unnest(range({COPIES})) AS i) ORDER BY i) "
+        f"TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    print(f"  xdup01/documents.parquet", flush=True)
+
+
 def main() -> None:
     con = duckdb.connect()
     con.execute("SET threads TO 16")
@@ -194,6 +214,8 @@ def main() -> None:
     gen_zipf(con)
     print("generating zipf1 ...", flush=True)
     gen_zipf(con, factor=10, name="zipf1")
+    print("generating xdup01 ...", flush=True)
+    gen_xdup(con)
     print("done", flush=True)
 
 
