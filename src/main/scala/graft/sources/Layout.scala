@@ -168,9 +168,15 @@ object Layout {
         .format("parquet")
         .saveAsTable(table)
     }
+    // Idempotent by doc id: a re-run of the same refresh (retry, replay)
+    // must not duplicate a doc's fingerprints — duplicated (idx_id, fp)
+    // rows would inflate winnowAgainstIndex's n_shared counts. One
+    // asymmetric batch-side anti join on the already-indexed ids.
+    val indexedIds = spark.table(fpTable).select(col("idx_id")).distinct()
     appendBucketed(graft.operators.TextDedup
       .winnowFingerprints(admitted, idCol, textCol, k = k, w = w)
-      .select(col(idCol).as("idx_id"), col("fp")), fpTable, "fp")
+      .select(col(idCol).as("idx_id"), col("fp"))
+      .join(indexedIds, Seq("idx_id"), "left_anti"), fpTable, "fp")
     appendBucketed(graft.operators.TextDedup
       .windowHashIndex(admitted, textCol, windowWords = indexWindowWords)
       .join(spark.table(winTable), Seq("__h"), "left_anti"),

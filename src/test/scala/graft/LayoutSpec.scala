@@ -228,7 +228,11 @@ class LayoutSpec extends SparkSpec {
       val viaAdhoc = rows(TextDedup.hygieneFunnelAgainstIndex(day1,
         fpAdhoc, winAdhoc, "doc_id", "source", "text"))
       assert(viaTables == viaAdhoc)
-      // refresh: append day-1 to both indexes
+      // refresh: append day-1 to both indexes — TWICE: a retried
+      // refresh must be a no-op (fp rows dedup by doc id, window
+      // hashes by content), or n_shared counts would silently inflate
+      Layout.appendHygieneIndexes(day1, "doc_id", "text",
+        "cyc_fp_lb", "cyc_win_lb")
       Layout.appendHygieneIndexes(day1, "doc_id", "text",
         "cyc_fp_lb", "cyc_win_lb")
       // appended table contents == an index recomputed from day0+day1
@@ -245,6 +249,9 @@ class LayoutSpec extends SparkSpec {
       val gotFp = spark.table("cyc_fp_lb")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(gotFp == wantFp)
+      // row counts catch what set-equality can't: a duplicated append
+      assert(spark.table("cyc_fp_lb").count() == wantFp.size.toLong)
+      assert(spark.table("cyc_win_lb").count() == wantWin.size.toLong)
       // day-2 joins still read the refreshed index from its buckets
       spark.table("cyc_win_lb").write.mode("overwrite")
         .parquet(s"$dir/cyc_win_plain")

@@ -368,6 +368,48 @@ class TextDedupEdgeSpec extends SparkSpec {
     assert(inc("s6_domain_capped") == full("s4_domain_capped"))
   }
 
+  test("hygiene funnel on an all-identical corpus collapses to one doc at s1") {
+    import spark.implicits._
+    // 64 exact copies: the exact stage must keep ONLY the smallest id,
+    // and every later stage must run (not crash) on the singleton
+    val docs = (0L until 64L)
+      .map(i => (i, s"s${i % 4}", "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "source", "text")
+    val rep = TextDedup.hygieneFunnel(docs, "doc_id", "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("s0_raw") == ((64L, 64L * 8)))
+    assert(rep("s1_exact") == ((1L, 8L)))           // keep-first singleton
+    assert(rep("s2_neardup") == ((1L, 8L)))         // nothing to pair with
+    assert(rep("s3_purged") == ((1L, 8L)))          // no within-doc dups
+    assert(rep("s4_domain_capped") == ((1L, 8L)))
+  }
+
+  test("hygiene funnel exact stage keeps the smallest id per clique") {
+    import spark.implicits._
+    // two exact cliques + a unique doc; s1 must keep ids 3, 10, 20 —
+    // pinned through text_h (xor of the 60-bit (id|text) digests)
+    val docs = Seq(
+      (7L, "a", "one two three four five six"),
+      (3L, "a", "one two three four five six"),
+      (20L, "b", "seven eight nine ten eleven twelve"),
+      (10L, "b", "completely different words here now yes"),
+      (15L, "b", "completely different words here now yes"))
+      .toDF("doc_id", "source", "text")
+    val s1 = TextDedup.hygieneFunnel(docs, "doc_id", "source", "text")
+      .filter(col("stage") === "s1_exact").head()
+    assert(s1.getLong(1) == 3L)
+    def h60(id: Long, text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id|$text".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val want = h60(3L, "one two three four five six") ^
+      h60(20L, "seven eight nine ten eleven twelve") ^
+      h60(10L, "completely different words here now yes")
+    assert(s1.getLong(3) == want, "s1_exact text_h != xor of kept docs")
+  }
+
   test("purge size-gate shapes are bit-identical (simple vs gated pin)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
