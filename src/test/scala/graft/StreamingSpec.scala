@@ -933,6 +933,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scriptProfile: streaming output equals the batch operator row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the r18 one-pass kernel is a stateless projection, so the SAME
+    // batch function runs unchanged on a stream; mixed-script rows
+    // exercise all six counters (non-BMP emoji lands in n_other)
+    val docs = Seq(
+      (1L, "hello world 42"),
+      (2L, "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 99"),
+      (3L, "\u6f22\u5b57 text \u0645\u0631\u062d\u0628\u0627 \ud83d\ude00"),
+      (4L, ""))
+    val in = MemoryStream[(Long, String)]
+    val out = graft.operators.TextQuality.scriptProfile(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("script_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSet
+      val got = rows(spark.table("script_stream"))
+      val want = rows(graft.operators.TextQuality.scriptProfile(
+        docs.toDF("doc_id", "text"), "doc_id", "text"))
+      assert(got == want, s"stream $got vs batch $want")
+      assert(got.exists(t => t._1 == 4L && t._8 == "empty"))
+      assert(got.exists(t => t._1 == 2L && t._8 == "cyrillic"))
+    } finally q.stop()
+  }
+
   test("c4FilterLines: streaming output equals the batch operator row-for-row") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
