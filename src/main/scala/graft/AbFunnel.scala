@@ -30,10 +30,14 @@ object AbFunnel {
       var t = System.nanoTime()
       val docs = docs0.select(col(idCol), col(sourceCol), col(textCol))
       // r18: exact-dup stage 0 (keep-first), mirroring the shipped
-      // composition — (md5, id) pairs shuffle, semi join back on id
-      val keepIds = docs.groupBy(md5(col(textCol)).as("__eh"))
-        .agg(min(col(idCol)).as(idCol)).select(col(idCol))
-      val s1 = docs.join(keepIds, Seq(idCol), "left_semi")
+      // composition — (md5, id) pairs shuffle, docs anti-join the drop set
+      val ehPairs = docs.select(md5(col(textCol)).as("__eh"), col(idCol))
+      val dupKeeps = ehPairs.groupBy(col("__eh"))
+        .agg(min(col(idCol)).as("__keepId"), count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select(col("__eh"), col("__keepId"))
+      val dropIds = ehPairs.join(dupKeeps, Seq("__eh"))
+        .filter(col(idCol) =!= col("__keepId")).select(col(idCol))
+      val s1 = docs.join(dropIds, Seq(idCol), "left_anti")
         .localCheckpoint(false)
       noop(s1)
       t = mark("exact+s1", t)

@@ -972,10 +972,10 @@ object TrainPrepQueries {
     q("q_hygiene_funnel",
       """WITH words AS (SELECT doc_id, source, text,
         |               string_split(text, ' ') AS ws FROM documents),
-        |keep AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
-        |         FROM documents GROUP BY 1),
+        |keep AS (SELECT min(doc_id) AS keep_id
+        |         FROM documents GROUP BY md5(text)),
         |ex AS (SELECT w.doc_id, w.source, w.text, w.ws FROM words w
-        |       JOIN keep k ON md5(w.text) = k.h AND w.doc_id = k.keep_id),
+        |       JOIN keep k ON w.doc_id = k.keep_id),
         |hs AS (SELECT doc_id,
         |    list_transform(generate_series(1, len(ws) - 2),
         |      i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)
@@ -1066,10 +1066,10 @@ object TrainPrepQueries {
       """WITH allw AS (SELECT doc_id, source, text,
         |              string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT doc_id, source, text, ws FROM allw WHERE doc_id % 10 >= 8),
-        |keepb AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
-        |          FROM b GROUP BY 1),
+        |keepb AS (SELECT min(doc_id) AS keep_id
+        |          FROM b GROUP BY md5(text)),
         |ex AS (SELECT b.doc_id, b.source, b.text, b.ws FROM b
-        |       JOIN keepb k ON md5(b.text) = k.h AND b.doc_id = k.keep_id),
+        |       JOIN keepb k ON b.doc_id = k.keep_id),
         |hs AS (SELECT doc_id,
         |    list_transform(generate_series(1, len(ws) - 2),
         |      i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 7)

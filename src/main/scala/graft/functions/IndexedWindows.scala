@@ -71,9 +71,16 @@ final class ByteKeySet(val keys: IndexedSeq[Array[Byte]])
   private val (dXor, dSum) = {
     var x = 0L; var s = 0L
     keys.foreach { k =>
-      // 64-bit content hash: Arrays.hashCode widened through a
-      // splitmix finalizer so near-identical keys don't collide.
-      var h = java.util.Arrays.hashCode(k).toLong + (k.length.toLong << 32)
+      // Full-width 64-bit content hash (FNV-1a over every byte, then a
+      // splitmix finalizer): each key contributes 64 bits of content
+      // entropy to the combined digest. Arrays.hashCode would cap a
+      // key's contribution at 32 bits, making two banks that differ in
+      // one 32-bit-colliding pair compare equal — and a false equality
+      // here lets Catalyst CSE substitute one purge gate for another.
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < k.length) { h ^= k(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+      h ^= k.length.toLong
       h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
       h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
       h ^= h >>> 31

@@ -1750,16 +1750,27 @@ object TextDedup {
         docs0.repartition(spark.sparkContext.defaultParallelism)
       else docs0
     val docs = docs0s.select(col(idCol), col(sourceCol), col(textCol))
-    // s1: exact dedup keep-first. Only (md5, id) PAIRS shuffle for the
-    // keep-set (groupBy(hash).min(id) decomposes into bounded partials —
-    // a billion-copy cloud aggregates map-side), and the semi join back
-    // keys on the unique id, so the text column never rides the dedup
-    // shuffle and a small keep-set broadcasts (AQE).
-    val keepIds = docs
-      .groupBy(md5(col(textCol)).as("__eh"))
-      .agg(min(col(idCol)).as(idCol))
+    // s1: exact dedup keep-first. Only (md5, id) PAIRS shuffle
+    // (groupBy(hash).min(id) decomposes into bounded partials — a
+    // billion-copy cloud aggregates map-side), and docs anti-join the
+    // DROP set (ids that lost their hash group), NOT the keep set: the
+    // drop set's size is n_docs − n_distinct_texts — empty on a
+    // mostly-unique corpus, so the anti join broadcasts and the text
+    // column never rides a dedup shuffle in the common case (a
+    // keep-set semi join would be ~n_docs ids and force a full-corpus
+    // text exchange exactly when there is nothing to dedup).
+    val ehPairs = docs.select(md5(col(textCol)).as("__eh"), col(idCol))
+    // join-back dictionary restricted to DUPLICATED hashes (count > 1):
+    // empty/tiny on a mostly-unique corpus, so AQE broadcasts it and
+    // the whole dedup costs ONE exchange of 24-byte pairs
+    val dupKeeps = ehPairs.groupBy(col("__eh"))
+      .agg(min(col(idCol)).as("__keepId"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__eh"), col("__keepId"))
+    val dropIds = ehPairs.join(dupKeeps, Seq("__eh"))
+      .filter(col(idCol) =!= col("__keepId"))
       .select(col(idCol))
-    val s1 = docs.join(keepIds, Seq(idCol), "left_semi")
+    val s1 = docs.join(dropIds, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     val pairs = winnowOverlap(s1, idCol, textCol,
       k = k, w = w, minShared = minShared, maxPostings = maxPostings)
@@ -1841,13 +1852,18 @@ object TextDedup {
     val batch = batch0s.select(col(idCol), col(sourceCol), col(textCol))
     // s1: within-batch exact dedup keep-first — the cheapest stage,
     // led with so both index joins and every later stage shrink (same
-    // shape as hygieneFunnel's s1: only (md5, id) pairs shuffle, the
-    // semi join back keys on the unique id).
-    val keepIds = batch
-      .groupBy(md5(col(textCol)).as("__eh"))
-      .agg(min(col(idCol)).as(idCol))
+    // shape as hygieneFunnel's s1: only (md5, id) pairs shuffle, and
+    // the batch anti-joins the DROP set — empty on a unique batch, so
+    // no text ever rides a dedup shuffle in the common case).
+    val ehPairs = batch.select(md5(col(textCol)).as("__eh"), col(idCol))
+    val dupKeeps = ehPairs.groupBy(col("__eh"))
+      .agg(min(col(idCol)).as("__keepId"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__eh"), col("__keepId"))
+    val dropIds = ehPairs.join(dupKeeps, Seq("__eh"))
+      .filter(col(idCol) =!= col("__keepId"))
       .select(col(idCol))
-    val s1 = batch.join(keepIds, Seq(idCol), "left_semi")
+    val s1 = batch.join(dropIds, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     // cross-snapshot near-dup: any batch doc sharing >= minShared
     // winnow fingerprints with an index doc drops (the index corpus

@@ -168,15 +168,20 @@ object Layout {
         .format("parquet")
         .saveAsTable(table)
     }
-    // Idempotent by doc id: a re-run of the same refresh (retry, replay)
-    // must not duplicate a doc's fingerprints — duplicated (idx_id, fp)
-    // rows would inflate winnowAgainstIndex's n_shared counts. One
-    // asymmetric batch-side anti join on the already-indexed ids.
-    val indexedIds = spark.table(fpTable).select(col("idx_id")).distinct()
+    // Idempotent by (idx_id, fp) PAIR: a retried/replayed refresh is a
+    // no-op (duplicated pairs would inflate winnowAgainstIndex's
+    // n_shared counts), while a RE-ADMITTED id with changed text still
+    // contributes its new fingerprints — deduping by id alone would
+    // silently blind the near-dup index to recrawled content while the
+    // window index (content-keyed) kept growing. One asymmetric
+    // batch-side anti join against the stored pairs; history
+    // accumulates (an id's superseded fingerprints stay indexed,
+    // matching the window index's keep-everything semantics).
     appendBucketed(graft.operators.TextDedup
       .winnowFingerprints(admitted, idCol, textCol, k = k, w = w)
       .select(col(idCol).as("idx_id"), col("fp"))
-      .join(indexedIds, Seq("idx_id"), "left_anti"), fpTable, "fp")
+      .join(spark.table(fpTable), Seq("idx_id", "fp"), "left_anti"),
+      fpTable, "fp")
     appendBucketed(graft.operators.TextDedup
       .windowHashIndex(admitted, textCol, windowWords = indexWindowWords)
       .join(spark.table(winTable), Seq("__h"), "left_anti"),

@@ -274,22 +274,45 @@ object StreamOps {
     keys
   }
 
-  def windowPurgeGate(stream: DataFrame, winIndex: DataFrame,
-      idCol: String, textCol: String, windowWords: Int = 4,
-      maxIndexRows: Int = 1 << 20): DataFrame = {
-    val keys = purgeGateKeys(winIndex, maxIndexRows)
-    stream
-      .select(col(idCol), col(textCol),
-        graft.functions.IndexedCoveredPositions(col(textCol), windowWords,
-          keys).as("__rmv"))
-      .select(col(idCol),
+  /** The stateless purge projection shared by [[windowPurgeGate]] and
+    * [[ingestFrontDoorV2]]: one kernel call per row computes the
+    * covered positions against the plan-baked key set; `keep` columns
+    * ride through ahead of (n_words, n_removed, text_clean). */
+  private def purgeProjection(df: DataFrame, textCol: String,
+      windowWords: Int, keys: Seq[Array[Byte]],
+      keep: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withColumn("__rmv", graft.functions.IndexedCoveredPositions(
+        col(textCol), windowWords, keys))
+      .select(keep ++ Seq(
         size(split(col(textCol), " ")).cast("long").as("n_words"),
         size(col("__rmv")).cast("long").as("n_removed"),
         when(size(col("__rmv")) === 0, col(textCol))
           .otherwise(graft.functions.RemoveWordPositions(col(textCol),
             col("__rmv")))
-          .as("text_clean"))
+          .as("text_clean")): _*)
+
+  def windowPurgeGate(stream: DataFrame, winIndex: DataFrame,
+      idCol: String, textCol: String, windowWords: Int = 4,
+      maxIndexRows: Int = 1 << 20): DataFrame = {
+    val keys = purgeGateKeys(winIndex, maxIndexRows)
+    purgeProjection(stream, textCol, windowWords, keys, Seq(col(idCol)))
   }
+
+  /** Stages 1+2 of both ingest front doors — the stateless exact-dup
+    * (Bloom plan literal) and batch-trained-quality gates; shared so
+    * the two doors cannot diverge on gate semantics (scoreInline's
+    * null-on-empty contract applies identically to both). */
+  private def frontDoorGates(stream: DataFrame, textCol: String,
+      bloomPacked: Array[Long], bloomBits: Int, bloomHashes: Int,
+      model: graft.operators.QualityModel.Model,
+      qualityThreshold: Double): DataFrame =
+    stream
+      .withColumn("might_dup", graft.operators.Sketches.mightContainInline(
+        col(textCol), bloomPacked, bloomBits, bloomHashes))
+      .filter(!col("might_dup"))
+      .withColumn("quality",
+        graft.operators.QualityModel.scoreInline(col(textCol), model))
+      .filter(col("quality") >= qualityThreshold)
 
   /** Windowed approximate distinct counts: tumbling event-time windows
     * with `approx_count_distinct` (HLL++) — the streaming form of the
@@ -553,14 +576,9 @@ object StreamOps {
       nearDupThreshold: Double,
       budgetPerSource: Long): (DataFrame, DataFrame) = {
     import stream.sparkSession.implicits._
-    // stages 1+2: stateless gates, one projection pass
-    val gated = stream
-      .withColumn("might_dup", graft.operators.Sketches.mightContainInline(
-        col(textCol), bloomPacked, bloomBits, bloomHashes))
-      .filter(!col("might_dup"))
-      .withColumn("quality",
-        graft.operators.QualityModel.scoreInline(col(textCol), model))
-      .filter(col("quality") >= qualityThreshold)
+    // stages 1+2: stateless gates, one projection pass (shared helper)
+    val gated = frontDoorGates(stream, textCol, bloomPacked, bloomBits,
+      bloomHashes, model, qualityThreshold)
     // stage 3 (side output): verified near-dup candidates vs the index
     val candidates = streamingNearDupVerified(
       gated.select(col(idCol), col(textCol)), index, idCol, textCol,
@@ -620,29 +638,17 @@ object StreamOps {
       maxIndexRows: Int = 1 << 20): (DataFrame, DataFrame) = {
     import stream.sparkSession.implicits._
     val keys = purgeGateKeys(winIndex, maxIndexRows)
-    // stages 1+2: stateless gates, one projection pass
-    val gated = stream
-      .withColumn("might_dup", graft.operators.Sketches.mightContainInline(
-        col(textCol), bloomPacked, bloomBits, bloomHashes))
-      .filter(!col("might_dup"))
-      .withColumn("quality",
-        graft.operators.QualityModel.scoreInline(col(textCol), model))
-      .filter(col("quality") >= qualityThreshold)
+    // stages 1+2: stateless gates, one projection pass (shared helper)
+    val gated = frontDoorGates(stream, textCol, bloomPacked, bloomBits,
+      bloomHashes, model, qualityThreshold)
     // stage 3 (side output): verified near-dup candidates vs the index
     val candidates = streamingNearDupVerified(
       gated.select(col(idCol), col(textCol)), index, idCol, textCol,
       nearDupThreshold)
     // stage 4: stateless window-hash purge against the stored index
-    val purged = gated
-      .withColumn("__rmv", graft.functions.IndexedCoveredPositions(
-        col(textCol), windowWords, keys))
-      .select(col(sourceCol), col(idCol), col("quality"),
-        size(split(col(textCol), " ")).cast("long").as("n_words"),
-        size(col("__rmv")).cast("long").as("n_removed"),
-        when(size(col("__rmv")) === 0, col(textCol))
-          .otherwise(graft.functions.RemoveWordPositions(col(textCol),
-            col("__rmv")))
-          .as("text_clean"))
+    // (the windowPurgeGate projection, source/quality riding through)
+    val purged = purgeProjection(gated, textCol, windowWords, keys,
+      Seq(col(sourceCol), col(idCol), col("quality")))
     // stage 5: per-source sequential token budget over cleaned counts
     val admitted = purged
       .select(col(sourceCol).cast("string"), col(idCol).cast("long"),
