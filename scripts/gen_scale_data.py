@@ -200,7 +200,7 @@ def gen_xdup(con: duckdb.DuckDBPyConnection) -> None:
     con.execute(
         f"COPY (SELECT doc_id + i*{nd} AS doc_id, text, lang, source, n_chars "
         f"FROM read_parquet('{SRC}/documents.parquet'), "
-        f"(SELECT unnest(range({COPIES})) AS i) ORDER BY i) "
+        f"(SELECT unnest(range({COPIES})) AS i) ORDER BY 1) "
         f"TO '{out}/documents.parquet' (FORMAT PARQUET)")
     print(f"  xdup01/documents.parquet", flush=True)
 

@@ -89,8 +89,35 @@ final class ByteKeySet(val keys: IndexedSeq[Array[Byte]])
     (x, s)
   }
   def size: Int = keys.size
+  // Sorted copy for the exact-compare fallback below: lexicographic
+  // unsigned byte order, length-then-content ties. Lazy — only built
+  // when a digest-equal comparison actually happens.
+  @transient private lazy val sortedKeys: Array[Array[Byte]] = {
+    val a = keys.toArray
+    java.util.Arrays.sort(a, new java.util.Comparator[Array[Byte]] {
+      def compare(x: Array[Byte], y: Array[Byte]): Int =
+        java.util.Arrays.compareUnsigned(x, y)
+    })
+    a
+  }
   override def equals(o: Any): Boolean = o match {
-    case b: ByteKeySet => b.size == size && b.dXor == dXor && b.dSum == dSum
+    case b: ByteKeySet =>
+      // Digest mismatch decides fast (the overwhelmingly common path);
+      // on a digest MATCH fall back to comparing the sorted key arrays
+      // so equality is exact — a digest collision between two different
+      // banks would otherwise let Catalyst CSE silently substitute one
+      // purge gate's key set for another (wrong output, no error). The
+      // fallback is cheap because digest-equal is almost always true
+      // equality, and hashCode/toString stay O(1).
+      b.size == size && b.dXor == dXor && b.dSum == dSum && {
+        val sa = sortedKeys; val sb = b.sortedKeys
+        var i = 0
+        var eq = true
+        while (eq && i < sa.length) {
+          eq = java.util.Arrays.equals(sa(i), sb(i)); i += 1
+        }
+        eq
+      }
     case _ => false
   }
   override def hashCode: Int = (dXor ^ dSum ^ size.toLong).toInt

@@ -136,17 +136,25 @@ object Layout {
   /** Refresh step of the snapshot cycle: append an ADMITTED batch's
     * fingerprints and window hashes to the stored hygiene indexes, so
     * tomorrow's [[graft.operators.TextDedup.hygieneFunnelAgainstIndex]]
-    * sees today's survivors. `insertInto` respects the tables'
-    * recorded bucket spec (rows hash into the existing bucket files'
-    * scheme), so the zero-index-side-exchange property of the
+    * sees today's survivors. The append uses append-mode `saveAsTable`
+    * carrying the table's OWN bucket spec read back from the catalog
+    * (`insertInto` would silently IGNORE bucketing and break the
+    * layout), so the zero-index-side-exchange property of the
     * incremental joins SURVIVES every refresh — LayoutSpec drives the
     * full two-day cycle and re-audits the join plans after the append.
     *
-    * The window-hash append dedups the batch's windows against the
-    * STORED table (one asymmetric anti join — batch × index, never
-    * index × index) so the table stays a distinct set without ever
-    * rewriting it; the fingerprint index is per-(doc, fp) and appends
-    * as-is. Per-refresh cost tracks the batch, not the corpus. */
+    * Both appends dedup the batch against the STORED table (one
+    * asymmetric anti join each — batch × index, never index × index),
+    * so the tables stay duplicate-free without ever being rewritten.
+    * Cost per refresh: the batch side exchanges into the bucket count
+    * and the stored side never exchanges, but the idempotency anti
+    * joins still SCAN the stored tables once per refresh (column-
+    * pruned to the key columns). The fp scan's join work is bounded by
+    * first semi-joining the stored side down to the batch's distinct
+    * `fp` values (broadcast, map-side), so only stored pairs that can
+    * possibly collide with the batch reach the (idx_id, fp) anti join
+    * — without it the anti join's keys (a superset of the `fp` bucket
+    * key) would force the full stored table through the join. */
   def appendHygieneIndexes(admitted: DataFrame, idCol: String,
       textCol: String, fpTable: String, winTable: String,
       k: Int = 3, w: Int = 4, indexWindowWords: Int = 4): Unit = {
@@ -177,10 +185,19 @@ object Layout {
     // batch-side anti join against the stored pairs; history
     // accumulates (an id's superseded fingerprints stay indexed,
     // matching the window index's keep-everything semantics).
-    appendBucketed(graft.operators.TextDedup
+    // The stored side is semi-joined down to the batch's distinct fp
+    // values FIRST (tiny broadcast, filters map-side over the bucketed
+    // scan) because the anti join's (idx_id, fp) keys are a superset
+    // of the fp bucket key — unbounded, the whole stored table would
+    // ride through a join the bucket layout only partially serves.
+    val batchFps = graft.operators.TextDedup
       .winnowFingerprints(admitted, idCol, textCol, k = k, w = w)
       .select(col(idCol).as("idx_id"), col("fp"))
-      .join(spark.table(fpTable), Seq("idx_id", "fp"), "left_anti"),
+      .localCheckpoint(false) // two consumers; winnow runs once
+    val storedHits = spark.table(fpTable)
+      .join(batchFps.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+    appendBucketed(
+      batchFps.join(storedHits, Seq("idx_id", "fp"), "left_anti"),
       fpTable, "fp")
     appendBucketed(graft.operators.TextDedup
       .windowHashIndex(admitted, textCol, windowWords = indexWindowWords)

@@ -606,8 +606,8 @@ object StreamOps {
   }
 
   /** [[ingestFrontDoor]] composed with the window-hash purge gate —
-    * the online path matching [[graft.operators.TextDedup
-    * .hygieneFunnelAgainstIndex]] semantics end-to-end: exact-dup gate
+    * the online analogue of [[graft.operators.TextDedup
+    * .hygieneFunnelAgainstIndex]], stage for stage: exact-dup gate
     * (Bloom, the streaming stand-in for the funnel's s1 exact stage) →
     * quality gate → near-dup candidates vs the stored index (side
     * output) → window-hash purge against the stored window index (the
@@ -616,6 +616,17 @@ object StreamOps {
     * the plan-baked key set, byte-identical md5 keys to the batch
     * index) → per-source token budget over the CLEANED token counts
     * (n_words − n_removed, the funnel's nt2 convention).
+    *
+    * Two DOCUMENTED deviations from the batch funnel's semantics:
+    * (1) stored-index near-dup matches are FLAGGED, not dropped — they
+    * surface on the `nearDupCandidates` side output but still flow
+    * into `admitted` (the batch funnel drops them at s2_idx_neardup);
+    * a caller wanting batch-equal admission anti-joins the verified
+    * candidates out of the admitted stream. (2) budget admission is
+    * ARRIVAL-ordered: in a live stream that is the only order there
+    * is, but when the same call backfills a batch frame the per-group
+    * iterator order is engine-chosen, so WHICH docs a binding budget
+    * admits is undefined in backfill mode (totals and counts are not).
     *
     * Returns (admitted, nearDupCandidates); `admitted` carries
     * (source, id, tokens, n_removed, quality, text_clean, admitted) so
