@@ -986,10 +986,10 @@ object TextDedup {
     // keyed by __h (hex↔binary is a bijection; the oracle compares
     // rebuilt text, never this internal key).
     val wins = src
-      .select(col(idCol), lit(w).as("w"), lit(2L).as("__mc"),
+      .select(col(idCol), lit(w).as("w"),
         posexplode(graft.functions.ShingleMd5Bins(col(textCol), w))
           .as(Seq("start", "__h")))
-    purgeFromWindows(docs, idCol, textCol, wins, keepFirst)
+    purgeFromWindows(docs, idCol, textCol, wins, keepFirst, _ => lit(2L))
   }
 
   /** Multi-length variant of [[purgeDuplicateSubstrings]] (the Lee et
@@ -1028,19 +1028,25 @@ object TextDedup {
       if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
         docs.repartition(spark.sparkContext.defaultParallelism)
       else docs
-    // one kernel call per (doc, level), tagged (w, mc, start, h)
-    // row-locally and flattened into a single window stream — one scan,
-    // one Generate; binary digests (see purgeDuplicateSubstrings)
-    val levels = array(windows.map { case (w, mc) =>
+    // one kernel call per (doc, level), tagged (w, start, h) row-
+    // locally and flattened into a single window stream — one scan,
+    // one Generate; binary digests (see purgeDuplicateSubstrings). The
+    // level's support threshold stays OUT of the stream (mcFor builds
+    // it back from `w` as a literal CASE at filter time).
+    val levels = array(windows.map { case (w, _) =>
       transform(graft.functions.ShingleMd5Bins(col(textCol), w),
-        (h, i) => struct(lit(w).as("w"), lit(mc).as("__mc"),
-          i.as("start"), h.as("__h")))
+        (h, i) => struct(lit(w).as("w"), i.as("start"), h.as("__h")))
     }: _*)
     val wins = src
       .select(col(idCol), explode(flatten(levels)).as("e"))
-      .select(col(idCol), col("e.w").as("w"), col("e.__mc").as("__mc"),
+      .select(col(idCol), col("e.w").as("w"),
         col("e.start").as("start"), col("e.__h").as("__h"))
-    purgeFromWindows(docs, idCol, textCol, wins, keepFirst)
+    val mcFor: Column => Column = wc =>
+      windows.tail.foldLeft(when(wc === windows.head._1,
+          lit(windows.head._2))) { case (acc, (w, mc)) =>
+        acc.when(wc === w, lit(mc))
+      }.otherwise(lit(Long.MaxValue))
+    purgeFromWindows(docs, idCol, textCol, wins, keepFirst, mcFor)
   }
 
   // ---- substring-purge shared tail (stats, gate, rebuild) ----------
@@ -1158,8 +1164,13 @@ object TextDedup {
     * gated shape, Long.MaxValue forces simple). */
   private val SmallCorpusBytes = 1L << 20
 
+  /** `mcFor` maps the window-length column to that level's support
+    * threshold (a literal CASE built from the levels spec) — keeping
+    * the per-row `__mc` column OFF the window stream saves 8 bytes ×
+    * every window of the corpus on the pin and the probe join. */
   private def purgeFromWindows(docs: DataFrame, idCol: String,
-      textCol: String, wins: DataFrame, keepFirst: Boolean): DataFrame = {
+      textCol: String, wins: DataFrame, keepFirst: Boolean,
+      mcFor: Column => Column): DataFrame = {
     val smallLimit = docs.sparkSession.conf
       .getOption("spark.graft.purge.small.bytes").map(_.toLong)
       .getOrElse(SmallCorpusBytes)
@@ -1170,7 +1181,7 @@ object TextDedup {
       val stats = windowStats(wins, idCol, keepFirst, packedWitness = false)
       val removed = wins
         .join(stats, Seq("__h"))
-        .filter(col("__c") >= col("__mc"))
+        .filter(col("__c") >= mcFor(col("w")))
         .filter(if (keepFirst)
           !(col(idCol) === col("__first.d") && col("start") === col("__first.p"))
         else lit(true))
@@ -1180,7 +1191,12 @@ object TextDedup {
     // Packed-witness eligibility is measured against the actual stream
     // (integer id within +-2^42, starts under 2^20) — one cheap global
     // aggregate over the pin; any violation falls back to the struct
-    // witness with identical keep-first decisions.
+    // witness with identical keep-first decisions. (r19 re-tested
+    // folding these bounds into the stats aggregate as per-group
+    // max/min columns to save this pass: it LOST — three extra longs
+    // of aggregation state per window-hash group fatten the stats
+    // shuffle over every group, while this probe is a sequential scan
+    // of already-cached blocks. Negative result recorded in BASELINE.)
     val idIsIntegral = pinned.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
@@ -1207,7 +1223,7 @@ object TextDedup {
         pinned.repartition(col("__h")).join(stats, Seq("__h"))
       else pinned.join(stats, Seq("__h"))
     val removed = joined
-      .filter(col("__c") >= col("__mc"))
+      .filter(col("__c") >= mcFor(col("w")))
       .filter(
         if (!keepFirst) lit(true)
         else if (packed)
@@ -1750,60 +1766,112 @@ object TextDedup {
         docs0.repartition(spark.sparkContext.defaultParallelism)
       else docs0
     val docs = docs0s.select(col(idCol), col(sourceCol), col(textCol))
-    // s1: exact dedup keep-first. Only (md5, id) PAIRS shuffle
-    // (groupBy(hash).min(id) decomposes into bounded partials — a
-    // billion-copy cloud aggregates map-side), and docs anti-join the
-    // DROP set (ids that lost their hash group), NOT the keep set: the
-    // drop set's size is n_docs − n_distinct_texts — empty on a
-    // mostly-unique corpus, so the anti join broadcasts and the text
-    // column never rides a dedup shuffle in the common case (a
-    // keep-set semi join would be ~n_docs ids and force a full-corpus
-    // text exchange exactly when there is nothing to dedup).
-    val ehPairs = docs.select(md5(col(textCol)).as("__eh"), col(idCol))
-    // join-back dictionary restricted to DUPLICATED hashes (count > 1):
-    // empty/tiny on a mostly-unique corpus, so AQE broadcasts it and
-    // the whole dedup costs ONE exchange of 24-byte pairs
-    val dupKeeps = ehPairs.groupBy(col("__eh"))
+    val splitTok = size(split(col(textCol), " ")).cast("long")
+    // ONE raw-text pass computes every per-row fact the exact stage
+    // and the report need — (exact hash, token count, 60-bit content
+    // hash) — and pins it, so md5/split run once over the corpus
+    // instead of once per report leg (the r18 shape re-hashed the full
+    // text in the s0/s1/s2 legs: three extra corpus-wide digest passes
+    // inside the final job). The exact hash is the 16-byte BINARY md5
+    // (same grouping as the oracle's hex md5 at half the shuffle
+    // bytes).
+    val rows0 = docs.select(col(idCol), unhex(md5(col(textCol))).as("__eh"),
+        splitTok.as("__tok"),
+        contentHash60(col(idCol), col(textCol)).as("__th"))
+      .localCheckpoint(false)
+    // s1: exact dedup keep-first over the pinned facts. Only the
+    // bounded (hash → keep id) aggregate shuffles (min/count decompose
+    // into O(1) partials — a billion-copy cloud aggregates map-side),
+    // and docs anti-join the DROP set (ids that lost their hash
+    // group), NOT the keep set: the drop set's size is n_docs −
+    // n_distinct_texts — empty on a mostly-unique corpus, so the anti
+    // join broadcasts and the text column never rides a dedup shuffle
+    // in the common case (a keep-set semi join would be ~n_docs ids
+    // and force a full-corpus text exchange exactly when there is
+    // nothing to dedup). The drop set is pinned: it feeds both the
+    // anti join and the s1 report leg's subtraction.
+    val dupKeeps = rows0.groupBy(col("__eh"))
       .agg(min(col(idCol)).as("__keepId"), count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .select(col("__eh"), col("__keepId"))
-    val dropIds = ehPairs.join(dupKeeps, Seq("__eh"))
+    val dropIds = rows0.join(dupKeeps, Seq("__eh"))
       .filter(col(idCol) =!= col("__keepId"))
       .select(col(idCol))
+      .localCheckpoint(false)
     val s1 = docs.join(dropIds, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     val pairs = winnowOverlap(s1, idCol, textCol,
       k = k, w = w, minShared = minShared, maxPostings = maxPostings)
+    // dropB is pinned (an id list — tiny) because it feeds BOTH the s2
+    // anti join and the s2 report leg; unpinned, the report leg would
+    // re-run the whole winnow posting shuffle inside the final job.
     val dropB = pairs.select(col("doc_b").as(idCol)).distinct()
+      .localCheckpoint(false)
     val s2 = s1
       .join(dropB, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     val purged = purgeDuplicateSubstringsMulti(s2,
       idCol, textCol, windows = windows, keepFirst = true)
+    // The report needs only (nt, content hash) of the purge stage —
+    // hash the rebuilt text at pin time and DROP it, so the pin
+    // materializes four longs + source per row instead of a second
+    // full-text copy (a production funnel writes the survivor text as
+    // the s3 stage table — see the staged form — but the report query
+    // does not).
     val s3 = purged
       .select(col(idCol), (col("n_words") - col("n_removed")).as("nt"),
-        col("text_clean"))
+        contentHash60(col(idCol), col("text_clean")).as("__th"))
       .join(s2.select(col(idCol), col(sourceCol)), Seq(idCol))
       .localCheckpoint(false)
-    val s4 = TextExtract.capPerDomain(
-        s3.select(col(idCol), col(sourceCol), col("nt")),
-        idCol, sourceCol, "nt", cap = domainCap)
-      .join(s3.select(col(idCol), col("text_clean")), Seq(idCol))
-    def stage(name: String, d: DataFrame, tok: Column,
-        text: Column): DataFrame =
-      d.withColumn("__th", contentHash60(col(idCol), text))
-        .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"),
-          expr("bit_xor(__th)").as("text_h"))
-        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
-          col("text_h"))
-    val splitTok = size(split(col(textCol), " ")).cast("long")
-    stage("s0_raw", docs, splitTok, col(textCol))
-      .unionByName(stage("s1_exact", s1, splitTok, col(textCol)))
-      .unionByName(stage("s2_neardup", s2, splitTok, col(textCol)))
-      .unionByName(stage("s3_purged", s3, col("nt"), col("text_clean")))
-      .unionByName(stage("s4_domain_capped", s4, col("nt"),
-        col("text_clean")))
-      .orderBy("stage")
+    // Domain cap directly via the bounded top-k with the content hash
+    // riding as a PAYLOAD column — same (score desc, id) order as
+    // TextExtract.capPerDomain, minus the join-back to recover __th.
+    val s4 = Similarity.topKPerQuery(
+      s3.select(col(sourceCol), col(idCol), col("nt"), col("__th")),
+      domainCap, "nt", scoreDesc = true, idCol = idCol,
+      queryCol = sourceCol, payloadCols = Seq("__th"))
+    // The whole 5-row report is ONE aggregate over a tagged union of
+    // per-row facts (the r18 shape ran five independent single-
+    // partition aggregates — five exchanges and three full text
+    // re-hashes for a 5-row result). Every surviving raw-text row
+    // contributes to s0/s1/s2 in ONE scan of the fact pin (explode of
+    // a 3-tag literal array), and the s1/s2 rows are corrected by
+    // tiny NEGATIVE legs over the dropped ids — the XOR algebra the
+    // content hash was chosen for: counts and token sums subtract,
+    // and bit_xor cancels a dropped row exactly because its 60-bit
+    // hash then appears an even number of times. Both drop sets are
+    // empty on a clean corpus, so the negative legs cost nothing. No
+    // leg touches text or a file scan: the final job reads pinned
+    // longs.
+    def negLeg(names: Seq[String], drop: DataFrame): DataFrame =
+      rows0.join(drop, Seq(idCol), "left_semi")
+        .select(explode(array(names.map(lit): _*)).as("stage"),
+          lit(-1L).as("__n"), (-col("__tok")).as("__tok"), col("__th"))
+    def pinLeg(name: String, d: DataFrame, tok: Column): DataFrame =
+      d.select(lit(name).as("stage"), lit(1L).as("__n"),
+        tok.cast("long").as("__tok"), col("__th"))
+    val tagged = rows0
+      .select(explode(array(lit("s0_raw"), lit("s1_exact"),
+          lit("s2_neardup"))).as("stage"),
+        lit(1L).as("__n"), col("__tok"), col("__th"))
+      .unionByName(negLeg(Seq("s1_exact", "s2_neardup"), dropIds))
+      .unionByName(negLeg(Seq("s2_neardup"), dropB))
+      .unionByName(pinLeg("s3_purged", s3, col("nt")))
+      .unionByName(pinLeg("s4_domain_capped", s4, col("nt")))
+    // Literal zero legs ride the same aggregate so an empty corpus
+    // still reports all five stages (n_docs 0, sums null — the
+    // global-aggregate convention the r18 shape had for free) without
+    // a spine join; the final sort runs inside the single output
+    // partition (a 5-row orderBy would schedule a range-sampling job).
+    import spark.implicits._
+    val zeroLegs = Seq("s0_raw", "s1_exact", "s2_neardup", "s3_purged",
+        "s4_domain_capped").toDF("stage")
+      .select(col("stage"), lit(0L).as("__n"),
+        lit(null).cast("long").as("__tok"), lit(null).cast("long").as("__th"))
+    tagged.unionByName(zeroLegs).groupBy(col("stage"))
+      .agg(sum(col("__n")).as("n_docs"), sum(col("__tok")).as("n_tokens"),
+        expr("bit_xor(__th)").as("text_h"))
+      .coalesce(1).sortWithinPartitions("stage")
   }
 
   /** Snapshot-N+1 form of [[hygieneFunnel]] — the composed incremental
@@ -1850,32 +1918,49 @@ object TextDedup {
         batch0.repartition(spark.sparkContext.defaultParallelism)
       else batch0
     val batch = batch0s.select(col(idCol), col(sourceCol), col(textCol))
+    val splitTok = size(split(col(textCol), " ")).cast("long")
+    // One raw-text pass pins the per-row facts (binary exact hash,
+    // token count, content hash) — the [[hygieneFunnel]] discipline:
+    // md5 and split run once, every report leg reads pinned longs.
+    val rows0 = batch.select(col(idCol), unhex(md5(col(textCol))).as("__eh"),
+        splitTok.as("__tok"),
+        contentHash60(col(idCol), col(textCol)).as("__th"))
+      .localCheckpoint(false)
     // s1: within-batch exact dedup keep-first — the cheapest stage,
-    // led with so both index joins and every later stage shrink (same
-    // shape as hygieneFunnel's s1: only (md5, id) pairs shuffle, and
-    // the batch anti-joins the DROP set — empty on a unique batch, so
-    // no text ever rides a dedup shuffle in the common case).
-    val ehPairs = batch.select(md5(col(textCol)).as("__eh"), col(idCol))
-    val dupKeeps = ehPairs.groupBy(col("__eh"))
+    // led with so both index joins and every later stage shrink. One
+    // groupBy(hash) shuffle of O(1)-state partials carries the exact-
+    // dup keep ids AND the s0/s1 report facts (group totals / keep
+    // row's facts); the batch anti-joins the DROP set — empty on a
+    // unique batch, so no text ever rides a dedup shuffle in the
+    // common case.
+    val dupKeeps = rows0.groupBy(col("__eh"))
       .agg(min(col(idCol)).as("__keepId"), count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .select(col("__eh"), col("__keepId"))
-    val dropIds = ehPairs.join(dupKeeps, Seq("__eh"))
+    val dropIds = rows0.join(dupKeeps, Seq("__eh"))
       .filter(col(idCol) =!= col("__keepId"))
       .select(col(idCol))
+      .localCheckpoint(false)
     val s1 = batch.join(dropIds, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     // cross-snapshot near-dup: any batch doc sharing >= minShared
     // winnow fingerprints with an index doc drops (the index corpus
     // owns every prior occurrence; uncapped by default — a stored
-    // index ships its own posting-count stats if a cap is wanted)
+    // index ships its own posting-count stats if a cap is wanted).
+    // Pinned: the id list feeds both the s2 anti join and the s2
+    // report leg's XOR subtraction.
     val idxHits = winnowAgainstIndex(s1, fpIndex, idCol, textCol,
         k = k, w = w, minShared = minShared)
       .select(col("new_id").as(idCol)).distinct()
+      .localCheckpoint(false)
     val s2 = s1.join(idxHits, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     // cross-snapshot substring purge: windows already in the stored
-    // index vanish from the surviving batch docs
+    // index vanish from the surviving batch docs. The pin carries the
+    // rebuilt text's report facts (nt2 = the purge's kept-word count,
+    // __tok3 = split count of the rebuilt text — the s4 leg's
+    // convention, 1 for a fully-purged empty string — and the content
+    // hash) so no later leg re-hashes text.
     val ipurged = purgeAgainstIndex(s2, winIndex, idCol, textCol,
       windowWords = indexWindowWords)
     val s3 = ipurged
@@ -1883,42 +1968,73 @@ object TextDedup {
       .select(col(idCol), col(sourceCol),
         (col("n_words") - col("n_removed")).as("nt2"),
         col("text_clean").as(textCol))
+      .withColumn("__tok3", splitTok)
+      .withColumn("__th3", contentHash60(col(idCol), col(textCol)))
       .localCheckpoint(false)
     // within-batch funnel on the rebuilt text — the standard stages
     val pairs = winnowOverlap(s3.select(col(idCol), col(sourceCol),
         col(textCol)), idCol, textCol,
       k = k, w = w, minShared = minShared, maxPostings = maxPostings)
     val dropB = pairs.select(col("doc_b").as(idCol)).distinct()
+      .localCheckpoint(false)
     val s4 = s3.join(dropB, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     val purged = purgeDuplicateSubstringsMulti(
       s4.select(col(idCol), col(textCol)), idCol, textCol,
       windows = windows, keepFirst = true)
+    // Report needs only (nt, content hash) — hash at pin time and drop
+    // the rebuilt text (the [[hygieneFunnel]] s3 discipline).
     val s5 = purged
       .select(col(idCol), (col("n_words") - col("n_removed")).as("nt"),
-        col("text_clean"))
+        contentHash60(col(idCol), col("text_clean")).as("__th"))
       .join(s4.select(col(idCol), col(sourceCol)), Seq(idCol))
       .localCheckpoint(false)
-    val s6 = TextExtract.capPerDomain(
-        s5.select(col(idCol), col(sourceCol), col("nt")),
-        idCol, sourceCol, "nt", cap = domainCap)
-      .join(s5.select(col(idCol), col("text_clean")), Seq(idCol))
-    def stage(name: String, d: DataFrame, tok: Column,
-        text: Column): DataFrame =
-      d.withColumn("__th", contentHash60(col(idCol), text))
-        .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"),
-          expr("bit_xor(__th)").as("text_h"))
-        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"),
-          col("text_h"))
-    val splitTok = size(split(col(textCol), " ")).cast("long")
-    stage("s0_batch_raw", batch, splitTok, col(textCol))
-      .unionByName(stage("s1_exact", s1, splitTok, col(textCol)))
-      .unionByName(stage("s2_idx_neardup", s2, splitTok, col(textCol)))
-      .unionByName(stage("s3_idx_purged", s3, col("nt2"), col(textCol)))
-      .unionByName(stage("s4_neardup", s4, splitTok, col(textCol)))
-      .unionByName(stage("s5_purged", s5, col("nt"), col("text_clean")))
-      .unionByName(stage("s6_domain_capped", s6, col("nt"),
-        col("text_clean")))
-      .orderBy("stage")
+    // Domain cap with __th riding the top-k as a payload column (the
+    // [[hygieneFunnel]] s4 discipline — no join-back).
+    val s6 = Similarity.topKPerQuery(
+      s5.select(col(sourceCol), col(idCol), col("nt"), col("__th")),
+      domainCap, "nt", scoreDesc = true, idCol = idCol,
+      queryCol = sourceCol, payloadCols = Seq("__th"))
+    // One tagged aggregate for the whole 7-row report (the
+    // [[hygieneFunnel]] shape): every batch row contributes to
+    // s0/s1/s2 in one scan of the fact pin; legs without a direct pin
+    // come from XOR subtraction — s1 = s0 ⊖ exact drops, s2 = s1 ⊖
+    // idxHits rows, s4 = s3 ⊖ dropB rows (counts/sums subtract;
+    // bit_xor cancels the dropped rows' 60-bit hashes). The final job
+    // reads pins only.
+    def negLeg(names: Seq[String], base: DataFrame, drop: DataFrame,
+        tok: Column, th: Column): DataFrame =
+      base.join(drop, Seq(idCol), "left_semi")
+        .select(explode(array(names.map(lit): _*)).as("stage"),
+          lit(-1L).as("__n"), (-tok).cast("long").as("__tok"),
+          th.as("__th"))
+    def pinLeg(name: String, d: DataFrame, tok: Column,
+        th: Column): DataFrame =
+      d.select(lit(name).as("stage"), lit(1L).as("__n"),
+        tok.cast("long").as("__tok"), th.as("__th"))
+    val tagged = rows0
+      .select(explode(array(lit("s0_batch_raw"), lit("s1_exact"),
+          lit("s2_idx_neardup"))).as("stage"),
+        lit(1L).as("__n"), col("__tok"), col("__th"))
+      .unionByName(negLeg(Seq("s1_exact", "s2_idx_neardup"), rows0,
+        dropIds, col("__tok"), col("__th")))
+      .unionByName(negLeg(Seq("s2_idx_neardup"), rows0, idxHits,
+        col("__tok"), col("__th")))
+      .unionByName(pinLeg("s3_idx_purged", s3, col("nt2"), col("__th3")))
+      .unionByName(pinLeg("s4_neardup", s3, col("__tok3"), col("__th3")))
+      .unionByName(negLeg(Seq("s4_neardup"), s3, dropB, col("__tok3"),
+        col("__th3")))
+      .unionByName(pinLeg("s5_purged", s5, col("nt"), col("__th")))
+      .unionByName(pinLeg("s6_domain_capped", s6, col("nt"), col("__th")))
+    import spark.implicits._
+    val zeroLegs = Seq("s0_batch_raw", "s1_exact", "s2_idx_neardup",
+        "s3_idx_purged", "s4_neardup", "s5_purged", "s6_domain_capped")
+      .toDF("stage")
+      .select(col("stage"), lit(0L).as("__n"),
+        lit(null).cast("long").as("__tok"), lit(null).cast("long").as("__th"))
+    tagged.unionByName(zeroLegs).groupBy(col("stage"))
+      .agg(sum(col("__n")).as("n_docs"), sum(col("__tok")).as("n_tokens"),
+        expr("bit_xor(__th)").as("text_h"))
+      .coalesce(1).sortWithinPartitions("stage")
   }
 }
