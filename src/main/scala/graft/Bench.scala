@@ -93,6 +93,45 @@ object Bench {
     }.sum
     spark.catalog.clearCache()
     runProbe() // JIT the probe plan itself before sampling it
+    // Pre-sweep quiet-box gate (r18 shipped its driver-visible number
+    // from a sweep that STARTED at noise_index 3.6 — the post-hoc
+    // flags fired but the recorded total was still the contended one):
+    // refuse to start the timed sweep until a probe burst's median is
+    // under the clean floor × 1.5, retrying up to 3 times with
+    // growing backoff. If the box never quiets, proceed — a number is
+    // better than no number — but stamp the capture box_contended so
+    // no reader can mistake it for a clean one. Floor default is the
+    // committed quiet-capture probe median (~0.15 s on this box);
+    // SPARK_GRAFT_PROBE_FLOOR overrides, 0 disables the gate.
+    val probeFloor = sys.env.get("SPARK_GRAFT_PROBE_FLOOR").map { s =>
+      scala.util.Try(s.toDouble).getOrElse(
+        sys.error(s"SPARK_GRAFT_PROBE_FLOOR must be numeric, got '$s'"))
+    }.getOrElse(0.15)
+    var boxContended = false
+    if (probeFloor > 0) {
+      val preGate = probeFloor * 1.5
+      var attempt = 0
+      var quiet = false
+      while (!quiet && attempt < 3) {
+        val burst = (1 to 5).map(_ => runProbe()).sorted
+        val pm = burst(burst.size / 2)
+        quiet = pm < preGate
+        if (!quiet) {
+          attempt += 1
+          if (attempt < 3) {
+            System.err.println(f"[bench] pre-sweep probe median $pm%.3f s" +
+              f" > gate $preGate%.3f - box busy, backing off " +
+              f"${15 * attempt}s (attempt $attempt/3)")
+            Thread.sleep(15000L * attempt)
+          } else {
+            System.err.println(f"[bench] pre-sweep probe median $pm%.3f s" +
+              f" > gate $preGate%.3f after 3 attempts - PROCEEDING ON A " +
+              "CONTENDED BOX (capture stamped box_contended:true)")
+            boxContended = true
+          }
+        }
+      }
+    }
     // reps back-to-back per query, not reps full passes: a contention
     // burst lasting seconds would distort one whole pass; here it can
     // only hit one or two reps of a few queries, and the median drops it.
@@ -246,7 +285,7 @@ object Bench {
     def jlist(ns: Seq[String]): String =
       ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stats =
-      s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size},"noise_index":${f(noiseIndex)},"noise_gate":${f(noiseGate)},"recaptured":$recaptured,"noise_index_first":${f(firstNoise)},"probe_sec":${jmap(Seq("min" -> pSorted.head, "median" -> median(pSorted), "max" -> pSorted.last))},"n_contended":${contended.size},"n_retried":$nRetried,"n_cross_flagged":${crossFlags.size}"""
+      s""""value":${f(total)},"unit":"sec","cold_value":${f(cold)},"min_value":${f(minTotal)},"dispersion":${f(disp)},"reps":$reps,"n_queries":${results.size},"noise_index":${f(noiseIndex)},"noise_gate":${f(noiseGate)},"recaptured":$recaptured,"box_contended":$boxContended,"noise_index_first":${f(firstNoise)},"probe_sec":${jmap(Seq("min" -> pSorted.head, "median" -> median(pSorted), "max" -> pSorted.last))},"n_contended":${contended.size},"n_retried":$nRetried,"n_cross_flagged":${crossFlags.size}"""
     val discardedJson = discarded.map { case (ni, qs) =>
       s""","discarded_noise_index":${f(ni)},"discarded_total":${f(qs.map(_._2).sum)},"discarded_queries":${jmap(qs)}"""
     }.getOrElse("")
@@ -286,7 +325,13 @@ object Bench {
       java.nio.file.Files.write(durable, full.getBytes("UTF-8"))
       System.err.println(s"[bench] durable capture: $durable")
     }
-    println(full) // early line: full detail for anyone reading the whole log
+    // The full line goes ONLY to the json artifacts, never stdout: the
+    // driver's bounded (~2000-char) stdout tail used to catch the END
+    // of the full per-query line ahead of the headline, so the window
+    // opened mid-JSON and the driver has recorded parsed:null every
+    // round. With stdout reduced to the single bounded headline line,
+    // the tail is headline + sbt epilogue — parseable line-wise from
+    // its first character.
 
     val headline = Seq(
       "q1_pricing_summary", "q_shipping_priority", "q_local_supplier_volume",
@@ -302,11 +347,18 @@ object Bench {
       "q_tdigest_quantile", "q_multimodal_meta", "q_audio_meta",
       "q_video_meta", "q_pii_redact", "q_categorical_ops", "q_bigram_lm")
     val byName = results.toMap
-    val head = headline.flatMap(n => byName.get(n).map(n -> _))
+    val head0 = headline.flatMap(n => byName.get(n).map(n -> _))
     // headline (driver-parsed, bounded) line: cap the contended list so
-    // a fully-poisoned capture can't overflow the driver's stdout tail
-    println(
-      s"""{"metric":"total",$stats,"contended":${jlist(contended.take(12))},"full":"${livePath}","queries":${jmap(head)},"sf":"$sfDir"}""")
+    // a fully-poisoned capture can't overflow the driver's stdout tail,
+    // and TRIM the query map until the whole line fits well inside the
+    // ~2000-char capture window (sbt's epilogue shares it) — a clipped
+    // line head is exactly the parsed:null failure mode.
+    def headLine(hs: Seq[(String, Double)]): String =
+      s"""{"metric":"total",$stats,"contended":${jlist(contended.take(12))},"full":"${livePath}","queries":${jmap(hs)},"sf":"$sfDir"}"""
+    var head = head0
+    while (headLine(head).length > 1800 && head.nonEmpty)
+      head = head.dropRight(1)
+    println(headLine(head))
     spark.stop()
   }
 }
