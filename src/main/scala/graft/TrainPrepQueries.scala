@@ -1062,9 +1062,9 @@ object TrainPrepQueries {
     // text (the q_hygiene_funnel stack). The oracle composes those
     // three proven CTE stacks; the empty-index differential (report
     // tail == hygieneFunnel(batch)) is pinned in TextDedupEdgeSpec.
-    q("q_incremental_funnel",
-      """WITH allw AS (SELECT doc_id, source, text,
-        |              string_split(text, ' ') AS ws FROM documents),
+    def incrementalFunnelSql(docWhere: String): String =
+      s"""WITH allw AS (SELECT doc_id, source, text,
+        |              string_split(text, ' ') AS ws FROM documents $docWhere),
         |b AS (SELECT doc_id, source, text, ws FROM allw WHERE doc_id % 10 >= 8),
         |keepb AS (SELECT min(doc_id) AS keep_id
         |          FROM b GROUP BY md5(text)),
@@ -1176,8 +1176,12 @@ object TrainPrepQueries {
         |    CAST(sum(nt) AS BIGINT), CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM s4
         |  UNION ALL SELECT 's6_domain_capped', CAST(count(*) AS BIGINT),
         |    CAST(sum(nt) AS BIGINT), CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS BIGINT) FROM s5
-        |) ORDER BY stage""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+        |) ORDER BY stage""".stripMargin
+    def incrementalFunnelSpark(s: SparkSession, dir: String,
+        idCap: Option[Long]): DataFrame = {
+      val docs0 = Tables.documents(s, dir)
+      val docs = idCap.map(c => docs0.filter(col("doc_id") < c))
+        .getOrElse(docs0)
       val old = docs.filter(col("doc_id") % 10 < 8)
       val fpIndex = TextDedup.winnowFingerprints(old, "doc_id", "text",
           k = 3, w = 4)
@@ -1190,6 +1194,22 @@ object TrainPrepQueries {
         indexWindowWords = 4, windows = Seq((4, 5L), (8, 2L)),
         domainCap = 15)
     }
+    q("q_incremental_funnel", incrementalFunnelSql(""))(
+      (s, dir) => incrementalFunnelSpark(s, dir, None))
+
+    // Bounded-slice twin of q_incremental_funnel (the r16 sf1
+    // strict-gate protocol, e.g. q_dup_clusters_sliced): the universe
+    // is capped at doc_id < 5000 IN BOTH ENGINES, selecting the first
+    // replication copy. The unsliced oracle is DuckDB-INFEASIBLE at
+    // stock-vocab sf1 (the ipairs fp self-join over a 31-word
+    // vocabulary spills >79 GB of temp — BASELINE round-18); the
+    // sliced universe keeps every stage of the composition exercised
+    // on sf1 DATA while the replay stays seconds-cheap. The
+    // full-corpus operator stays bench-measured at sf1/zipf1; this
+    // query supplies the strict rows+schema+hash evidence.
+    q("q_incremental_funnel_sliced",
+      incrementalFunnelSql("WHERE doc_id < 5000"))(
+      (s, dir) => incrementalFunnelSpark(s, dir, Some(5000L)))
 
     // Funnel rejects: the audit side of q_prep_funnel — every dropped
     // doc with the stage that dropped it and the specific reason, from
