@@ -1131,4 +1131,154 @@ class StreamingSpec extends SparkSpec {
         Seq("aa").toDF("__h"), "doc_id", "text") // hex string, not binary
     }
   }
+
+  test("front door v2 recovers offsets and budget state from a checkpoint restart") {
+    // The property a production ingest front door actually relies on:
+    // kill the query mid-stream, restart from the SAME checkpoint, and
+    // the per-source token-budget counters (flatMapGroupsWithState
+    // state) resume where they stopped — post-restart admissions equal
+    // the uninterrupted run's, including a doc the budget REJECTS only
+    // because the restored counter remembers pre-restart spending.
+    // Sink is foreachBatch (the memory sink refuses checkpoint
+    // recovery by design); rows are keyed by batchId so a replayed
+    // uncommitted batch overwrites instead of duplicating.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{QualityModel, Sketches, TextDedup}
+    val corpus = Seq((100L, "zz yy xx ww vv uu tt ss"))
+      .toDF("doc_id", "text")
+    val bits = 1 << 12
+    val packed = Sketches.packBits(
+      Sketches.bloomBuild(corpus, "text", bits, 4), bits)
+    val index = StreamOps.nearDupIndex(corpus, "doc_id", "text").cache()
+    val winIndex = TextDedup.windowHashIndex(corpus, "text",
+      windowWords = 4).cache()
+    val train = spark.createDataFrame(Seq(
+      (0L, "excellent clear prose", 1.0), (1L, "wonderful precise text", 1.0),
+      (2L, "spam click buy now", 0.0), (3L, "cheap garbage spam", 0.0)))
+      .toDF("doc_id", "text", "y")
+    val model = QualityModel.trainLogReg(spark,
+      QualityModel.hashedFeatures(train, "doc_id", "text", 128),
+      train.select(col("doc_id"), col("y")), 128, iters = 5, lr = 2.0)
+    // budget 12 tokens/source: batch1 spends 10 on source a, so
+    // batch2's 5-token source-a doc must be REJECTED — but only a
+    // restored budget counter knows about the 10.
+    val batch1 = Seq(
+      (1L, "a", "excellent clear precise prose one two three four five six"),
+      (2L, "b", "excellent clear prose"))
+    val batch2 = Seq(
+      (3L, "a", "excellent clear prose again yes"),
+      (4L, "b", "excellent clear prose more"))
+    type Adm = (String, Long, Long, Boolean)
+    def admitted(stream: org.apache.spark.sql.DataFrame) =
+      StreamOps.ingestFrontDoorV2(stream, "doc_id", "source", "text",
+        packed, bits, 4, model, qualityThreshold = 0.0, index,
+        nearDupThreshold = 0.99, winIndex = winIndex,
+        budgetPerSource = 12L)._1
+    def collectTo(buf: scala.collection.mutable.Map[Long, Set[Adm]])(
+        df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long): Unit = {
+      val rows = df.select("source", "doc_id", "tokens", "admitted")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      buf.synchronized { buf(id) = rows }
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_fd2_ckpt").toString
+    val in = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Set[Adm]]
+    val q1 = admitted(in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(collectTo(got) _)
+      .start()
+    try {
+      in.addData(batch1: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: same source instance, same checkpoint, fresh query
+    in.addData(batch2: _*)
+    val q2 = admitted(in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(collectTo(got) _)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val interrupted = got.synchronized { got.values.flatten.toSet }
+    // uninterrupted twin: fresh source + fresh checkpoint, same data
+    val in2 = MemoryStream[(Long, String, String)]
+    val got2 = scala.collection.mutable.Map.empty[Long, Set[Adm]]
+    val q3 = admitted(in2.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_fd2_ckpt2").toString)
+      .foreachBatch(collectTo(got2) _)
+      .start()
+    try {
+      in2.addData(batch1: _*)
+      q3.processAllAvailable()
+      in2.addData(batch2: _*)
+      q3.processAllAvailable()
+    } finally { q3.stop(); index.unpersist(); winIndex.unpersist() }
+    val uninterrupted = got2.synchronized { got2.values.flatten.toSet }
+    assert(interrupted == uninterrupted,
+      s"interrupted $interrupted vs uninterrupted $uninterrupted")
+    // the restart-only evidence: doc 3 rejected by the RESTORED
+    // counter (10 spent pre-restart + 5 > 12), doc 4 admitted (3+4)
+    assert(interrupted.exists(t => t._2 == 3L && !t._4),
+      s"doc 3 should exceed the restored source-a budget: $interrupted")
+    assert(interrupted.exists(t => t._2 == 4L && t._4),
+      s"doc 4 should fit the restored source-b budget: $interrupted")
+  }
+
+  test("streamingLatestState restores per-key latest + count across a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    type Out = (String, Long, Long, Double, Long)
+    def collectTo(buf: scala.collection.mutable.Map[Long, Set[Out]])(
+        df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        id: Long): Unit = {
+      val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+      buf.synchronized { buf(id) = rows }
+    }
+    val b1 = Seq(("k1", 200L, 1L, 2.0), ("k2", 50L, 2L, 9.0))
+    // post-restart: k1 gets an OLDER row — with restored state the
+    // stored (ts 200) row stays the winner and the seen-count reads 2;
+    // lost state would emit (150, n=1)
+    val b2 = Seq(("k1", 150L, 3L, 7.0))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_latest_ckpt").toString
+    val in = MemoryStream[(String, Long, Long, Double)]
+    val got = scala.collection.mutable.Map.empty[Long, Set[Out]]
+    def start(src: MemoryStream[(String, Long, Long, Double)], dir: String,
+        buf: scala.collection.mutable.Map[Long, Set[Out]]) =
+      StreamOps.streamingLatestState(src.toDS()).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", dir)
+        .foreachBatch(collectTo(buf) _)
+        .start()
+    val q1 = start(in, ckpt, got)
+    try { in.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    in.addData(b2: _*)
+    val q2 = start(in, ckpt, got)
+    try q2.processAllAvailable() finally q2.stop()
+    val interrupted = got.synchronized { got.values.flatten.toSet }
+    val in2 = MemoryStream[(String, Long, Long, Double)]
+    val got2 = scala.collection.mutable.Map.empty[Long, Set[Out]]
+    val q3 = start(in2, java.nio.file.Files
+      .createTempDirectory("graft_latest_ckpt2").toString, got2)
+    try {
+      in2.addData(b1: _*); q3.processAllAvailable()
+      in2.addData(b2: _*); q3.processAllAvailable()
+    } finally q3.stop()
+    val uninterrupted = got2.synchronized { got2.values.flatten.toSet }
+    assert(interrupted == uninterrupted,
+      s"interrupted $interrupted vs uninterrupted $uninterrupted")
+    // restored-state evidence: post-restart k1 emission kept ts 200
+    // (the pre-restart winner) with seen-count 2
+    assert(interrupted.contains(("k1", 200L, 1L, 2.0, 2L)),
+      s"k1 should keep the pre-restart winner with n=2: $interrupted")
+  }
 }
