@@ -1101,6 +1101,21 @@ final case class Frame(df: DataFrame, index: Option[String] = None) {
     Frame(graft.operators.TextDedup.hygieneFunnel(df, idx, sourceCol,
       textCol, k, w, minShared, maxPostings, windows, domainCap))
 
+  /** Materialized-stage hygiene funnel: each stage's survivors land in
+    * a source-partitioned catalog table `<tablePrefix>_s{1..4}` and a
+    * rerun RESUMES from the last completed stage; same report contract
+    * as [[hygieneFunnel]] (operators.TextDedup.hygieneFunnelStaged).
+    * The s4 table is the admitted batch the Layout snapshot cycle
+    * appends to the stored hygiene indexes. */
+  def hygieneFunnelStaged(sourceCol: String, textCol: String,
+      tablePrefix: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 3L, maxPostings: Long = 3L,
+      windows: Seq[(Int, Long)] = Seq((4, 5L), (8, 2L)),
+      domainCap: Int = 15): Frame =
+    Frame(graft.operators.TextDedup.hygieneFunnelStaged(df, idx, sourceCol,
+      textCol, k, w, minShared, maxPostings, windows, domainCap,
+      tablePrefix))
+
   /** Incremental near-dup: this frame is the NEW batch, scored against
     * a stored winnow-fingerprint index ((idx_id, fp) — a prior
     * snapshot's `winnowFingerprints` output) through an asymmetric

@@ -1744,9 +1744,12 @@ object TextDedup {
     * ARE the inter-stage parquet writes a production funnel does
     * anyway (each stage's survivors are a checkpoint you can audit,
     * resume from, or feed to several consumers); localCheckpoint is the
-    * local-mode analogue. Every stage is individually oracle-checked
-    * (q_winnow_overlap_capped, q_substring_dedup_multi, q_domain_cap)
-    * and the composition by q_hygiene_funnel. */
+    * local-mode analogue, and [[hygieneFunnelStaged]] is the LITERAL
+    * form — stage survivors as catalog tables with resume-from-last-
+    * completed-stage (StagedFunnelSpec pins the two bit-equal). Every
+    * stage is individually oracle-checked (q_winnow_overlap_capped,
+    * q_substring_dedup_multi, q_domain_cap) and the composition by
+    * q_hygiene_funnel. */
   def hygieneFunnel(docs0: DataFrame, idCol: String, sourceCol: String,
       textCol: String, k: Int = 3, w: Int = 4, minShared: Long = 3L,
       maxPostings: Long = 3L,
@@ -2030,6 +2033,106 @@ object TextDedup {
     val zeroLegs = Seq("s0_batch_raw", "s1_exact", "s2_idx_neardup",
         "s3_idx_purged", "s4_neardup", "s5_purged", "s6_domain_capped")
       .toDF("stage")
+      .select(col("stage"), lit(0L).as("__n"),
+        lit(null).cast("long").as("__tok"), lit(null).cast("long").as("__th"))
+    tagged.unionByName(zeroLegs).groupBy(col("stage"))
+      .agg(sum(col("__n")).as("n_docs"), sum(col("__tok")).as("n_tokens"),
+        expr("bit_xor(__th)").as("text_h"))
+      .coalesce(1).sortWithinPartitions("stage")
+  }
+
+  /** Materialized-stage form of [[hygieneFunnel]] — the literal version
+    * of the pinned funnel's "these pins ARE the inter-stage writes a
+    * production funnel does anyway": each stage's SURVIVORS (with
+    * their text) are written as a source-partitioned catalog table
+    * `<tablePrefix>_s{1..4}`, and a stage whose table already exists
+    * is NOT recomputed — the run resumes from the last completed
+    * stage (catalog registration is the completion marker: a crashed
+    * write leaves no table, so a rerun redoes exactly the unfinished
+    * stages). Table schemas: s1/s2 (idCol, textCol, sourceCol),
+    * s3/s4 (idCol, nt, text_clean, sourceCol) — the post-purge stages
+    * carry the REBUILT text, and s4 is the admitted batch the Layout
+    * snapshot cycle feeds to [[graft.sources.Layout
+    * .appendHygieneIndexes]] (LayoutSpec drives that composition).
+    *
+    * Returns the same 5-row (stage, n_docs, n_tokens, text_h) report
+    * as [[hygieneFunnel]], computed from the tables — StagedFunnelSpec
+    * pins the report AND each stage's contents bit-equal to the
+    * in-memory run, and that a resumed run schedules no stage work.
+    * Each stage reads only the PREVIOUS stage's table (never the raw
+    * corpus), so at 100 TB a resume after a day-3 failure replays
+    * nothing of days 1-2. */
+  def hygieneFunnelStaged(docs0: DataFrame, idCol: String,
+      sourceCol: String, textCol: String, k: Int = 3, w: Int = 4,
+      minShared: Long = 3L, maxPostings: Long = 3L,
+      windows: Seq[(Int, Long)] = Seq((4, 5L), (8, 2L)),
+      domainCap: Int = 15, tablePrefix: String): DataFrame = {
+    val spark = docs0.sparkSession
+    import org.apache.spark.sql.SaveMode
+    val nFiles = docs0.inputFiles.length
+    val docs0s =
+      if (nFiles > 0 && nFiles < spark.sparkContext.defaultParallelism)
+        docs0.repartition(spark.sparkContext.defaultParallelism)
+      else docs0
+    val docs = docs0s.select(col(idCol), col(sourceCol), col(textCol))
+    def stageTable(name: String)(compute: => DataFrame): DataFrame = {
+      val t = s"${tablePrefix}_$name"
+      if (!spark.catalog.tableExists(t))
+        compute.write.mode(SaveMode.Overwrite).partitionBy(sourceCol)
+          .format("parquet").saveAsTable(t)
+      spark.table(t)
+    }
+    val s1 = stageTable("s1") {
+      val ehPairs = docs.select(unhex(md5(col(textCol))).as("__eh"),
+        col(idCol))
+      val dupKeeps = ehPairs.groupBy(col("__eh"))
+        .agg(min(col(idCol)).as("__keepId"), count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .select(col("__eh"), col("__keepId"))
+      val dropIds = ehPairs.join(dupKeeps, Seq("__eh"))
+        .filter(col(idCol) =!= col("__keepId"))
+        .select(col(idCol))
+      docs.join(dropIds, Seq(idCol), "left_anti")
+    }
+    val s2 = stageTable("s2") {
+      val dropB = winnowOverlap(s1, idCol, textCol, k = k, w = w,
+          minShared = minShared, maxPostings = maxPostings)
+        .select(col("doc_b").as(idCol)).distinct()
+      s1.join(dropB, Seq(idCol), "left_anti")
+    }
+    val s3 = stageTable("s3") {
+      purgeDuplicateSubstringsMulti(s2, idCol, textCol,
+          windows = windows, keepFirst = true)
+        .select(col(idCol),
+          (col("n_words") - col("n_removed")).as("nt"), col("text_clean"))
+        .join(s2.select(col(idCol), col(sourceCol)), Seq(idCol))
+    }
+    val s4 = stageTable("s4") {
+      TextExtract.capPerDomain(
+          s3.select(col(idCol), col(sourceCol), col("nt")),
+          idCol, sourceCol, "nt", cap = domainCap)
+        .select(col(idCol), col("nt"))
+        .join(s3.select(col(idCol), col("text_clean"), col(sourceCol)),
+          Seq(idCol))
+    }
+    // Report over the tables — the same single tagged aggregate (and
+    // the same tok/hash expressions) as [[hygieneFunnel]], so the two
+    // forms are bit-comparable.
+    val splitTok = size(split(col(textCol), " ")).cast("long")
+    def leg(name: String, d: DataFrame, tok: Column,
+        text: Column): DataFrame =
+      d.select(lit(name).as("stage"), lit(1L).as("__n"),
+        tok.cast("long").as("__tok"),
+        contentHash60(col(idCol), text).as("__th"))
+    val tagged = leg("s0_raw", docs, splitTok, col(textCol))
+      .unionByName(leg("s1_exact", s1, splitTok, col(textCol)))
+      .unionByName(leg("s2_neardup", s2, splitTok, col(textCol)))
+      .unionByName(leg("s3_purged", s3, col("nt"), col("text_clean")))
+      .unionByName(leg("s4_domain_capped", s4, col("nt"),
+        col("text_clean")))
+    import spark.implicits._
+    val zeroLegs = Seq("s0_raw", "s1_exact", "s2_neardup", "s3_purged",
+        "s4_domain_capped").toDF("stage")
       .select(col("stage"), lit(0L).as("__n"),
         lit(null).cast("long").as("__tok"), lit(null).cast("long").as("__th"))
     tagged.unionByName(zeroLegs).groupBy(col("stage"))
