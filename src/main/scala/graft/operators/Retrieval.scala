@@ -52,7 +52,6 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     val qTerms = queries.select(col("query_id"), col("term")).distinct()
-    val qTermSet = qTerms.select("term").distinct()
 
     // Token stream with doc length carried from the same projection.
     val toks = docs
@@ -60,8 +59,13 @@ object Retrieval {
       .select(col("doc_id"), size(col("__ws")).cast("double").as("dl"),
         explode(col("__ws")).as("term"))
 
-    // Cut to the query-term postings before any shuffle.
-    val matched = toks.join(broadcast(qTermSet), Seq("term"))
+    // Cut to the query-term postings before any shuffle. LEFT SEMI
+    // against the broadcast (query_id, term) pairs: a semi join never
+    // multiplies rows, so the separate `qTerms.select("term")
+    // .distinct()` build the r18 shape paid (one more aggregate
+    // exchange + broadcast stage-job per run, ×2 in q_rrf_fusion) is
+    // dropped — the broadcast hash set dedups terms by construction.
+    val matched = toks.join(broadcast(qTerms), Seq("term"), "left_semi")
 
     // dl is functionally dependent on doc_id; grouping by it keeps the
     // aggregate deterministic (no first()) at zero extra shuffle width.
