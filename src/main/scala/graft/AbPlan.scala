@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageSubmitted}
 import org.apache.spark.sql.SparkSession
 
 /** Plan/job-count probe for named registered queries (measurement
@@ -33,16 +33,30 @@ object AbPlan {
     Files.createDirectories(Paths.get(outDir))
 
     val jobs = new AtomicInteger(0)
+    val jobEnds = new AtomicInteger(0)
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        jobEnds.incrementAndGet()
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
       }
     })
+    // Listener events are async: a fixed sleep undercounts heavy queries
+    // (q_incremental_funnel schedules 45 jobs). Drain by completion —
+    // every started job must report its end — with a bounded wait.
+    def drainBus(): Unit = {
+      val limit = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (jobEnds.get < jobs.get && System.nanoTime() < limit)
+        Thread.sleep(20)
+      if (jobEnds.get < jobs.get)
+        System.err.println(s"[abplan] WARNING: listener bus did not drain " +
+          s"(ends=${jobEnds.get} < starts=${jobs.get}) - counts may be low")
+    }
 
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
@@ -57,13 +71,13 @@ object AbPlan {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache(); Pins.sweep(spark)
       val ts = (1 to reps).map { _ =>
-        jobs.set(0); stages.set(0); tasks.set(0)
+        drainBus() // flush the previous query's stragglers before zeroing
+        jobs.set(0); jobEnds.set(0); stages.set(0); tasks.set(0)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache(); Pins.sweep(spark)
-        // listener events are async; give the bus a moment to drain
-        Thread.sleep(200)
+        drainBus()
         println(f"  $name%-28s rep ${t}%6.2f s  jobs=${jobs.get}%3d stages=${stages.get}%3d tasks=${tasks.get}%5d")
         t
       }
