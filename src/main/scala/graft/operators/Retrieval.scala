@@ -51,7 +51,18 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val qTerms = queries.select(col("query_id"), col("term")).distinct()
+    // Distinct (query_id, term) pairs. Dedup is semantic (BM25 ignores
+    // query-side term frequency, and the contrib join-back below would
+    // double-count a repeated term), but the query side is broadcast-
+    // bounded by contract — it ships to every executor twice below — so
+    // the dedup runs as a narrow single-partition aggregate instead of a
+    // full shuffle round-trip (guide §2.4: remove shuffles outright;
+    // coalesce is not an exchange). The r19 shape paid that distinct
+    // shuffle once per broadcast build (2-3 stage-jobs per retriever
+    // stack, since the semi-join build's column pruning defeats
+    // exchange reuse between the two builds).
+    val qTerms = queries.select(col("query_id"), col("term"))
+      .coalesce(1).distinct()
 
     // Token stream with doc length carried from the same projection.
     val toks = docs
@@ -71,8 +82,15 @@ object Retrieval {
     // aggregate deterministic (no first()) at zero extra shuffle width.
     val tf = matched.groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-    val df = matched.groupBy("term")
-      .agg(count_distinct(col("doc_id")).as("df"))
+    // tf is unique per (doc_id, term) — dl is functionally dependent on
+    // doc_id — so counting tf rows per term IS count_distinct(doc_id)
+    // over the matched postings. Re-aggregating tf replaces the r19
+    // shape's SECOND pass over the corpus token stream (scan + explode
+    // + semi join + a two-exchange count_distinct); AQE's stage cache
+    // reuses tf's exchange for this branch, so df costs one small
+    // re-aggregate of (doc, term) rows (guide §2.4 / §1.2: remove
+    // passes, not just shuffles).
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
     // One-row corpus stats (N over ALL docs, avgdl over ALL docs).
     val stats = docs.select(col(idCol),
